@@ -1,0 +1,80 @@
+package graft.jq
+
+import graft.json.JDoc
+
+/** AST of the jq-like query language — one node per operator the reference's
+  * grammar accepts (reference: src/query.rs:35-78 `Thunk`,
+  * src/query_nom.rs:73-104 precedence). `opt` is the `?` error-suppression
+  * suffix (reference parses it everywhere but never wires it — we implement
+  * the intended jq semantics: an error AT the marked operator emits nothing).
+  */
+sealed trait Ast extends Serializable
+
+object Ast {
+  case object Identity extends Ast
+  case object Recurse extends Ast
+
+  /** Constant literal per input document (reference: src/ops.rs:95-248). */
+  final case class Lit(value: JDoc) extends Ast
+
+  /** `.key` / `."quoted"` (reference: src/ops.rs:251-317). */
+  final case class IndexKey(key: String, opt: Boolean) extends Ast
+  /** `.N` positional index, negative = from end. */
+  final case class IndexNum(off: Long, opt: Boolean) extends Ast
+  /** bare identifier `foo` ≡ `.foo` (reference: src/ops.rs:320-368). */
+  final case class Ident(name: String, opt: Boolean) extends Ast
+
+  /** `.[a..b]` family; end == Long.MaxValue means open end
+    * (reference: src/ops.rs:371-411, grammar src/query_nom.rs:387-455). */
+  final case class Slice(start: Long, end: Long, opt: Boolean) extends Ast
+
+  /** `.[]` explode (reference: src/ops.rs:414-477). */
+  final case class IterValues(opt: Boolean) extends Ast
+
+  /** `.[e1,e2,...]` round-robin multi-pipeline (reference: src/ops.rs:480-540). */
+  final case class Iterate(items: List[Ast], opt: Boolean) extends Ast
+
+  /** `[...]` collect (reference: src/ops.rs:543-597). */
+  final case class MkList(items: List[Ast], opt: Boolean) extends Ast
+
+  /** One `{...}` entry. `value=None` is the shorthand forms `{user}` /
+    * `{(kexpr)}` whose value is the input doc's field named by the key
+    * (reference grammar: src/query_nom.rs:509-540; intended semantics from
+    * the commented tests, src/query.rs:726-734). */
+  final case class DictPair(key: Ast, value: Option[Ast])
+  final case class MkDict(pairs: List[DictPair], opt: Boolean) extends Ast
+
+  final case class Neg(e: Ast) extends Ast
+  final case class Not(e: Ast) extends Ast
+
+  /** `?` error-suppression wrapper: errored outputs of `e` are dropped
+    * (intended jq semantics, SURVEY.md §2.7); also carries the `?` of
+    * literal `.[...]` items so conversion can fold it
+    * (reference: src/query_nom.rs:697-712). */
+  final case class OptMark(e: Ast) extends Ast
+
+  sealed trait BinOp
+  object BinOp {
+    case object Add extends BinOp; case object Sub extends BinOp
+    case object Mul extends BinOp; case object Div extends BinOp
+    case object Rem extends BinOp
+    case object Eq extends BinOp;  case object Ne extends BinOp
+    case object Lt extends BinOp;  case object Le extends BinOp
+    case object Gt extends BinOp;  case object Ge extends BinOp
+    case object Shl extends BinOp; case object Shr extends BinOp
+    case object BitAnd extends BinOp; case object BitXor extends BinOp
+    case object BitOr extends BinOp
+    case object And extends BinOp; case object Or extends BinOp
+  }
+  /** Binary operator: per-entry zip of the two operand streams
+    * (reference: src/ops.rs:806-1415). */
+  final case class Bin(op: BinOp, l: Ast, r: Ast) extends Ast
+
+  /** `a | b` — feed each output of a into b (reference: src/query.rs:224). */
+  final case class Pipe(l: Ast, r: Ast) extends Ast
+
+  /** Builtin call `name(args...)`; bare `length`/`chars`/`keys` parse as
+    * zero-arg calls over `.` (reference: src/query.rs:226-242 and the
+    * commented tests' intent). */
+  final case class Call(name: String, args: List[Ast]) extends Ast
+}

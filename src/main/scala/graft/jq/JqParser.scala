@@ -1,0 +1,455 @@
+package graft.jq
+
+import graft.json.{JsonText, JDoc, JStr, JLong, JDouble, JBool, JNull}
+import Ast._
+
+/** Recursive-descent parser for the jq-like query language.
+  *
+  * Grammar and precedence follow the reference's PEG
+  * (reference: src/query_nom.rs:73-104): loosest→tightest
+  * `|` (separator optional — juxtaposition pipes, src/query_nom.rs:125) →
+  * `||` → `&&` → comparisons → `bor` → `^` → `&` → `<< >>` → `+ -` →
+  * `* / %` → primary. Two grammar gaps the reference's own tests rely on are
+  * closed per intended semantics: `{ident: expr}` entries and the
+  * `{(kexpr)}` dynamic shorthand (reference: src/query.rs:696-734).
+  */
+object JqParser {
+  final case class JqParseException(msg: String, offset: Int)
+      extends Exception(s"$msg at offset $offset")
+
+  def parse(program: String): Ast = new JqParser(program).parseProgram()
+
+  /** Builtins that may be called bare (no parens), defaulting to input `.`
+    * (reference: src/query.rs:226-242 dispatch + commented tests). */
+  private[jq] val bareBuiltins = Set("length", "chars", "keys")
+  private[jq] val allBuiltins =
+    bareBuiltins ++ Set("has", "in", "map", "any", "all")
+}
+
+final class JqParser(text: String) {
+  import JqParser._
+
+  private var pos = 0
+
+  private def fail(msg: String): Nothing = throw JqParseException(msg, pos)
+
+  private def skipWs(): Unit =
+    while (pos < text.length && Character.isWhitespace(text.charAt(pos))) pos += 1
+
+  private def atEnd: Boolean = { skipWs(); pos >= text.length }
+
+  private def peekIs(s: String): Boolean = {
+    skipWs()
+    text.regionMatches(pos, s, 0, s.length)
+  }
+
+  private def eat(s: String): Boolean = {
+    skipWs()
+    if (text.regionMatches(pos, s, 0, s.length)) { pos += s.length; true }
+    else false
+  }
+
+  private def expect(s: String): Unit =
+    if (!eat(s)) fail(s"expected '$s'")
+
+  private def isIdentStart(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '_'
+  private def isIdentChar(c: Char) = isIdentStart(c) || (c >= '0' && c <= '9')
+
+  /** `[A-Za-z_][0-9A-Za-z_]*` (reference: src/query_nom.rs:19). */
+  private def tryIdentifier(): Option[String] = {
+    skipWs()
+    if (pos < text.length && isIdentStart(text.charAt(pos))) {
+      val start = pos
+      pos += 1
+      while (pos < text.length && isIdentChar(text.charAt(pos))) pos += 1
+      Some(text.substring(start, pos))
+    } else None
+  }
+
+  /** Keyword with word boundary (so `bor`, `null`… don't eat prefixes). */
+  private def eatWord(w: String): Boolean = {
+    skipWs()
+    if (text.regionMatches(pos, w, 0, w.length) &&
+        (pos + w.length >= text.length || !isIdentChar(text.charAt(pos + w.length)))) {
+      pos += w.length; true
+    } else false
+  }
+
+  /** `[+-]?\d+` (reference nom_isize, src/query_nom.rs:27-29). */
+  private def tryInt(): Option[Long] = {
+    skipWs()
+    val start = pos
+    if (pos < text.length && (text.charAt(pos) == '+' || text.charAt(pos) == '-')) pos += 1
+    val dstart = pos
+    while (pos < text.length && text.charAt(pos).isDigit) pos += 1
+    if (pos == dstart) { pos = start; None }
+    else Some(java.lang.Long.parseLong(text.substring(start, pos)))
+  }
+
+  /** `[-+]?[0-9]+\.?[0-9]*([eE][-+]?[0-9]+)?` → Long first, else Double
+    * (reference: src/query_nom.rs:31-34, 700-709). */
+  private def tryNumber(): Option[JDoc] = {
+    skipWs()
+    val start = pos
+    var p = pos
+    if (p < text.length && (text.charAt(p) == '+' || text.charAt(p) == '-')) p += 1
+    val d0 = p
+    while (p < text.length && text.charAt(p).isDigit) p += 1
+    if (p == d0) return None
+    var isFloat = false
+    if (p < text.length && text.charAt(p) == '.') {
+      isFloat = true; p += 1
+      while (p < text.length && text.charAt(p).isDigit) p += 1
+    }
+    if (p < text.length && (text.charAt(p) == 'e' || text.charAt(p) == 'E')) {
+      var q = p + 1
+      if (q < text.length && (text.charAt(q) == '+' || text.charAt(q) == '-')) q += 1
+      if (q < text.length && text.charAt(q).isDigit) {
+        while (q < text.length && text.charAt(q).isDigit) q += 1
+        isFloat = true; p = q
+      }
+    }
+    val s = text.substring(start, p)
+    pos = p
+    if (!isFloat) {
+      try Some(JLong(java.lang.Long.parseLong(s)))
+      catch { case _: NumberFormatException => Some(JDouble(java.lang.Double.parseDouble(s))) }
+    } else Some(JDouble(java.lang.Double.parseDouble(s)))
+  }
+
+  /** JSON string literal, reusing the document codec's escape handling. */
+  private def tryJsonString(): Option[String] = {
+    skipWs()
+    if (pos < text.length && text.charAt(pos) == '"') {
+      val remaining = text.substring(pos)
+      // parse a single string value and count consumed chars
+      var depthEnd = 1
+      var escape = false
+      var found = -1
+      while (depthEnd < remaining.length && found < 0) {
+        val c = remaining.charAt(depthEnd)
+        if (escape) escape = false
+        else if (c == '\\') escape = true
+        else if (c == '"') found = depthEnd
+        depthEnd += 1
+      }
+      if (found < 0) fail("unterminated string literal")
+      val raw = remaining.substring(0, found + 1)
+      val parsed = JsonText.parse(raw) match {
+        case JStr(s) => s
+        case _        => fail("invalid string literal")
+      }
+      pos += found + 1
+      Some(parsed)
+    } else None
+  }
+
+  private def eatOpt(): Boolean = eat("?")
+
+  // ------------------------------------------------------------- program
+
+  def parseProgram(): Ast = {
+    skipWs()
+    if (atEnd) return Identity // empty program ≡ identity (reference: src/query_nom.rs:630-636)
+    val e = parseExpr()
+    skipWs()
+    if (!atEnd) fail(s"trailing content: '${text.substring(pos)}'")
+    e
+  }
+
+  /** attempt `p`, restoring position on failure. */
+  private def attempt[A](p: () => A): Option[A] = {
+    val save = pos
+    try Some(p())
+    catch { case _: JqParseException => pos = save; None }
+  }
+
+  // Pipe level: `a | b`, separator optional (juxtaposition pipes `.a .b`).
+  def parseExpr(): Ast = {
+    var lhs = parseOr()
+    var done = false
+    while (!done) {
+      skipWs()
+      if (peekIs("|") && !peekIs("||")) {
+        expect("|")
+        lhs = Pipe(lhs, parseOr())
+      } else {
+        attempt(() => parseOr()) match {
+          case Some(rhs) => lhs = Pipe(lhs, rhs)
+          case None      => done = true
+        }
+      }
+    }
+    lhs
+  }
+
+  private def parseOr(): Ast = {
+    var l = parseAnd()
+    while (peekIs("||") && { expect("||"); true }) l = Bin(BinOp.Or, l, parseAnd())
+    l
+  }
+
+  private def parseAnd(): Ast = {
+    var l = parseCmp()
+    while (peekIs("&&") && { expect("&&"); true }) l = Bin(BinOp.And, l, parseCmp())
+    l
+  }
+
+  private def parseCmp(): Ast = {
+    var l = parseBitOr()
+    var done = false
+    while (!done) {
+      skipWs()
+      if (eat("==")) l = Bin(BinOp.Eq, l, parseBitOr())
+      else if (eat("!=")) l = Bin(BinOp.Ne, l, parseBitOr())
+      else if (eat("<=")) l = Bin(BinOp.Le, l, parseBitOr())
+      else if (eat(">=")) l = Bin(BinOp.Ge, l, parseBitOr())
+      else if (peekIs("<<") || peekIs(">>")) done = true // shifts, not comparisons
+      else if (eat("<")) l = Bin(BinOp.Lt, l, parseBitOr())
+      else if (eat(">")) l = Bin(BinOp.Gt, l, parseBitOr())
+      else done = true
+    }
+    l
+  }
+
+  private def parseBitOr(): Ast = {
+    var l = parseBitXor()
+    while ({ skipWs(); eatWord("bor") }) l = Bin(BinOp.BitOr, l, parseBitXor())
+    l
+  }
+
+  private def parseBitXor(): Ast = {
+    var l = parseBitAnd()
+    while (eat("^")) l = Bin(BinOp.BitXor, l, parseBitAnd())
+    l
+  }
+
+  private def parseBitAnd(): Ast = {
+    var l = parseShift()
+    var done = false
+    while (!done) {
+      skipWs()
+      if (peekIs("&&")) done = true
+      else if (eat("&")) l = Bin(BinOp.BitAnd, l, parseShift())
+      else done = true
+    }
+    l
+  }
+
+  private def parseShift(): Ast = {
+    var l = parseAdd()
+    var done = false
+    while (!done) {
+      if (eat("<<")) l = Bin(BinOp.Shl, l, parseAdd())
+      else if (eat(">>")) l = Bin(BinOp.Shr, l, parseAdd())
+      else done = true
+    }
+    l
+  }
+
+  private def parseAdd(): Ast = {
+    var l = parseMul()
+    var done = false
+    while (!done) {
+      skipWs()
+      if (eat("+")) l = Bin(BinOp.Add, l, parseMul())
+      else if (eat("-")) l = Bin(BinOp.Sub, l, parseMul())
+      else done = true
+    }
+    l
+  }
+
+  private def parseMul(): Ast = {
+    var l = parsePrimary()
+    var done = false
+    while (!done) {
+      skipWs()
+      if (eat("*")) l = Bin(BinOp.Mul, l, parsePrimary())
+      else if (eat("/")) l = Bin(BinOp.Div, l, parsePrimary())
+      else if (eat("%")) l = Bin(BinOp.Rem, l, parsePrimary())
+      else done = true
+    }
+    l
+  }
+
+  // ------------------------------------------------------------- primary
+
+  private def parsePrimary(): Ast = {
+    skipWs()
+    if (pos >= text.length) fail("unexpected end of query")
+    val c = text.charAt(pos)
+    if (c == '.') parseDotForm()
+    else if (c == '(') { expect("("); val e = parseExpr(); expect(")"); e }
+    else if (c == '[') parseListForm()
+    else if (c == '{') parseDictForm()
+    else if (c == '"') {
+      val s = tryJsonString().get
+      val opt = eatOpt()
+      val lit: Ast = Lit(JStr(s))
+      if (opt) OptMark(lit) else lit
+    }
+    else if (c == '!') { expect("!"); Not(parseExpr()) }
+    else if (c == '-' || c == '+' || c.isDigit) {
+      tryNumber() match {
+        case Some(n) =>
+          val opt = eatOpt()
+          if (opt) OptMark(Lit(n)) else Lit(n)
+        case None =>
+          if (c == '-') { expect("-"); Neg(parseExpr()) }
+          else fail(s"unexpected character '$c'")
+      }
+    }
+    else if (isIdentStart(c)) parseWordForm()
+    else fail(s"unexpected character '$c'")
+  }
+
+  /** keywords, builtins, bare identifiers. */
+  private def parseWordForm(): Ast = {
+    if (eatWord("null")) { val o = eatOpt(); if (o) OptMark(Lit(JNull)) else Lit(JNull) }
+    else if (eatWord("true")) { val o = eatOpt(); if (o) OptMark(Lit(JBool(true))) else Lit(JBool(true)) }
+    else if (eatWord("false")) { val o = eatOpt(); if (o) OptMark(Lit(JBool(false))) else Lit(JBool(false)) }
+    else {
+      val name = tryIdentifier().getOrElse(fail("expected identifier"))
+      skipWs()
+      if (peekIs("(") && allBuiltins.contains(name)) {
+        expect("(")
+        val args = scala.collection.mutable.ListBuffer.empty[Ast]
+        skipWs()
+        if (!peekIs(")")) {
+          args += parseExpr()
+          while (eat(",")) args += parseExpr()
+        }
+        expect(")")
+        val call = Call(name, args.toList)
+        if (eatOpt()) OptMark(call) else call
+      } else if (bareBuiltins.contains(name)) {
+        val call = Call(name, Nil) // bare length/chars/keys apply to `.`
+        if (eatOpt()) OptMark(call) else call
+      } else {
+        Ident(name, eatOpt())
+      }
+    }
+  }
+
+  /** Everything starting with '.': slices, `.[]`, `.[items]`, `.key`,
+    * `..`, identity. */
+  private def parseDotForm(): Ast = {
+    expect(".")
+    skipWs()
+    if (pos < text.length && text.charAt(pos) == '.') {
+      pos += 1
+      return Recurse // `..`
+    }
+    if (pos < text.length && text.charAt(pos) == '[') {
+      pos += 1
+      skipWs()
+      if (pos < text.length && text.charAt(pos) == ']') {
+        pos += 1
+        return IterValues(eatOpt()) // `.[]`
+      }
+      // try the slice forms first (reference alt order, src/query_nom.rs:604-610)
+      attempt(() => parseSliceBody()) match {
+        case Some(s) => return s
+        case None    => ()
+      }
+      // `.[e1, e2, ...]`
+      val items = scala.collection.mutable.ListBuffer.empty[Ast]
+      items += parseExpr()
+      while (eat(",")) items += parseExpr()
+      expect("]")
+      val opt1 = eatOpt()
+      val converted = items.toList.map {
+        case Lit(JLong(n))          => IndexNum(n, opt1)
+        case OptMark(Lit(JLong(n))) => IndexNum(n, opt = true)
+        case Lit(JStr(s))           => IndexKey(s, opt1)
+        case OptMark(Lit(JStr(s)))  => IndexKey(s, opt = true)
+        case Ident(n, o)            => Ident(n, o || opt1)
+        case IndexKey(s, o)         => IndexKey(s, o || opt1)
+        case IndexNum(n, o)         => IndexNum(n, o || opt1)
+        case other                  => other
+      }
+      Iterate(converted, opt1)
+    } else {
+      // `.key` | `.N` | `."quoted"` | bare `.`
+      tryIdentifier() match {
+        case Some(name) => return IndexKey(name, eatOpt())
+        case None       => ()
+      }
+      skipWs()
+      if (pos < text.length && text.charAt(pos).isDigit) {
+        val start = pos
+        while (pos < text.length && text.charAt(pos).isDigit) pos += 1
+        val n = java.lang.Long.parseLong(text.substring(start, pos))
+        return IndexNum(n, eatOpt())
+      }
+      tryJsonString() match {
+        case Some(s) => IndexKey(s, eatOpt())
+        case None    => Identity
+      }
+    }
+  }
+
+  /** After `.[`: `a..b` | `a..=b` | `a..` | `..b` | `..=b` | `..`
+    * (reference: src/query_nom.rs:387-455). */
+  private def parseSliceBody(): Ast = {
+    val start = tryInt()
+    if (!eat("..")) fail("not a slice")
+    val inclusive = eat("=")
+    val end = tryInt()
+    if (inclusive && end.isEmpty) fail("expected end after ..=")
+    expect("]")
+    val opt = eatOpt()
+    Slice(
+      start.getOrElse(0L),
+      end.map(e => if (inclusive) e + 1 else e).getOrElse(Long.MaxValue),
+      opt)
+  }
+
+  private def parseListForm(): Ast = {
+    expect("[")
+    val items = scala.collection.mutable.ListBuffer.empty[Ast]
+    skipWs()
+    if (!peekIs("]")) {
+      items += parseExpr()
+      while (eat(",")) items += parseExpr()
+    }
+    expect("]")
+    MkList(items.toList, eatOpt())
+  }
+
+  private def parseDictForm(): Ast = {
+    expect("{")
+    val pairs = scala.collection.mutable.ListBuffer.empty[DictPair]
+    skipWs()
+    if (!peekIs("}")) {
+      pairs += parseDictPair()
+      while (eat(",")) pairs += parseDictPair()
+    }
+    expect("}")
+    MkDict(pairs.toList, eatOpt())
+  }
+
+  /** `"k": v` | `(kexpr): v` | `(kexpr)` | `ident: v` | `ident`
+    * (reference: src/query_nom.rs:509-540 + intended semantics from
+    * src/query.rs:696-734). */
+  private def parseDictPair(): DictPair = {
+    skipWs()
+    tryJsonString() match {
+      case Some(s) =>
+        expect(":")
+        return DictPair(Lit(JStr(s)), Some(parseExpr()))
+      case None => ()
+    }
+    if (peekIs("(")) {
+      expect("(")
+      val k = parseExpr()
+      expect(")")
+      if (eat(":")) DictPair(k, Some(parseExpr()))
+      else DictPair(k, None) // dynamic `{(kexpr)}` shorthand
+    } else {
+      val name = tryIdentifier().getOrElse(fail("expected object key"))
+      if (eat(":")) DictPair(Lit(JStr(name)), Some(parseExpr()))
+      else DictPair(Lit(JStr(name)), None) // `{user}` shorthand
+    }
+  }
+}

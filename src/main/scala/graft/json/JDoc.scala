@@ -1,0 +1,409 @@
+package graft.json
+
+/** Dynamically-typed JSON document value — the engine's core data model.
+  *
+  * Mirrors the semantics (NOT the implementation) of the reference's `Json`
+  * enum (reference: src/json.rs:469-478) and its `Document` trait
+  * (reference: src/db.rs:33-132):
+  *
+  *   - total order across types: Null < Bool < Integer < Float < String <
+  *     Array < Object (reference: src/db.rs:21-30) — int/float are NOT
+  *     numerically unified for comparison.
+  *   - objects hold key-sorted unique properties with last-wins upsert
+  *     (reference: src/json.rs:501-507, src/prop.rs:86-110).
+  *   - integers are 64-bit here (the reference uses i128, but nothing in its
+  *     surface exercises values beyond ±2^63 — see SURVEY.md §1.4).
+  *
+  * All values are immutable and `Serializable`, so kernels over them can run
+  * inside Catalyst expressions on executors.
+  */
+sealed trait JDoc extends Serializable {
+  /** Cross-type collation rank (reference: src/db.rs:21-30). */
+  def typeOrder: Int
+  /** Type name as the reference's `Doctype` Debug format prints it. */
+  def typeName: String
+}
+
+case object JNull extends JDoc { val typeOrder = 0; val typeName = "Null" }
+final case class JBool(v: Boolean) extends JDoc { val typeOrder = 1; val typeName = "Bool" }
+final case class JLong(v: Long) extends JDoc { val typeOrder = 2; val typeName = "Integer" }
+final case class JDouble(v: Double) extends JDoc { val typeOrder = 3; val typeName = "Float" }
+final case class JStr(v: String) extends JDoc { val typeOrder = 4; val typeName = "String" }
+final case class JArr(items: Vector[JDoc]) extends JDoc { val typeOrder = 5; val typeName = "Array" }
+
+/** Object with key-sorted, unique properties (invariant maintained by
+  * [[JObj.fromProps]]; reference: src/prop.rs:86-110). */
+final case class JObj(props: Vector[(String, JDoc)]) extends JDoc {
+  val typeOrder = 6; val typeName = "Object"
+  def get(key: String): Option[JDoc] = {
+    // binary search over the sorted props (reference: src/prop.rs:86-110)
+    var lo = 0; var hi = props.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = JOps.cmpStr(props(mid)._1, key)
+      if (c == 0) return Some(props(mid)._2)
+      else if (c < 0) lo = mid + 1
+      else hi = mid - 1
+    }
+    None
+  }
+}
+
+object JObj {
+  val empty: JObj = JObj(Vector.empty)
+
+  /** Build from properties in encounter order with last-wins upsert on
+    * duplicate keys, result sorted by key (reference: src/json.rs:501-507). */
+  def fromProps(pairs: Iterable[(String, JDoc)]): JObj = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, JDoc)]
+    pairs.foreach { kv =>
+      val idx = search(buf, kv._1)
+      if (idx >= 0) buf(idx) = kv
+      else buf.insert(-(idx + 1), kv)
+    }
+    JObj(buf.toVector)
+  }
+
+  /** Binary search by key: >=0 found index, else -(insertion point)-1. */
+  private def search(buf: scala.collection.mutable.ArrayBuffer[(String, JDoc)], key: String): Int = {
+    var lo = 0; var hi = buf.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = JOps.cmpStr(buf(mid)._1, key)
+      if (c == 0) return mid
+      else if (c < 0) lo = mid + 1
+      else hi = mid - 1
+    }
+    -(lo + 1)
+  }
+}
+
+/** Value-level operator kernels — the reference's polymorphic semantics
+  * (reference: src/json.rs:870-1130). Null is the silent result of any
+  * unsupported combination; it is never an error. */
+object JOps {
+
+  /** UTF-8 byte-order string comparison (Rust `String: Ord` compares UTF-8
+    * bytes; equivalent to comparing Unicode code points). */
+  def cmpStr(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return java.lang.Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    java.lang.Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Truthiness: null/false falsy, everything else truthy
+    * (reference: src/json.rs:553-557). */
+  def truthy(d: JDoc): Boolean = d match {
+    case JNull | JBool(false) => false
+    case _                    => true
+  }
+
+  /** Structural equality with the reference's derived-`PartialEq` quirks
+    * (reference: src/json.rs:469, src/prop.rs:70-77):
+    *   - variant-strict: `1 == 1.0` is FALSE (Integer vs Float variants);
+    *   - object equality compares KEYS ONLY (Property eq is key-only).
+    */
+  def eqDoc(a: JDoc, b: JDoc): Boolean = (a, b) match {
+    case (JNull, JNull)             => true
+    case (JBool(x), JBool(y))       => x == y
+    case (JLong(x), JLong(y))       => x == y
+    case (JDouble(x), JDouble(y))   => x == y // IEEE: NaN != NaN, -0.0 == 0.0
+    case (JStr(x), JStr(y))         => x == y
+    case (JArr(x), JArr(y))         => x.length == y.length && x.indices.forall(i => eqDoc(x(i), y(i)))
+    case (JObj(x), JObj(y))         => x.length == y.length && x.indices.forall(i => x(i)._1 == y(i)._1)
+    case _                          => false
+  }
+
+  /** Cross-type collation compare (reference: src/db.rs:21-30 derive order;
+    * within-type per derived `PartialOrd` on src/json.rs:469):
+    * None = incomparable (NaN). Objects compare by KEYS ONLY
+    * (reference: src/prop.rs:79-83), arrays lexicographically. */
+  def cmp(a: JDoc, b: JDoc): Option[Int] = {
+    if (a.typeOrder != b.typeOrder) return Some(java.lang.Integer.compare(a.typeOrder, b.typeOrder))
+    (a, b) match {
+      case (JNull, JNull)           => Some(0)
+      case (JBool(x), JBool(y))     => Some(java.lang.Boolean.compare(x, y))
+      case (JLong(x), JLong(y))     => Some(java.lang.Long.compare(x, y))
+      case (JDouble(x), JDouble(y)) =>
+        if (x.isNaN || y.isNaN) None
+        else Some(if (x < y) -1 else if (x > y) 1 else 0) // IEEE: -0.0 == 0.0
+      case (JStr(x), JStr(y))       => Some(cmpStr(x, y))
+      case (JArr(x), JArr(y))       =>
+        var i = 0
+        val n = math.min(x.length, y.length)
+        while (i < n) {
+          cmp(x(i), y(i)) match {
+            case Some(0) => i += 1
+            case other   => return other
+          }
+        }
+        Some(java.lang.Integer.compare(x.length, y.length))
+      case (JObj(x), JObj(y))       =>
+        var i = 0
+        val n = math.min(x.length, y.length)
+        while (i < n) {
+          val c = cmpStr(x(i)._1, y(i)._1)
+          if (c != 0) return Some(c)
+          i += 1
+        }
+        Some(java.lang.Integer.compare(x.length, y.length))
+      case _                        => None // unreachable
+    }
+  }
+
+  /** `a + b` (reference: src/json.rs:963-995): numeric add (any float side →
+    * float), string/array concat, object shallow merge (right wins). */
+  def add(a: JDoc, b: JDoc): JDoc = (a, b) match {
+    case (JLong(x), JLong(y))     => JLong(x + y)
+    case (JLong(x), JDouble(y))   => JDouble(x + y)
+    case (JDouble(x), JLong(y))   => JDouble(x + y)
+    case (JDouble(x), JDouble(y)) => JDouble(x + y)
+    case (JStr(x), JStr(y))       => JStr(x + y)
+    case (JArr(x), JArr(y))       => JArr(x ++ y)
+    case (JObj(x), JObj(y))       => JObj.fromProps(x ++ y)
+    case _                        => JNull
+  }
+
+  /** `a - b` (reference: src/json.rs:997-1017): numeric sub; array minus
+    * array removes the FIRST occurrence of each rhs element (the reference's
+    * `Vec::remove_item`; jq removes all — we match the reference). */
+  def sub(a: JDoc, b: JDoc): JDoc = (a, b) match {
+    case (JLong(x), JLong(y))     => JLong(x - y)
+    case (JLong(x), JDouble(y))   => JDouble(x - y)
+    case (JDouble(x), JLong(y))   => JDouble(x - y)
+    case (JDouble(x), JDouble(y)) => JDouble(x - y)
+    case (JArr(x), JArr(y))       =>
+      val buf = x.toBuffer
+      y.foreach { item =>
+        val idx = buf.indexWhere(e => eqDoc(e, item))
+        if (idx >= 0) buf.remove(idx)
+      }
+      JArr(buf.toVector)
+    case _                        => JNull
+  }
+
+  /** `a * b` (reference: src/json.rs:893-917): numeric mul; string repeat
+    * (`"s" * 0` → null; negative counts → null, the reference would panic);
+    * object deep recursive merge (reference `mixin_object`,
+    * src/json.rs:1103-1122, with intended right-wins leaf semantics). */
+  def mul(a: JDoc, b: JDoc): JDoc = (a, b) match {
+    case (JLong(x), JLong(y))     => JLong(x * y)
+    case (JLong(x), JDouble(y))   => JDouble(x * y)
+    case (JDouble(x), JLong(y))   => JDouble(x * y)
+    case (JDouble(x), JDouble(y)) => JDouble(x * y)
+    case (JStr(s), JLong(n))      => if (n <= 0) JNull else JStr(s * n.toInt)
+    case (JLong(n), JStr(s))      => if (n <= 0) JNull else JStr(s * n.toInt)
+    case (JObj(_), JObj(_))       => deepMerge(a.asInstanceOf[JObj], b.asInstanceOf[JObj])
+    case _                        => JNull
+  }
+
+  /** Recursive object merge: same-key objects merge recursively; otherwise
+    * the right side wins (reference: src/json.rs:1103-1122 intent). */
+  def deepMerge(l: JObj, r: JObj): JObj =
+    JObj.fromProps(l.props ++ r.props.map { case (k, rv) =>
+      (l.get(k), rv) match {
+        case (Some(lo: JObj), ro: JObj) => (k, deepMerge(lo, ro))
+        case _                          => (k, rv)
+      }
+    })
+
+  /** `a / b` (reference: src/json.rs:919-941): int/int → float ALWAYS;
+    * divide-by-zero → null; string / separator → split array (Rust `split`
+    * semantics, empty parts preserved). */
+  def div(a: JDoc, b: JDoc): JDoc = (a, b) match {
+    case (JLong(_) | JDouble(_), JLong(0))                  => JNull
+    case (JLong(_) | JDouble(_), JDouble(y)) if y == 0.0    => JNull
+    case (JLong(x), JLong(y))     => JDouble(x.toDouble / y)
+    case (JLong(x), JDouble(y))   => JDouble(x / y)
+    case (JDouble(x), JLong(y))   => JDouble(x / y)
+    case (JDouble(x), JDouble(y)) => JDouble(x / y)
+    case (JStr(s), JStr(sep))     => JArr(splitLiteral(s, sep).map(JStr(_)))
+    case _                        => JNull
+  }
+
+  /** Rust `str::split` with a literal pattern: keeps empty leading/trailing
+    * parts; empty separator yields "" + each char + "". */
+  def splitLiteral(s: String, sep: String): Vector[String] = {
+    if (sep.isEmpty) {
+      val parts = Vector.newBuilder[String]
+      parts += ""
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        parts += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      parts += ""
+      parts.result()
+    } else {
+      val parts = Vector.newBuilder[String]
+      var from = 0
+      var idx = s.indexOf(sep, from)
+      while (idx >= 0) {
+        parts += s.substring(from, idx)
+        from = idx + sep.length
+        idx = s.indexOf(sep, from)
+      }
+      parts += s.substring(from)
+      parts.result()
+    }
+  }
+
+  /** `a % b` (reference: src/json.rs:943-961): numeric remainder
+    * (truncated, like Rust/Java); mod-by-zero → null; int%int stays int. */
+  def rem(a: JDoc, b: JDoc): JDoc = (a, b) match {
+    case (JLong(_) | JDouble(_), JLong(0))               => JNull
+    case (JLong(_) | JDouble(_), JDouble(y)) if y == 0.0 => JNull
+    case (JLong(x), JLong(y))     => JLong(x % y)
+    case (JLong(x), JDouble(y))   => JDouble(x % y)
+    case (JDouble(x), JLong(y))   => JDouble(x % y)
+    case (JDouble(x), JDouble(y)) => JDouble(x % y)
+    case _                        => JNull
+  }
+
+  /** `-a` (reference: src/json.rs:872-882). */
+  def neg(a: JDoc): JDoc = a match {
+    case JLong(x)   => JLong(-x)
+    case JDouble(x) => JDouble(-x)
+    case _          => JNull
+  }
+
+  /** `!a`: truthiness negation, always a bool (reference: src/json.rs:884-891). */
+  def not(a: JDoc): JDoc = JBool(!truthy(a))
+
+  /** Shifts and bitwise ops: integer-only, else null
+    * (reference: src/json.rs:1019-1072). Shift counts outside [0, 63] →
+    * null (the reference would panic; nothing exercises them). */
+  def shl(a: JDoc, b: JDoc): JDoc = (a, b) match {
+    case (JLong(x), JLong(y)) if y >= 0 && y <= 63 => JLong(x << y)
+    case _ => JNull
+  }
+  def shr(a: JDoc, b: JDoc): JDoc = (a, b) match {
+    case (JLong(x), JLong(y)) if y >= 0 && y <= 63 => JLong(x >> y)
+    case _ => JNull
+  }
+  def bitAnd(a: JDoc, b: JDoc): JDoc = (a, b) match {
+    case (JLong(x), JLong(y)) => JLong(x & y)
+    case _ => JNull
+  }
+  def bitXor(a: JDoc, b: JDoc): JDoc = (a, b) match {
+    case (JLong(x), JLong(y)) => JLong(x ^ y)
+    case _ => JNull
+  }
+  def bitOr(a: JDoc, b: JDoc): JDoc = (a, b) match {
+    case (JLong(x), JLong(y)) => JLong(x | y)
+    case _ => JNull
+  }
+
+  /** `length` semantics (reference: src/json.rs:630-638): string → UTF-8
+    * BYTE length, array/object → element count, null → 0; None = error. */
+  def lengthOf(d: JDoc): Option[Long] = d match {
+    case JStr(s)  => Some(utf8Len(s))
+    case JArr(a)  => Some(a.length.toLong)
+    case JObj(p)  => Some(p.length.toLong)
+    case JNull    => Some(0L)
+    case _        => None
+  }
+
+  def utf8Len(s: String): Long = {
+    var n = 0L; var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      n += (if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4)
+      i += Character.charCount(cp)
+    }
+    n
+  }
+
+  /** `chars` / value iteration (reference: src/json.rs:782-802): string →
+    * array of Unicode code point integers; array → its elements. */
+  def intoIter(d: JDoc): Option[Vector[JDoc]] = d match {
+    case JStr(s) =>
+      val b = Vector.newBuilder[JDoc]
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        b += JLong(cp.toLong)
+        i += Character.charCount(cp)
+      }
+      Some(b.result())
+    case JArr(a) => Some(a)
+    case _       => None
+  }
+
+  /** `keys` (reference: src/ops.rs:1522-1579): array → [0..n-1],
+    * object → sorted key array. */
+  def keysOf(d: JDoc): Option[JDoc] = d match {
+    case JArr(a) => Some(JArr(a.indices.map(i => JLong(i.toLong)).toVector))
+    case JObj(p) => Some(JArr(p.map(kv => JStr(kv._1))))
+    case _       => None
+  }
+
+  /** `.[]` values (reference: src/ops.rs:1741-1754): array elements or
+    * object values (key-sorted order); None for scalars. */
+  def docValues(d: JDoc): Option[Vector[JDoc]] = d match {
+    case JArr(a) => Some(a)
+    case JObj(p) => Some(p.map(_._2))
+    case _       => None
+  }
+
+  /** `..` pre-order recursive descent (reference: src/json.rs:704-718):
+    * containers emit themselves then recurse into each element/value;
+    * scalars emit themselves. */
+  def recurse(d: JDoc): Vector[JDoc] = {
+    val out = Vector.newBuilder[JDoc]
+    def walk(v: JDoc): Unit = v match {
+      case JArr(items) => out += v; items.foreach(walk)
+      case JObj(props) => out += v; props.foreach(p => walk(p._2))
+      case _           => out += v
+    }
+    walk(d)
+    out.result()
+  }
+
+  /** Array index with negative-wraps-from-end normalization
+    * (reference: src/util.rs:25-29, src/json.rs:720-729). */
+  def indexAt(d: JDoc, off: Long): Option[JDoc] = d match {
+    case JArr(a) =>
+      val n = a.length.toLong
+      val o = if (off < 0) off + n else off
+      if (o >= 0 && o < n) Some(a(o.toInt)) else None
+    case _ => None
+  }
+
+  /** Object field get; None on missing key or non-object
+    * (reference: src/json.rs:750-758). */
+  def getKey(d: JDoc, key: String): Option[JDoc] = d match {
+    case o: JObj => o.get(key)
+    case _       => None
+  }
+
+  /** Slice of array (by element) or string (by UTF-8 byte offset) with
+    * negative-offset normalization; None when out of range or start > end
+    * (reference: src/util.rs:4-23, src/json.rs:817-836). `end` of
+    * Long.MaxValue means "to the end". */
+  def slice(d: JDoc, start: Long, end: Long): Option[JDoc] = {
+    def rangeCheck(len: Int): Option[(Int, Int)] = {
+      val n = len.toLong
+      val s = if (start < 0) start + n else start
+      if (s < 0 || s >= n) return None
+      val e = if (end < 0) end + n else if (end == Long.MaxValue) n else end
+      if (e < 0 || e > n) return None
+      if (s > e) return None
+      Some((s.toInt, e.toInt))
+    }
+    d match {
+      case JArr(a) => rangeCheck(a.length).map { case (s, e) => JArr(a.slice(s, e)) }
+      case JStr(str) =>
+        val bytes = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        rangeCheck(bytes.length).map { case (s, e) =>
+          JStr(new String(bytes, s, e - s, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      case _ => None
+    }
+  }
+}

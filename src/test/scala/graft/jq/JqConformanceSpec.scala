@@ -1,0 +1,294 @@
+package graft.jq
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.json.JsonText
+
+/** The jq-language conformance corpus: every (query, input, expected)
+  * triple from the reference's commented-out test module
+  * (reference: src/query.rs:280-1137), which is the richest semantic spec
+  * in that repo — its query pipeline never ran end-to-end (SURVEY.md §5).
+  * Expected outputs are the reference's own, except where noted (all float
+  * expectations were verified to be the true IEEE-754 results). */
+class JqConformanceSpec extends AnyFunSuite {
+
+  /** Run query against one JSON doc; canonical text per output entry,
+    * errors rendered as "ERROR: ...". */
+  private def outs(q: String, doc: String): Seq[String] =
+    Interp.run(q, JsonText.parse(doc)).map { e =>
+      if (e.errors.nonEmpty) "ERROR: " + e.errors.mkString("; ")
+      else JsonText.canonical(e.doc)
+    }
+
+  private def check(q: String, doc: String, expected: String*): Unit = {
+    val got = outs(q, doc)
+    assert(got == expected.toSeq, s"\nquery: <$q>\ndoc: <$doc>\nexpected: $expected\ngot: $got")
+  }
+
+  test("empty program is identity (query.rs:281-291)") {
+    check("", "\"hello\"", "\"hello\"")
+    check("   \t \n ", "10", "10")
+  }
+
+  test("literals (query.rs:293-331)") {
+    check("null", "[10]", "null")
+    check("true", "[10]", "true")
+    check("false", "[10]", "false")
+    check("10", "[10]", "10")
+    check("10.2", "[10]", "1.02e1")
+    check("\"hello\"", "[10]", "\"hello\"")
+    check("""[10.2, true, null, "hello"]""", "[10]", """[1.02e1,true,null,"hello"]""")
+    check("""{"x":12, "y":[10,20], "z":{"a":true}}""", "[10]",
+      """{"x":12,"y":[10,20],"z":{"a":true}}""")
+  }
+
+  test("identity (query.rs:333-370)") {
+    for ((d, out) <- Seq(
+      "null" -> "null", "true" -> "true", "false" -> "false",
+      "10" -> "10", "10.2" -> "1.02e1", "\"hello\"" -> "\"hello\"",
+      "[true,10]" -> "[true,10]", "{\"a\": 10}" -> "{\"a\":10}"))
+      check(".", d, out)
+  }
+
+  test("field get, quoted and bracketed (query.rs:372-426)") {
+    check(".foo", """{"foo": 10}""", "10")
+    check(".foo", """{"notfoo": 10}""", "ERROR: cannot index foo into Object")
+    check(".foo?", """{"nonfoo": 10}""")
+    check("""."foo"""", """{"foo": 10}""", "10")
+    check(""".["foo"]""", """{"foo": 10}""", "10")
+    check(""".["foo"]?""", """{"nonfoo": 10}""")
+    check(""".[foo]""", """{"foo": 10}""", "10")
+    check(""".[foo]?""", """{"nonfoo": 10}""")
+    check("""."foo.bar"""", """{"foo.bar": 10}""", "10")
+    check(""".["foo.bar"]""", """{"foo.bar": 10}""", "10")
+    check(""".["foo.bar"?]""", """{"nonfoo.bar": 10}""")
+  }
+
+  test("numeric index (query.rs:428-460)") {
+    check(".0", """[10, true, "hello"]""", "10")
+    check(".2", """[10, true, "hello"]""", "\"hello\"")
+    check(".[0]", """[10, true, "hello"]""", "10")
+    check(".[2]", """[10, true, "hello"]""", "\"hello\"")
+    check("-.[2]", """[10, true, 20]""", "-20")
+  }
+
+  test("array slices (query.rs:462-496)") {
+    val doc = """["a", "b", "c", "d", "e"]"""
+    check(".[2..4]", doc, """["c","d"]""")
+    check(".[2..=3]", doc, """["c","d"]""")
+    check(".[..3]", doc, """["a","b","c"]""")
+    check(".[..=3]", doc, """["a","b","c","d"]""")
+    check(".[2..]", doc, """["c","d","e"]""")
+    check(".[..]", doc, """["a","b","c","d","e"]""")
+  }
+
+  test("string slices (query.rs:498-530)") {
+    val doc = "\"abcdefghi\""
+    check(".[2..4]", doc, "\"cd\"")
+    check(".[2..=3]", doc, "\"cd\"")
+    check(".[..3]", doc, "\"abc\"")
+    check(".[..=3]", doc, "\"abcd\"")
+    check(".[2..]", doc, "\"cdefghi\"")
+    check(".[..]", doc, "\"abcdefghi\"")
+  }
+
+  test("iteration (query.rs:532-592)") {
+    check(".[]", "[1,2,3]", "1", "2", "3")
+    check(".[]", """{"a": true, "b": 2, "c": null}""", "true", "2", "null")
+    check(".[]", """[{"na":"JS","go":true},{"name":"XML","good":false}]""",
+      """{"go":true,"na":"JS"}""", """{"good":false,"name":"XML"}""")
+    check(".[]", "[]")
+    check(".[]", """{"a": 1, "b": 1}""", "1", "1")
+    check(".[]", "10", "ERROR: cannot iterate Integer")
+    check(".[]?", "10")
+    check(".[foo, bar]", """{"foo": 42, "bar": "something else", "baz": true}""",
+      "42", "\"something else\"")
+    check(".[user, projects.[]]", """{"user":"stedolan", "projects": ["jq", "wikiflow"]}""",
+      "\"stedolan\"", "\"jq\"", "\"wikiflow\"")
+  }
+
+  test("pipes, explicit and juxtaposed (query.rs:594-627)") {
+    check(".[] | foo", """[{"foo": 10}, {"foo":20}]""", "10", "20")
+    check(".[] | .foo ", """[{"foo": 10}, {"foo":20}]""", "10", "20")
+    check(".a.b.c", """{"a": {"b": {"c": 100}}}""", "100")
+    check(".a | .b | .c", """{"a": {"b": {"c": 100}}}""", "100")
+    check(".a | . | .b", """{"a": {"b": 100}}""", "100")
+  }
+
+  test("precedence and parentheses (query.rs:629-643)") {
+    check("2 + . * 15", "10", "152")
+    check("(2 + .) * 15", "10", "180")
+  }
+
+  test("list construction (query.rs:645-685)") {
+    check("[]", "10", "[]")
+    check("[1,2,3]", "10", "[1,2,3]")
+    check("[foo, .bar, baz]", """{"foo": 10, "bar":20, "baz":30}""", "[10,20,30]")
+    check("[.0, .4, .2]", "[10,20,30,40,50]", "[10,50,30]")
+    check("[.items.[].name]", """{"items": [{"name": "x"}, {"name":"y"}]}""", """["x","y"]""")
+    check("[.user, .projects.[]]", """{"user":"stedolan", "projects": ["jq", "wikiflow"]}""",
+      """["stedolan","jq","wikiflow"]""")
+  }
+
+  test("object construction (query.rs:687-749)") {
+    check("""{"a":42,"b":17}""", "10", """{"a":42,"b":17}""")
+    check("{a:42, b:17} ", "10", """{"a":42,"b":17}""")
+    check("""{(."a"+"-"+."b"):59}""", """{"a":"firstname","b":"lastname"}""",
+      """{"firstname-lastname":59}""")
+    check("{foo:.bar}", """{"bar":10}""", """{"foo":10}""")
+    check("{user: .user, title: .title}",
+      """{"user":"prom","title":"testing","age":30,"city":"ax"}""",
+      """{"title":"testing","user":"prom"}""")
+    check("{user, title}",
+      """{"user":"prom","title":"testing","age":30,"city":"ax"}""",
+      """{"title":"testing","user":"prom"}""")
+    check("{(ks.[]), title}",
+      """{"ks":["age","city"],"age":30,"city":"ax","title":null}""",
+      """{"age":30,"city":"ax","title":null}""")
+    check("{user, title: .titles.[]}",
+      """{"user":"sted","titles":["JQ Primer", "More JQ"]}""",
+      """{"title":"JQ Primer","user":"sted"}""", """{"title":"More JQ","user":"sted"}""")
+    check("{(.user): .titles}",
+      """{"user":"stedolan","titles":["JQ Primer", "More JQ"]}""",
+      """{"stedolan":["JQ Primer","More JQ"]}""")
+  }
+
+  test("recursive descent (query.rs:751-759)") {
+    check("..|.a?", """[[{"a":1}, {"a":2}],{"a":3}]""", "1", "2", "3")
+  }
+
+  test("addition (query.rs:761-801)") {
+    check("a+b", """{"a":1,"b":2}""", "3")
+    check("a+b", """{"a":1.2,"b":2.3}""", "3.5e0")
+    check("a+b+c", """{"a":[1,2],"b":[],"c":[3,4]}""", "[1,2,3,4]")
+    check("a+b+c", """{"a":"hello","b":"","c":"world"}""", "\"helloworld\"")
+    check("a+b+c", """{"a":{"x":1},"b":{"x":2},"c":{"y":2}}""", """{"x":2,"y":2}""")
+  }
+
+  test("subtraction (query.rs:803-827)") {
+    check("a-b", """{"a":1,"b":2}""", "-1")
+    check("a-b", """{"a":1.3,"b":2.1}""", "-8e-1")
+    check("a-b", """{"a":[1,2],"b":[2]}""", "[1]")
+  }
+
+  test("multiplication (query.rs:829-877)") {
+    check("a*b", """{"a":1,"b":2}""", "2")
+    check("a*b", """{"a":1.2,"b":2}""", "2.4e0")
+    check("a*b", """{"a":5,"b":2.5}""", "1.25e1")
+    check("a*b", """{"a":1.2,"b":2.1}""", "2.52e0")
+    check("a*b", """{"a":"hello","b":0}""", "null")
+    check("a*b", """{"a":"hello","b":2}""", "\"hellohello\"")
+    check("a*b", """{"a":{"x":1},"b":{"y":2}}""", """{"x":1,"y":2}""")
+  }
+
+  test("division (query.rs:879-927)") {
+    check("a/b", """{"a":1,"b":2}""", "5e-1")
+    check("a/b", """{"a":1.2,"b":2}""", "6e-1")
+    check("a/b", """{"a":5,"b":2.5}""", "2e0")
+    check("a/b", """{"a":1.2,"b":2.1}""", "5.714285714285714e-1")
+    check("a/b", """{"a":1,"b":0}""", "null")
+    check("a/b", """{"a":1.2,"b":0}""", "null")
+    check("a/b", """{"a":"a,b,c,d","b":","}""", """["a","b","c","d"]""")
+  }
+
+  test("remainder (query.rs:929-969)") {
+    check("a%b", """{"a":1,"b":2}""", "1")
+    check("a%b", """{"a":1.2,"b":2}""", "1.2e0")
+    check("a%b", """{"a":5,"b":2.5}""", "0e0")
+    check("a%b", """{"a":1.2,"b":2.1}""", "1.2e0")
+    check("a%b", """{"a":1,"b":0}""", "null")
+    check("a%b", """{"a":1.2,"b":0}""", "null")
+  }
+
+  test("builtin length (query.rs:971-1007)") {
+    check(". | length", "null", "0")
+    check(". | length", "[1,2,3]", "3")
+    check(". | length", """{"a":1, "b":2}""", "2")
+    check(". | length", "\"hello world\"", "11")
+    check(".[] | length", """[[1,2], "string", {"a":2}, null]""", "2", "6", "1", "0")
+    check("length", "\"汉语\"", "6") // BYTE length (reference: src/json.rs:632)
+  }
+
+  test("builtin chars (query.rs:990-996 area)") {
+    check(". | chars | length", "\"汉语\"", "2")
+    check("chars", "\"ab\"", "[97,98]")
+  }
+
+  test("builtin keys (query.rs:998-1011)") {
+    check(". | keys", """{"abc": 1, "abcd": 2, "Foo": 3}""", """["Foo","abc","abcd"]""")
+    check(". | keys", "[10,20,30]", "[0,1,2]")
+  }
+
+  test("builtin has (query.rs:1013-1032)") {
+    check("""has("foo")""", """{"foo": 1, "abcd": 2, "Foo": 3}""", "true")
+    check("""has("foo")""", """["foo", 1, "abcd", 2]""", "true")
+    check("has(1)", "[1, 2]", "true")
+  }
+
+  test("builtin in (query.rs:1034-1053)") {
+    check(""".[] | in({"foo": 42})""", """["foo", "bar"]""", "true", "false")
+    check("""[.[] | in([1,0])]""", "[2, 0]", "[false,true]")
+    check("map(in([0,1]))", "[2, 0]", "[false,true]")
+  }
+
+  test("builtin map (query.rs:1055-1082)") {
+    check("map(.)", """["foo", "bar"]""", """["foo","bar"]""")
+    check("map(.+1)", "[1, 2, 3]", "[2,3,4]")
+    check("map(.+1)", """{"foo":1, "bar":2}""", """{"bar":3,"foo":2}""")
+    check("map(.+1)", """{"a": 1, "b": 2, "c": 3}""", """{"a":2,"b":3,"c":4}""")
+  }
+
+  test("builtin any (query.rs:1084-1109)") {
+    check("any(. == 1)", "[1, 2]", "true")
+    check("""any(. == "a")""", """{"x": "a", "y": "b"}""", "true")
+    check("any(. == 1)", "[2,3]", "false")
+    check("""any(. == "a")""", """{"x": "c", "y": "b"}""", "false")
+  }
+
+  test("builtin all (query.rs:1111-1136)") {
+    check("all(. == 1)", "[1, 1]", "true")
+    check("""all(. == "a")""", """{"x": "a", "y": "a"}""", "true")
+    check("all(. == 1)", "[1,3]", "false")
+    check("""all(. == "a")""", """{"x": "a", "y": "b"}""", "false")
+  }
+
+  test("cross-type collation order (db.rs:21-30)") {
+    // Null < Bool < Integer < Float < String < Array < Object — by variant,
+    // so Integer 5 < Float 4.9 is TRUE.
+    check("a < b", """{"a":5,"b":4.9}""", "true")
+    check("a < b", """{"a":null,"b":false}""", "true")
+    check("a < b", """{"a":true,"b":0}""", "true")
+    check("a < b", """{"a":"z","b":[]}""", "true")
+    check("a < b", """{"a":[99],"b":{}}""", "true")
+    check("a <= b", """{"a":2,"b":2}""", "true") // correct <=, not the ops.rs:1272 bug
+    check("a >= b", """{"a":2,"b":3}""", "false")
+  }
+
+  test("equality is variant-strict (json.rs:469 derived PartialEq)") {
+    check("a == b", """{"a":1,"b":1.0}""", "false")
+    check("a == b", """{"a":1,"b":1}""", "true")
+    check("a != b", """{"a":"x","b":"y"}""", "true")
+  }
+
+  test("logic ops coerce truthiness and do not short-circuit (ops.rs:1350-1415)") {
+    check("a && b", """{"a":1,"b":"x"}""", "true")
+    check("a && b", """{"a":null,"b":true}""", "false")
+    check("a || b", """{"a":false,"b":null}""", "false")
+    check("a || b", """{"a":false,"b":0}""", "true")
+    check("!a", """{"a":null}""", "true")
+    check("!a", """{"a":0}""", "false")
+  }
+
+  test("bit ops are integer-only (json.rs:1019-1072)") {
+    check("a & b", """{"a":6,"b":3}""", "2")
+    check("a ^ b", """{"a":6,"b":3}""", "5")
+    check("a bor b", """{"a":6,"b":3}""", "7")
+    check("a << b", """{"a":1,"b":4}""", "16")
+    check("a >> b", """{"a":16,"b":2}""", "4")
+    check("a & b", """{"a":6,"b":"x"}""", "null")
+  }
+
+  test("negative array index wraps (util.rs:25-29)") {
+    check(".[-1]", "[1,2,3]", "3")
+    check(".[-4]", "[1,2,3]", "ERROR: cannot index -4 into Array")
+  }
+}
