@@ -109,7 +109,102 @@ object SparkEntry {
     "jq_opt_suppress" -> ((s, dir) =>
       table(s, dir, "events").select(
         col("event_id"),
-        Jq.long(".missing? | length", col("props")).as("v")))
+        Jq.long(".missing? | length", col("props")).as("v"))),
+
+    // --- relational layer (SURVEY.md §2.8 beyond-parity) ----------------
+    "rel_agg_pricing" -> ((s, dir) =>
+      operators.Relational.pricingSummary(table(s, dir, "lineitem"))),
+
+    "rel_join_nation_revenue" -> ((s, dir) =>
+      operators.Relational.revenueByNation(
+        table(s, dir, "customer"), table(s, dir, "orders"),
+        table(s, dir, "lineitem"), table(s, dir, "nation"))),
+
+    "rel_join_anti" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    }),
+
+    "rel_join_semi" -> ((s, dir) => {
+      val c = table(s, dir, "customer"); val o = table(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+    }),
+
+    "rel_window_topk" -> ((s, dir) =>
+      operators.Relational.topKPerGroup(
+        table(s, dir, "lineitem"),
+        Seq(col("l_orderkey")),
+        Seq(col("l_extendedprice").desc, col("l_linenumber").asc), 3)
+        .select(col("l_orderkey"), col("l_linenumber"), col("rnk"))),
+
+    "rel_window_running" -> ((s, dir) =>
+      operators.Relational.runningTotal(
+        table(s, dir, "lineitem"),
+        Seq(col("l_suppkey")),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+        col("l_quantity"), "running")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running"))),
+
+    "rel_sort_limit" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    "rel_distinct" -> ((s, dir) =>
+      table(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()),
+
+    "rel_setop_except" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+        .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")))
+    }),
+
+    "rel_setop_intersect" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")))
+    }),
+
+    "rel_rollup" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), operators.Relational.dsum(col("l_quantity")).as("sum_qty"))),
+
+    "rel_agg_stats" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(lit(1)).as("n"))),
+
+    "rel_pivot_manual" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_linestatus") === "F", col("l_quantity").cast("decimal(18,2)"))).cast("double").as("qty_f"),
+          sum(when(col("l_linestatus") === "O", col("l_quantity").cast("decimal(18,2)"))).cast("double").as("qty_o"))),
+
+    "rel_above_avg" -> ((s, dir) => {
+      val sup = table(s, dir, "supplier")
+      val stats = sup.agg(
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("tot"),
+        count(lit(1)).as("cnt"))
+      sup.crossJoin(broadcast(stats))
+        .filter(col("s_acctbal") * col("cnt") > col("tot"))
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    "rel_dates" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          operators.Relational.dsum(col("o_totalprice")).as("total")))
   )
 
   /** DuckDB-equivalent SQL per query (runs on views named after the parquet
@@ -138,6 +233,94 @@ object SparkEntry {
     "jq_strlen" ->
       "SELECT doc_id, strlen(text) AS n_bytes FROM documents",
     "jq_opt_suppress" ->
-      "SELECT event_id, CAST(NULL AS BIGINT) AS v FROM events"
+      "SELECT event_id, CAST(NULL AS BIGINT) AS v FROM events",
+
+    // --- relational layer ----------------------------------------------
+    "rel_agg_pricing" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS DOUBLE) AS sum_disc,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "rel_join_nation_revenue" -> """
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name""",
+
+    "rel_join_anti" -> """
+      SELECT c_mktsegment, count(*) AS n FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      GROUP BY c_mktsegment""",
+
+    "rel_join_semi" -> """
+      SELECT c_nationkey, count(*) AS n FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_nationkey""",
+
+    "rel_window_topk" -> """
+      SELECT l_orderkey, l_linenumber, rnk FROM (
+        SELECT l_orderkey, l_linenumber,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_extendedprice DESC, l_linenumber) AS rnk
+        FROM lineitem) t
+      WHERE rnk <= 3""",
+
+    "rel_window_running" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                  OVER (PARTITION BY l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+      FROM lineitem""",
+
+    "rel_sort_limit" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "rel_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "rel_setop_except" -> """
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""",
+
+    "rel_setop_intersect" -> """
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""",
+
+    "rel_rollup" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "rel_agg_stats" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag""",
+
+    "rel_pivot_manual" -> """
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+      FROM lineitem GROUP BY l_returnflag""",
+
+    "rel_above_avg" -> """
+      SELECT s_suppkey, s_name FROM supplier
+      WHERE s_acctbal * (SELECT count(*) FROM supplier)
+            > CAST((SELECT sum(CAST(s_acctbal AS DECIMAL(18,2))) FROM supplier) AS DOUBLE)""",
+
+    "rel_dates" -> """
+      SELECT year(o_orderdate) AS yr, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY year(o_orderdate)"""
   )
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational-algebra surface (SURVEY.md §2.8): the reference has none of
+  * these — they are the beyond-parity layer that comes with expressing the
+  * engine on DataFrames, declared here as named, scale-conscious builders.
+  *
+  * Scale discipline (100 TB posture):
+  *   - aggregates are partial (map-side combine) by construction;
+  *   - money/quantity sums run on DECIMAL so results are order-independent
+  *     and exact (double sums would drift across partitionings — and
+  *     wouldn't hash-match any oracle);
+  *   - small dimensions are broadcast explicitly; fact-fact joins shuffle
+  *     on their keys and AQE handles skew at runtime;
+  *   - top-k uses rank-filter windows or TakeOrderedAndProject, never a
+  *     global sort of the full input.
+  */
+object Relational {
+
+  /** Exact decimal sum of a double column, emitted as DOUBLE. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Exact order-independent average: decimal sum / count. */
+  def davg(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double") / count(lit(1))
+
+  /** TPC-H Q1-shaped pricing summary: one shuffle, partial aggregation. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(9,4)")).cast("double").as("sum_disc"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("n"))
+
+  /** Revenue per customer nation: fact⋈fact shuffle joins on keys, the
+    * small nation dimension broadcast. */
+  def revenueByNation(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame, nation: DataFrame): DataFrame =
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(9,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Largest-k rows per group via rank-filter window (no global sort). */
+  def topKPerGroup(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
+                   k: Int, rankCol: String = "rnk"): DataFrame = {
+    val w = Window.partitionBy(partCols: _*).orderBy(orderCols: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Running total over an explicit ROWS frame (deterministic order keys
+    * required for reproducibility). */
+  def runningTotal(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
+                   value: Column, outCol: String): DataFrame = {
+    val w = Window.partitionBy(partCols: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outCol, sum(value.cast("decimal(18,2)")).over(w).cast("double"))
+  }
+}
