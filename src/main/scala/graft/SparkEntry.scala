@@ -138,7 +138,7 @@ object SparkEntry {
         table(s, dir, "lineitem"),
         Seq(col("l_orderkey")),
         Seq(col("l_extendedprice").desc, col("l_linenumber").asc), 3)
-        .select(col("l_orderkey"), col("l_linenumber"), col("rnk"))),
+        .select(col("l_orderkey"), col("l_linenumber"), col("rnk").cast("bigint").as("rnk"))),
 
     "rel_window_running" -> ((s, dir) =>
       operators.Relational.runningTotal(
@@ -202,9 +202,100 @@ object SparkEntry {
 
     "rel_dates" -> ((s, dir) =>
       table(s, dir, "orders")
-        .groupBy(year(col("o_orderdate")).as("yr"))
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("yr"))
         .agg(count(lit(1)).as("n"),
-          operators.Relational.dsum(col("o_totalprice")).as("total")))
+          operators.Relational.dsum(col("o_totalprice")).as("total"))),
+
+    // --- dedup family (LLM-pipeline layer) ------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("props"))
+        .agg(min(col("event_id")).as("keeper"), count(lit(1)).as("n"))),
+
+    "dedup_exact_docs" -> ((s, dir) =>
+      operators.Dedup.exactDedup(
+        table(s, dir, "documents"), Seq(col("text")), col("doc_id"))
+        .select(col("doc_id"))),
+
+    "dedup_minhash" -> ((s, dir) =>
+      operators.Dedup.minhashNearDups(
+        table(s, dir, "documents"), "doc_id", col("text"), n = 3, threshold = 0.8)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      operators.Dedup.simhashNearDups(
+        table(s, dir, "documents"), "doc_id", col("text"), n = 3, threshold = 0.8)),
+
+    "dedup_ngram_pairs" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      operators.Dedup.pairwiseJaccard(docs, "doc_id", col("text"), n = 3, pairs = pairs)
+    }),
+
+    "dedup_embedding" -> ((s, dir) =>
+      operators.Similarity.cosineNearDupPairs(table(s, dir, "embeddings"), 0.45)),
+
+    // --- similarity search ----------------------------------------------
+    "sim_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      operators.Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    // approximate variant — no SQL oracle (rows-only check); recall is
+    // asserted against the exact path in SimilaritySpec
+    "sim_ann_lsh" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      operators.Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+    }),
+
+    // --- text analysis ---------------------------------------------------
+    "text_langid" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        operators.TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "text_tokens" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        operators.TextAnalysis.wordTokenCount(col("text")).as("n_words"))),
+
+    "text_quality" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        operators.TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+        operators.TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        operators.TextAnalysis.meanTokenLen(col("text")).as("mean_tok_len"),
+        operators.TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        operators.TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // --- multimodal plumbing (stub codec, real batch shape) -------------
+    "mm_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = operators.Multimodal.fromText(
+        table(s, dir, "documents"), "doc_id", "text", "image")
+      operators.Multimodal.decode(media).toDF()
+        .select(col("media_id"), col("n_bytes"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("n_frames").cast("bigint").as("n_frames"))
+    }),
+
+    // --- streaming surface (batch-equivalent of the streaming transforms)
+    "stream_window" -> ((s, dir) =>
+      streaming.EventStreams.windowedStats(
+        table(s, dir, "events"), "1 hour", "10 minutes")),
+
+    "stream_sessionize" -> ((s, dir) =>
+      // DuckDB reads the TIMESTAMP(NANOS) parquet at µs precision, so the
+      // oracle comparison runs on µs-truncated nanos (semantics unchanged)
+      streaming.EventStreams.sessionizeBatch(
+        table(s, dir, "events")
+          .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L))),
+        gapNanos = 1800L * 1000 * 1000 * 1000))
   )
 
   /** DuckDB-equivalent SQL per query (runs on views named after the parquet
@@ -321,6 +412,133 @@ object SparkEntry {
     "rel_dates" -> """
       SELECT year(o_orderdate) AS yr, count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-      FROM orders GROUP BY year(o_orderdate)"""
+      FROM orders GROUP BY year(o_orderdate)""",
+
+    // --- dedup family ----------------------------------------------------
+    "dedup_exact" ->
+      "SELECT props, min(event_id) AS keeper, count(*) AS n FROM events GROUP BY props",
+
+    "dedup_exact_docs" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+
+    "dedup_minhash" -> """
+      WITH sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(s) >= 3
+          THEN [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]
+          ELSE [] END) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+      SELECT id_a, id_b, j FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(a.shingles || b.shingles)) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+      WHERE j >= 0.8""",
+
+    "dedup_simhash" -> """
+      WITH sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(s) >= 3
+          THEN [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]
+          ELSE [] END) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+      SELECT id_a, id_b, j FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(a.shingles || b.shingles)) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+      WHERE j >= 0.8""",
+
+    "dedup_ngram_pairs" -> """
+      WITH sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(s) >= 3
+          THEN [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]
+          ELSE [] END) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / len(list_distinct(a.shingles || b.shingles)) AS j
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
+
+    "dedup_embedding" -> """
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+
+    // --- similarity search ----------------------------------------------
+    "sim_topk" -> """
+      SELECT qid, rnk, vec_id FROM (
+        SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                          e.vec_id) AS rnk
+        FROM embeddings q CROSS JOIN embeddings e
+        WHERE q.vec_id < 10) t
+      WHERE rnk <= 5""",
+
+    // --- text analysis ---------------------------------------------------
+    "text_langid" -> """
+      SELECT doc_id,
+        CASE WHEN len(list_filter(string_split(text, ' '),
+                t -> t IN ('the','a','an','of','and','to','in','is','on','for','with','as','at','by','be','this','that','it','or','are','was','from')))::DOUBLE
+              / len(string_split(text, ' ')) >= 0.05
+             THEN 'en' ELSE 'unknown' END AS lang_pred
+      FROM documents""",
+
+    "text_tokens" -> """
+      SELECT doc_id,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_words
+      FROM documents""",
+
+    "text_quality" -> """
+      WITH f AS (
+        SELECT doc_id,
+          len(list_filter(string_split(text, ' '),
+            t -> t IN ('the','a','an','of','and','to','in','is','on','for','with','as','at','by','be','this','that','it','or','are','was','from')))::DOUBLE
+            / len(string_split(text, ' ')) AS stop_ratio,
+          (strlen(text) - strlen(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+            / strlen(text) AS punct_ratio,
+          list_reduce(list_prepend(0::BIGINT, [strlen(t)::BIGINT for t in string_split(text, ' ')]), (a, x) -> a + x)::DOUBLE
+            / len(string_split(text, ' ')) AS mean_tok_len
+        FROM documents)
+      SELECT doc_id, stop_ratio, punct_ratio, mean_tok_len,
+             stop_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 +
+             CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 8 THEN 0.2 ELSE 0.0 END AS quality
+      FROM f""",
+
+    "text_fingerprint" -> """
+      SELECT doc_id,
+             list_reduce(list_prepend(0::BIGINT,
+               [ord(substring(text, i, 1))::BIGINT for i in range(1, strlen(text) + 1)]),
+               (h, c) -> (h * 31 + c) % 1000000007) AS fp
+      FROM documents""",
+
+    // --- multimodal ------------------------------------------------------
+    "mm_decode" -> """
+      SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
+             16 + strlen(text) % 64 AS width,
+             16 + (strlen(text) * 7) % 48 AS height,
+             1::BIGINT AS n_frames
+      FROM documents""",
+
+    // --- streaming surface ----------------------------------------------
+    "stream_window" -> """
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wstart, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2""",
+
+    "stream_sessionize" -> """
+      WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn FROM events),
+      f AS (SELECT user_id, tsn,
+              CASE WHEN lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 1800000000000
+                   THEN 1 ELSE 0 END AS new_session
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn)),
+      g AS (SELECT user_id, tsn,
+              CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tsn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+            FROM f)
+      SELECT user_id, session_seq, min(tsn) AS session_start,
+             max(tsn) - min(tsn) AS duration_ns, count(*) AS n_events
+      FROM g GROUP BY user_id, session_seq"""
   )
 }

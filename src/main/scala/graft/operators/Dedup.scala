@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All variants are pure DataFrame pipelines built from codegen'd built-in
+  * functions — no UDFs, no driver-side loops — so they scale by
+  * partitioning alone:
+  *   - exact: one hash-shuffle on the content key;
+  *   - MinHash+LSH: narrow signature map → band explode → shuffle on
+  *     (band, bucket) → candidate self-join → exact-jaccard verify (the
+  *     standard web-scale near-dup shape: cost is O(candidates), never
+  *     O(n²));
+  *   - SimHash: narrow 64-bit sketch map → block explode → shuffle on
+  *     (block index, block bits) → verify.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+
+  /** Keep exactly one row per key (the one with the smallest tiebreak).
+    * One shuffle; at 100 TB this is the cheapest possible dedup. */
+  def exactDedup(df: DataFrame, keys: Seq[Column], tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(tiebreak.asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------------ shingles
+
+  /** Distinct word n-gram shingles of a whitespace-tokenized text column;
+    * documents shorter than n words yield no shingles. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    when(size(words) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(words) - n), i =>
+          concat_ws(" ", slice(words, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact Jaccard similarity of two distinct-element array columns:
+    * |A∩B| / |A∪B| (an exact integer ratio — reproducible bit-for-bit). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  // ------------------------------------------------------------ minhash
+
+  /** Number of minhash functions / LSH layout: 16 bands × 2 rows.
+    * P(miss | j=0.8) = (1-0.8²)^16 ≈ 7e-8. */
+  val MinhashK = 32
+  val MinhashBands = 16
+  val MinhashRows = 2
+
+  private val rnd = new scala.util.Random(0x5eed)
+  // 30-bit odd multipliers and 60-bit offsets over a 32-bit base hash:
+  // h·a + b < 2^62 + 2^60 — provably overflow-free under ANSI arithmetic.
+  private val hashA: Array[Long] = Array.fill(MinhashK)((rnd.nextLong() & ((1L << 30) - 1)) | 1L)
+  private val hashB: Array[Long] = Array.fill(MinhashK)(rnd.nextLong() & ((1L << 60) - 1))
+  private def litArr(xs: Array[Long]): Column = array(xs.map(lit(_)): _*)
+
+  /** MinHash signature (ARRAY<LONG> of length [[MinhashK]]): one base
+    * xxhash64 per shingle, then K affine permutations, min per permutation.
+    * Narrow, codegen'd, O(shingles × K) per row. */
+  def minhashSignature(shingles: Column): Column = {
+    // 32-bit murmur base hash widened to an unsigned long
+    val hashes = transform(shingles, s => hash(s).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
+    val a = litArr(hashA); val b = litArr(hashB)
+    transform(sequence(lit(0), lit(MinhashK - 1)), i =>
+      array_min(transform(hashes, h => h * element_at(a, i + 1) + element_at(b, i + 1))))
+  }
+
+  /** Candidate pairs from LSH banding: docs sharing any band bucket.
+    * Shuffles on (band, bucket slice); self-join inside buckets. */
+  def lshCandidates(docs: DataFrame, id: String, shingleCol: String): DataFrame = {
+    val sig = docs.select(col(id), minhashSignature(col(shingleCol)).as("sig"))
+    val bucketed = sig.select(
+      col(id),
+      explode(transform(sequence(lit(0), lit(MinhashBands - 1)), b =>
+        struct(b.as("band"), slice(col("sig"), b * MinhashRows + 1, lit(MinhashRows)).as("key")))).as("bb"))
+      .select(col(id), col("bb"))
+    val a = bucketed.select(col(id).as("id_a"), col("bb"))
+    val b = bucketed.select(col(id).as("id_b"), col("bb"))
+    a.join(b, a("bb") === b("bb") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact-jaccard verification:
+    * returns (id_a, id_b, j) for all pairs with true jaccard ≥ threshold
+    * that collide in ≥1 band (recall ≈ 1 for thresholds ≤ the banding
+    * design point). */
+  def minhashNearDups(docs: DataFrame, id: String, text: Column,
+                      n: Int, threshold: Double): DataFrame = {
+    val shingled = docs.select(col(id), wordShingles(text, n).as("sh"))
+    val cands = lshCandidates(shingled, id, "sh")
+    val sa = shingled.select(col(id).as("id_a"), col("sh").as("sh_a"))
+    val sb = shingled.select(col(id).as("id_b"), col("sh").as("sh_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
+  // ------------------------------------------------------------ simhash
+
+  /** 64-bit SimHash over a token array: per-token xxhash64, signed bit
+    * votes, sign → bit. Pure higher-order expressions (codegen'd). */
+  def simhash64(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    val votes = aggregate(
+      hashes,
+      expr("array_repeat(0L, 64)"),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)), j =>
+          when((shiftright_dyn(h, j).bitwiseAND(lit(1L))) === lit(1L), lit(1L)).otherwise(lit(-1L))),
+        (x, y) => x + y))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, j) =>
+        when(v > 0, shiftleft_dyn(lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+  }
+
+  /** shiftright with a non-literal shift amount (the functions API only
+    * accepts Int literals; the underlying expression takes any column). */
+  private def shiftright_dyn(c: Column, bits: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge._
+    column(org.apache.spark.sql.catalyst.expressions.ShiftRight(expression(c), expression(bits)))
+  }
+  private def shiftleft_dyn(c: Column, bits: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge._
+    column(org.apache.spark.sql.catalyst.expressions.ShiftLeft(expression(c), expression(bits)))
+  }
+
+  /** SimHash blocking: 16 blocks × 4 bits — pairs within Hamming distance
+    * 15 are GUARANTEED to share a block (pigeonhole). Verified against
+    * exact jaccard like minhash; recall is still weaker than MinHash for
+    * borderline pairs (a hamming-16+ pair can slip), which is inherent to
+    * the sketch. */
+  val SimhashBlocks = 16
+  val SimhashBlockBits = 4
+
+  def simhashNearDups(docs: DataFrame, id: String, text: Column,
+                      n: Int, threshold: Double): DataFrame = {
+    val shingled = docs.select(col(id), wordShingles(text, n).as("sh"))
+    val sketched = shingled.select(col(id), col("sh"), simhash64(col("sh")).as("simhash"))
+    val blocked = sketched.select(
+      col(id), col("simhash"),
+      explode(transform(sequence(lit(0), lit(SimhashBlocks - 1)), b =>
+        struct(b.as("blk"),
+          (shiftright_dyn(col("simhash"), b * SimhashBlockBits) bitwiseAND lit(0xFL)).as("bits")))).as("bb"))
+    val a = blocked.select(col(id).as("id_a"), col("bb"))
+    val b = blocked.select(col(id).as("id_b"), col("bb"))
+    val cands = a.join(b, a("bb") === b("bb") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sa = shingled.select(col(id).as("id_a"), col("sh").as("sh_a"))
+    val sb = shingled.select(col(id).as("id_b"), col("sh").as("sh_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
+  // ------------------------------------------------------------ n-gram pairs
+
+  /** Exact n-gram jaccard for an explicit pair list (deterministic
+    * pair-similarity surface; used for adjacent-id document pairs). */
+  def pairwiseJaccard(docs: DataFrame, id: String, text: Column, n: Int,
+                      pairs: DataFrame): DataFrame = {
+    val shingled = docs.select(col(id), wordShingles(text, n).as("sh"))
+    val sa = shingled.select(col(id).as("id_a"), col("sh").as("sh_a"))
+    val sb = shingled.select(col(id).as("id_b"), col("sh").as("sh_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("j"))
+  }
+}

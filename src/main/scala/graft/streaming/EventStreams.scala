@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over the `events` table shape
+  * (event_id, ts [nanos], user_id, event_type, value, props).
+  *
+  * Every transform here is expressed once and runs on BOTH a batch
+  * DataFrame and a `readStream` DataFrame — the Spark-native way to keep a
+  * lambda-free architecture: the batch path is the backfill, the streaming
+  * path is the live tail. Event time stays in exact BIGINT nanoseconds
+  * until presentation (no double round-trips), so watermarks/windows are
+  * reproducible. */
+object EventStreams {
+
+  /** Exact nanos → TIMESTAMP (microsecond precision) via integer division;
+    * never routes through DOUBLE (which would lose sub-µs exactness). */
+  def eventTime(tsNanos: Column): Column =
+    timestamp_micros(
+      ((tsNanos - pmod(tsNanos, lit(1000L))).cast("decimal(20,0)") / lit(1000))
+        .cast("long"))
+
+  /** Read the events directory as an unbounded stream (file source). */
+  def streamFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Tumbling-window counts/sums per event type with an event-time
+    * watermark. Works identically on batch input (watermark is a no-op
+    * there). Partial aggregation + one shuffle on (window, type). */
+  def windowedStats(events: DataFrame, windowLen: String, watermarkDelay: String): DataFrame = {
+    val withTime = events.withColumn("event_time", eventTime(col("ts")))
+    val watermarked =
+      if (withTime.isStreaming) withTime.withWatermark("event_time", watermarkDelay)
+      else withTime
+    watermarked
+      .groupBy(window(col("event_time"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  // ------------------------------------------------------------ sessions
+
+  /** Batch sessionization: split each user's event sequence on gaps longer
+    * than `gapNanos`. Exact BIGINT arithmetic end to end. */
+  def sessionizeBatch(events: DataFrame, gapNanos: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val flagged = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNanos, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_seq"), col("session_start"),
+        (col("session_end") - col("session_start")).as("duration_ns"), col("n_events"))
+  }
+
+  final case class SessionEvent(user_id: Long, ts: Long)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start: Long, duration_ns: Long, n_events: Long)
+
+  /** Streaming sessionization with explicit state:
+    * `flatMapGroupsWithState` keyed by user, processing-time timeout. The
+    * live-tail equivalent of [[sessionizeBatch]] — one state row per
+    * active user, emitted when the gap closes a session. */
+  def sessionizeStreaming(events: Dataset[SessionEvent], gapNanos: Long)
+      (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
+          // sessions tracked newest-first; a batch may close several
+          val sorted = batch.map(_.ts).toVector.sorted
+          var sessions = state.getOption.getOrElse(Nil)
+          val closed = List.newBuilder[SessionOut]
+          sorted.foreach { ts =>
+            sessions match {
+              case cur :: rest if ts - cur.last <= gapNanos =>
+                sessions = cur.copy(last = ts, n = cur.n + 1) :: rest
+              case cur :: rest =>
+                closed += SessionOut(userId, cur.start, cur.last - cur.start, cur.n)
+                sessions = SessionState(ts, ts, 1) :: rest
+              case Nil =>
+                sessions = SessionState(ts, ts, 1) :: Nil
+            }
+          }
+          state.update(sessions)
+          closed.result().iterator
+      }
+  }
+}

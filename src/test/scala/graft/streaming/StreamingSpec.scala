@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Structured-Streaming specs: the streaming transforms must agree with
+  * their batch equivalents on the same data (the lambda-architecture
+  * contract EventStreams promises). */
+class StreamingSpec extends SparkTestBase {
+
+  import EventStreams._
+
+  test("windowedStats: streaming micro-batches == batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", col("ts").cast("long"))
+      .select("ts", "event_type", "value")
+      .limit(500)
+    val rows = batch.collect()
+
+    val stream = MemoryStream[(Long, String, Double)]
+    val sdf = stream.toDF().toDF("ts", "event_type", "value")
+    val q = windowedStats(sdf, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM win_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val expected = windowedStats(batch, "1 hour", "10 minutes")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
+  test("sessionizeStreaming closes sessions exactly like sessionizeBatch") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val gap = 1800L * 1000 * 1000 * 1000
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("ts").cast("long").as("ts"))
+      .as[SessionEvent]
+
+    val stream = MemoryStream[SessionEvent]
+    val q = sessionizeStreaming(stream.toDS(), gap)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events.collect().toSeq)
+      q.processAllAvailable()
+      // streaming emits only CLOSED sessions; every emitted one must match
+      // a batch session exactly (start, duration, count)
+      val streamed = spark.sql("SELECT user_id, session_start, duration_ns, n_events FROM sess_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batchAll = sessionizeBatch(
+        spark.read.parquet(s"$sfDir/events.parquet").withColumn("ts", col("ts").cast("long")), gap)
+        .select("user_id", "session_start", "duration_ns", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed.nonEmpty, "expected some closed sessions")
+      assert(streamed.subsetOf(batchAll),
+        s"streaming emitted sessions not present in batch: ${streamed -- batchAll}")
+    } finally q.stop()
+  }
+}
