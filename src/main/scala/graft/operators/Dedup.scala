@@ -3,6 +3,10 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.{MinhashSig, Simhash64}
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -61,16 +65,13 @@ object Dedup {
   private val hashB: Array[Long] = Array.fill(MinhashK)(rnd.nextLong() & ((1L << 60) - 1))
   private def litArr(xs: Array[Long]): Column = array(xs.map(lit(_)): _*)
 
-  /** MinHash signature (ARRAY<LONG> of length [[MinhashK]]): one base
-    * xxhash64 per shingle, then K affine permutations, min per permutation.
-    * Narrow, codegen'd, O(shingles × K) per row. */
-  def minhashSignature(shingles: Column): Column = {
-    // 32-bit murmur base hash widened to an unsigned long
-    val hashes = transform(shingles, s => hash(s).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
-    val a = litArr(hashA); val b = litArr(hashB)
-    transform(sequence(lit(0), lit(MinhashK - 1)), i =>
-      array_min(transform(hashes, h => h * element_at(a, i + 1) + element_at(b, i + 1))))
-  }
+  /** MinHash signature (ARRAY<LONG> of length [[MinhashK]]): one 32-bit
+    * murmur base hash per shingle, K affine permutations, min per
+    * permutation — a single-pass native kernel (graft.functions.MinhashSig;
+    * the equivalent higher-order-function pipeline is interpreted and was
+    * ~10× slower at the sf0.1 bench). */
+  def minhashSignature(shingles: Column): Column =
+    ColumnBridge.column(MinhashSig(ColumnBridge.expression(shingles), hashA, hashB))
 
   /** Candidate pairs from LSH banding: docs sharing any band bucket.
     * Shuffles on (band, bucket slice); self-join inside buckets. */
@@ -93,7 +94,10 @@ object Dedup {
     * design point). */
   def minhashNearDups(docs: DataFrame, id: String, text: Column,
                       n: Int, threshold: Double): DataFrame = {
+    // the shingle table feeds bucketing AND both verify joins: persist the
+    // (small) sketch instead of recomputing the shingling 5×
     val shingled = docs.select(col(id), wordShingles(text, n).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(shingled, id, "sh")
     val sa = shingled.select(col(id).as("id_a"), col("sh").as("sh_a"))
     val sb = shingled.select(col(id).as("id_b"), col("sh").as("sh_b"))
@@ -105,32 +109,15 @@ object Dedup {
   // ------------------------------------------------------------ simhash
 
   /** 64-bit SimHash over a token array: per-token xxhash64, signed bit
-    * votes, sign → bit. Pure higher-order expressions (codegen'd). */
-  def simhash64(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
-    val votes = aggregate(
-      hashes,
-      expr("array_repeat(0L, 64)"),
-      (acc, h) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)), j =>
-          when((shiftright_dyn(h, j).bitwiseAND(lit(1L))) === lit(1L), lit(1L)).otherwise(lit(-1L))),
-        (x, y) => x + y))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)), (v, j) =>
-        when(v > 0, shiftleft_dyn(lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (a, x) => a + x)
-  }
+    * votes, sign → bit (native one-pass kernel, graft.functions.Simhash64). */
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(Simhash64(ColumnBridge.expression(tokens)))
 
   /** shiftright with a non-literal shift amount (the functions API only
     * accepts Int literals; the underlying expression takes any column). */
   private def shiftright_dyn(c: Column, bits: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge._
     column(org.apache.spark.sql.catalyst.expressions.ShiftRight(expression(c), expression(bits)))
-  }
-  private def shiftleft_dyn(c: Column, bits: Column): Column = {
-    import org.apache.spark.sql.graft.ColumnBridge._
-    column(org.apache.spark.sql.catalyst.expressions.ShiftLeft(expression(c), expression(bits)))
   }
 
   /** SimHash blocking: 16 blocks × 4 bits — pairs within Hamming distance
@@ -144,15 +131,21 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, id: String, text: Column,
                       n: Int, threshold: Double): DataFrame = {
     val shingled = docs.select(col(id), wordShingles(text, n).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sketched = shingled.select(col(id), col("sh"), simhash64(col("sh")).as("simhash"))
     val blocked = sketched.select(
       col(id), col("simhash"),
       explode(transform(sequence(lit(0), lit(SimhashBlocks - 1)), b =>
         struct(b.as("blk"),
           (shiftright_dyn(col("simhash"), b * SimhashBlockBits) bitwiseAND lit(0xFL)).as("bits")))).as("bb"))
-    val a = blocked.select(col(id).as("id_a"), col("bb"))
-    val b = blocked.select(col(id).as("id_b"), col("bb"))
+    val a = blocked.select(col(id).as("id_a"), col("simhash").as("sim_a"), col("bb"))
+    val b = blocked.select(col(id).as("id_b"), col("simhash").as("sim_b"), col("bb"))
+    // 4-bit blocks are deliberately coarse (recall), so prune the bucket
+    // collisions with a cheap codegen'd Hamming filter before the
+    // expensive exact-jaccard verify: random pairs sit at ~32/64 bits,
+    // true near-dups far below 20.
     val cands = a.join(b, a("bb") === b("bb") && col("id_a") < col("id_b"))
+      .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 20)
       .select(col("id_a"), col("id_b")).distinct()
     val sa = shingled.select(col(id).as("id_a"), col("sh").as("sh_a"))
     val sb = shingled.select(col(id).as("id_b"), col("sh").as("sh_b"))

@@ -3,6 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.{CosineSim, VecDot}
 
 /** Similarity search over an embedding column (ARRAY<FLOAT>).
   *
@@ -20,13 +23,17 @@ object Similarity {
   /** Embedding cast to double for stable accumulation. */
   private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Left-to-right double dot product of two equal-length vectors. */
+  /** Left-to-right double dot product — native one-pass kernel
+    * (graft.functions.VecDot; the aggregate/zip_with formulation is
+    * interpreted per element and was ~10× slower on the pair queries). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity, single fused pass over both vectors. */
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Exact brute-force cosine top-k: for each query vector, the k corpus
     * ids ranked by cosine desc (ties broken by id). Queries broadcast;
