@@ -111,6 +111,90 @@ object SparkEntry {
         col("event_id"),
         Jq.long(".missing? | length", col("props")).as("v"))),
 
+    // unary neg / truthiness not (§2.4, §2.5)
+    "jq_neg_not" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Jq.long("-.k", col("props")).as("neg_k"),
+        Jq.bool("!(.k > 50)", col("props")).as("not_gt"))),
+
+    // equality / inequality / ordered comparisons (§2.5)
+    "jq_compare" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Jq.bool(".k == 42", col("props")).as("is42"),
+        Jq.bool(".k != 42", col("props")).as("not42"),
+        Jq.bool(".k <= 50", col("props")).as("le50"),
+        Jq.bool(".k >= 50", col("props")).as("ge50"))),
+
+    // shifts and bitwise ops (§2.4)
+    "jq_bitops" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Jq.long(".k & 12", col("props")).as("band"),
+        Jq.long(".k bor 5", col("props")).as("bor_"),
+        Jq.long(".k ^ 3", col("props")).as("bxor"),
+        Jq.long(".k << 2", col("props")).as("shl"),
+        Jq.long(".k >> 1", col("props")).as("shr"))),
+
+    // logical and/or over truthiness (§2.5)
+    "jq_logic" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Jq.bool(".k > 20 && .k < 80", col("props")).as("both"),
+        Jq.bool(".k < 10 || .k > 90", col("props")).as("either"))),
+
+    // keys/has builtins (§2.6) — has() membership is data-dependent
+    "jq_keys_has" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Jq.string("{a: .k, b: 2} | keys | .[0]", col("props")).as("first_key"),
+        Jq.bool("[.k] | has(42)", col("props")).as("has42"))),
+
+    // chars builtin: Unicode code points (§2.6)
+    "jq_chars" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        Jq.long(".text | chars | .[0]", to_json(struct(col("text")))).as("first_cp"),
+        Jq.long(".text | chars | length", to_json(struct(col("text")))).as("n_chars"))),
+
+    // any/all builtins (§2.6)
+    "jq_anyall" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Jq.bool("[.k] | any(. > 50)", col("props")).as("any_gt"),
+        Jq.bool("[.k, 100] | all(. >= 10)", col("props")).as("all_ge"))),
+
+    // array slices incl. negative index (§2.2)
+    "jq_slice_arr" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Jq.long("[.k, .k+1, .k+2, .k+3] | .[1..3] | .[0]", col("props")).as("second"),
+        Jq.long("[.k, .k+1, .k+2, .k+3] | .[-1]", col("props")).as("last"))),
+
+    // dict construction with multi-valued value stream: cartesian fan-out (§2.3)
+    "jq_dict_fanout" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      Jq.explodeDocs(ev, "{v: [.k, .k * 3] | .[]} | .v", col("props"), "v_doc")
+        .select(col("event_id"), col("v_doc").cast("bigint").as("v"))
+    }),
+
+    // iterate over several identifiers: round-robin streams (§2.2)
+    "jq_iterate_multi" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          to_json(struct(col("l_quantity"), col("l_discount"))).as("doc"))
+      Jq.explodeDocs(li, ".[l_quantity, l_discount]", col("doc"), "v_doc")
+        .select(col("l_orderkey"), col("l_linenumber"), col("v_doc").cast("double").as("v"))
+    }),
+
+    // string ops: repeat (mul), split + first token (§2.4)
+    "jq_string_ops" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        Jq.string("""("ab" * 2) + "!"""", to_json(struct(col("text")))).as("rep"),
+        Jq.string(""".text / " " | .[0]""", to_json(struct(col("text")))).as("first_tok"))),
+
     // --- relational layer (SURVEY.md §2.8 beyond-parity) ----------------
     "rel_agg_pricing" -> ((s, dir) =>
       operators.Relational.pricingSummary(table(s, dir, "lineitem"))),
@@ -325,6 +409,55 @@ object SparkEntry {
       "SELECT doc_id, strlen(text) AS n_bytes FROM documents",
     "jq_opt_suppress" ->
       "SELECT event_id, CAST(NULL AS BIGINT) AS v FROM events",
+
+    "jq_neg_not" -> """
+      SELECT event_id, -k AS neg_k, NOT (k > 50) AS not_gt
+      FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
+
+    "jq_compare" -> """
+      SELECT event_id, k = 42 AS is42, k != 42 AS not42, k <= 50 AS le50, k >= 50 AS ge50
+      FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
+
+    "jq_bitops" -> """
+      SELECT event_id, k & 12 AS band, k | 5 AS bor_, xor(k, 3) AS bxor,
+             k << 2 AS shl, k >> 1 AS shr
+      FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
+
+    "jq_logic" -> """
+      SELECT event_id, (k > 20 AND k < 80) AS both, (k < 10 OR k > 90) AS either
+      FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
+
+    "jq_keys_has" -> """
+      SELECT event_id, 'a' AS first_key,
+             CAST(json_extract(props, '$.k') AS BIGINT) = 42 AS has42
+      FROM events""",
+
+    "jq_chars" -> """
+      SELECT doc_id, ord(substring(text, 1, 1))::BIGINT AS first_cp,
+             length(text)::BIGINT AS n_chars
+      FROM documents""",
+
+    "jq_anyall" -> """
+      SELECT event_id, k > 50 AS any_gt, k >= 10 AS all_ge
+      FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
+
+    "jq_slice_arr" -> """
+      SELECT event_id, k + 1 AS second, k + 3 AS last
+      FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
+
+    "jq_dict_fanout" -> """
+      SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS v FROM events
+      UNION ALL
+      SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) * 3 AS v FROM events""",
+
+    "jq_iterate_multi" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, l_discount AS v FROM lineitem""",
+
+    "jq_string_ops" -> """
+      SELECT doc_id, 'abab!' AS rep, string_split(text, ' ')[1] AS first_tok
+      FROM documents""",
 
     // --- relational layer ----------------------------------------------
     "rel_agg_pricing" -> """
