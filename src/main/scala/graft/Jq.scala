@@ -44,6 +44,18 @@ object Jq {
   def explodeDocs(df: DataFrame, q: String, jsonCol: Column, outputCol: String): DataFrame =
     df.withColumn(outputCol, explode(docs(q, jsonCol)))
 
+  // ------------------------------------------------------ Variant interop
+
+  /** Run a jq pipeline over a Spark 4 VARIANT column (SURVEY.md §1.4's
+    * dynamic-value bridge): `parse_json`/`to_variant_object` sources flow
+    * straight into the engine via their canonical JSON text form. */
+  def queryVariant(q: String, variantCol: Column): Column =
+    query(q, org.apache.spark.sql.functions.to_json(variantCol))
+  def docsVariant(q: String, variantCol: Column): Column =
+    docs(q, org.apache.spark.sql.functions.to_json(variantCol))
+  def longVariant(q: String, variantCol: Column): Column =
+    long(q, org.apache.spark.sql.functions.to_json(variantCol))
+
   // ------------------------------------------------------- SQL registration
 
   /** Register every jq/json function for SQL use:

@@ -344,12 +344,18 @@ object SparkEntry {
         operators.TextAnalysis.wordTokenCount(col("text")).as("n_words"))),
 
     "text_quality" -> ((s, dir) =>
-      table(s, dir, "documents").select(
-        col("doc_id"),
-        operators.TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
-        operators.TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-        operators.TextAnalysis.meanTokenLen(col("text")).as("mean_tok_len"),
-        operators.TextAnalysis.qualityScore(col("text")).as("quality"))),
+      // one-pass TextStats kernel; ratios derived from the struct so the
+      // text is scanned once per row, not once per output column
+      table(s, dir, "documents")
+        .select(col("doc_id"), operators.TextAnalysis.stats(col("text")).as("t"))
+        .select(
+          col("doc_id"),
+          (col("t.n_stop").cast("double") / col("t.n_tokens")).as("stop_ratio"),
+          (col("t.n_punct").cast("double") / col("t.n_chars")).as("punct_ratio"),
+          (col("t.sum_token_len").cast("double") / col("t.n_tokens")).as("mean_tok_len"))
+        .withColumn("quality",
+          col("stop_ratio") * lit(0.5) + (lit(1.0) - col("punct_ratio")) * lit(0.3) +
+            when(col("mean_tok_len") >= 3 && col("mean_tok_len") <= 8, lit(0.2)).otherwise(lit(0.0)))),
 
     "text_fingerprint" -> ((s, dir) =>
       table(s, dir, "documents").select(

@@ -130,3 +130,47 @@ case class Simhash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Simhash64 =
     copy(child = newChild)
 }
+
+/** Single-pass text statistics for the quality-scoring pipeline:
+  * struct(n_chars, n_punct, n_tokens, n_stop, sum_token_len). One scan of
+  * the string replaces four interpreted HOF pipelines (split × 3 +
+  * regexp_replace) — semantics identical: tokens split on single spaces
+  * (empties kept), punct = lowercased chars outside [a-z0-9 ]. */
+case class TextStats(child: Expression, stopwords: Set[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("sum_token_len", LongType, nullable = false)))
+  override def prettyName: String = "text_stats"
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var nChars = 0L; var nPunct = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      val lc = Character.toLowerCase(cp)
+      val keep = (lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9') || lc == ' '
+      if (!keep) nPunct += 1
+      i += Character.charCount(cp)
+    }
+    var nTokens = 0L; var nStop = 0L; var sumLen = 0L
+    var from = 0
+    var done = false
+    while (!done) {
+      val idx = s.indexOf(' ', from)
+      val end = if (idx < 0) s.length else idx
+      val tok = s.substring(from, end)
+      nTokens += 1
+      sumLen += tok.codePointCount(0, tok.length)
+      if (stopwords.contains(tok)) nStop += 1
+      if (idx < 0) done = true else from = idx + 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nChars, nPunct, nTokens, nStop, sumLen)
+  }
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Text-analysis operators for training-data curation: language ID,
   * quality scoring, token counting, document fingerprinting. All are
@@ -68,4 +69,11 @@ object TextAnalysis {
 
   private def substring(c: Column, pos: Column, len: Column): Column =
     c.substr(pos, len)
+
+  /** One-pass counters for the quality pipeline
+    * (struct: n_chars, n_punct, n_tokens, n_stop, sum_token_len) —
+    * native kernel, same semantics as the individual column functions. */
+  def stats(text: Column): Column =
+    ColumnBridge.column(graft.functions.TextStats(
+      ColumnBridge.expression(text), StopwordsEn.toSet))
 }

@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.json.JsonText
+
+/** Sources for the reference's document-stream formats (SURVEY.md §2.1).
+  *
+  * The reference's `Jsons` scan (reference: src/json.rs:123-160) reads a
+  * byte stream of whitespace-separated JSON values. Two Spark readings:
+  *
+  *   - [[readJsonl]] — one value per line (JSONL). The scalable path:
+  *     text-file splits parallelize by line, so a 100 TB corpus fans out
+  *     across executors with no coordination.
+  *   - [[readConcatenated]] — whitespace-separated values that may span
+  *     lines, parsed per file with the engine's own incremental codec.
+  *     Parallelism is per-file (a value can straddle any byte offset, so
+  *     sub-file splits can't be cut safely) — the documented trade-off of
+  *     the reference's format; prefer JSONL at scale.
+  *
+  * Both yield (doc: canonical JSON text, errors): malformed input becomes
+  * per-record errors, never exceptions (the engine's error-as-data rule).
+  */
+object JsonDocs {
+
+  /** One JSON value per line; bad lines yield an error row. */
+  def readJsonl(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .filter(l => l.trim.nonEmpty)
+      .map { line =>
+        try (JsonText.canonical(JsonText.parse(line)), null: String)
+        catch { case e: JsonText.JsonParseException => (null: String, e.getMessage) }
+      }
+      .toDF("doc", "error")
+  }
+
+  /** Whitespace-separated concatenated values (the reference's on-disk
+    * format), one partition per file. */
+  def readConcatenated(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").textFile(path)
+      .flatMap { content =>
+        try JsonText.parseMany(content).map(d => (JsonText.canonical(d), null: String))
+        catch { case e: JsonText.JsonParseException => Seq((null: String, e.getMessage)) }
+      }
+      .toDF("doc", "error")
+  }
+
+  /** The `InputMem` analogue (reference: src/input_mem.rs:4-46): an
+    * in-memory document vector as a DataFrame. */
+  def fromStrings(spark: SparkSession, docs: Seq[String]): DataFrame = {
+    import spark.implicits._
+    docs.toDF("raw").select(col("raw").as("doc"))
+  }
+
+  /** Unbounded variant of [[readJsonl]] for Structured Streaming. */
+  def streamJsonl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.textFile(dir)
+      .filter(l => l.trim.nonEmpty)
+      .map { line =>
+        try (JsonText.canonical(JsonText.parse(line)), null: String)
+        catch { case e: JsonText.JsonParseException => (null: String, e.getMessage) }
+      }
+      .toDF("doc", "error")
+  }
+}

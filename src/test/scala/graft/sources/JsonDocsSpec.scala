@@ -1,0 +1,45 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.SparkTestBase
+
+class JsonDocsSpec extends SparkTestBase {
+
+  test("readConcatenated parses whitespace-separated multi-line values") {
+    val dir = Files.createTempDirectory("jsons").toFile
+    val f = new java.io.File(dir, "docs.jsons")
+    Files.writeString(f.toPath,
+      """null true {"b": 1,
+        |  "a": 2}
+        |[1, 2,
+        | 3]  "x"  10.5""".stripMargin)
+    val out = JsonDocs.readConcatenated(spark, f.getAbsolutePath).collect()
+    val docs = out.map(_.getString(0)).filter(_ != null)
+    assert(docs.toSeq == Seq("null", "true", """{"a":2,"b":1}""", "[1,2,3]", "\"x\"", "1.05e1"))
+  }
+
+  test("readConcatenated: malformed stream degrades to an error record") {
+    val dir = Files.createTempDirectory("jsons2").toFile
+    val f = new java.io.File(dir, "bad.jsons")
+    Files.writeString(f.toPath, """{"k": 1} {oops""")
+    val out = JsonDocs.readConcatenated(spark, f.getAbsolutePath).collect()
+    assert(out.exists(r => r.isNullAt(0) && r.getString(1) != null))
+  }
+
+  test("readJsonl: per-line values, bad lines become error records") {
+    val dir = Files.createTempDirectory("jsonl").toFile
+    val f = new java.io.File(dir, "docs.jsonl")
+    Files.writeString(f.toPath, "{\"k\": 1}\nnot json\n[2]\n")
+    val out = JsonDocs.readJsonl(spark, f.getAbsolutePath).collect()
+    assert(out.count(_.isNullAt(0)) == 1)
+    assert(out.map(_.getString(0)).filter(_ != null).toSet == Set("""{"k":1}""", "[2]"))
+  }
+
+  test("fromStrings + jq pipeline end-to-end") {
+    import org.apache.spark.sql.functions.col
+    val df = JsonDocs.fromStrings(spark, Seq("""{"a": [1,2,3]}""", """{"a": []}"""))
+    val out = df.select(graft.Jq.long(".a | length", col("doc")).as("n"))
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(0L, 3L))
+  }
+}
