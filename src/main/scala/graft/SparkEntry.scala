@@ -37,6 +37,23 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // identity: canonical re-serialization of the whole document (§2.2)
+    "jq_identity" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Jq.string(".", col("props")).as("doc"))),
+
+    // literals of every type (§2.3)
+    "jq_literals" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Jq.long("42", col("props")).as("i"),
+        Jq.double("10.2", col("props")).as("f"),
+        Jq.string("\"hi\"", col("props")).as("s"),
+        Jq.bool("true", col("props")).as("b"),
+        Jq.string("[1, 2]", col("props")).as("arr"),
+        Jq.string("{a: 1}", col("props")).as("obj"))),
+
     // --- jq core: navigation (§2.2) -------------------------------------
     "jq_index" -> ((s, dir) =>
       table(s, dir, "events").select(
@@ -391,6 +408,15 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (runs on views named after the parquet
     * tables). Aliases match the Spark side exactly. */
   def oracleSql: Map[String, String] = Map(
+    "jq_identity" -> """
+      SELECT event_id, '{"k":' || CAST(json_extract(props, '$.k') AS BIGINT) || '}' AS doc
+      FROM events""",
+
+    "jq_literals" -> """
+      SELECT event_id, 42 AS i, 10.2 AS f, 'hi' AS s, true AS b,
+             '[1,2]' AS arr, '{"a":1}' AS obj
+      FROM events""",
+
     "jq_index" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events",
     "jq_pipe_construct" ->

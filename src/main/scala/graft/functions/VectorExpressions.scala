@@ -174,3 +174,24 @@ case class TextStats(child: Expression, stopwords: Set[String])
   override protected def withNewChildInternal(newChild: Expression): TextStats =
     copy(child = newChild)
 }
+
+/** Polynomial rolling-hash fingerprint h ← (h·31 + codepoint) mod 1e9+7,
+  * one pass (same arithmetic as the SQL-expressible formulation). */
+case class RollingFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fingerprint"
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    java.lang.Long.valueOf(h)
+  }
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}

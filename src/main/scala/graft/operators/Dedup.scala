@@ -133,11 +133,13 @@ object Dedup {
     val shingled = docs.select(col(id), wordShingles(text, n).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sketched = shingled.select(col(id), col("sh"), simhash64(col("sh")).as("simhash"))
+    // single-long bucket key (blk*16 + bits): cheaper join key than a
+    // struct under sort-merge
     val blocked = sketched.select(
       col(id), col("simhash"),
       explode(transform(sequence(lit(0), lit(SimhashBlocks - 1)), b =>
-        struct(b.as("blk"),
-          (shiftright_dyn(col("simhash"), b * SimhashBlockBits) bitwiseAND lit(0xFL)).as("bits")))).as("bb"))
+        b.cast("long") * 16L +
+          (shiftright_dyn(col("simhash"), b * SimhashBlockBits) bitwiseAND lit(0xFL)))).as("bb"))
     val a = blocked.select(col(id).as("id_a"), col("simhash").as("sim_a"), col("bb"))
     val b = blocked.select(col(id).as("id_b"), col("simhash").as("sim_b"), col("bb"))
     // 4-bit blocks are deliberately coarse (recall), so prune the bucket

@@ -62,10 +62,7 @@ object TextAnalysis {
     * h ← (h·31 + code) mod 1e9+7. Position-dependent (not a bag of chars),
     * overflow-free in 64-bit, identical in any engine with BIGINT. */
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(text)), i => ascii(substring(text, i, lit(1)))),
-      lit(0L),
-      (h, c) => (h * 31 + c) % 1000000007L)
+    ColumnBridge.column(graft.functions.RollingFingerprint(ColumnBridge.expression(text)))
 
   private def substring(c: Column, pos: Column, len: Column): Column =
     c.substr(pos, len)
