@@ -29,8 +29,8 @@ object JqEval {
       StructField("errors", ArrayType(StringType, containsNull = false), nullable = false))),
     containsNull = false)
 
-  private[jq] def evalToEntries(ast: Ast, json: String): Vector[JEntry] =
-    try Interp.eval(ast, JsonText.parse(json))
+  private[jq] def evalToEntries(compiled: Interp.Pipe, json: String): Vector[JEntry] =
+    try compiled(JsonText.parse(json))
     catch {
       case e: JsonText.JsonParseException =>
         Vector(JEntry(JNull, Vector(s"invalid json: ${e.getMessage}")))
@@ -40,10 +40,11 @@ object JqEval {
 /** `jq_eval(query, json)` → full entry stream (doc + errors per output). */
 case class JqEval(ast: Ast, queryText: String, child: Expression)
     extends UnaryExpression with CodegenFallback {
+  @transient private lazy val compiled = Interp.compile(ast)
   override def dataType: DataType = JqEval.outputType
   override def prettyName: String = "jq_eval"
   override protected def nullSafeEval(input: Any): Any = {
-    val entries = JqEval.evalToEntries(ast, input.asInstanceOf[UTF8String].toString)
+    val entries = JqEval.evalToEntries(compiled, input.asInstanceOf[UTF8String].toString)
     new GenericArrayData(entries.map { en =>
       InternalRow(
         UTF8String.fromString(JsonText.canonical(en.doc)),
@@ -59,10 +60,11 @@ case class JqEval(ast: Ast, queryText: String, child: Expression)
   * at the sink). */
 case class JqDocs(ast: Ast, queryText: String, child: Expression)
     extends UnaryExpression with CodegenFallback {
+  @transient private lazy val compiled = Interp.compile(ast)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "jq_docs"
   override protected def nullSafeEval(input: Any): Any = {
-    val entries = JqEval.evalToEntries(ast, input.asInstanceOf[UTF8String].toString)
+    val entries = JqEval.evalToEntries(compiled, input.asInstanceOf[UTF8String].toString)
     new GenericArrayData(entries.collect {
       case en if en.errors.isEmpty => UTF8String.fromString(JsonText.canonical(en.doc))
     }.toArray[Any])
@@ -84,8 +86,9 @@ case class JqExtract(ast: Ast, queryText: String, kind: String, child: Expressio
   }
   override def nullable: Boolean = true
   override def prettyName: String = s"jq_$kind"
+  @transient private lazy val compiled = Interp.compile(ast)
   override protected def nullSafeEval(input: Any): Any = {
-    val entries = JqEval.evalToEntries(ast, input.asInstanceOf[UTF8String].toString)
+    val entries = JqEval.evalToEntries(compiled, input.asInstanceOf[UTF8String].toString)
     entries.find(_.errors.isEmpty) match {
       case None => null
       case Some(en) =>
