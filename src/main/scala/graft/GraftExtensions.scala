@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.jq.{JqParser, JqEval, JqDocs, JqExtract}
+import graft.functions._
+
+/** Session-extension entry point: registers every graft SQL function at
+  * session build time, so a cluster can enable the engine with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` and use
+  * `jq_*`/`json_*` from plain SQL with no driver code.
+  * (`Jq.register(spark)` remains the runtime equivalent.) */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    GraftExtensions.functionBuilders.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        (exprs: Seq[Expression]) => builder(exprs)))
+    }
+  }
+}
+
+object GraftExtensions {
+
+  private def foldableString(e: Expression, fn: String): String = {
+    require(e.foldable, s"$fn: the query argument must be a literal string")
+    e.eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+  }
+
+  /** name → expression builder, shared by [[GraftExtensions]] and
+    * [[Jq.register]]. */
+  val functionBuilders: Seq[(String, Seq[Expression] => Expression)] = {
+    val jqFns: Seq[(String, Seq[Expression] => Expression)] =
+      Seq[(String, (String, Expression) => Expression)](
+        "jq_eval" -> ((q, j) => JqEval(JqParser.parse(q), q, j)),
+        "jq_docs" -> ((q, j) => JqDocs(JqParser.parse(q), q, j)),
+        "jq_string" -> ((q, j) => JqExtract(JqParser.parse(q), q, "string", j)),
+        "jq_long" -> ((q, j) => JqExtract(JqParser.parse(q), q, "long", j)),
+        "jq_double" -> ((q, j) => JqExtract(JqParser.parse(q), q, "double", j)),
+        "jq_bool" -> ((q, j) => JqExtract(JqParser.parse(q), q, "bool", j))
+      ).map { case (name, build) =>
+        name -> { (exprs: Seq[Expression]) =>
+          require(exprs.length == 2, s"$name(query, json) takes 2 arguments")
+          build(foldableString(exprs.head, name), exprs(1))
+        }
+      }
+
+    val binFns: Seq[(String, Seq[Expression] => Expression)] =
+      Seq("add", "sub", "mul", "div", "rem", "shl", "shr", "band", "bxor", "bbor").map { op =>
+        s"json_$op" -> { (exprs: Seq[Expression]) =>
+          require(exprs.length == 2, s"json_$op takes 2 arguments")
+          JsonBinary(op, exprs.head, exprs(1)): Expression
+        }
+      }
+
+    val unaryFns: Seq[(String, Seq[Expression] => Expression)] =
+      Seq("neg", "not", "truthy", "length", "keys", "chars", "canonical").map { kind =>
+        s"json_$kind" -> { (exprs: Seq[Expression]) =>
+          JsonUnary(kind, exprs.head): Expression
+        }
+      }
+
+    jqFns ++ binFns ++ unaryFns ++ Seq[(String, Seq[Expression] => Expression)](
+      "json_cmp" -> (exprs => JsonCmp(exprs.head, exprs(1))),
+      "json_eq" -> (exprs => JsonEq(exprs.head, exprs(1))),
+      "json_recurse" -> (exprs => JsonRecurse(exprs.head)))
+  }
+}

@@ -58,42 +58,13 @@ object Jq {
 
   // ------------------------------------------------------- SQL registration
 
-  /** Register every jq/json function for SQL use:
+  /** Register every jq/json function for SQL use in an existing session:
     * `SELECT jq_long('.k * 2', props) FROM events`. The query argument must
-    * be a foldable string (compiled once at plan time). */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-
-    def foldableString(e: Expression, fn: String): String = {
-      require(e.foldable, s"$fn: the query argument must be a literal string")
-      e.eval(null).asInstanceOf[UTF8String].toString
+    * be a foldable string (compiled once at plan time). For cluster-wide
+    * registration use `spark.sql.extensions=graft.GraftExtensions`. */
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.functionBuilders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
     }
-
-    def jqFn(name: String)(build: (String, Expression) => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, { exprs =>
-        require(exprs.length == 2, s"$name(query, json) takes 2 arguments")
-        build(foldableString(exprs.head, name), exprs(1))
-      }, "built-in")
-
-    jqFn("jq_eval") { (q, j) => JqEval(JqParser.parse(q), q, j) }
-    jqFn("jq_docs") { (q, j) => JqDocs(JqParser.parse(q), q, j) }
-    for (kind <- Seq("string", "long", "double", "bool"))
-      jqFn(s"jq_$kind") { (q, j) => JqExtract(JqParser.parse(q), q, kind, j) }
-
-    for (op <- Seq("add", "sub", "mul", "div", "rem", "shl", "shr", "band", "bxor", "bbor"))
-      reg.createOrReplaceTempFunction(s"json_$op", { exprs =>
-        require(exprs.length == 2, s"json_$op takes 2 arguments")
-        JsonBinary(op, exprs.head, exprs(1))
-      }, "built-in")
-
-    reg.createOrReplaceTempFunction("json_cmp",
-      exprs => JsonCmp(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("json_eq",
-      exprs => JsonEq(exprs.head, exprs(1)), "built-in")
-    for (kind <- Seq("neg", "not", "truthy", "length", "keys", "chars", "canonical"))
-      reg.createOrReplaceTempFunction(s"json_$kind",
-        exprs => JsonUnary(kind, exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("json_recurse",
-      exprs => JsonRecurse(exprs.head), "built-in")
-  }
 }

@@ -307,6 +307,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           operators.Relational.dsum(col("o_totalprice")).as("total"))),
 
+    // as-of (temporal) join: latest order at or before each event (§2.8)
+    "rel_asof_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        streaming.EventStreams.eventTime(col("ts")).as("event_time"))
+      val ord = table(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      operators.Relational.asofJoin(ev, ord,
+          "user_id", "o_custkey", "event_time", "o_orderdate", Seq("o_orderkey"))
+        .select(col("event_id"), col("o_orderkey"))
+    }),
+
     // --- dedup family (LLM-pipeline layer) ------------------------------
     "dedup_exact" -> ((s, dir) =>
       table(s, dir, "events")
@@ -578,6 +591,13 @@ object SparkEntry {
       SELECT year(o_orderdate) AS yr, count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY year(o_orderdate)""",
+
+    "rel_asof_join" -> """
+      WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                 FROM orders GROUP BY o_custkey, o_orderdate)
+      SELECT e.event_id, o.o_orderkey
+      FROM events e ASOF LEFT JOIN o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
 
     // --- dedup family ----------------------------------------------------
     "dedup_exact" ->

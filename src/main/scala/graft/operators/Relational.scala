@@ -69,4 +69,37 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(outCol, sum(value.cast("decimal(18,2)")).over(w).cast("double"))
   }
+
+  /** As-of (temporal) join: for each left row, attach `payload` from the
+    * LATEST right row with the same key and rightTime ≤ leftTime (ties at
+    * equal time include the right row). `right` must be unique per
+    * (key, time) — pre-aggregate if not.
+    *
+    * Spark has no asof operator; rather than a custom SparkStrategy this
+    * composes built-ins the scale-correct way: tag both sides, union, and
+    * carry the last non-null payload over a (key, time) window — ONE
+    * shuffle on the key, no per-row lookups, no broadcast of the big side
+    * (the same shape DuckDB/Pandas implement natively). */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lPart = left.select(
+      leftCols.map(col) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)) ++
+        Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__is_left")): _*)
+    val rPart = right.select(
+      leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col) ++
+        Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__is_left")): _*)
+    // right rows sort before left rows at equal time → inclusive ≤
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lPart.unionByName(rPart)
+      .select((leftCols.map(col) :+ col("__is_left")) ++
+        payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+    carried.filter(col("__is_left") === 1).drop("__is_left")
+  }
 }

@@ -96,3 +96,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(perId.forall(_.getLong(1) >= 1))
   }
 }
+
+class AsofJoinSpec extends graft.SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  test("asofJoin picks the latest right row at or before each left time") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 5L), (4L, "b", 50L))
+      .toDF("id", "k", "t")
+    val right = Seq(("a", 10L, "r10"), ("a", 15L, "r15"), ("b", 60L, "r60"))
+      .toDF("k", "rt", "payload")
+    val res = Relational.asofJoin(left, right, "k", "k", "t", "rt", Seq("payload"))
+      .select("id", "payload").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(res(1L) == "r10")  // inclusive at equal time
+    assert(res(2L) == "r15")  // latest ≤ 20
+    assert(res(3L) == null)   // nothing before t=5
+    assert(res(4L) == null)   // b's only row is after t=50
+  }
+
+  test("GraftExtensions registers every function builder") {
+    val names = graft.GraftExtensions.functionBuilders.map(_._1)
+    assert(names.contains("jq_long") && names.contains("json_add") && names.contains("json_recurse"))
+    assert(names.distinct.size == names.size)
+    // builders actually build
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = graft.GraftExtensions.functionBuilders.toMap.apply("jq_long")(
+      Seq(Literal(".k"), Literal("{\"k\":7}")))
+    assert(e.eval(null) == 7L)
+  }
+}
