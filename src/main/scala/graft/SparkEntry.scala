@@ -128,6 +128,15 @@ object SparkEntry {
         col("event_id"),
         Jq.long(".missing? | length", col("props")).as("v"))),
 
+    // array subtraction (single-occurrence removal) + integer rem (§2.4)
+    "jq_sub_rem" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        // 2 under the reference's remove-FIRST-occurrence semantics
+        // (jq's remove-all would yield 1) — pins the documented quirk
+        Jq.long("[5, .k, 5] - [5] | length", col("props")).as("after_sub"),
+        Jq.long(".k % 7", col("props")).as("k_mod"))),
+
     // unary neg / truthiness not (§2.4, §2.5)
     "jq_neg_not" -> ((s, dir) =>
       table(s, dir, "events").select(
@@ -454,6 +463,11 @@ object SparkEntry {
       "SELECT doc_id, strlen(text) AS n_bytes FROM documents",
     "jq_opt_suppress" ->
       "SELECT event_id, CAST(NULL AS BIGINT) AS v FROM events",
+
+    "jq_sub_rem" -> """
+      SELECT event_id, 2 AS after_sub,
+             CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod
+      FROM events""",
 
     "jq_neg_not" -> """
       SELECT event_id, -k AS neg_k, NOT (k > 50) AS not_gt
