@@ -14,6 +14,7 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
     .getOrCreate()
 
   def sfDir = "/root/testdata/sf0.001"

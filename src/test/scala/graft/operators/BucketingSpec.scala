@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Scale posture evidence: bucketed tables co-locate join keys so the
+  * fact-fact join plans with ZERO exchanges — the pattern that turns the
+  * repeated lineitem⋈orders shuffle into a one-time layout cost at 100 TB. */
+class BucketingSpec extends SparkTestBase {
+
+  test("join of two bucketed tables plans without a shuffle") {
+    val wh = "/tmp/graft_warehouse" // set at session build (static conf)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/li_b"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/ord_b"))
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li_b").saveAsTable("li_b")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/ord_b").saveAsTable("ord_b")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ so bucketing is what avoids the shuffle
+    val joined = spark.table("li_b")
+      .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).count()
+
+    val plan = joined.queryExecution.executedPlan.toString
+    // the join itself must not shuffle either side (only the final
+    // aggregation exchanges, on the already-joined rows)
+    val joinSection = plan.substring(0, plan.length)
+    val exchangesBeforeJoin = "(?s)SortMergeJoin.*".r.findFirstIn(joinSection)
+      .map(s => "Exchange".r.findAllIn(s).length).getOrElse(-1)
+    assert(exchangesBeforeJoin == 0,
+      s"expected bucket-co-located join without exchanges below the join:\n$plan")
+
+    // and the result is still correct
+    val n = joined.agg(sum("count")).head().getLong(0)
+    assert(n == spark.read.parquet(s"$sfDir/lineitem.parquet").count())
+
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+  }
+}
