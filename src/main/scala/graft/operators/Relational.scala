@@ -70,6 +70,22 @@ object Relational {
     df.withColumn(outCol, sum(value.cast("decimal(18,2)")).over(w).cast("double"))
   }
 
+  /** Skew-tolerant aggregation: two-stage salt → partial aggregate →
+    * final aggregate. The first shuffle spreads a hot key over `salts`
+    * partitions; the second is tiny (groups × salts rows). AQE's skew
+    * handling covers joins at runtime; this is the equivalent discipline
+    * for pathological groupBy keys (e.g. a null-heavy content hash in
+    * exact dedup at 100 TB). Usable for any algebraic aggregate expressed
+    * as (partial, merge) column pairs. */
+  def saltedCount(df: DataFrame, keys: Seq[Column], salts: Int): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    salted
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keys: _*)
+      .agg(sum(col("__partial")).as("n"))
+  }
+
   /** As-of (temporal) join: for each left row, attach `payload` from the
     * LATEST right row with the same key and rightTime ≤ leftTime (ties at
     * equal time include the right row). `right` must be unique per

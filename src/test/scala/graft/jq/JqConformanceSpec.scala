@@ -292,3 +292,67 @@ class JqConformanceSpec extends AnyFunSuite {
     check(".[-4]", "[1,2,3]", "ERROR: cannot index -4 into Array")
   }
 }
+
+/** Edge semantics beyond the reference's own (commented) tests — pinned
+  * from the reference *implementation* (ops.rs), since these cases have no
+  * test vectors there. */
+class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.json.JsonText
+  import graft.jq.Interp
+
+  private def outs(q: String, doc: String): Seq[String] =
+    Interp.run(q, JsonText.parse(doc)).map { e =>
+      if (e.errors.nonEmpty) "ERROR: " + e.errors.mkString("; ")
+      else JsonText.canonical(e.doc)
+    }
+
+  test("dict: multi-valued keys expand in-place, values fan out (ops.rs:610-650)") {
+    // per pair, EVERY key gets the full value list → keys live in the same
+    // object; value choices multiply across output objects, first pair
+    // varies slowest (ops.rs:665-681)
+    assert(outs("{(.ks.[]): .vs.[]}", """{"ks":["a","b"],"vs":[1,2]}""") ==
+      Seq("""{"a":1,"b":1}""", """{"a":1,"b":2}""", """{"a":2,"b":1}""", """{"a":2,"b":2}"""))
+  }
+
+  test("dict: non-string keys are skipped silently (ops.rs:693-697)") {
+    assert(outs("{(.k): 1, fine: 2}", """{"k":10,"fine":0}""") == Seq("""{"fine":2}"""))
+  }
+
+  test("binary ops union both sides' errors (entry.rs:21-28)") {
+    val out = Interp.run(".a + .b", JsonText.parse("""{"c":1}"""))
+    assert(out.length == 1)
+    assert(out.head.errors.toSet ==
+      Set("cannot index a into Object", "cannot index b into Object"))
+  }
+
+  test("errored entries pass through downstream operators untouched (ops.rs:296)") {
+    val out = Interp.run(".missing | length", JsonText.parse("""{"a":1}"""))
+    assert(out.length == 1 && out.head.errors == Vector("cannot index missing into Object"))
+  }
+
+  test("binary op zips operand streams, truncating to the shorter (ops.rs:827-833)") {
+    assert(outs(".[] + 1", "[10,20,30]") == Seq("11")) // rhs yields one output
+    assert(outs(".[a,b] + .[b,a]", """{"a":1,"b":10}""") == Seq("11", "11"))
+  }
+
+  test("object arithmetic: add is shallow right-wins, mul is deep merge (json.rs:986-991, 1103-1122)") {
+    assert(outs("a + b", """{"a":{"x":{"y":1},"z":0},"b":{"x":{"q":2}}}""") ==
+      Seq("""{"x":{"q":2},"z":0}"""))
+    assert(outs("a * b", """{"a":{"x":{"y":1},"z":0},"b":{"x":{"q":2}}}""") ==
+      Seq("""{"x":{"q":2,"y":1},"z":0}"""))
+  }
+
+  test("parser: garbage never hangs, always JqParseException") {
+    val rnd = new scala.util.Random(7)
+    val tokens = Seq(".", "[", "]", "{", "}", "(", ")", "|", "+", "-", "*",
+      "..", "?", ",", ":", "a", "\"s\"", "1", "1.5", "==", "<", "&&", "bor")
+    (1 to 500).foreach { _ =>
+      val prog = Seq.fill(rnd.nextInt(12))(tokens(rnd.nextInt(tokens.length))).mkString(" ")
+      try { graft.jq.JqParser.parse(prog); () }
+      catch {
+        case _: graft.jq.JqParser.JqParseException => ()
+        case e: Throwable => fail(s"non-parse-exception for <$prog>: $e")
+      }
+    }
+  }
+}

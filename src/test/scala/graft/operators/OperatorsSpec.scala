@@ -125,3 +125,16 @@ class AsofJoinSpec extends graft.SparkTestBase {
     assert(e.eval(null) == 7L)
   }
 }
+
+class SaltingSpec extends graft.SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  test("saltedCount matches plain groupBy count (skew-safe two-stage aggregate)") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val plain = li.groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Relational.saltedCount(li, Seq(col("l_returnflag")), salts = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+}
