@@ -68,3 +68,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 }
+
+/** jq expressions compose with Structured Streaming unchanged — the fused
+  * expression is stateless, so it rides any micro-batch plan. */
+class StreamingJqSpec extends graft.SparkTestBase {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.functions._
+
+  test("jq extraction + windowless aggregation over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    val q = stream.toDF().toDF("payload")
+      .select(graft.Jq.long(".a + .b", col("payload")).as("v"))
+      .groupBy().agg(sum("v").as("total"), count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("jq_stream_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData("""{"a":1,"b":2}""", """{"a":10,"b":20}""", """{"oops":1}""")
+      q.processAllAvailable()
+      val row = spark.sql("SELECT total, n FROM jq_stream_out").head()
+      assert(row.getLong(0) == 33L) // errored doc contributes NULL, not a failure
+      assert(row.getLong(1) == 3L)
+    } finally q.stop()
+  }
+}
