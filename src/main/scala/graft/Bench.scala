@@ -24,9 +24,10 @@ object Bench {
       // noop sink forces FULL evaluation of every output column — a bare
       // count() would let Catalyst prune the projected expressions and
       // time nothing but the scan
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      // failures are a visible -1 sentinel, never a bogus near-zero time
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -60,13 +60,16 @@ object GraftExtensions {
     val unaryFns: Seq[(String, Seq[Expression] => Expression)] =
       Seq("neg", "not", "truthy", "length", "keys", "chars", "canonical").map { kind =>
         s"json_$kind" -> { (exprs: Seq[Expression]) =>
+          require(exprs.length == 1, s"json_$kind takes 1 argument")
           JsonUnary(kind, exprs.head): Expression
         }
       }
 
+    def arity(n: Int, name: String)(b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+      exprs => { require(exprs.length == n, s"$name takes $n arguments"); b(exprs) }
     jqFns ++ binFns ++ unaryFns ++ Seq[(String, Seq[Expression] => Expression)](
-      "json_cmp" -> (exprs => JsonCmp(exprs.head, exprs(1))),
-      "json_eq" -> (exprs => JsonEq(exprs.head, exprs(1))),
-      "json_recurse" -> (exprs => JsonRecurse(exprs.head)))
+      "json_cmp" -> arity(2, "json_cmp")(exprs => JsonCmp(exprs.head, exprs(1))),
+      "json_eq" -> arity(2, "json_eq")(exprs => JsonEq(exprs.head, exprs(1))),
+      "json_recurse" -> arity(1, "json_recurse")(exprs => JsonRecurse(exprs.head)))
   }
 }

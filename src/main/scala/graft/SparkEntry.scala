@@ -20,10 +20,6 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events.ts (LONG nanoseconds, see [[table]]) → TIMESTAMP. */
-  def eventTs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    timestamp_micros((c / 1000L).cast("bigint"))
-
   /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): jq-extract
     * the metric from the JSON props of the event stream, then aggregate
     * per event type. One narrow jq projection + one partial-aggregated

@@ -30,10 +30,12 @@ object VectorExpressions {
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_cosine"
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null // dim mismatch → SQL NULL
     val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -52,10 +54,12 @@ case class CosineSim(left: Expression, right: Expression)
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null // dim mismatch → SQL NULL
     val n = a.numElements()
     var dot = 0.0
     var i = 0

@@ -83,7 +83,8 @@ final class JqParser(text: String) {
     val dstart = pos
     while (pos < text.length && text.charAt(pos).isDigit) pos += 1
     if (pos == dstart) { pos = start; None }
-    else Some(java.lang.Long.parseLong(text.substring(start, pos)))
+    else try Some(java.lang.Long.parseLong(text.substring(start, pos)))
+    catch { case _: NumberFormatException => pos = start; fail("integer out of range") }
   }
 
   /** `[-+]?[0-9]+\.?[0-9]*([eE][-+]?[0-9]+)?` → Long first, else Double
@@ -368,7 +369,8 @@ final class JqParser(text: String) {
         case IndexNum(n, o)         => IndexNum(n, o || opt1)
         case other                  => other
       }
-      Iterate(converted, opt1)
+      val it = Iterate(converted, opt1)
+      if (opt1) OptMark(it) else it
     } else {
       // `.key` | `.N` | `."quoted"` | bare `.`
       tryIdentifier() match {
@@ -379,7 +381,8 @@ final class JqParser(text: String) {
       if (pos < text.length && text.charAt(pos).isDigit) {
         val start = pos
         while (pos < text.length && text.charAt(pos).isDigit) pos += 1
-        val n = java.lang.Long.parseLong(text.substring(start, pos))
+        val n = try java.lang.Long.parseLong(text.substring(start, pos))
+          catch { case _: NumberFormatException => fail("integer index out of range") }
         return IndexNum(n, eatOpt())
       }
       tryJsonString() match {
@@ -414,7 +417,9 @@ final class JqParser(text: String) {
       while (eat(",")) items += parseExpr()
     }
     expect("]")
-    MkList(items.toList, eatOpt())
+    val opt = eatOpt()
+    val ml = MkList(items.toList, opt)
+    if (opt) OptMark(ml) else ml
   }
 
   private def parseDictForm(): Ast = {
@@ -426,7 +431,9 @@ final class JqParser(text: String) {
       while (eat(",")) pairs += parseDictPair()
     }
     expect("}")
-    MkDict(pairs.toList, eatOpt())
+    val opt = eatOpt()
+    val md = MkDict(pairs.toList, opt)
+    if (opt) OptMark(md) else md
   }
 
   /** `"k": v` | `(kexpr): v` | `(kexpr)` | `ident: v` | `ident`

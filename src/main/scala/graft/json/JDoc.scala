@@ -195,8 +195,8 @@ object JOps {
     case (JLong(x), JDouble(y))   => JDouble(x * y)
     case (JDouble(x), JLong(y))   => JDouble(x * y)
     case (JDouble(x), JDouble(y)) => JDouble(x * y)
-    case (JStr(s), JLong(n))      => if (n <= 0) JNull else JStr(s * n.toInt)
-    case (JLong(n), JStr(s))      => if (n <= 0) JNull else JStr(s * n.toInt)
+    case (JStr(s), JLong(n))      => if (n <= 0 || n > Int.MaxValue) JNull else JStr(s * n.toInt)
+    case (JLong(n), JStr(s))      => if (n <= 0 || n > Int.MaxValue) JNull else JStr(s * n.toInt)
     case (JObj(_), JObj(_))       => deepMerge(a.asInstanceOf[JObj], b.asInstanceOf[JObj])
     case _                        => JNull
   }

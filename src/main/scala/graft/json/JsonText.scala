@@ -41,6 +41,21 @@ object JsonText {
     out.result()
   }
 
+  /** Parse as many leading values as possible; on malformed input returns
+    * everything parsed so far plus the error for the remainder (the
+    * error-as-data discipline for whole-file scans). */
+  def parseManyLenient(text: String): (Vector[JDoc], Option[String]) = {
+    val p = new Parser(text)
+    val out = Vector.newBuilder[JDoc]
+    p.skipWs()
+    while (!p.atEnd) {
+      try out += p.parseValue()
+      catch { case e: JsonParseException => return (out.result(), Some(e.getMessage)) }
+      p.skipWs()
+    }
+    (out.result(), None)
+  }
+
   private final class Parser(val text: String) {
     var pos = 0
     def atEnd: Boolean = pos >= text.length

@@ -42,8 +42,11 @@ object JsonDocs {
     import spark.implicits._
     spark.read.option("wholetext", "true").textFile(path)
       .flatMap { content =>
-        try JsonText.parseMany(content).map(d => (JsonText.canonical(d), null: String))
-        catch { case e: JsonText.JsonParseException => Seq((null: String, e.getMessage)) }
+        // keep every successfully parsed value; only the malformed
+        // remainder becomes an error record
+        val (docs, err) = JsonText.parseManyLenient(content)
+        docs.map(d => (JsonText.canonical(d), null: String)) ++
+          err.map(m => (null: String, m))
       }
       .toDF("doc", "error")
   }

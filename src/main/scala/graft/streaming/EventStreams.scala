@@ -70,34 +70,54 @@ object EventStreams {
   final case class SessionOut(user_id: Long, session_start: Long, duration_ns: Long, n_events: Long)
 
   /** Streaming sessionization with explicit state:
-    * `flatMapGroupsWithState` keyed by user, processing-time timeout. The
-    * live-tail equivalent of [[sessionizeBatch]] — one state row per
-    * active user, emitted when the gap closes a session. */
-  def sessionizeStreaming(events: Dataset[SessionEvent], gapNanos: Long)
+    * `flatMapGroupsWithState` keyed by user with a processing-time timeout.
+    * The live-tail equivalent of [[sessionizeBatch]] — one state row per
+    * active user; a session is emitted when a later event closes the gap
+    * OR when the user goes quiet past the gap (timeout flushes the open
+    * session and clears its state, so the store stays bounded). */
+  def sessionizeStreaming(events: Dataset[SessionEvent], gapNanos: Long,
+                          idleTimeouts: Boolean = true)
       (implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
+    val gapMillis = math.max(1L, gapNanos / 1000000L)
+    // idleTimeouts=false disables the processing-time timeout (then the
+    // final session of a quiet user stays open and state is unbounded) —
+    // only meant for drivers like processAllAvailable-based tests, which
+    // never settle while timeout batches keep being scheduled.
+    val timeoutConf =
+      if (idleTimeouts) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, batch: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
-          // sessions tracked newest-first; a batch may close several
-          val sorted = batch.map(_.ts).toVector.sorted
-          var sessions = state.getOption.getOrElse(Nil)
-          val closed = List.newBuilder[SessionOut]
-          sorted.foreach { ts =>
-            sessions match {
-              case cur :: rest if ts - cur.last <= gapNanos =>
-                sessions = cur.copy(last = ts, n = cur.n + 1) :: rest
-              case cur :: rest =>
-                closed += SessionOut(userId, cur.start, cur.last - cur.start, cur.n)
-                sessions = SessionState(ts, ts, 1) :: rest
-              case Nil =>
-                sessions = SessionState(ts, ts, 1) :: Nil
+          if (state.hasTimedOut) {
+            // user idle past the gap: flush every open session, drop state
+            val closed = state.getOption.getOrElse(Nil)
+              .map(s => SessionOut(userId, s.start, s.last - s.start, s.n))
+            state.remove()
+            closed.iterator
+          } else {
+            // sessions tracked newest-first; a batch may close several
+            val sorted = batch.map(_.ts).toVector.sorted
+            var sessions = state.getOption.getOrElse(Nil)
+            val closed = List.newBuilder[SessionOut]
+            sorted.foreach { ts =>
+              sessions match {
+                case cur :: rest if ts - cur.last <= gapNanos =>
+                  sessions = cur.copy(last = ts, n = cur.n + 1) :: rest
+                case cur :: rest =>
+                  closed += SessionOut(userId, cur.start, cur.last - cur.start, cur.n)
+                  sessions = SessionState(ts, ts, 1) :: rest
+                case Nil =>
+                  sessions = SessionState(ts, ts, 1) :: Nil
+              }
             }
+            state.update(sessions)
+            if (idleTimeouts) state.setTimeoutDuration(gapMillis)
+            closed.result().iterator
           }
-          state.update(sessions)
-          closed.result().iterator
       }
   }
 }

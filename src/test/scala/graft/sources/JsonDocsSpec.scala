@@ -24,6 +24,8 @@ class JsonDocsSpec extends SparkTestBase {
     Files.writeString(f.toPath, """{"k": 1} {oops""")
     val out = JsonDocs.readConcatenated(spark, f.getAbsolutePath).collect()
     assert(out.exists(r => r.isNullAt(0) && r.getString(1) != null))
+    // values before the malformed tail survive
+    assert(out.exists(r => !r.isNullAt(0) && r.getString(0) == """{"k":1}"""))
   }
 
   test("readJsonl: per-line values, bad lines become error records") {

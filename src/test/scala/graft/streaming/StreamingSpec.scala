@@ -48,7 +48,9 @@ class StreamingSpec extends SparkTestBase {
       .as[SessionEvent]
 
     val stream = MemoryStream[SessionEvent]
-    val q = sessionizeStreaming(stream.toDS(), gap)
+    // idleTimeouts off: processAllAvailable never settles while the
+    // engine keeps scheduling timeout batches (see EventStreams scaladoc)
+    val q = sessionizeStreaming(stream.toDS(), gap, idleTimeouts = false)
       .writeStream.format("memory").queryName("sess_out")
       .outputMode("append").start()
     try {
