@@ -70,6 +70,7 @@ object GraftExtensions {
     jqFns ++ binFns ++ unaryFns ++ Seq[(String, Seq[Expression] => Expression)](
       "json_cmp" -> arity(2, "json_cmp")(exprs => JsonCmp(exprs.head, exprs(1))),
       "json_eq" -> arity(2, "json_eq")(exprs => JsonEq(exprs.head, exprs(1))),
-      "json_recurse" -> arity(1, "json_recurse")(exprs => JsonRecurse(exprs.head)))
+      "json_recurse" -> arity(1, "json_recurse")(exprs => JsonRecurse(exprs.head)),
+      "json_patch" -> arity(2, "json_patch")(exprs => JsonPatchExpr(exprs.head, exprs(1))))
   }
 }

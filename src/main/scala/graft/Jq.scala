@@ -44,6 +44,14 @@ object Jq {
   def explodeDocs(df: DataFrame, q: String, jsonCol: Column, outputCol: String): DataFrame =
     df.withColumn(outputCol, explode(docs(q, jsonCol)))
 
+  /** Cross-type collation comparison of two JSON text columns (-1/0/1). */
+  def jsonCmp(a: Column, b: Column): Column =
+    toCol(JsonCmp(toExpr(a), toExpr(b)))
+
+  /** RFC 6902 patch application over JSON text columns. */
+  def jsonPatch(doc: Column, patch: Column): Column =
+    toCol(JsonPatchExpr(toExpr(doc), toExpr(patch)))
+
   // ------------------------------------------------------ Variant interop
 
   /** Run a jq pipeline over a Spark 4 VARIANT column (SURVEY.md §1.4's

@@ -217,6 +217,28 @@ object SparkEntry {
         Jq.string("""("ab" * 2) + "!"""", to_json(struct(col("text")))).as("rep"),
         Jq.string(""".text / " " | .[0]""", to_json(struct(col("text")))).as("first_tok"))),
 
+    // RFC 6902 patch over the props documents (reference README goal 4)
+    "jq_patch" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), col("props"), Jq.long(".k", col("props")).as("k"))
+        .select(
+          col("event_id"),
+          Jq.jsonPatch(col("props"),
+            concat(lit("[{\"op\":\"replace\",\"path\":\"/k\",\"value\":"),
+              col("k") * 2, lit("}]"))).as("patched"),
+          Jq.jsonPatch(col("props"),
+            lit("[{\"op\":\"test\",\"path\":\"/k\",\"value\":42}]")).as("tested"))),
+
+    // JSON collation order vs a pivot (reference README goal 3)
+    "jq_collate" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), Jq.long(".k", col("props")).as("k"))
+        .select(col("event_id"),
+          when(col("k") % 3 === 0, col("k").cast("string"))
+            .when(col("k") % 3 === 1, concat(lit("\""), col("k"), lit("\"")))
+            .otherwise(lit("null")).as("doc"))
+        .select(col("event_id"), Jq.jsonCmp(col("doc"), lit("50")).as("c"))),
+
     // --- relational layer (SURVEY.md §2.8 beyond-parity) ----------------
     "rel_agg_pricing" -> ((s, dir) =>
       operators.Relational.pricingSummary(table(s, dir, "lineitem"))),
@@ -513,6 +535,19 @@ object SparkEntry {
     "jq_string_ops" -> """
       SELECT doc_id, 'abab!' AS rep, string_split(text, ' ')[1] AS first_tok
       FROM documents""",
+
+    "jq_patch" -> """
+      SELECT event_id,
+             '{"k":' || (k * 2) || '}' AS patched,
+             CASE WHEN k = 42 THEN '{"k":' || k || '}' END AS tested
+      FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
+
+    "jq_collate" -> """
+      SELECT event_id,
+             CASE WHEN k % 3 = 0 THEN (CASE WHEN k < 50 THEN -1 WHEN k = 50 THEN 0 ELSE 1 END)
+                  WHEN k % 3 = 1 THEN 1
+                  ELSE -1 END AS c
+      FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
 
     // --- relational layer ----------------------------------------------
     "rel_agg_pricing" -> """

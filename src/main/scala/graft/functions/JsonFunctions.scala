@@ -136,3 +136,24 @@ case class JsonRecurse(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): JsonRecurse =
     copy(child = newChild)
 }
+
+/** `json_patch(doc, patch)` → RFC 6902 patch application, canonical JSON
+  * text; SQL NULL when the patch fails (failed `test`, bad path) or input
+  * is unparseable — errors-as-data, never an exception. */
+case class JsonPatchExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_patch"
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val doc = JsonFunctions.parseOrNull(l.asInstanceOf[UTF8String])
+    val patch = JsonFunctions.parseOrNull(r.asInstanceOf[UTF8String])
+    if (doc == null || patch == null) return null
+    JsonPatch.apply(doc, patch) match {
+      case Right(out) => UTF8String.fromString(JsonText.canonical(out))
+      case Left(_)    => null
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JsonPatchExpr =
+    copy(left = l, right = r)
+}

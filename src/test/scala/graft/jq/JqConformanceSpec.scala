@@ -342,6 +342,12 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
       Seq("""{"x":{"q":2,"y":1},"z":0}"""))
   }
 
+  test("'?' on collection constructors suppresses errored outputs") {
+    assert(outs("[.missing]?", "{}").isEmpty)
+    assert(outs("{v: .missing}?", "{}").isEmpty)
+    assert(outs("[.a]?", """{"a":1}""") == Seq("[1]"))
+  }
+
   test("parser: garbage never hangs, always JqParseException") {
     val rnd = new scala.util.Random(7)
     val tokens = Seq(".", "[", "]", "{", "}", "(", ")", "|", "+", "-", "*",
