@@ -347,6 +347,29 @@ object SparkEntry {
         .select(col("event_id"), col("o_orderkey"))
     }),
 
+    // sketches: HLL++ distinct-count and t-digest-style quantiles beside
+    // their exact counterparts; approximation error asserted as data
+    "sketch_stats" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      // keep the distinct aggregate (Expand plan) separate from the
+      // imperative sketch buffers (HLL / percentile digest): mixing them
+      // in one agg forces buffer serialization across the expand and was
+      // ~20x slower at sf0.1
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts_raw"),
+          expr("approx_percentile(l_quantity, 0.5)").as("p50_raw"),
+          min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+      exact.join(approx, "l_returnflag")
+        .select(
+          col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts_raw") - col("exact_parts")) <
+            col("exact_parts") * 0.1).as("approx_ok"),
+          (col("p50_raw") >= col("min_qty") && col("p50_raw") <= col("max_qty")).as("p50_ok"))
+    }),
+
     // --- dedup family (LLM-pipeline layer) ------------------------------
     "dedup_exact" -> ((s, dir) =>
       table(s, dir, "events")
@@ -643,6 +666,11 @@ object SparkEntry {
       SELECT e.event_id, o.o_orderkey
       FROM events e ASOF LEFT JOIN o
         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+
+    "sketch_stats" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+             true AS approx_ok, true AS p50_ok
+      FROM lineitem GROUP BY l_returnflag""",
 
     // --- dedup family ----------------------------------------------------
     "dedup_exact" ->
