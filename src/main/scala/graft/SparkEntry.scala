@@ -370,6 +370,22 @@ object SparkEntry {
           (col("p50_raw") >= col("min_qty") && col("p50_raw") <= col("max_qty")).as("p50_ok"))
     }),
 
+    // binned range join: events within the hour after each error event
+    // of the same user (self interval join)
+    "rel_range_join" -> ((s, dir) => {
+      val hourUs = 3600L * 1000 * 1000
+      def us(c: org.apache.spark.sql.Column) =
+        ((c - pmod(c, lit(1000L))).cast("decimal(20,0)") / 1000).cast("long")
+      val ev = table(s, dir, "events")
+      val probes = ev.select(col("event_id"), col("user_id"), us(col("ts")).as("t_us"))
+      val anchors = ev.filter(col("event_type") === "error").select(
+        col("event_id").as("anchor_id"), col("user_id").as("anchor_user"),
+        us(col("ts")).as("start_us"), (us(col("ts")) + hourUs).as("end_us"))
+      operators.Relational.rangeJoinBinned(probes, anchors,
+          "user_id", "anchor_user", "t_us", "start_us", "end_us", binWidth = hourUs)
+        .select(col("event_id"), col("anchor_id"))
+    }),
+
     // --- dedup family (LLM-pipeline layer) ------------------------------
     "dedup_exact" -> ((s, dir) =>
       table(s, dir, "events")
@@ -666,6 +682,14 @@ object SparkEntry {
       SELECT e.event_id, o.o_orderkey
       FROM events e ASOF LEFT JOIN o
         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+
+    "rel_range_join" -> """
+      SELECT e.event_id, a.event_id AS anchor_id
+      FROM events e JOIN events a
+        ON e.user_id = a.user_id
+       AND a.event_type = 'error'
+       AND e.ts >= a.ts
+       AND e.ts < a.ts + INTERVAL 1 HOUR""",
 
     "sketch_stats" -> """
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,

@@ -86,6 +86,26 @@ object Relational {
       .agg(sum(col("__partial")).as("n"))
   }
 
+  /** Binned range join: pairs (left row, right interval) with
+    * `rightStart ≤ leftPoint < rightEnd` and equal keys. Spark plans a
+    * bare range predicate as a nested-loop join; binning turns it into an
+    * equi-join: intervals explode into the time bins they cover (1-2 for
+    * intervals ≤ binWidth), both sides shuffle on (key, bin), and the
+    * exact predicate filters bin collisions. Cost is O(matches + bin
+    * collisions) — the standard interval-join shape at scale. */
+  def rangeJoinBinned(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftPoint: String, rightStart: String, rightEnd: String,
+                      binWidth: Long): DataFrame = {
+    val l = left.withColumn("__bin", floor(col(leftPoint) / binWidth))
+    val r = right.withColumn("__bin",
+      explode(sequence(floor(col(rightStart) / binWidth), floor((col(rightEnd) - 1) / binWidth))))
+    l.join(r,
+      l(leftKey) === r(rightKey) && l("__bin") === r("__bin") &&
+        l(leftPoint) >= r(rightStart) && l(leftPoint) < r(rightEnd))
+      .drop("__bin")
+  }
+
   /** As-of (temporal) join: for each left row, attach `payload` from the
     * LATEST right row with the same key and rightTime ≤ leftTime (ties at
     * equal time include the right row). `right` must be unique per
