@@ -44,6 +44,15 @@ object Jq {
   def explodeDocs(df: DataFrame, q: String, jsonCol: Column, outputCol: String): DataFrame =
     df.withColumn(outputCol, explode(docs(q, jsonCol)))
 
+  /** Several typed extractions fused over ONE parse of the document:
+    * fields = (name, query, kind) with kind ∈ string|long|double|bool;
+    * returns a STRUCT column. Use when a projection extracts 2+ values
+    * from the same JSON column. */
+  def multi(fields: Seq[(String, String, String)], jsonCol: Column): Column = {
+    val parsed = fields.map { case (n, q, k) => (n, JqParser.parse(q), k) }
+    toCol(graft.jq.JqMulti(parsed, fields.map(_._2).mkString("; "), toExpr(jsonCol)))
+  }
+
   /** Cross-type collation comparison of two JSON text columns (-1/0/1). */
   def jsonCmp(a: Column, b: Column): Column =
     toCol(JsonCmp(toExpr(a), toExpr(b)))

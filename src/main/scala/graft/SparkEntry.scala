@@ -126,73 +126,57 @@ object SparkEntry {
 
     // array subtraction (single-occurrence removal) + integer rem (§2.4)
     "jq_sub_rem" -> ((s, dir) =>
-      table(s, dir, "events").select(
-        col("event_id"),
-        // 2 under the reference's remove-FIRST-occurrence semantics
-        // (jq's remove-all would yield 1) — pins the documented quirk
-        Jq.long("[5, .k, 5] - [5] | length", col("props")).as("after_sub"),
-        Jq.long(".k % 7", col("props")).as("k_mod"))),
+      table(s, dir, "events")
+        .select(col("event_id"), Jq.multi(Seq(("after_sub", "[5, .k, 5] - [5] | length", "long"), ("k_mod", ".k % 7", "long")), col("props")).as("m"))
+        .select(col("event_id"), col("m.after_sub"), col("m.k_mod"))),
 
     // unary neg / truthiness not (§2.4, §2.5)
     "jq_neg_not" -> ((s, dir) =>
-      table(s, dir, "events").select(
-        col("event_id"),
-        Jq.long("-.k", col("props")).as("neg_k"),
-        Jq.bool("!(.k > 50)", col("props")).as("not_gt"))),
+      table(s, dir, "events")
+        .select(col("event_id"), Jq.multi(Seq(("neg_k", "-.k", "long"), ("not_gt", "!(.k > 50)", "bool")), col("props")).as("m"))
+        .select(col("event_id"), col("m.neg_k"), col("m.not_gt"))),
 
     // equality / inequality / ordered comparisons (§2.5)
     "jq_compare" -> ((s, dir) =>
-      table(s, dir, "events").select(
-        col("event_id"),
-        Jq.bool(".k == 42", col("props")).as("is42"),
-        Jq.bool(".k != 42", col("props")).as("not42"),
-        Jq.bool(".k <= 50", col("props")).as("le50"),
-        Jq.bool(".k >= 50", col("props")).as("ge50"))),
+      table(s, dir, "events")
+        .select(col("event_id"), Jq.multi(Seq(("is42", ".k == 42", "bool"), ("not42", ".k != 42", "bool"), ("le50", ".k <= 50", "bool"), ("ge50", ".k >= 50", "bool")), col("props")).as("m"))
+        .select(col("event_id"), col("m.is42"), col("m.not42"), col("m.le50"), col("m.ge50"))),
 
     // shifts and bitwise ops (§2.4)
     "jq_bitops" -> ((s, dir) =>
-      table(s, dir, "events").select(
-        col("event_id"),
-        Jq.long(".k & 12", col("props")).as("band"),
-        Jq.long(".k bor 5", col("props")).as("bor_"),
-        Jq.long(".k ^ 3", col("props")).as("bxor"),
-        Jq.long(".k << 2", col("props")).as("shl"),
-        Jq.long(".k >> 1", col("props")).as("shr"))),
+      table(s, dir, "events")
+        .select(col("event_id"), Jq.multi(Seq(("band", ".k & 12", "long"), ("bor_", ".k bor 5", "long"), ("bxor", ".k ^ 3", "long"), ("shl", ".k << 2", "long"), ("shr", ".k >> 1", "long")), col("props")).as("m"))
+        .select(col("event_id"), col("m.band"), col("m.bor_"), col("m.bxor"), col("m.shl"), col("m.shr"))),
 
     // logical and/or over truthiness (§2.5)
     "jq_logic" -> ((s, dir) =>
-      table(s, dir, "events").select(
-        col("event_id"),
-        Jq.bool(".k > 20 && .k < 80", col("props")).as("both"),
-        Jq.bool(".k < 10 || .k > 90", col("props")).as("either"))),
+      table(s, dir, "events")
+        .select(col("event_id"), Jq.multi(Seq(("both", ".k > 20 && .k < 80", "bool"), ("either", ".k < 10 || .k > 90", "bool")), col("props")).as("m"))
+        .select(col("event_id"), col("m.both"), col("m.either"))),
 
     // keys/has builtins (§2.6) — has() membership is data-dependent
     "jq_keys_has" -> ((s, dir) =>
-      table(s, dir, "events").select(
-        col("event_id"),
-        Jq.string("{a: .k, b: 2} | keys | .[0]", col("props")).as("first_key"),
-        Jq.bool("[.k] | has(42)", col("props")).as("has42"))),
+      table(s, dir, "events")
+        .select(col("event_id"), Jq.multi(Seq(("first_key", "{a: .k, b: 2} | keys | .[0]", "string"), ("has42", "[.k] | has(42)", "bool")), col("props")).as("m"))
+        .select(col("event_id"), col("m.first_key"), col("m.has42"))),
 
     // chars builtin: Unicode code points (§2.6)
     "jq_chars" -> ((s, dir) =>
-      table(s, dir, "documents").select(
-        col("doc_id"),
-        Jq.long(".text | chars | .[0]", to_json(struct(col("text")))).as("first_cp"),
-        Jq.long(".text | chars | length", to_json(struct(col("text")))).as("n_chars"))),
+      table(s, dir, "documents")
+        .select(col("doc_id"), Jq.multi(Seq(("first_cp", ".text | chars | .[0]", "long"), ("n_chars", ".text | chars | length", "long")), to_json(struct(col("text")))).as("m"))
+        .select(col("doc_id"), col("m.first_cp"), col("m.n_chars"))),
 
     // any/all builtins (§2.6)
     "jq_anyall" -> ((s, dir) =>
-      table(s, dir, "events").select(
-        col("event_id"),
-        Jq.bool("[.k] | any(. > 50)", col("props")).as("any_gt"),
-        Jq.bool("[.k, 100] | all(. >= 10)", col("props")).as("all_ge"))),
+      table(s, dir, "events")
+        .select(col("event_id"), Jq.multi(Seq(("any_gt", "[.k] | any(. > 50)", "bool"), ("all_ge", "[.k, 100] | all(. >= 10)", "bool")), col("props")).as("m"))
+        .select(col("event_id"), col("m.any_gt"), col("m.all_ge"))),
 
     // array slices incl. negative index (§2.2)
     "jq_slice_arr" -> ((s, dir) =>
-      table(s, dir, "events").select(
-        col("event_id"),
-        Jq.long("[.k, .k+1, .k+2, .k+3] | .[1..3] | .[0]", col("props")).as("second"),
-        Jq.long("[.k, .k+1, .k+2, .k+3] | .[-1]", col("props")).as("last"))),
+      table(s, dir, "events")
+        .select(col("event_id"), Jq.multi(Seq(("second", "[.k, .k+1, .k+2, .k+3] | .[1..3] | .[0]", "long"), ("last", "[.k, .k+1, .k+2, .k+3] | .[-1]", "long")), col("props")).as("m"))
+        .select(col("event_id"), col("m.second"), col("m.last"))),
 
     // dict construction with multi-valued value stream: cartesian fan-out (§2.3)
     "jq_dict_fanout" -> ((s, dir) => {

@@ -107,3 +107,54 @@ case class JqExtract(ast: Ast, queryText: String, kind: String, child: Expressio
   override protected def withNewChildInternal(newChild: Expression): JqExtract =
     copy(child = newChild)
 }
+
+/** `jq_multi`: evaluate SEVERAL jq pipelines against one document with a
+  * single parse — returns STRUCT<name: typedValue, ...>. N extractions of
+  * the same column otherwise each re-parse the document; this fuses them
+  * (the same way a reader fuses column decoders). Field kinds follow
+  * [[JqExtract]] (string | long | double | bool). */
+case class JqMulti(fields: Seq[(String, Ast, String)], queryText: String, child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val compiled = fields.map { case (_, ast, _) => Interp.compile(ast) }
+  override def dataType: DataType = StructType(fields.map { case (name, _, kind) =>
+    StructField(name, kind match {
+      case "long"   => LongType
+      case "double" => DoubleType
+      case "bool"   => BooleanType
+      case _        => StringType
+    }, nullable = true)
+  })
+  override def nullable: Boolean = true
+  override def prettyName: String = "jq_multi"
+  override protected def nullSafeEval(input: Any): Any = {
+    val json = input.asInstanceOf[UTF8String].toString
+    val doc =
+      try JsonText.parse(json)
+      catch { case _: JsonText.JsonParseException => null }
+    val values = new Array[Any](fields.length)
+    if (doc != null) {
+      var i = 0
+      while (i < fields.length) {
+        val kind = fields(i)._3
+        values(i) = compiled(i)(doc).find(_.errors.isEmpty) match {
+          case None => null
+          case Some(en) =>
+            (kind, en.doc) match {
+              case ("long", JLong(v))     => v
+              case ("double", JLong(v))   => v.toDouble
+              case ("double", JDouble(v)) => v
+              case ("bool", JBool(v))     => v
+              case ("string", JStr(s))    => UTF8String.fromString(s)
+              case ("string", JNull)      => null
+              case ("string", d)          => UTF8String.fromString(JsonText.canonical(d))
+              case _                      => null
+            }
+        }
+        i += 1
+      }
+    }
+    InternalRow(values: _*)
+  }
+  override protected def withNewChildInternal(newChild: Expression): JqMulti =
+    copy(child = newChild)
+}
