@@ -64,14 +64,14 @@ object Jq {
   // ------------------------------------------------------ Variant interop
 
   /** Run a jq pipeline over a Spark 4 VARIANT column (SURVEY.md §1.4's
-    * dynamic-value bridge): `parse_json`/`to_variant_object` sources flow
-    * straight into the engine via their canonical JSON text form. */
-  def queryVariant(q: String, variantCol: Column): Column =
-    query(q, org.apache.spark.sql.functions.to_json(variantCol))
-  def docsVariant(q: String, variantCol: Column): Column =
-    docs(q, org.apache.spark.sql.functions.to_json(variantCol))
-  def longVariant(q: String, variantCol: Column): Column =
-    long(q, org.apache.spark.sql.functions.to_json(variantCol))
+    * dynamic-value bridge). Round 2: the variant binary is navigated
+    * NATIVELY (graft.jq.JqInput.fromVariant) — parse once at the source
+    * (`parse_json` / variant scan), no to_json text round-trip. These
+    * aliases remain for API compatibility; `query`/`docs`/`long` now accept
+    * VARIANT (and STRUCT/ARRAY/MAP) columns directly. */
+  def queryVariant(q: String, variantCol: Column): Column = query(q, variantCol)
+  def docsVariant(q: String, variantCol: Column): Column = docs(q, variantCol)
+  def longVariant(q: String, variantCol: Column): Column = long(q, variantCol)
 
   // ------------------------------------------------------- SQL registration
 

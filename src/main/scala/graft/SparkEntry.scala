@@ -104,19 +104,19 @@ object SparkEntry {
     "jq_slice_str" -> ((s, dir) =>
       table(s, dir, "documents").select(
         col("doc_id"),
-        Jq.string(".text | .[0..16]", to_json(struct(col("text")))).as("prefix"))),
+        Jq.string(".text | .[0..16]", struct(col("text"))).as("prefix"))),
 
     // string split (div) + length builtin: token count (§2.4, §2.6)
     "jq_tokens" -> ((s, dir) =>
       table(s, dir, "documents").select(
         col("doc_id"),
-        Jq.long(""".text / " " | length""", to_json(struct(col("text")))).as("n_tokens"))),
+        Jq.long(""".text / " " | length""", struct(col("text"))).as("n_tokens"))),
 
     // byte-length semantics of length (§2.6)
     "jq_strlen" -> ((s, dir) =>
       table(s, dir, "documents").select(
         col("doc_id"),
-        Jq.long(".text | length", to_json(struct(col("text")))).as("n_bytes"))),
+        Jq.long(".text | length", struct(col("text"))).as("n_bytes"))),
 
     // `?` error suppression: missing key yields SQL NULL (§2.7)
     "jq_opt_suppress" -> ((s, dir) =>
@@ -163,7 +163,7 @@ object SparkEntry {
     // chars builtin: Unicode code points (§2.6)
     "jq_chars" -> ((s, dir) =>
       table(s, dir, "documents")
-        .select(col("doc_id"), Jq.multi(Seq(("first_cp", ".text | chars | .[0]", "long"), ("n_chars", ".text | chars | length", "long")), to_json(struct(col("text")))).as("m"))
+        .select(col("doc_id"), Jq.multi(Seq(("first_cp", ".text | chars | .[0]", "long"), ("n_chars", ".text | chars | length", "long")), struct(col("text"))).as("m"))
         .select(col("doc_id"), col("m.first_cp"), col("m.n_chars"))),
 
     // any/all builtins (§2.6)
@@ -189,7 +189,7 @@ object SparkEntry {
     "jq_iterate_multi" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          to_json(struct(col("l_quantity"), col("l_discount"))).as("doc"))
+          struct(col("l_quantity"), col("l_discount")).as("doc"))
       Jq.explodeDocs(li, ".[l_quantity, l_discount]", col("doc"), "v_doc")
         .select(col("l_orderkey"), col("l_linenumber"), col("v_doc").cast("double").as("v"))
     }),
@@ -198,8 +198,8 @@ object SparkEntry {
     "jq_string_ops" -> ((s, dir) =>
       table(s, dir, "documents").select(
         col("doc_id"),
-        Jq.string("""("ab" * 2) + "!"""", to_json(struct(col("text")))).as("rep"),
-        Jq.string(""".text / " " | .[0]""", to_json(struct(col("text")))).as("first_tok"))),
+        Jq.string("""("ab" * 2) + "!"""", struct(col("text"))).as("rep"),
+        Jq.string(""".text / " " | .[0]""", struct(col("text"))).as("first_tok"))),
 
     // RFC 6902 patch over the props documents (reference README goal 4)
     "jq_patch" -> ((s, dir) =>
@@ -395,8 +395,21 @@ object SparkEntry {
       operators.Dedup.pairwiseJaccard(docs, "doc_id", col("text"), n = 3, pairs = pairs)
     }),
 
+    // exact threshold-range pairs: block-partitioned equi-join (see
+    // Similarity.cosineNearDupPairs for why LSH cannot be recall-exact at
+    // a 0.45 threshold — the shape here is a distributed GEMM tiling)
     "dedup_embedding" -> ((s, dir) =>
       operators.Similarity.cosineNearDupPairs(table(s, dir, "embeddings"), 0.45)),
+
+    // subquadratic SRP-LSH near-dup path (high-similarity regime): the
+    // corpus is doubled with byte-identical copies; identical vectors hash
+    // to identical buckets in every table, so recall on the duplicated
+    // pairs is deterministically 1 and the oracle is exact
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val copies = emb.withColumn("vec_id", col("vec_id") + lit(1000000))
+      operators.Similarity.nearDupPairsLSH(emb.unionByName(copies), threshold = 0.9, dim = 64)
+    }),
 
     // --- similarity search ----------------------------------------------
     "sim_topk" -> ((s, dir) => {
@@ -404,11 +417,22 @@ object SparkEntry {
       operators.Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
 
-    // approximate variant — no SQL oracle (rows-only check); recall is
-    // asserted against the exact path in SimilaritySpec
+    // approximate top-k with a HARD oracle (sketch_stats pattern): per
+    // query, the ANN hit count against the exact top-5 is emitted as a
+    // recall-ok boolean the driver hash-checks. Deterministic planes +
+    // deterministic data ⇒ stable booleans; the ≥4-of-5 cut has margin
+    // (measured hits are 5/5 on the driver SFs, asserted in SimilaritySpec).
     "sim_ann_lsh" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      operators.Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+      val qs = emb.filter(col("vec_id") < 10)
+      // L=8 tables: per-neighbor miss ≈ 0.46⁸ ≈ 2e-3 even at this data's
+      // weak similarities, so ≥4-of-5 holds with wide margin on every SF
+      val ann = operators.Similarity.annTopK(emb, qs, k = 5, dim = 64, tables = 8)
+      val exact = operators.Similarity.cosineTopK(emb, qs, k = 5)
+      exact.join(ann.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
+          Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) >= 4).as("recall_ok"))
     }),
 
     // --- text analysis ---------------------------------------------------
@@ -728,6 +752,12 @@ object SparkEntry {
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+
+    "dedup_embedding_lsh" ->
+      "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings",
+
+    "sim_ann_lsh" ->
+      "SELECT DISTINCT vec_id AS qid, true AS recall_ok FROM embeddings WHERE vec_id < 10",
 
     // --- similarity search ----------------------------------------------
     "sim_topk" -> """

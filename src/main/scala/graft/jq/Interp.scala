@@ -91,8 +91,13 @@ object Interp {
 
     case Iterate(items, _) =>
       // round-robin: one output from each sub-pipeline per round
-      // (reference: src/ops.rs:497-513), exhausted pipelines skipped
-      // (intended semantics per test src/query.rs:600-607).
+      // (reference: src/ops.rs:497-513). DELIBERATE DEVIATION from the
+      // reference CODE for unequal-length streams: ops.rs:493-500 pads an
+      // exhausted sub-input with null entries, but the reference's own test
+      // vector pins `.[user, projects.[]]` → ["stedolan","jq","wikiflow"]
+      // with NO null (src/query.rs:586-591) — we implement the intended
+      // (tested) semantics and skip exhausted pipelines. Pinned by
+      // JqConformanceSpec "iterate round-robin skips exhausted streams".
       val fs = items.map(compile)
       doc => {
         val streams = fs.map(_(doc))

@@ -1,8 +1,10 @@
 package graft.jq
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -10,7 +12,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.json._
 
 /** Catalyst expressions that run a whole compiled jq pipeline as ONE
-  * expression over a JSON-text column.
+  * expression over a document column.
   *
   * Design note (SURVEY.md §3.4, §7): a jq program is a per-document pure
   * function, so the entire pipeline fuses into a single narrow projection —
@@ -19,7 +21,65 @@ import graft.json._
   * embarrassingly parallel across partitions at any scale. This fusion is
   * strictly cheaper than one Catalyst node per jq operator, which would
   * re-serialize the document at every boundary.
+  *
+  * Round 2: two hot-path upgrades over the round-1 text-only CodegenFallback
+  * versions —
+  *   1. input is converted to [[JDoc]] straight from Spark internal values
+  *      ([[JqInput]]): STRING parses as JSON text (unchanged), but STRUCT /
+  *      ARRAY / MAP / VARIANT / scalars convert structurally with no
+  *      serialize→re-parse round trip;
+  *   2. [[doGenCode]] emits a direct call on the expression instance (via
+  *      `ctx.addReferenceObj`), so jq projections participate in
+  *      whole-stage codegen instead of forcing the interpreted fallback path
+  *      for the entire stage.
   */
+trait JqNativeInput extends UnaryExpression {
+
+  /** Resolved once on the driver from the child's type — the per-row path
+    * is a monomorphic converter + compiled-pipeline call. */
+  @transient protected final lazy val inputConv: JqInput.Conv = JqInput.converter(child.dataType)
+
+  /** Run `compiled` over one input value; malformed JSON *text* becomes the
+    * errors-as-data record, never an exception (reference: src/entry.rs:5-10). */
+  protected final def runPipe(compiled: Interp.Pipe, input: Any): Vector[JEntry] =
+    try compiled(inputConv(input))
+    catch {
+      case e: JsonText.JsonParseException =>
+        Vector(JEntry(JNull, Vector(s"invalid json: ${e.getMessage}")))
+    }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (JqInput.supports(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName cannot run over input type ${child.dataType.catalogString}")
+
+  /** Public bridge for generated code (nullSafeEval is protected). */
+  def evalInput(v: Any): Any = nullSafeEval(v)
+
+  /** Stay inside whole-stage codegen: the jq pipeline itself is a compiled
+    * closure tree (driver-compiled, executor-cached), so the right codegen
+    * shape is one virtual call through a reference object — the surrounding
+    * project/filter/explode then fuses into a single generated function
+    * instead of falling back to interpreted rows for the whole stage. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jqExpr", this, classOf[JqNativeInput].getName)
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    val boxed = CodeGenerator.boxedType(dataType)
+    val obj = ctx.freshName("jqOut")
+    ev.copy(code =
+      code"""
+         |${childGen.code}
+         |boolean ${ev.isNull} = ${childGen.isNull};
+         |$javaType ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+         |if (!${ev.isNull}) {
+         |  Object $obj = $ref.evalInput(${childGen.value});
+         |  if ($obj == null) { ${ev.isNull} = true; } else { ${ev.value} = ($boxed) $obj; }
+         |}
+       """.stripMargin)
+  }
+}
+
 object JqEval {
   /** ARRAY<STRUCT<doc: STRING, errors: ARRAY<STRING>>> — the full output
     * stream for one input document; `doc` is canonical JSON text. */
@@ -29,22 +89,27 @@ object JqEval {
       StructField("errors", ArrayType(StringType, containsNull = false), nullable = false))),
     containsNull = false)
 
-  private[jq] def evalToEntries(compiled: Interp.Pipe, json: String): Vector[JEntry] =
-    try compiled(JsonText.parse(json))
-    catch {
-      case e: JsonText.JsonParseException =>
-        Vector(JEntry(JNull, Vector(s"invalid json: ${e.getMessage}")))
-    }
+  /** Typed extraction of one successful entry's doc (shared by JqExtract /
+    * JqMulti): null when the value doesn't fit the requested kind. */
+  private[jq] def extract(kind: String, doc: JDoc): Any = (kind, doc) match {
+    case ("long", JLong(v))     => v
+    case ("double", JLong(v))   => v.toDouble
+    case ("double", JDouble(v)) => v
+    case ("bool", JBool(v))     => v
+    case ("string", JStr(s))    => UTF8String.fromString(s)
+    case ("string", JNull)      => null
+    case ("string", d)          => UTF8String.fromString(JsonText.canonical(d))
+    case _                      => null
+  }
 }
 
 /** `jq_eval(query, json)` → full entry stream (doc + errors per output). */
-case class JqEval(ast: Ast, queryText: String, child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class JqEval(ast: Ast, queryText: String, child: Expression) extends JqNativeInput {
   @transient private lazy val compiled = Interp.compile(ast)
   override def dataType: DataType = JqEval.outputType
   override def prettyName: String = "jq_eval"
   override protected def nullSafeEval(input: Any): Any = {
-    val entries = JqEval.evalToEntries(compiled, input.asInstanceOf[UTF8String].toString)
+    val entries = runPipe(compiled, input)
     new GenericArrayData(entries.map { en =>
       InternalRow(
         UTF8String.fromString(JsonText.canonical(en.doc)),
@@ -58,13 +123,12 @@ case class JqEval(ast: Ast, queryText: String, child: Expression)
 /** `jq_docs(query, json)` → ARRAY<STRING> of the successful outputs only,
   * in canonical form (errored entries dropped — the `?` discipline applied
   * at the sink). */
-case class JqDocs(ast: Ast, queryText: String, child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class JqDocs(ast: Ast, queryText: String, child: Expression) extends JqNativeInput {
   @transient private lazy val compiled = Interp.compile(ast)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "jq_docs"
   override protected def nullSafeEval(input: Any): Any = {
-    val entries = JqEval.evalToEntries(compiled, input.asInstanceOf[UTF8String].toString)
+    val entries = runPipe(compiled, input)
     new GenericArrayData(entries.collect {
       case en if en.errors.isEmpty => UTF8String.fromString(JsonText.canonical(en.doc))
     }.toArray[Any])
@@ -77,7 +141,7 @@ case class JqDocs(ast: Ast, queryText: String, child: Expression)
   * SQL NULL when there is no output, the output errored, or the value
   * doesn't fit the requested type. Kinds: string | long | double | bool. */
 case class JqExtract(ast: Ast, queryText: String, kind: String, child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends JqNativeInput {
   override def dataType: DataType = kind match {
     case "long"   => LongType
     case "double" => DoubleType
@@ -88,20 +152,10 @@ case class JqExtract(ast: Ast, queryText: String, kind: String, child: Expressio
   override def prettyName: String = s"jq_$kind"
   @transient private lazy val compiled = Interp.compile(ast)
   override protected def nullSafeEval(input: Any): Any = {
-    val entries = JqEval.evalToEntries(compiled, input.asInstanceOf[UTF8String].toString)
+    val entries = runPipe(compiled, input)
     entries.find(_.errors.isEmpty) match {
-      case None => null
-      case Some(en) =>
-        (kind, en.doc) match {
-          case ("long", JLong(v))     => v
-          case ("double", JLong(v))   => v.toDouble
-          case ("double", JDouble(v)) => v
-          case ("bool", JBool(v))     => v
-          case ("string", JStr(s))    => UTF8String.fromString(s)
-          case ("string", JNull)      => null
-          case ("string", d)          => UTF8String.fromString(JsonText.canonical(d))
-          case _                      => null
-        }
+      case None     => null
+      case Some(en) => JqEval.extract(kind, en.doc)
     }
   }
   override protected def withNewChildInternal(newChild: Expression): JqExtract =
@@ -109,12 +163,12 @@ case class JqExtract(ast: Ast, queryText: String, kind: String, child: Expressio
 }
 
 /** `jq_multi`: evaluate SEVERAL jq pipelines against one document with a
-  * single parse — returns STRUCT<name: typedValue, ...>. N extractions of
-  * the same column otherwise each re-parse the document; this fuses them
-  * (the same way a reader fuses column decoders). Field kinds follow
-  * [[JqExtract]] (string | long | double | bool). */
+  * single input conversion — returns STRUCT<name: typedValue, ...>. N
+  * extractions of the same column otherwise each re-convert the document;
+  * this fuses them (the same way a reader fuses column decoders). Field
+  * kinds follow [[JqExtract]] (string | long | double | bool). */
 case class JqMulti(fields: Seq[(String, Ast, String)], queryText: String, child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends JqNativeInput {
   @transient private lazy val compiled = fields.map { case (_, ast, _) => Interp.compile(ast) }
   override def dataType: DataType = StructType(fields.map { case (name, _, kind) =>
     StructField(name, kind match {
@@ -127,28 +181,16 @@ case class JqMulti(fields: Seq[(String, Ast, String)], queryText: String, child:
   override def nullable: Boolean = true
   override def prettyName: String = "jq_multi"
   override protected def nullSafeEval(input: Any): Any = {
-    val json = input.asInstanceOf[UTF8String].toString
     val doc =
-      try JsonText.parse(json)
+      try inputConv(input)
       catch { case _: JsonText.JsonParseException => null }
     val values = new Array[Any](fields.length)
     if (doc != null) {
       var i = 0
       while (i < fields.length) {
-        val kind = fields(i)._3
         values(i) = compiled(i)(doc).find(_.errors.isEmpty) match {
-          case None => null
-          case Some(en) =>
-            (kind, en.doc) match {
-              case ("long", JLong(v))     => v
-              case ("double", JLong(v))   => v.toDouble
-              case ("double", JDouble(v)) => v
-              case ("bool", JBool(v))     => v
-              case ("string", JStr(s))    => UTF8String.fromString(s)
-              case ("string", JNull)      => null
-              case ("string", d)          => UTF8String.fromString(JsonText.canonical(d))
-              case _                      => null
-            }
+          case None     => null
+          case Some(en) => JqEval.extract(fields(i)._3, en.doc)
         }
         i += 1
       }

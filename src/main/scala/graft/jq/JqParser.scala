@@ -289,14 +289,18 @@ final class JqParser(text: String) {
       val lit: Ast = Lit(JStr(s))
       if (opt) OptMark(lit) else lit
     }
-    else if (c == '!') { expect("!"); Not(parseExpr()) }
+    // unary operand binds TIGHT (one primary): `!.a == .b` is `(!.a) == .b`
+    // — the reference's PEG comment ('-' Primary | '!' Primary); its
+    // nom_expr code loosely wraps the whole rest (query_nom.rs:551-564),
+    // which contradicts the grammar it documents. We implement the grammar.
+    else if (c == '!') { expect("!"); Not(parsePrimary()) }
     else if (c == '-' || c == '+' || c.isDigit) {
       tryNumber() match {
         case Some(n) =>
           val opt = eatOpt()
           if (opt) OptMark(Lit(n)) else Lit(n)
         case None =>
-          if (c == '-') { expect("-"); Neg(parseExpr()) }
+          if (c == '-') { expect("-"); Neg(parsePrimary()) } // `-.k + 1` = (-.k) + 1
           else fail(s"unexpected character '$c'")
       }
     }

@@ -56,8 +56,15 @@ object JsonText {
     (out.result(), None)
   }
 
+  /** Max container nesting: deeper input raises [[JsonParseException]] (the
+    * errors-as-data path) instead of a StackOverflowError that would kill
+    * the whole Spark task. 512 is far beyond any real document and well
+    * inside the JVM's default stack for the recursive-descent walk. */
+  val MaxDepth = 512
+
   private final class Parser(val text: String) {
     var pos = 0
+    private var depth = 0
     def atEnd: Boolean = pos >= text.length
     def skipWs(): Unit = {
       while (pos < text.length && (text.charAt(pos) match {
@@ -174,10 +181,12 @@ object JsonText {
     }
 
     private def parseArray(): JDoc = {
+      depth += 1
+      if (depth > MaxDepth) fail(s"nesting deeper than $MaxDepth")
       pos += 1 // '['
       val items = Vector.newBuilder[JDoc]
       skipWs()
-      if (!atEnd && text.charAt(pos) == ']') { pos += 1; return JArr(items.result()) }
+      if (!atEnd && text.charAt(pos) == ']') { pos += 1; depth -= 1; return JArr(items.result()) }
       var done = false
       while (!done) {
         items += parseValue()
@@ -189,14 +198,17 @@ object JsonText {
           case c   => fail(s"expected , or ] but got $c")
         }
       }
+      depth -= 1
       JArr(items.result())
     }
 
     private def parseObject(): JDoc = {
+      depth += 1
+      if (depth > MaxDepth) fail(s"nesting deeper than $MaxDepth")
       pos += 1 // '{'
       val props = Vector.newBuilder[(String, JDoc)]
       skipWs()
-      if (!atEnd && text.charAt(pos) == '}') { pos += 1; return JObj.fromProps(props.result()) }
+      if (!atEnd && text.charAt(pos) == '}') { pos += 1; depth -= 1; return JObj.fromProps(props.result()) }
       var done = false
       while (!done) {
         skipWs()
@@ -215,6 +227,7 @@ object JsonText {
           case c   => fail(s"expected , or } but got $c")
         }
       }
+      depth -= 1
       JObj.fromProps(props.result())
     }
   }

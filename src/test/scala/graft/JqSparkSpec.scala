@@ -46,6 +46,45 @@ class JqSparkSpec extends SparkTestBase {
     assert(out.nonEmpty && out.forall(r => r.getLong(1) >= 1))
   }
 
+  test("Variant input is navigated binary-natively (no to_json in the plan)") {
+    val df = spark.range(1).select(
+      parse_json(lit("""{"a":{"b":[1, 2.5, "x", null, true]}}""")).as("v"))
+    val out = df.select(explode(Jq.docs(".a.b | .[]", col("v"))).as("d"))
+    assert(out.collect().map(_.getString(0)).toSeq ==
+      Seq("1", "2.5e0", "\"x\"", "null", "true"))
+    // the physical plan must carry the variant straight into jq_docs —
+    // a to_json bridge would show up as a ToJson/StructsToJson node
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("to_json"), s"unexpected to_json bridge in:\n$plan")
+  }
+
+  test("STRUCT input converts structurally and matches the to_json text path") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val direct = df.select(col("doc_id"),
+      Jq.long(".text | length", struct(col("text"))).as("n"),
+      Jq.string(".text | .[0..8]", struct(col("text"))).as("p"))
+    val viaText = df.select(col("doc_id"),
+      Jq.long(".text | length", to_json(struct(col("text")))).as("n"),
+      Jq.string(".text | .[0..8]", to_json(struct(col("text")))).as("p"))
+    assert(direct.collect().toSeq == viaText.collect().toSeq)
+  }
+
+  test("jq over numeric/array/map inputs (native converters)") {
+    val df = spark.range(1).select(
+      lit(41L).as("l"),
+      array(lit(1), lit(2), lit(3)).as("arr"),
+      map(lit("k"), lit(7)).as("m"),
+      lit(0.1f).as("f"))
+    val r = df.select(
+      Jq.long(". + 1", col("l")).as("l1"),
+      Jq.long("length", col("arr")).as("n"),
+      Jq.long(".k", col("m")).as("k"),
+      // FLOAT widens via shortest-decimal (0.1f → 0.1), not raw cast
+      Jq.double(".", col("f")).as("d")).head()
+    assert(r.getLong(0) == 42L && r.getLong(1) == 3L && r.getLong(2) == 7L)
+    assert(r.getDouble(3) == 0.1)
+  }
+
   // ---------------------------------------------------------- properties
 
   private val genScalar: Gen[JDoc] = Gen.oneOf(

@@ -106,6 +106,25 @@ class JqConformanceSpec extends AnyFunSuite {
       "\"stedolan\"", "\"jq\"", "\"wikiflow\"")
   }
 
+  test("iterate round-robin skips exhausted streams (query.rs:586-591 vs ops.rs:493-500)") {
+    // DELIBERATE DEVIATION from the reference CODE: ops.rs:493-500 pads an
+    // exhausted sub-input with null entries, but the reference's own test
+    // vector for `.[user, projects.[]]` expects NO null padding
+    // (query.rs:586-591) — we implement the tested (intended) semantics.
+    // With code-faithful padding this would be "s","a",null,"b",null,"c".
+    check(".[user, projects.[]]", """{"user":"s", "projects": ["a","b","c"]}""",
+      "\"s\"", "\"a\"", "\"b\"", "\"c\"")
+  }
+
+  test("unary operand binds one primary (reference PEG: '-' Primary | '!' Primary)") {
+    // The reference's nom_expr CODE wraps the whole remaining expression
+    // (query_nom.rs:551-564) contradicting its own grammar comment; we
+    // implement the grammar. Loose binding would give -(5+1) = -6 and
+    // !(1 == 2) = true below.
+    check("-.k + 1", """{"k": 5}""", "-4")
+    check("!.a == .b", """{"a": 1, "b": 2}""", "false")
+  }
+
   test("pipes, explicit and juxtaposed (query.rs:594-627)") {
     check(".[] | foo", """[{"foo": 10}, {"foo":20}]""", "10", "20")
     check(".[] | .foo ", """[{"foo": 10}, {"foo":20}]""", "10", "20")

@@ -49,4 +49,13 @@ class JsonCodecSpec extends AnyFunSuite {
   test("numbers outside long range still parse") {
     assert(JsonText.canonical(JsonText.parse("1e300")) == "1e300")
   }
+
+  test("hostile nesting is a parse error (errors-as-data), not a StackOverflowError") {
+    val deep = "[" * 100000 + "]" * 100000
+    val e = intercept[JsonText.JsonParseException](JsonText.parse(deep))
+    assert(e.getMessage.contains("nesting"))
+    // nesting at the limit still parses
+    val ok = "[" * JsonText.MaxDepth + "]" * JsonText.MaxDepth
+    assert(JsonText.canonical(JsonText.parse(ok)).startsWith("[["))
+  }
 }

@@ -62,6 +62,42 @@ class OperatorsSpec extends SparkTestBase {
     assert(mean >= 0.5, s"mean recall@5 too low: $mean")
   }
 
+  test("blocked exact near-dup pairs: matches brute force, no nested-loop join") {
+    val blocked = Similarity.cosineNearDupPairs(emb, 0.45, blocks = 8)
+    // physical shape: every join is an equi-join (hash/sort-merge/broadcast-
+    // hash); a BroadcastNestedLoopJoin or CartesianProduct would be the
+    // O(n²)-on-one-executor shape that cannot survive 100×
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"non-equi join in blocked plan:\n$plan")
+    val got = blocked.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val truth = a.join(b, col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(
+        transform(col("ea"), x => x.cast("double")),
+        transform(col("eb"), x => x.cast("double"))) >= 0.45)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"blocked missed ${truth -- got}, invented ${got -- truth}")
+  }
+
+  test("SRP-LSH near-dup: recall is exactly 1 for byte-identical vectors") {
+    val copies = emb.withColumn("vec_id", col("vec_id") + lit(1000000))
+    val pairs = Similarity.nearDupPairsLSH(emb.unionByName(copies), 0.9, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = ids.map(i => (i, i + 1000000))
+    assert(pairs == expected,
+      s"LSH dup recall broken: missed ${expected -- pairs}, invented ${pairs -- expected}")
+  }
+
+  test("sim_ann_lsh recall-as-data: ANN top-5 covers ≥4 of exact top-5 per query") {
+    // the shipped query's boolean oracle depends on this margin holding
+    val out = graft.SparkEntry.queries("sim_ann_lsh")(spark, sfDir).collect()
+    assert(out.nonEmpty && out.forall(_.getBoolean(1)),
+      s"recall_ok false for: ${out.filterNot(_.getBoolean(1)).mkString(",")}")
+  }
+
   test("language heuristic: threshold on stopword mass, deterministic") {
     // the synthetic corpus uses ONE shared vocabulary for every lang label,
     // so no text heuristic can recover the label; assert the heuristic's
