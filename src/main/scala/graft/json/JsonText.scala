@@ -296,25 +296,35 @@ object JsonText {
 
   /** Rust `{:e}` float formatting: shortest-round-trip mantissa normalized
     * to one leading digit, exponent always present without `+` (golden
-    * corpus: `10.2` → `1.02e1`, `0.2` → `2e-1`, `-0.0` → `0e0`). */
+    * corpus: `10.2` → `1.02e1`, `0.2` → `2e-1`, `-0.0` → `0e0`).
+    *
+    * The shortest decimal is computed directly (smallest precision whose
+    * correctly-rounded decimal round-trips to the same double) rather than
+    * trusting `Double.toString`: on JDK 17 the JDK string is round-trip
+    * but NOT always shortest (JDK-4511638, fixed only in JDK 19+), which
+    * would diverge from the reference's Rust `{:e}` output. HALF_EVEN on
+    * the exact binary expansion matches Ryu's digit selection. */
   def rustSci(d: Double): String = {
     if (d.isNaN) return "NaN"
     if (d == java.lang.Double.POSITIVE_INFINITY) return "inf"
     if (d == java.lang.Double.NEGATIVE_INFINITY) return "-inf"
     if (d == 0.0) return "0e0" // golden corpus drops the sign of -0.0
     val neg = d < 0
-    val s = java.lang.Double.toString(math.abs(d)) // "10.2" | "1.02E21" | "5.7E-4"
-    val ePos = s.indexOf('E')
-    val (mant, exp10) =
-      if (ePos >= 0) (s.substring(0, ePos), s.substring(ePos + 1).toInt)
-      else (s, 0)
-    val dot = mant.indexOf('.')
-    val digits0 = mant.substring(0, dot) + mant.substring(dot + 1)
-    val intLen = dot
-    var digits = digits0.dropWhile(_ == '0')
-    val lead = digits0.length - digits.length
-    digits = digits.reverse.dropWhile(_ == '0').reverse
-    val e = intLen + exp10 - lead - 1
+    val ad = math.abs(d)
+    val exact = new java.math.BigDecimal(ad)
+    var p = 1
+    var bd: java.math.BigDecimal = null
+    while (bd == null && p <= 17) { // 17 significant digits always round-trip
+      val cand = exact.round(new java.math.MathContext(p, java.math.RoundingMode.HALF_EVEN))
+      if (cand.doubleValue() == ad) bd = cand else p += 1
+    }
+    if (bd == null) bd = exact
+    val unscaled = bd.unscaledValue.toString
+    val e = unscaled.length - 1 - bd.scale
+    val digits = {
+      val t = unscaled.reverse.dropWhile(_ == '0').reverse
+      if (t.isEmpty) "0" else t
+    }
     val m = if (digits.length == 1) digits else s"${digits.head}.${digits.tail}"
     (if (neg) "-" else "") + m + "e" + e
   }

@@ -98,6 +98,20 @@ class OperatorsSpec extends SparkTestBase {
       s"recall_ok false for: ${out.filterNot(_.getBoolean(1)).mkString(",")}")
   }
 
+  test("dedup leaves no cached blocks behind; withShingles releases its cache") {
+    Dedup.minhashNearDups(docs, "doc_id", col("text"), 3, 0.8).count()
+    Dedup.simhashNearDups(docs, "doc_id", col("text"), 3, 0.8).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "near-dup operators must not retain block-manager entries")
+    val n = Dedup.withShingles(docs, "doc_id", col("text"), 3) { sh =>
+      assert(sh.storageLevel.useMemory, "withShingles should cache inside the scope")
+      sh.count()
+    }
+    assert(n > 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "withShingles must release its cache on exit")
+  }
+
   test("language heuristic: threshold on stopword mass, deterministic") {
     // the synthetic corpus uses ONE shared vocabulary for every lang label,
     // so no text heuristic can recover the label; assert the heuristic's
