@@ -3,15 +3,20 @@ package graft.jq
 import graft.json._
 import Ast._
 
-/** One record of the execution stream: a document plus per-record errors.
-  * Errors are data, not exceptions (reference: src/entry.rs:5-10,
-  * src/op.rs:14-19): a failed operator stores the message, substitutes null
-  * and keeps flowing; downstream operators pass errored entries through
-  * untouched (reference: src/ops.rs:296).
+/** One record of the execution stream: a document, per-record errors, and
+  * the optional lineage meta envelope (reference: src/entry.rs:5-10,
+  * src/op.rs:14-19, src/meta.rs). Errors are data, not exceptions: a
+  * failed operator stores the message, substitutes null and keeps flowing;
+  * downstream operators pass errored entries through untouched
+  * (reference: src/ops.rs:296). Meta (`{domains, sources, keys}`) is
+  * cloned through navigation operators and list-append-merged by
+  * combining operators ([[graft.json.JMeta]]).
   */
-final case class JEntry(doc: JDoc, errors: Vector[String]) extends Serializable
+final case class JEntry(doc: JDoc, errors: Vector[String],
+                        meta: Option[JObj] = None) extends Serializable
 object JEntry {
   def ok(d: JDoc): JEntry = JEntry(d, Vector.empty)
+  def withMeta(d: JDoc, m: JObj): JEntry = JEntry(d, Vector.empty, Some(m))
 }
 
 /** The jq evaluator, structured as a closure compiler: [[compile]] turns an
@@ -37,10 +42,15 @@ object Interp {
   def eval(ast: Ast, doc: JDoc): Vector[JEntry] = compile(ast)(doc)
 
   /** Compiled form over an already-streamed entry: errored entries pass
-    * through untouched (reference: src/ops.rs:296). */
+    * through untouched (reference: src/ops.rs:296); the input's meta
+    * envelope is cloned onto outputs that did not build their own
+    * (reference: src/ops.rs:432 — navigation clones `d_entry.meta`). */
   def compileE(ast: Ast): JEntry => Vector[JEntry] = {
     val f = compile(ast)
-    e => if (e.errors.nonEmpty) Vector(e) else f(e.doc)
+    e =>
+      if (e.errors.nonEmpty) Vector(e)
+      else if (e.meta.isEmpty) f(e.doc)
+      else f(e.doc).map(out => if (out.meta.isEmpty) out.copy(meta = e.meta) else out)
   }
 
   private def err(msg: String, opt: Boolean): Vector[JEntry] =
@@ -118,7 +128,8 @@ object Interp {
       val fs = items.map(compile)
       doc => {
         val entries = fs.flatMap(_(doc))
-        Vector(JEntry(JArr(entries.map(_.doc).toVector), entries.flatMap(_.errors).toVector))
+        Vector(JEntry(JArr(entries.map(_.doc).toVector), entries.flatMap(_.errors).toVector,
+          JMeta.newMerged(entries.map(_.meta))))
       }
 
     case MkDict(pairs, _) =>
@@ -146,7 +157,8 @@ object Interp {
         var i = 0
         while (i < n) {
           val le = ls(i); val re = rs(i)
-          out += JEntry(kernel(le.doc, re.doc), le.errors ++ re.errors)
+          out += JEntry(kernel(le.doc, re.doc), le.errors ++ re.errors,
+            JMeta.newMerged(Seq(le.meta, re.meta))) // reference: Entry::new_merged, ops.rs:832+
           i += 1
         }
         out.result()
@@ -247,7 +259,8 @@ object Interp {
               }
             }
           }
-          JEntry(JObj.fromProps(kvs.result()), errors.result())
+          JEntry(JObj.fromProps(kvs.result()), errors.result(),
+            JMeta.newMerged(combo.flatMap(p => Seq(p._1.meta, p._2.meta)))) // ops.rs:701
         }
       }
     }

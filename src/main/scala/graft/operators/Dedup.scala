@@ -32,6 +32,28 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Skew-safe exact dedup — the two-stage salted shape of
+    * `Relational.saltedCount` applied to whole-row selection. A
+    * pathological hot key (a null-heavy content hash is the classic
+    * 100 TB case) sends every one of its rows to ONE task under
+    * [[exactDedup]]'s single partition-by-key exchange; here stage 1
+    * spreads each key over `salts` sub-partitions (salt derived from the
+    * tiebreak, so it is deterministic and data-uniform) and keeps one
+    * winner per (key, salt), bounding any task at ~|hot key|/salts rows;
+    * stage 2 reduces the ≤ `salts` winners per key — a tiny exchange.
+    * Output is identical to [[exactDedup]] whenever the tiebreak is
+    * unique per key (same caveat as exactDedup itself for ties). */
+  def exactDedupSalted(df: DataFrame, keys: Seq[Column], tiebreak: Column,
+                       salts: Int = 32): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(hash(tiebreak), lit(salts)))
+    val w1 = Window.partitionBy(keys :+ col("__salt"): _*).orderBy(tiebreak.asc)
+    val stage1 = salted.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") === 1).drop("__rn")
+    val w2 = Window.partitionBy(keys: _*).orderBy(tiebreak.asc)
+    stage1.withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") === 1).drop("__rn", "__salt")
+  }
+
   // ------------------------------------------------------------ shingles
 
   /** Distinct word n-gram shingles of a whitespace-tokenized text column;

@@ -44,4 +44,27 @@ class BucketingSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
   }
+
+  test("salted exact dedup: hot key spreads over a salted exchange, same result") {
+    import spark.implicits._
+    // synthetic skew: 90% of rows share ONE key (the null-heavy content
+    // hash case); the rest are unique keys
+    val hot = spark.range(0, 45000).select(
+      lit("HOT").as("k"), col("id").as("tiebreak"))
+    val cold = spark.range(45000, 50000).select(
+      concat(lit("k"), col("id")).as("k"), col("id").as("tiebreak"))
+    val df = hot.unionByName(cold)
+
+    val salted = Dedup.exactDedupSalted(df, Seq(col("k")), col("tiebreak"), salts = 16)
+    val plan = salted.queryExecution.executedPlan.toString
+    // stage-1 exchange must partition on (k, __salt) — the salted spread —
+    // and a later exchange reduces per k alone
+    assert("hashpartitioning\\(k[#0-9]*, __salt".r.findFirstIn(plan).isDefined,
+      s"expected a salted (k, __salt) exchange in:\n$plan")
+    val plain = Dedup.exactDedup(df, Seq(col("k")), col("tiebreak"))
+    val a = salted.select("k", "tiebreak").as[(String, Long)].collect().toSet
+    val b = plain.select("k", "tiebreak").as[(String, Long)].collect().toSet
+    assert(a == b, s"salted dedup diverged: ${(a -- b) ++ (b -- a)}")
+    assert(a.size == 5001) // HOT winner + 5000 unique keys
+  }
 }

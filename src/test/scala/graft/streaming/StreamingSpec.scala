@@ -69,6 +69,36 @@ class StreamingSpec extends SparkTestBase {
         s"streaming emitted sessions not present in batch: ${streamed -- batchAll}")
     } finally q.stop()
   }
+  test("sessionizeStreaming flushes idle sessions via the processing-time timeout") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val stream = MemoryStream[SessionEvent]
+    // 200ms gap: user 1 goes quiet, later batches (driven by user-2
+    // keep-alive events) must fire the hasTimedOut branch and flush user
+    // 1's open session with its exact (start, duration, count)
+    val q = sessionizeStreaming(stream.toDS(), gapNanos = 200L * 1000 * 1000,
+        idleTimeouts = true)
+      .writeStream.format("memory").queryName("sess_timeout_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(SessionEvent(1L, 1000L), SessionEvent(1L, 2000L))
+      val deadline = System.nanoTime() + 30L * 1000L * 1000 * 1000
+      var flushed = Seq.empty[(Long, Long, Long, Long)]
+      var tick = 0L
+      while (flushed.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        tick += 1
+        stream.addData(SessionEvent(2L, tick * 1000L)) // triggers a micro-batch
+        flushed = spark.sql(
+          "SELECT user_id, session_start, duration_ns, n_events FROM sess_timeout_out WHERE user_id = 1")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      }
+      assert(flushed == Seq((1L, 1000L, 1000L, 2L)),
+        s"timeout flush should emit user 1's open session exactly once, got $flushed")
+    } finally q.stop()
+  }
 }
 
 /** jq expressions compose with Structured Streaming unchanged — the fused
