@@ -71,6 +71,8 @@ object GraftExtensions {
       "json_cmp" -> arity(2, "json_cmp")(exprs => JsonCmp(exprs.head, exprs(1))),
       "json_eq" -> arity(2, "json_eq")(exprs => JsonEq(exprs.head, exprs(1))),
       "json_recurse" -> arity(1, "json_recurse")(exprs => JsonRecurse(exprs.head)),
-      "json_patch" -> arity(2, "json_patch")(exprs => JsonPatchExpr(exprs.head, exprs(1))))
+      "json_patch" -> arity(2, "json_patch")(exprs => JsonPatchExpr(exprs.head, exprs(1))),
+      "json_to_cbor" -> arity(1, "json_to_cbor")(exprs => CborEncodeExpr(exprs.head)),
+      "cbor_to_json" -> arity(1, "cbor_to_json")(exprs => CborDecodeExpr(exprs.head)))
   }
 }

@@ -61,6 +61,11 @@ object Jq {
   def jsonPatch(doc: Column, patch: Column): Column =
     toCol(JsonPatchExpr(toExpr(doc), toExpr(patch)))
 
+  /** RFC 8949 CBOR codec (the reference README's second Document
+    * implementation): JSON text ⇄ CBOR binary columns. */
+  def toCbor(jsonCol: Column): Column = toCol(CborEncodeExpr(toExpr(jsonCol)))
+  def fromCbor(cborCol: Column): Column = toCol(CborDecodeExpr(toExpr(cborCol)))
+
   // ------------------------------------------------------ Variant interop
 
   /** Run a jq pipeline over a Spark 4 VARIANT column (SURVEY.md §1.4's

@@ -213,6 +213,27 @@ object SparkEntry {
           Jq.jsonPatch(col("props"),
             lit("[{\"op\":\"test\",\"path\":\"/k\",\"value\":42}]")).as("tested"))),
 
+    // CBOR second-codec round trip (reference README goals: a second
+    // Document implementation): props → CBOR bytes → canonical JSON;
+    // the oracle pins the same canonical text the JSON path produces
+    "cbor_roundtrip" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Jq.fromCbor(Jq.toCbor(col("props"))).as("doc"))),
+
+    // MVCC snapshot merge (reference goals (5)-(6)): per-key latest
+    // version across base ∪ changes, one key shuffle
+    "rel_upsert" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      val base = orders.select(col("o_orderkey"), col("o_totalprice").as("price"))
+        .withColumn("__v", lit(1L))
+      val changes = orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("price"))
+        .withColumn("__v", lit(2L))
+      operators.Relational.upsert(base, changes, Seq(col("o_orderkey")), col("__v"))
+        .select(col("o_orderkey"), col("price"))
+    }),
+
     // JSON collation order vs a pivot (reference README goal 3)
     "jq_collate" -> ((s, dir) =>
       table(s, dir, "events")
@@ -588,6 +609,15 @@ object SparkEntry {
              '{"k":' || (k * 2) || '}' AS patched,
              CASE WHEN k = 42 THEN '{"k":' || k || '}' END AS tested
       FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
+
+    "cbor_roundtrip" -> """
+      SELECT event_id, '{"k":' || CAST(json_extract(props, '$.k') AS BIGINT) || '}' AS doc
+      FROM events""",
+
+    "rel_upsert" -> """
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS price
+      FROM orders""",
 
     "jq_collate" -> """
       SELECT event_id,

@@ -157,3 +157,36 @@ case class JsonPatchExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JsonPatchExpr =
     copy(left = l, right = r)
 }
+
+/** `json_to_cbor(jsonText)` → RFC 8949 CBOR bytes of the document
+  * (the reference README's declared second Document codec, realized —
+  * graft.json.CborCodec). SQL NULL for unparseable JSON. */
+case class CborEncodeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_to_cbor"
+  override protected def nullSafeEval(input: Any): Any = {
+    val d = JsonFunctions.parseOrNull(input.asInstanceOf[UTF8String])
+    if (d == null) null else CborCodec.encode(d)
+  }
+  override protected def withNewChildInternal(newChild: Expression): CborEncodeExpr =
+    copy(child = newChild)
+}
+
+/** `cbor_to_json(bytes)` → canonical JSON text of a CBOR document; SQL
+  * NULL for CBOR the document model cannot hold (tags, byte strings,
+  * indefinite lengths) — errors-as-data, never an exception. */
+case class CborDecodeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cbor_to_json"
+  override protected def nullSafeEval(input: Any): Any = {
+    try UTF8String.fromString(JsonText.canonical(
+      CborCodec.decode(input.asInstanceOf[Array[Byte]])))
+    catch { case _: CborCodec.CborException => null }
+  }
+  override protected def withNewChildInternal(newChild: Expression): CborDecodeExpr =
+    copy(child = newChild)
+}

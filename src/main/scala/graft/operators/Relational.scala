@@ -86,6 +86,22 @@ object Relational {
       .agg(sum(col("__partial")).as("n"))
   }
 
+  /** MVCC-style snapshot merge (the reference README's goals (5)-(6) —
+    * LLRB/MVCC index with snapshot reads — mapped onto Spark storage): the
+    * next snapshot is the per-key LATEST version across base ∪ changes.
+    * One shuffle on the key, same shape (and same 100 TB posture) as
+    * exact dedup; pair with partitioned parquet/bucketed tables so
+    * successive snapshots co-locate. Ties on `version` are broken
+    * arbitrarily — supply a caller-unique version (commit timestamp,
+    * monotonic txn id). */
+  def upsert(base: DataFrame, changes: DataFrame,
+             keys: Seq[Column], version: Column): DataFrame = {
+    val unioned = base.unionByName(changes)
+    val w = Window.partitionBy(keys: _*).orderBy(version.desc)
+    unioned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Binned range join: pairs (left row, right interval) with
     * `rightStart ≤ leftPoint < rightEnd` and equal keys. Spark plans a
     * bare range predicate as a nested-loop join; binning turns it into an
