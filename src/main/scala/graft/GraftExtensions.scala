@@ -73,6 +73,8 @@ object GraftExtensions {
       "json_recurse" -> arity(1, "json_recurse")(exprs => JsonRecurse(exprs.head)),
       "json_patch" -> arity(2, "json_patch")(exprs => JsonPatchExpr(exprs.head, exprs(1))),
       "json_to_cbor" -> arity(1, "json_to_cbor")(exprs => CborEncodeExpr(exprs.head)),
-      "cbor_to_json" -> arity(1, "cbor_to_json")(exprs => CborDecodeExpr(exprs.head)))
+      "cbor_to_json" -> arity(1, "cbor_to_json")(exprs => CborDecodeExpr(exprs.head)),
+      "json_to_msgpack" -> arity(1, "json_to_msgpack")(exprs => MsgPackEncodeExpr(exprs.head)),
+      "msgpack_to_json" -> arity(1, "msgpack_to_json")(exprs => MsgPackDecodeExpr(exprs.head)))
   }
 }

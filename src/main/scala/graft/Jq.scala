@@ -66,6 +66,10 @@ object Jq {
   def toCbor(jsonCol: Column): Column = toCol(CborEncodeExpr(toExpr(jsonCol)))
   def fromCbor(cborCol: Column): Column = toCol(CborDecodeExpr(toExpr(cborCol)))
 
+  /** MessagePack third codec: JSON text ⇄ MsgPack binary columns. */
+  def toMsgPack(jsonCol: Column): Column = toCol(MsgPackEncodeExpr(toExpr(jsonCol)))
+  def fromMsgPack(mpCol: Column): Column = toCol(MsgPackDecodeExpr(toExpr(mpCol)))
+
   // ------------------------------------------------------ Variant interop
 
   /** Run a jq pipeline over a Spark 4 VARIANT column (SURVEY.md §1.4's

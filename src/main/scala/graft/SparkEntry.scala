@@ -221,6 +221,12 @@ object SparkEntry {
         col("event_id"),
         Jq.fromCbor(Jq.toCbor(col("props"))).as("doc"))),
 
+    // MessagePack third codec round trip, same oracle shape
+    "msgpack_roundtrip" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Jq.fromMsgPack(Jq.toMsgPack(col("props"))).as("doc"))),
+
     // MVCC snapshot merge (reference goals (5)-(6)): per-key latest
     // version across base ∪ changes, one key shuffle
     "rel_upsert" -> ((s, dir) => {
@@ -611,6 +617,10 @@ object SparkEntry {
       FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
 
     "cbor_roundtrip" -> """
+      SELECT event_id, '{"k":' || CAST(json_extract(props, '$.k') AS BIGINT) || '}' AS doc
+      FROM events""",
+
+    "msgpack_roundtrip" -> """
       SELECT event_id, '{"k":' || CAST(json_extract(props, '$.k') AS BIGINT) || '}' AS doc
       FROM events""",
 

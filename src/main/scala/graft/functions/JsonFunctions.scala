@@ -190,3 +190,34 @@ case class CborDecodeExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): CborDecodeExpr =
     copy(child = newChild)
 }
+
+/** `json_to_msgpack(jsonText)` → MessagePack bytes (third Document codec,
+  * graft.json.MsgPackCodec). SQL NULL for unparseable JSON. */
+case class MsgPackEncodeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_to_msgpack"
+  override protected def nullSafeEval(input: Any): Any = {
+    val d = JsonFunctions.parseOrNull(input.asInstanceOf[UTF8String])
+    if (d == null) null else MsgPackCodec.encode(d)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MsgPackEncodeExpr =
+    copy(child = newChild)
+}
+
+/** `msgpack_to_json(bytes)` → canonical JSON text; SQL NULL for MsgPack
+  * the document model cannot hold (bin/ext) — errors-as-data. */
+case class MsgPackDecodeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "msgpack_to_json"
+  override protected def nullSafeEval(input: Any): Any = {
+    try UTF8String.fromString(JsonText.canonical(
+      MsgPackCodec.decode(input.asInstanceOf[Array[Byte]])))
+    catch { case _: MsgPackCodec.MsgPackException => null }
+  }
+  override protected def withNewChildInternal(newChild: Expression): MsgPackDecodeExpr =
+    copy(child = newChild)
+}
