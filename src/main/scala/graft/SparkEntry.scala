@@ -201,6 +201,14 @@ object SparkEntry {
         Jq.string("""("ab" * 2) + "!"""", struct(col("text"))).as("rep"),
         Jq.string(""".text / " " | .[0]""", struct(col("text"))).as("first_tok"))),
 
+    // EXTENSION: jq assignment/update operators (`=`, `|=`) — static-path
+    // writes, the expression-language companion to json_patch
+    "jq_assign" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Jq.string(".k = .k * 2", col("props")).as("doubled"),
+        Jq.long(".k |= . + 1 | .k", col("props")).as("bumped"))),
+
     // RFC 6902 patch over the props documents (reference README goal 4)
     "jq_patch" -> ((s, dir) =>
       table(s, dir, "events")
@@ -609,6 +617,12 @@ object SparkEntry {
     "jq_string_ops" -> """
       SELECT doc_id, 'abab!' AS rep, string_split(text, ' ')[1] AS first_tok
       FROM documents""",
+
+    "jq_assign" -> """
+      SELECT event_id,
+             '{"k":' || (CAST(json_extract(props, '$.k') AS BIGINT) * 2) || '}' AS doubled,
+             CAST(json_extract(props, '$.k') AS BIGINT) + 1 AS bumped
+      FROM events""",
 
     "jq_patch" -> """
       SELECT event_id,

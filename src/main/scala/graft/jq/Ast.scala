@@ -77,4 +77,14 @@ object Ast {
     * zero-arg calls over `.` (reference: src/query.rs:226-242 and the
     * commented tests' intent). */
   final case class Call(name: String, args: List[Ast]) extends Ast
+
+  /** EXTENSION (not in the reference grammar; jq's own `=` / `|=`,
+    * natural companion to `json_patch`): set or update the value at a
+    * static path. `path` must flatten to a chain of
+    * IndexKey/Ident/IndexNum segments; `update=false` evaluates `value`
+    * against the ROOT input (one output per value-stream entry),
+    * `update=true` pipes the CURRENT value at the path through `value`
+    * and stores the first output. Missing intermediate containers are
+    * created; arrays pad with nulls (jq path semantics). */
+  final case class Assign(path: Ast, value: Ast, update: Boolean) extends Ast
 }

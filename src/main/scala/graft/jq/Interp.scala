@@ -171,6 +171,54 @@ object Interp {
 
     case Call(name, args) =>
       compileCall(name, args)
+
+    case Assign(pathAst, valueAst, update) =>
+      // EXTENSION (jq `=` / `|=`, Ast.Assign): static-path set/update.
+      flattenPath(pathAst) match {
+        case None =>
+          _ => Vector(JEntry(JNull, Vector("assignment path must be a static .key/.index chain")))
+        case Some(segs) =>
+          val fv = compile(valueAst)
+          if (!update) {
+            // `.p = e`: e runs against the ROOT input; one output per entry
+            doc => fv(doc).map { ve =>
+              if (ve.errors.nonEmpty) ve
+              else JOps.setPath(doc, segs, ve.doc) match {
+                case Right(out) => JEntry(out, Vector.empty, ve.meta)
+                case Left(msg)  => JEntry(JNull, Vector(msg))
+              }
+            }
+          } else {
+            // `.p |= f`: f runs against the CURRENT value; first output wins
+            doc => JOps.getPath(doc, segs) match {
+              case Left(msg) => Vector(JEntry(JNull, Vector(msg)))
+              case Right(cur) =>
+                fv(cur).headOption match {
+                  case None => Vector(JEntry(JNull, Vector("update produced no output")))
+                  case Some(ve) if ve.errors.nonEmpty => Vector(ve)
+                  case Some(ve) =>
+                    JOps.setPath(doc, segs, ve.doc) match {
+                      case Right(out) => Vector(JEntry(out, Vector.empty, ve.meta))
+                      case Left(msg)  => Vector(JEntry(JNull, Vector(msg)))
+                    }
+                }
+            }
+          }
+      }
+  }
+
+  /** Flatten a parsed path (`.a.b[0]` arrives as a Pipe chain of
+    * IndexKey/Ident/IndexNum) into static segments; None if any node is
+    * not a static segment. */
+  private def flattenPath(ast: Ast): Option[List[JOps.PathSeg]] = ast match {
+    case Identity          => Some(Nil)
+    case IndexKey(k, _)    => Some(List(Left(k)))
+    case Ident(k, _)       => Some(List(Left(k)))
+    case IndexNum(n, _)    => Some(List(Right(n)))
+    case Pipe(l, r)        =>
+      for { a <- flattenPath(l); b <- flattenPath(r) } yield a ++ b
+    case Iterate(single :: Nil, _) => flattenPath(single) // `.[N]` parses as 1-item Iterate
+    case _                 => None
   }
 
   private def mapOk(e: JEntry)(f: JDoc => JDoc): JEntry =

@@ -166,14 +166,37 @@ final class JqParser(text: String) {
   }
 
   // Pipe level: `a | b`, separator optional (juxtaposition pipes `.a .b`).
+  // Assignment (`=` / `|=`, EXTENSION — see Ast.Assign) binds the
+  // juxtaposed path segment accumulated since the last EXPLICIT pipe, so
+  // `.a.b = 1` assigns into the root while `.a | .b = 1` assigns inside
+  // the piped value (jq's own precedence).
   def parseExpr(): Ast = {
+    var lhs = parseStage()
+    var done = false
+    while (!done) {
+      skipWs()
+      if (peekIs("|") && !peekIs("||") && !peekIs("|=")) {
+        expect("|")
+        lhs = Pipe(lhs, parseStage())
+      } else done = true
+    }
+    lhs
+  }
+
+  /** One pipe stage: a juxtaposition chain with optional `=` / `|=`. */
+  private def parseStage(): Ast = {
     var lhs = parseOr()
     var done = false
     while (!done) {
       skipWs()
-      if (peekIs("|") && !peekIs("||")) {
-        expect("|")
-        lhs = Pipe(lhs, parseOr())
+      if (peekIs("|=")) {
+        expect("|=")
+        lhs = Assign(lhs, parseOr(), update = true)
+      } else if (peekIs("=") && !peekIs("==")) {
+        expect("=")
+        lhs = Assign(lhs, parseOr(), update = false)
+      } else if (peekIs("|") || atEnd) {
+        done = true
       } else {
         attempt(() => parseOr()) match {
           case Some(rhs) => lhs = Pipe(lhs, rhs)

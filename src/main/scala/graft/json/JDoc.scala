@@ -382,6 +382,66 @@ object JOps {
     case _       => None
   }
 
+  // ----------------------------------------- static paths (jq `=` / `|=`)
+
+  /** One static path segment: an object key or an array offset. */
+  type PathSeg = Either[String, Long]
+
+  /** Cap on null-padding an array during a path write (an assignment to
+    * `.a[1000000000]` must be an error, not an OOM). */
+  val MaxPathPad = 1000000L
+
+  /** Value at a static path: missing keys/indexes and null containers
+    * read as null (jq path semantics); indexing a scalar is an error. */
+  def getPath(d: JDoc, segs: List[PathSeg]): Either[String, JDoc] = segs match {
+    case Nil => Right(d)
+    case Left(key) :: rest => d match {
+      case o: JObj => getPath(o.get(key).getOrElse(JNull), rest)
+      case JNull   => getPath(JNull, rest)
+      case other   => Left(s"cannot index ${other.typeName} with $key")
+    }
+    case Right(idx) :: rest => d match {
+      case JArr(items) =>
+        val i = if (idx < 0) idx + items.length else idx
+        getPath(if (i >= 0 && i < items.length) items(i.toInt) else JNull, rest)
+      case JNull  => getPath(JNull, rest)
+      case other  => Left(s"cannot index ${other.typeName} with $idx")
+    }
+  }
+
+  /** Functional write at a static path: missing intermediate containers
+    * are created (null → object/array per the next segment), arrays pad
+    * with nulls up to the written offset, negative offsets wrap. */
+  def setPath(d: JDoc, segs: List[PathSeg], v: JDoc): Either[String, JDoc] = segs match {
+    case Nil => Right(v)
+    case Left(key) :: rest => d match {
+      case o: JObj =>
+        setPath(o.get(key).getOrElse(JNull), rest, v)
+          .map(nv => JObj.fromProps(o.props :+ (key -> nv)))
+      case JNull =>
+        setPath(JNull, rest, v).map(nv => JObj.fromProps(Seq(key -> nv)))
+      case other => Left(s"cannot index ${other.typeName} with $key")
+    }
+    case Right(idx) :: rest =>
+      def intoArr(items: Vector[JDoc]): Either[String, JDoc] = {
+        val n = items.length
+        val i = if (idx < 0) idx + n else idx
+        if (i < 0) Left(s"array index $idx out of range")
+        else if (i > MaxPathPad) Left(s"refusing to pad array to $i entries")
+        else {
+          val padded =
+            if (i < n) items else items ++ Vector.fill((i - n + 1).toInt)(JNull: JDoc)
+          setPath(if (i < n) items(i.toInt) else JNull, rest, v)
+            .map(nv => JArr(padded.updated(i.toInt, nv)))
+        }
+      }
+      d match {
+        case JArr(items) => intoArr(items)
+        case JNull       => intoArr(Vector.empty)
+        case other       => Left(s"cannot index ${other.typeName} with $idx")
+      }
+  }
+
   /** Slice of array (by element) or string (by UTF-8 byte offset) with
     * negative-offset normalization; None when out of range or start > end
     * (reference: src/util.rs:4-23, src/json.rs:817-836). `end` of

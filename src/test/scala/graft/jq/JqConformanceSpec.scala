@@ -116,6 +116,29 @@ class JqConformanceSpec extends AnyFunSuite {
       "\"s\"", "\"a\"", "\"b\"", "\"c\"")
   }
 
+  test("EXTENSION: assignment `=` sets a static path in the root") {
+    check(".k = .k * 2", """{"k": 21}""", """{"k":42}""")
+    check(".a.b = 1", "{}", """{"a":{"b":1}}""")
+    check(".a.b = .c + 1", """{"a":{"b":0},"c":2}""", """{"a":{"b":3},"c":2}""")
+    // array offsets via the grammar's `.N` form; gaps pad with null
+    check(".a.2 = 9", """{"a":[1]}""", """{"a":[1,null,9]}""")
+    check(".a.[-1] = 9", """{"a":[1,2,3]}""", """{"a":[1,2,9]}""")
+    // assignment binds the juxtaposed segment; explicit pipe rebinds scope
+    check(".a | .b = 1", """{"a":{"x":5}}""", """{"b":1,"x":5}""")
+    // multi-output RHS fans out (parenthesized pipeline)
+    check(".v = (.l | .[])", """{"l":[1,2]}""", """{"l":[1,2],"v":1}""", """{"l":[1,2],"v":2}""")
+    // indexing a scalar on the path is an error-as-data
+    check(".a.b = 1", """{"a": 5}""", "ERROR: cannot index Integer with b")
+  }
+
+  test("EXTENSION: update `|=` pipes the current value through the filter") {
+    check(".k |= . + 1", """{"k": 41}""", """{"k":42}""")
+    check(".k |= . * 2 | .k", """{"k": 3}""", "6")
+    check(".a.b |= length", """{"a":{"b":"hey"}}""", """{"a":{"b":3}}""")
+    // missing path reads null for the update input
+    check(".x |= length", """{"k":1}""", """{"k":1,"x":0}""")
+  }
+
   test("unary operand binds one primary (reference PEG: '-' Primary | '!' Primary)") {
     // The reference's nom_expr CODE wraps the whole remaining expression
     // (query_nom.rs:551-564) contradicting its own grammar comment; we
