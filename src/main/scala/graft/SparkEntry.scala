@@ -248,6 +248,18 @@ object SparkEntry {
         .select(col("o_orderkey"), col("price"))
     }),
 
+    // incremental view maintenance over the upsert semantics: post-change
+    // per-group aggregate from base aggregate + change deltas only (the
+    // oracle recomputes the whole snapshot; the Spark side never does)
+    "rel_ivm" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val changes = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      operators.Relational.incrementalAgg(o, changes,
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    }),
+
     // JSON collation order vs a pivot (reference README goal 3)
     "jq_collate" -> ((s, dir) =>
       table(s, dir, "events")
@@ -642,6 +654,15 @@ object SparkEntry {
       SELECT o_orderkey,
              CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS price
       FROM orders""",
+
+    "rel_ivm" -> """
+      WITH snap AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS p
+        FROM orders)
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM snap GROUP BY o_orderstatus""",
 
     "jq_collate" -> """
       SELECT event_id,

@@ -112,6 +112,27 @@ class OperatorsSpec extends SparkTestBase {
       "withShingles must release its cache on exit")
   }
 
+  test("incrementalAgg == full recompute under replacements, group moves, inserts") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0), (4L, "B", 40.0), (5L, "C", 50.0)
+    ).toDF("k", "g", "v")
+    val changes = Seq(
+      (2L, "A", 25.0),  // in-place replacement
+      (3L, "C", 99.0),  // group move B → C
+      (9L, "D", 7.0)    // brand-new key and group
+    ).toDF("k", "g", "v")
+    val incr = Relational.incrementalAgg(base, changes, "k", "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Relational.upsert(base.withColumn("__v", lit(1L)),
+        changes.withColumn("__v", lit(2L)), Seq(col("k")), col("__v"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr == full, s"incremental ${incr} != recompute ${full}")
+    assert(incr.exists(_._1 == "D") && !incr.exists(t => t._1 == "B" && t._2 == 2))
+  }
+
   test("language heuristic: threshold on stopword mass, deterministic") {
     // the synthetic corpus uses ONE shared vocabulary for every lang label,
     // so no text heuristic can recover the label; assert the heuristic's
