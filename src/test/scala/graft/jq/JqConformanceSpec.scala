@@ -393,8 +393,9 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("parser: garbage never hangs, always JqParseException") {
     val rnd = new scala.util.Random(7)
     val tokens = Seq(".", "[", "]", "{", "}", "(", ")", "|", "+", "-", "*",
-      "..", "?", ",", ":", "a", "\"s\"", "1", "1.5", "==", "<", "&&", "bor")
-    (1 to 500).foreach { _ =>
+      "..", "?", ",", ":", "a", "\"s\"", "1", "1.5", "==", "<", "&&", "bor",
+      "=", "|=", ".k")
+    (1 to 1000).foreach { _ =>
       val prog = Seq.fill(rnd.nextInt(12))(tokens(rnd.nextInt(tokens.length))).mkString(" ")
       try { graft.jq.JqParser.parse(prog); () }
       catch {
