@@ -68,6 +68,8 @@ object EventStreams {
   final case class SessionEvent(user_id: Long, ts: Long)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start: Long, duration_ns: Long, n_events: Long)
+  /** SessionEvent + derived event-time column (for watermarking). */
+  final case class SessionEventT(user_id: Long, ts: Long, event_time: java.sql.Timestamp)
 
   /** Streaming sessionization with explicit state:
     * `flatMapGroupsWithState` keyed by user with a processing-time timeout.
@@ -75,6 +77,56 @@ object EventStreams {
     * active user; a session is emitted when a later event closes the gap
     * OR when the user goes quiet past the gap (timeout flushes the open
     * session and clears its state, so the store stays bounded). */
+  /** Event-time sessionization: sessions flush when the WATERMARK passes
+    * last-event + gap, not when a wall clock does — identical output on
+    * live runs and historical replays (a processing-time timeout would close
+    * every session instantly when replaying a day of history at full
+    * speed). State per user is one row; the timeout timestamp re-arms on
+    * every event, so the store stays bounded exactly like the
+    * processing-time variant. */
+  def sessionizeStreamingEventTime(events: Dataset[SessionEvent], gapNanos: Long,
+                                   watermarkDelay: String = "0 seconds")
+      (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMillis = math.max(1L, gapNanos / 1000000L)
+    events.toDF()
+      .withColumn("event_time", eventTime(col("ts")))
+      .as[SessionEventT]
+      .withWatermark("event_time", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[SessionEventT], state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            val closed = state.getOption.getOrElse(Nil)
+              .map(s => SessionOut(userId, s.start, s.last - s.start, s.n))
+            state.remove()
+            closed.iterator
+          } else {
+            val sorted = batch.map(_.ts).toVector.sorted
+            var sessions = state.getOption.getOrElse(Nil)
+            val closed = List.newBuilder[SessionOut]
+            sorted.foreach { ts =>
+              sessions match {
+                case cur :: rest if ts - cur.last <= gapNanos =>
+                  sessions = cur.copy(last = ts, n = cur.n + 1) :: rest
+                case cur :: rest =>
+                  closed += SessionOut(userId, cur.start, cur.last - cur.start, cur.n)
+                  sessions = SessionState(ts, ts, 1) :: rest
+                case Nil =>
+                  sessions = SessionState(ts, ts, 1) :: Nil
+              }
+            }
+            state.update(sessions)
+            sessions.headOption.foreach { cur =>
+              // flush when the watermark passes last + gap (event time)
+              state.setTimeoutTimestamp(cur.last / 1000000L + gapMillis)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   def sessionizeStreaming(events: Dataset[SessionEvent], gapNanos: Long,
                           idleTimeouts: Boolean = true)
       (implicit spark: SparkSession): Dataset[SessionOut] = {

@@ -99,6 +99,34 @@ class StreamingSpec extends SparkTestBase {
         s"timeout flush should emit user 1's open session exactly once, got $flushed")
     } finally q.stop()
   }
+  test("event-time sessionization flushes when the WATERMARK passes the gap") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val gapNs = 1800L * 1000 * 1000 * 1000 // 30 min
+    val t0 = 1700000000L * 1000 * 1000 * 1000 // fixed epoch nanos
+    val stream = MemoryStream[SessionEvent]
+    val q = sessionizeStreamingEventTime(stream.toDS(), gapNs)
+      .writeStream.format("memory").queryName("sess_et_out")
+      .outputMode("append").start()
+    try {
+      // user 1's burst, then user 2 far in event-time future: the
+      // watermark (not the wall clock) is what closes user 1's session —
+      // fully deterministic, no sleeps
+      stream.addData(SessionEvent(1L, t0), SessionEvent(1L, t0 + 60L * 1000 * 1000 * 1000))
+      q.processAllAvailable()
+      stream.addData(SessionEvent(2L, t0 + 4L * 3600 * 1000 * 1000 * 1000))
+      q.processAllAvailable()
+      stream.addData(SessionEvent(2L, t0 + 4L * 3600 * 1000 * 1000 * 1000 + 1000))
+      q.processAllAvailable()
+      val flushed = spark.sql(
+        "SELECT user_id, session_start, duration_ns, n_events FROM sess_et_out WHERE user_id = 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(flushed == Seq((1L, t0, 60L * 1000 * 1000 * 1000, 2L)),
+        s"watermark flush should emit user 1's session exactly once, got $flushed")
+    } finally q.stop()
+  }
 }
 
 /** jq expressions compose with Structured Streaming unchanged — the fused
