@@ -113,7 +113,8 @@ object Dedup {
       .select(col(id), col("bb"))
     val a = bucketed.select(col(id).as("id_a"), col("bb"))
     val b = bucketed.select(col(id).as("id_b"), col("bb"))
-    a.join(b, a("bb") === b("bb") && col("id_a") < col("id_b"))
+    a.hint("shuffle_hash") // hash beats two sorts of the exploded band rows
+      .join(b, a("bb") === b("bb") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }
 
@@ -186,7 +187,11 @@ object Dedup {
     // prune bucket collisions with a cheap codegen'd Hamming filter before
     // the expensive exact-jaccard verify; ≤ 14 is exactly the blocking
     // guarantee, so the filter never drops a pair the blocking promises
-    val cands = a.join(b, a("bb") === b("bb") && col("id_a") < col("id_b"))
+    // shuffle-hash, not sort-merge: the exploded sides are large (n×120
+    // narrow rows) but each 8-bit bucket's build set is small — hashing
+    // skips two O(n×120 log) sorts
+    val cands = a.hint("shuffle_hash")
+      .join(b, a("bb") === b("bb") && col("id_a") < col("id_b"))
       .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 14)
       .select(col("id_a"), col("id_b")).distinct()
     val sa = shingled.select(col(id).as("id_a"), col("sh").as("sh_a"))
