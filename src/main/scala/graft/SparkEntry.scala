@@ -201,6 +201,24 @@ object SparkEntry {
         Jq.string("""("ab" * 2) + "!"""", struct(col("text"))).as("rep"),
         Jq.string(""".text / " " | .[0]""", struct(col("text"))).as("first_tok"))),
 
+    // EXTENSION builtins: jq's everyday vocabulary (type/add/sort/min/max/
+    // unique/reverse/join/tostring/tonumber/floor/sqrt/abs)
+    "jq_ext_builtins" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), Jq.multi(Seq(
+          ("sorted", "[.k + 10, 2, 1] | sort", "string"),
+          ("total", "[.k, 1, 2] | add", "long"),
+          ("mx", "[.k, 50] | max", "long"),
+          ("mn", "[.k, 50] | min", "long"),
+          ("uniq_n", "[.k, .k, 1] | unique | length", "long"),
+          ("rev0", "[1, 2, .k] | reverse | .[0]", "long"),
+          ("joined", """["a", .k | tostring] | join("-")""", "string"),
+          ("fl", ".k | sqrt | floor", "double"),
+          ("ab", "0 - .k | abs", "long")), col("props")).as("m"))
+        .select(col("event_id"), col("m.sorted"), col("m.total"), col("m.mx"),
+          col("m.mn"), col("m.uniq_n"), col("m.rev0"), col("m.joined"),
+          col("m.fl"), col("m.ab"))),
+
     // EXTENSION: jq assignment/update operators (`=`, `|=`) — static-path
     // writes, the expression-language companion to json_patch
     "jq_assign" -> ((s, dir) =>
@@ -525,6 +543,20 @@ object SparkEntry {
           col("n_frames").cast("bigint").as("n_frames"))
     }),
 
+    // frame sampling over decoded video records: every 7th frame index,
+    // then per-media sampled-count and max index (deterministic through
+    // the stub codec, so the explode arithmetic is driver-checked)
+    "mm_frames" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = operators.Multimodal.fromText(
+        table(s, dir, "documents"), "doc_id", "text", "video")
+      val decoded = operators.Multimodal.decode(media)
+      operators.Multimodal.sampleFrames(decoded, stride = 7)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          max(col("frame_idx")).cast("bigint").as("max_idx"))
+    }),
+
     // --- streaming surface (batch-equivalent of the streaming transforms)
     "stream_window" -> ((s, dir) =>
       streaming.EventStreams.windowedStats(
@@ -629,6 +661,19 @@ object SparkEntry {
     "jq_string_ops" -> """
       SELECT doc_id, 'abab!' AS rep, string_split(text, ' ')[1] AS first_tok
       FROM documents""",
+
+    "jq_ext_builtins" -> """
+      SELECT event_id,
+             '[1,2,' || (k + 10) || ']' AS sorted,
+             k + 3 AS total,
+             greatest(k, 50) AS mx,
+             least(k, 50) AS mn,
+             CASE WHEN k = 1 THEN 1 ELSE 2 END AS uniq_n,
+             k AS rev0,
+             'a-' || k AS joined,
+             floor(sqrt(k)) AS fl,
+             k AS ab
+      FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
 
     "jq_assign" -> """
       SELECT event_id,
@@ -889,6 +934,12 @@ object SparkEntry {
              16 + strlen(text) % 64 AS width,
              16 + (strlen(text) * 7) % 48 AS height,
              1::BIGINT AS n_frames
+      FROM documents""",
+
+    "mm_frames" -> """
+      SELECT doc_id AS media_id,
+             ((1 + strlen(text) % 30) - 1) // 7 + 1 AS n_sampled,
+             (((1 + strlen(text) % 30) - 1) // 7) * 7 AS max_idx
       FROM documents""",
 
     // --- streaming surface ----------------------------------------------

@@ -464,6 +464,120 @@ object Interp {
         }
         evalAnyAll
 
+      // ---- EXTENSION builtins (not in the reference's set of 8; jq's own
+      // everyday vocabulary, with jq semantics over this document model).
+      // All unary ones follow the reference convention: an argument, if
+      // given, selects the input (`sort(.items)` ≡ `.items | sort`).
+
+      case "type" =>
+        // int/float both report "number" (jq collapses numeric kinds)
+        overInput { d =>
+          Right(JStr(d match {
+            case JNull => "null"
+            case _: JBool => "boolean"
+            case _: JLong | _: JDouble => "number"
+            case _: JStr => "string"
+            case _: JArr => "array"
+            case _: JObj => "object"
+          }))
+        }
+
+      case "add" =>
+        overInput {
+          case JArr(items) =>
+            if (items.isEmpty) Right(JNull)
+            else Right(items.reduceLeft(JOps.add))
+          case other => Left(s"cannot add over ${other.typeName}")
+        }
+
+      case "sort" | "unique" =>
+        val uniq = name == "unique"
+        overInput {
+          case JArr(items) =>
+            val sorted = items.sortWith((a, b) => JOps.cmp(a, b).exists(_ < 0))
+            val out =
+              if (!uniq) sorted
+              else sorted.foldLeft(Vector.empty[JDoc]) { (acc, d) =>
+                if (acc.nonEmpty && JOps.cmp(acc.last, d).contains(0)) acc else acc :+ d
+              }
+            Right(JArr(out))
+          case other => Left(s"cannot sort ${other.typeName}")
+        }
+
+      case "reverse" =>
+        overInput {
+          case JArr(items) => Right(JArr(items.reverse))
+          case other       => Left(s"cannot reverse ${other.typeName}")
+        }
+
+      case "min" | "max" =>
+        val isMin = name == "min"
+        overInput {
+          case JArr(items) =>
+            if (items.isEmpty) Right(JNull)
+            else Right(items.reduceLeft { (a, b) =>
+              val aWins = JOps.cmp(a, b).exists(c => if (isMin) c <= 0 else c >= 0)
+              if (aWins) a else b
+            })
+          case other => Left(s"cannot find ${if (isMin) "min" else "max"} of ${other.typeName}")
+        }
+
+      case "tostring" =>
+        overInput {
+          case s: JStr => Right(s)
+          case d       => Right(JStr(JsonText.canonical(d)))
+        }
+
+      case "tonumber" =>
+        overInput {
+          case n @ (_: JLong | _: JDouble) => Right(n)
+          case JStr(s) =>
+            try JsonText.parse(s) match {
+              case n @ (_: JLong | _: JDouble) => Right(n)
+              case _ => Left(s"cannot parse '$s' as number")
+            } catch { case _: JsonText.JsonParseException => Left(s"cannot parse '$s' as number") }
+          case other => Left(s"cannot convert ${other.typeName} to number")
+        }
+
+      case "floor" | "ceil" | "sqrt" | "abs" =>
+        overInput { d =>
+          (name, d) match {
+            case ("floor", n: JLong)  => Right(n)
+            case ("floor", JDouble(v)) => Right(JDouble(math.floor(v)))
+            case ("ceil",  n: JLong)  => Right(n)
+            case ("ceil",  JDouble(v)) => Right(JDouble(math.ceil(v)))
+            case ("sqrt",  JLong(v))   => Right(JDouble(math.sqrt(v.toDouble)))
+            case ("sqrt",  JDouble(v)) => Right(JDouble(math.sqrt(v)))
+            case ("abs",   JLong(v))   => Right(JLong(math.abs(v)))
+            case ("abs",   JDouble(v)) => Right(JDouble(math.abs(v)))
+            case (_, other)            => Left(s"$name requires a number, got ${other.typeName}")
+          }
+        }
+
+      case "join" =>
+        // jq join: separator is the ARGUMENT, input is the array; scalar
+        // elements stringify (null → ""), containers are an error
+        if (args.length != 1) return wrongArity
+        val fa = compiledArgs.head
+        doc => firstOut(fa, doc) match {
+          case Left(msg) => Vector(JEntry(JNull, Vector(msg)))
+          case Right(sepE) => (sepE.doc, doc) match {
+            case (JStr(sep), JArr(items)) =>
+              val parts = items.map {
+                case JStr(s) => Right(s)
+                case JNull   => Right("")
+                case s @ (_: JBool | _: JLong | _: JDouble) => Right(JsonText.canonical(s))
+                case other   => Left(s"cannot join ${other.typeName}")
+              }
+              parts.collectFirst { case Left(m) => m } match {
+                case Some(m) => Vector(JEntry(JNull, Vector(m)))
+                case None    => Vector(JEntry.ok(JStr(parts.map(_.toOption.get).mkString(sep))))
+              }
+            case (_: JStr, other) => Vector(JEntry(JNull, Vector(s"cannot join ${other.typeName}")))
+            case (other, _)       => Vector(JEntry(JNull, Vector(s"join separator must be a string, got ${other.typeName}")))
+          }
+        }
+
       case other =>
         _ => Vector(JEntry(JNull, Vector(s"unknown builtin $other")))
     }

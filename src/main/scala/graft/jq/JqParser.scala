@@ -20,10 +20,15 @@ object JqParser {
   def parse(program: String): Ast = new JqParser(program).parseProgram()
 
   /** Builtins that may be called bare (no parens), defaulting to input `.`
-    * (reference: src/query.rs:226-242 dispatch + commented tests). */
-  private[jq] val bareBuiltins = Set("length", "chars", "keys")
+    * (reference: src/query.rs:226-242 dispatch + commented tests). The
+    * names beyond length/chars/keys/has/in/map/any/all are EXTENSIONS —
+    * jq's everyday vocabulary over the same document model (Interp). */
+  private[jq] val bareBuiltins = Set(
+    "length", "chars", "keys",
+    "type", "add", "sort", "unique", "reverse", "min", "max",
+    "tostring", "tonumber", "floor", "ceil", "sqrt", "abs")
   private[jq] val allBuiltins =
-    bareBuiltins ++ Set("has", "in", "map", "any", "all")
+    bareBuiltins ++ Set("has", "in", "map", "any", "all", "join")
 }
 
 final class JqParser(text: String) {

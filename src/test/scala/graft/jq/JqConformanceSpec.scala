@@ -333,6 +333,41 @@ class JqConformanceSpec extends AnyFunSuite {
     check(".[-1]", "[1,2,3]", "3")
     check(".[-4]", "[1,2,3]", "ERROR: cannot index -4 into Array")
   }
+
+  test("EXTENSION builtins: type/add/sort/unique/reverse/min/max") {
+    check("type", "null", "\"null\"")
+    check(".k | type", """{"k": 1.5}""", "\"number\"")
+    check("[1, \"a\", {}, []] | map(type)",
+      "null", """["number","string","object","array"]""")
+    check("[1, 2, 3] | add", "null", "6")
+    check("""["a", "b"] | add""", "null", "\"ab\"")
+    check("[] | add", "null", "null")
+    check("[3, 1, 2] | sort", "null", "[1,2,3]")
+    check("""[2, "a", null, 1.5, true] | sort""", "null", """[null,true,2,1.5e0,"a"]""")
+    check("[3, 1, 3, 2, 1] | unique", "null", "[1,2,3]")
+    check("[1, 2, 3] | reverse", "null", "[3,2,1]")
+    check("[3, 1, 2] | min", "null", "1")
+    check("[3, 1, 2] | max", "null", "3")
+    check("[] | max", "null", "null")
+    check("sort", "10", "ERROR: cannot sort Integer")
+    // argument selects the input, like the reference's length(.foo)
+    check("sort(.a)", """{"a":[2,1]}""", "[1,2]")
+  }
+
+  test("EXTENSION builtins: tostring/tonumber/floor/ceil/sqrt/abs/join") {
+    check("tostring", "\"hi\"", "\"hi\"")
+    check("[1, 2] | tostring", "null", "\"[1,2]\"")
+    check("\"42\" | tonumber", "null", "42")
+    check("\"4.5\" | tonumber", "null", "4.5e0")
+    check("\"x\" | tonumber", "null", "ERROR: cannot parse 'x' as number")
+    check("2.7 | floor", "null", "2e0")
+    check("2.2 | ceil", "null", "3e0")
+    check("9 | sqrt", "null", "3e0")
+    check("0 - 7 | abs", "null", "7")
+    check("""["a", "b", "c"] | join("-")""", "null", "\"a-b-c\"")
+    check("""[1, null, "x"] | join(",")""", "null", "\"1,,x\"")
+    check("""[[1]] | join("-")""", "null", "ERROR: cannot join Array")
+  }
 }
 
 /** Edge semantics beyond the reference's own (commented) tests — pinned
