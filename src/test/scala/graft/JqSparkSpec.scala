@@ -69,6 +69,27 @@ class JqSparkSpec extends SparkTestBase {
     assert(direct.collect().toSeq == viaText.collect().toSeq)
   }
 
+  test("jq expressions COMPILE under whole-stage codegen (no silent fallback)") {
+    // Spark degrades to interpreted mode if generated code fails to
+    // compile — correctness tests would still pass, hiding a lost
+    // perf property. Forbid the fallback and drive every expression shape.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      assert(ev.select(
+        Jq.long(".k", col("props")).as("a"),
+        Jq.string(".", col("props")).as("b"),
+        explode(Jq.docs("[.k, 1] | .[]", col("props"))).as("c")).count() > 0)
+      assert(ev.select(
+        Jq.multi(Seq(("x", ".k", "long"), ("y", ".k > 3", "bool")), col("props"))).count() > 0)
+      assert(ev.select(Jq.long(".k + 1", parse_json(col("props")))).count() > 0)
+      assert(ev.select(Jq.query(".k", col("props"))).count() > 0)
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      assert(li.select(explode(Jq.docs(".[l_quantity, l_discount]",
+        struct(col("l_quantity"), col("l_discount"))))).count() > 0)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("jq over numeric/array/map inputs (native converters)") {
     val df = spark.range(1).select(
       lit(41L).as("l"),
