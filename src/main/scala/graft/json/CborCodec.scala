@@ -84,6 +84,19 @@ object CborCodec {
     v
   }
 
+  /** CBOR is self-delimiting, so concatenated values form a document
+    * stream (the binary analogue of the reference's `Jsons` format):
+    * decode as many leading values as possible; a malformed remainder
+    * becomes the error half of the result (errors-as-data for scans). */
+  def decodeMany(bytes: Array[Byte]): (Vector[JDoc], Option[String]) = {
+    val p = new Decoder(bytes)
+    val out = Vector.newBuilder[JDoc]
+    try {
+      while (p.pos < bytes.length) out += p.readValue(0)
+      (out.result(), None)
+    } catch { case e: CborException => (out.result(), Some(e.getMessage)) }
+  }
+
   private final class Decoder(bytes: Array[Byte]) {
     var pos = 0
 

@@ -88,6 +88,16 @@ object MsgPackCodec {
     v
   }
 
+  /** Concatenated-values stream decode (see CborCodec.decodeMany). */
+  def decodeMany(bytes: Array[Byte]): (Vector[JDoc], Option[String]) = {
+    val p = new Decoder(bytes)
+    val out = Vector.newBuilder[JDoc]
+    try {
+      while (p.pos < bytes.length) out += p.readValue(0)
+      (out.result(), None)
+    } catch { case e: MsgPackException => (out.result(), Some(e.getMessage)) }
+  }
+
   private final class Decoder(bytes: Array[Byte]) {
     var pos = 0
 

@@ -58,6 +58,31 @@ object JsonDocs {
     docs.toDF("raw").select(col("raw").as("doc"))
   }
 
+  /** Concatenated CBOR values per file — the binary analogue of
+    * [[readConcatenated]] (both codecs are self-delimiting, so a file is
+    * a document stream with no separators). Per-file parallelism; yields
+    * (doc: canonical JSON text, error). */
+  def readCbor(spark: SparkSession, path: String): DataFrame =
+    readBinaryStream(spark, path, graft.json.CborCodec.decodeMany)
+
+  /** Concatenated MessagePack values per file. */
+  def readMsgPack(spark: SparkSession, path: String): DataFrame =
+    readBinaryStream(spark, path, graft.json.MsgPackCodec.decodeMany)
+
+  private def readBinaryStream(spark: SparkSession, path: String,
+      decodeMany: Array[Byte] => (Vector[graft.json.JDoc], Option[String])): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        val (docs, err) = decodeMany(bytes)
+        docs.map(d => (JsonText.canonical(d), null: String)) ++
+          err.map(m => (null: String, m))
+      }
+      .toDF("doc", "error")
+  }
+
   /** Unbounded variant of [[readJsonl]] for Structured Streaming. */
   def streamJsonl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

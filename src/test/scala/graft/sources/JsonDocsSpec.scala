@@ -37,6 +37,27 @@ class JsonDocsSpec extends SparkTestBase {
     assert(out.map(_.getString(0)).filter(_ != null).toSet == Set("""{"k":1}""", "[2]"))
   }
 
+  test("readCbor/readMsgPack: concatenated binary document streams") {
+    import graft.json.{CborCodec, MsgPackCodec, JsonText}
+    val values = Seq("""{"k": 1}""", "[1,2]", "\"x\"", "4.5").map(JsonText.parse)
+    val dir = Files.createTempDirectory("bincodec").toFile
+    val cf = new java.io.File(dir, "docs.cbor")
+    Files.write(cf.toPath, values.flatMap(CborCodec.encode(_).toSeq).toArray)
+    val cbor = JsonDocs.readCbor(spark, cf.getAbsolutePath).collect()
+    assert(cbor.forall(_.isNullAt(1)))
+    assert(cbor.map(_.getString(0)).toSet == Set("""{"k":1}""", "[1,2]", "\"x\"", "4.5e0"))
+    val mf = new java.io.File(dir, "docs.msgpack")
+    Files.write(mf.toPath, values.flatMap(MsgPackCodec.encode(_).toSeq).toArray)
+    val mp = JsonDocs.readMsgPack(spark, mf.getAbsolutePath).collect()
+    assert(mp.map(_.getString(0)).toSet == Set("""{"k":1}""", "[1,2]", "\"x\"", "4.5e0"))
+    // corrupt tail degrades to an error record, leading values survive
+    val bad = new java.io.File(dir, "bad.cbor")
+    Files.write(bad.toPath, CborCodec.encode(values.head) ++ Array(0xC1.toByte, 0x40.toByte))
+    val out = JsonDocs.readCbor(spark, bad.getAbsolutePath).collect()
+    assert(out.exists(r => !r.isNullAt(0) && r.getString(0) == """{"k":1}"""))
+    assert(out.exists(r => r.isNullAt(0) && r.getString(1) != null))
+  }
+
   test("fromStrings + jq pipeline end-to-end") {
     import org.apache.spark.sql.functions.col
     val df = JsonDocs.fromStrings(spark, Seq("""{"a": [1,2,3]}""", """{"a": []}"""))
