@@ -43,14 +43,21 @@ object Interp {
 
   /** Compiled form over an already-streamed entry: errored entries pass
     * through untouched (reference: src/ops.rs:296); the input's meta
-    * envelope is cloned onto outputs that did not build their own
-    * (reference: src/ops.rs:432 — navigation clones `d_entry.meta`). */
+    * envelope flows into every output — cloned onto navigation outputs
+    * (reference: src/ops.rs:432) and MERGED into the envelope a combining
+    * operator built (the reference's operand entries each carry the input
+    * meta clone, so new_merged would append it once per operand —
+    * ops.rs:832+; we merge it exactly once, which keeps the lineage lists
+    * duplicate-free. Documented deviation, pinned in JMetaSpec). */
   def compileE(ast: Ast): JEntry => Vector[JEntry] = {
     val f = compile(ast)
     e =>
       if (e.errors.nonEmpty) Vector(e)
       else if (e.meta.isEmpty) f(e.doc)
-      else f(e.doc).map(out => if (out.meta.isEmpty) out.copy(meta = e.meta) else out)
+      else f(e.doc).map { out =>
+        if (out.meta.isEmpty) out.copy(meta = e.meta)
+        else out.copy(meta = JMeta.merge(out.meta, e.meta))
+      }
   }
 
   private def err(msg: String, opt: Boolean): Vector[JEntry] =
@@ -494,11 +501,13 @@ object Interp {
         val uniq = name == "unique"
         overInput {
           case JArr(items) =>
-            val sorted = items.sortWith((a, b) => JOps.cmp(a, b).exists(_ < 0))
+            // totalCmp, NOT cmp: a partial comparator (NaN) makes TimSort
+            // throw mid-task on >=32 elements — never an option here
+            val sorted = items.sortWith((a, b) => JOps.totalCmp(a, b) < 0)
             val out =
               if (!uniq) sorted
               else sorted.foldLeft(Vector.empty[JDoc]) { (acc, d) =>
-                if (acc.nonEmpty && JOps.cmp(acc.last, d).contains(0)) acc else acc :+ d
+                if (acc.nonEmpty && JOps.totalCmp(acc.last, d) == 0) acc else acc :+ d
               }
             Right(JArr(out))
           case other => Left(s"cannot sort ${other.typeName}")
@@ -516,8 +525,8 @@ object Interp {
           case JArr(items) =>
             if (items.isEmpty) Right(JNull)
             else Right(items.reduceLeft { (a, b) =>
-              val aWins = JOps.cmp(a, b).exists(c => if (isMin) c <= 0 else c >= 0)
-              if (aWins) a else b
+              val c = JOps.totalCmp(a, b)
+              if (if (isMin) c <= 0 else c >= 0) a else b
             })
           case other => Left(s"cannot find ${if (isMin) "min" else "max"} of ${other.typeName}")
         }
@@ -548,6 +557,8 @@ object Interp {
             case ("ceil",  JDouble(v)) => Right(JDouble(math.ceil(v)))
             case ("sqrt",  JLong(v))   => Right(JDouble(math.sqrt(v.toDouble)))
             case ("sqrt",  JDouble(v)) => Right(JDouble(math.sqrt(v)))
+            case ("abs",   JLong(Long.MinValue)) =>
+              Right(JDouble(9.223372036854775808e18)) // |MinValue| overflows Long; widen like jq
             case ("abs",   JLong(v))   => Right(JLong(math.abs(v)))
             case ("abs",   JDouble(v)) => Right(JDouble(math.abs(v)))
             case (_, other)            => Left(s"$name requires a number, got ${other.typeName}")

@@ -127,34 +127,44 @@ object JqInput {
     * variant was parsed once at its source (`parse_json` / a variant scan);
     * navigation here is offset arithmetic over the binary, which is the
     * "parse once, query many" design the reference gets from its Document
-    * trait (reference: src/db.rs:33-132). */
-  def fromVariant(v: Variant): JDoc = v.getType match {
-    case VariantUtil.Type.NULL    => JNull
-    case VariantUtil.Type.BOOLEAN => JBool(v.getBoolean)
-    case VariantUtil.Type.LONG    => JLong(v.getLong)
-    case VariantUtil.Type.DOUBLE  => JDouble(v.getDouble)
-    case VariantUtil.Type.FLOAT   => JDouble(java.lang.Float.toString(v.getFloat).toDouble)
-    case VariantUtil.Type.DECIMAL => JDouble(v.getDecimal.doubleValue())
-    case VariantUtil.Type.STRING  => JStr(v.getString)
-    case VariantUtil.Type.ARRAY =>
-      val n = v.arraySize()
-      val items = Vector.newBuilder[JDoc]
-      var i = 0
-      while (i < n) { items += fromVariant(v.getElementAtIndex(i)); i += 1 }
-      JArr(items.result())
-    case VariantUtil.Type.OBJECT =>
-      val n = v.objectSize()
-      val kvs = Vector.newBuilder[(String, JDoc)]
-      var i = 0
-      while (i < n) {
-        val f = v.getFieldAtIndex(i)
-        kvs += ((f.key, fromVariant(f.value)))
-        i += 1
-      }
-      JObj.fromProps(kvs.result())
-    case other =>
-      // timestamps/binary/uuid have no reference Json variant; their text
-      // form is what a to_json bridge would have produced
-      JStr(String.valueOf(other))
+    * trait (reference: src/db.rs:33-132). Depth-guarded like every other
+    * decoder: adversarial nesting raises the JSON parse exception, which
+    * the expressions route to the errors-as-data path instead of letting
+    * a StackOverflowError kill the task. */
+  def fromVariant(v: Variant): JDoc = fromVariant(v, 0)
+
+  private def fromVariant(v: Variant, depth: Int): JDoc = {
+    if (depth > JsonText.MaxDepth)
+      throw JsonText.JsonParseException(s"variant nesting deeper than ${JsonText.MaxDepth}", 0)
+    v.getType match {
+      case VariantUtil.Type.NULL    => JNull
+      case VariantUtil.Type.BOOLEAN => JBool(v.getBoolean)
+      case VariantUtil.Type.LONG    => JLong(v.getLong)
+      case VariantUtil.Type.DOUBLE  => JDouble(v.getDouble)
+      case VariantUtil.Type.FLOAT   => JDouble(java.lang.Float.toString(v.getFloat).toDouble)
+      case VariantUtil.Type.DECIMAL => JDouble(v.getDecimal.doubleValue())
+      case VariantUtil.Type.STRING  => JStr(v.getString)
+      case VariantUtil.Type.ARRAY =>
+        val n = v.arraySize()
+        val items = Vector.newBuilder[JDoc]
+        var i = 0
+        while (i < n) { items += fromVariant(v.getElementAtIndex(i), depth + 1); i += 1 }
+        JArr(items.result())
+      case VariantUtil.Type.OBJECT =>
+        val n = v.objectSize()
+        val kvs = Vector.newBuilder[(String, JDoc)]
+        var i = 0
+        while (i < n) {
+          val f = v.getFieldAtIndex(i)
+          kvs += ((f.key, fromVariant(f.value, depth + 1)))
+          i += 1
+        }
+        JObj.fromProps(kvs.result())
+      case _ =>
+        // timestamps/date/binary/uuid have no reference Json variant: take
+        // the variant's own JSON rendering (what the to_json bridge
+        // produced) and lift it into the document model
+        JsonText.parse(v.toJson(java.time.ZoneOffset.UTC))
+    }
   }
 }

@@ -188,21 +188,33 @@ final class JqParser(text: String) {
     lhs
   }
 
-  /** One pipe stage: a juxtaposition chain with optional `=` / `|=`. */
+  /** One pipe stage: a juxtaposition chain with optional `=` / `|=`.
+    * Both sides of an assignment take the FULL juxtaposed chain, so
+    * `.a = .b.c` assigns the value at path b.c — not `(.a = .b) | .c`. */
   private def parseStage(): Ast = {
-    var lhs = parseOr()
+    var lhs = parseJuxt()
     var done = false
     while (!done) {
       skipWs()
       if (peekIs("|=")) {
         expect("|=")
-        lhs = Assign(lhs, parseOr(), update = true)
+        lhs = Assign(lhs, parseJuxt(), update = true)
       } else if (peekIs("=") && !peekIs("==")) {
         expect("=")
-        lhs = Assign(lhs, parseOr(), update = false)
-      } else if (peekIs("|") || atEnd) {
-        done = true
-      } else {
+        lhs = Assign(lhs, parseJuxt(), update = false)
+      } else done = true
+    }
+    lhs
+  }
+
+  /** Juxtaposition chain: `.a .b` / `.a.b` pipe without a separator. */
+  private def parseJuxt(): Ast = {
+    var lhs = parseOr()
+    var done = false
+    while (!done) {
+      skipWs()
+      if (peekIs("|") || peekIs("=") || atEnd) done = true
+      else {
         attempt(() => parseOr()) match {
           case Some(rhs) => lhs = Pipe(lhs, rhs)
           case None      => done = true

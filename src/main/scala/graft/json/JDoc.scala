@@ -155,6 +155,21 @@ object JOps {
     }
   }
 
+  /** TOTAL collation order for sorting: like [[cmp]] but NaN compares —
+    * below every other float, equal to itself (jq's sort places NaN first
+    * among numbers). A partial comparator fed to TimSort throws
+    * IllegalArgumentException mid-task on ≥32 elements; sort/unique/min/
+    * max must never do that. */
+  def totalCmp(a: JDoc, b: JDoc): Int = cmp(a, b).getOrElse {
+    // at least one side is a Float NaN (the only None case)
+    (a, b) match {
+      case (JDouble(x), JDouble(y)) =>
+        val nx = x.isNaN; val ny = y.isNaN
+        if (nx && ny) 0 else if (nx) -1 else 1
+      case _ => 0 // unreachable
+    }
+  }
+
   /** `a + b` (reference: src/json.rs:963-995): numeric add (any float side →
     * float), string/array concat, object shallow merge (right wins). */
   def add(a: JDoc, b: JDoc): JDoc = (a, b) match {

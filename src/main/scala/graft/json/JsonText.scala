@@ -312,13 +312,33 @@ object JsonText {
     val neg = d < 0
     val ad = math.abs(d)
     val exact = new java.math.BigDecimal(ad)
-    var p = 1
-    var bd: java.math.BigDecimal = null
-    while (bd == null && p <= 17) { // 17 significant digits always round-trip
-      val cand = exact.round(new java.math.MathContext(p, java.math.RoundingMode.HALF_EVEN))
-      if (cand.doubleValue() == ad) bd = cand else p += 1
+    def roundAt(p: Int): java.math.BigDecimal =
+      exact.round(new java.math.MathContext(p, java.math.RoundingMode.HALF_EVEN))
+    // Seed the precision from the JDK string's significant-digit count —
+    // it round-trips, and the correctly-rounded decimal at the same
+    // precision is at least as close, so it round-trips too. Then probe
+    // DOWNWARD for shorter (JDK 17 strings are occasionally 1-2 digits
+    // over shortest, JDK-4511638): 2-3 roundings per double on the
+    // canonical-output hot path instead of up to 17 ascending probes.
+    val jdk = java.lang.Double.toString(ad)
+    val ePos = jdk.indexOf('E')
+    val mant = if (ePos >= 0) jdk.substring(0, ePos) else jdk
+    val sig = mant.replace(".", "").dropWhile(_ == '0').reverse.dropWhile(_ == '0').reverse
+    val seed = math.max(1, math.min(17, sig.length))
+    var bd = roundAt(seed)
+    if (bd.doubleValue() != ad) {
+      // defensive: should be unreachable (see above); widen until exact
+      var p = seed + 1
+      while (bd.doubleValue() != ad && p <= 17) { bd = roundAt(p); p += 1 }
+      if (bd.doubleValue() != ad) bd = exact
+    } else {
+      var p = seed - 1
+      var shorter = true
+      while (p >= 1 && shorter) {
+        val cand = roundAt(p)
+        if (cand.doubleValue() == ad) { bd = cand; p -= 1 } else shorter = false
+      }
     }
-    if (bd == null) bd = exact
     val unscaled = bd.unscaledValue.toString
     val e = unscaled.length - 1 - bd.scale
     val digits = {

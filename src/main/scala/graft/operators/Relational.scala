@@ -114,7 +114,14 @@ object Relational {
     * rescan-and-reaggregate of 100 TB because 0.1% of keys changed.
     * Replaced keys may move groups; inserted keys (absent from base)
     * contribute additions only. DECIMAL accumulation end to end, so the
-    * incremental result is bit-identical to a full recompute. */
+    * incremental result is bit-identical to a full recompute.
+    *
+    * PRECONDITION: `changes` carries at most ONE row per key (a resolved
+    * change set). A multi-version change set must be reduced first —
+    * e.g. `exactDedup(changes, Seq(col(key)), negVersion)` or the
+    * [[upsert]] window — otherwise every version is added while the base
+    * row is retracted once per version, and sums drift from the upsert
+    * result. */
   def incrementalAgg(base: DataFrame, changes: DataFrame,
                      key: String, group: String, value: String): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(18,2)")

@@ -71,12 +71,6 @@ object EventStreams {
   /** SessionEvent + derived event-time column (for watermarking). */
   final case class SessionEventT(user_id: Long, ts: Long, event_time: java.sql.Timestamp)
 
-  /** Streaming sessionization with explicit state:
-    * `flatMapGroupsWithState` keyed by user with a processing-time timeout.
-    * The live-tail equivalent of [[sessionizeBatch]] — one state row per
-    * active user; a session is emitted when a later event closes the gap
-    * OR when the user goes quiet past the gap (timeout flushes the open
-    * session and clears its state, so the store stays bounded). */
   /** Event-time sessionization: sessions flush when the WATERMARK passes
     * last-event + gap, not when a wall clock does — identical output on
     * live runs and historical replays (a processing-time timeout would close
@@ -109,7 +103,12 @@ object EventStreams {
             sorted.foreach { ts =>
               sessions match {
                 case cur :: rest if ts - cur.last <= gapNanos =>
-                  sessions = cur.copy(last = ts, n = cur.n + 1) :: rest
+                  // late (cross-batch out-of-order) events fold INTO the
+                  // session: last never moves backward, start can extend
+                  // earlier — otherwise a late event would shrink the span
+                  // (negative duration) and re-arm the timeout too early
+                  sessions = cur.copy(start = math.min(cur.start, ts),
+                    last = math.max(cur.last, ts), n = cur.n + 1) :: rest
                 case cur :: rest =>
                   closed += SessionOut(userId, cur.start, cur.last - cur.start, cur.n)
                   sessions = SessionState(ts, ts, 1) :: rest
@@ -127,6 +126,12 @@ object EventStreams {
       }
   }
 
+  /** Streaming sessionization with explicit state:
+    * `flatMapGroupsWithState` keyed by user with a processing-time timeout.
+    * The live-tail equivalent of [[sessionizeBatch]] — one state row per
+    * active user; a session is emitted when a later event closes the gap
+    * OR when the user goes quiet past the gap (timeout flushes the open
+    * session and clears its state, so the store stays bounded). */
   def sessionizeStreaming(events: Dataset[SessionEvent], gapNanos: Long,
                           idleTimeouts: Boolean = true)
       (implicit spark: SparkSession): Dataset[SessionOut] = {
@@ -158,7 +163,12 @@ object EventStreams {
             sorted.foreach { ts =>
               sessions match {
                 case cur :: rest if ts - cur.last <= gapNanos =>
-                  sessions = cur.copy(last = ts, n = cur.n + 1) :: rest
+                  // late (cross-batch out-of-order) events fold INTO the
+                  // session: last never moves backward, start can extend
+                  // earlier — otherwise a late event would shrink the span
+                  // (negative duration) and re-arm the timeout too early
+                  sessions = cur.copy(start = math.min(cur.start, ts),
+                    last = math.max(cur.last, ts), n = cur.n + 1) :: rest
                 case cur :: rest =>
                   closed += SessionOut(userId, cur.start, cur.last - cur.start, cur.n)
                   sessions = SessionState(ts, ts, 1) :: rest

@@ -129,6 +129,10 @@ class JqConformanceSpec extends AnyFunSuite {
     check(".v = (.l | .[])", """{"l":[1,2]}""", """{"l":[1,2],"v":1}""", """{"l":[1,2],"v":2}""")
     // indexing a scalar on the path is an error-as-data
     check(".a.b = 1", """{"a": 5}""", "ERROR: cannot index Integer with b")
+    // the RHS takes the full juxtaposed chain: `.a = .b.c` assigns the
+    // value at path b.c, NOT `(.a = .b) | .c`
+    check(".a = .b.c", """{"a":1,"b":{"c":5}}""", """{"a":5,"b":{"c":5}}""")
+    check(".x |= .a.b", """{"x":{"a":{"b":3}}}""", """{"x":3}""")
   }
 
   test("EXTENSION: update `|=` pipes the current value through the filter") {
@@ -352,6 +356,11 @@ class JqConformanceSpec extends AnyFunSuite {
     check("sort", "10", "ERROR: cannot sort Integer")
     // argument selects the input, like the reference's length(.foo)
     check("sort(.a)", """{"a":[2,1]}""", "[1,2]")
+    // NaN sorts below other floats via the TOTAL order — a partial
+    // comparator would make TimSort throw on >=32 elements
+    check("map(sqrt) | sort | .[0..2]", "[4, -1, 9]", "[NaN,2e0]")
+    val big = (1 to 40).map(i => if (i % 3 == 0) "-1" else i.toString).mkString("[", ",", "]")
+    check(s"map(sqrt) | sort | length", big, "40")
   }
 
   test("EXTENSION builtins: tostring/tonumber/floor/ceil/sqrt/abs/join") {
@@ -364,6 +373,9 @@ class JqConformanceSpec extends AnyFunSuite {
     check("2.2 | ceil", "null", "3e0")
     check("9 | sqrt", "null", "3e0")
     check("0 - 7 | abs", "null", "7")
+    // |Long.MinValue| overflows Long — widens to float instead of
+    // returning a negative "absolute value"
+    check("abs", "-9223372036854775808", "9.223372036854776e18")
     check("""["a", "b", "c"] | join("-")""", "null", "\"a-b-c\"")
     check("""[1, null, "x"] | join(",")""", "null", "\"1,,x\"")
     check("""[[1]] | join("-")""", "null", "ERROR: cannot join Array")

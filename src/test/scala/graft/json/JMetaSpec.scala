@@ -46,6 +46,18 @@ class JMetaSpec extends AnyFunSuite {
       """{"domains":[],"keys":[],"sources":[]}"""))
   }
 
+  test("combining operators keep the input entry's lineage (merged once)") {
+    // reference operand entries each carry the input meta clone, so
+    // new_merged would append it once PER OPERAND; we merge it exactly
+    // once at the entry boundary — duplicate-free lists, same lineage
+    val m = JMeta.append(JMeta.init, "sources", JArr(Vector(JStr("f.jsons"))))
+    val in = Vector(JEntry.withMeta(JsonText.parse("""{"a":1,"b":2}"""), m))
+    val out = in.flatMap(Interp.compileE(graft.jq.JqParser.parse(".a + .b")))
+    assert(out.map(_.doc) == Vector(JLong(3)))
+    assert(out.head.meta.map(JsonText.canonical).contains(
+      """{"domains":[],"keys":[],"sources":["f.jsons"]}"""))
+  }
+
   test("navigation clones the input entry's meta onto its outputs (ops.rs:432)") {
     val m = JMeta.append(JMeta.init, "sources", JArr(Vector(JStr("f.jsons"))))
     val doc = JsonText.parse("""{"a": {"b": 7}}""")

@@ -69,6 +69,32 @@ class StreamingSpec extends SparkTestBase {
         s"streaming emitted sessions not present in batch: ${streamed -- batchAll}")
     } finally q.stop()
   }
+  test("late cross-batch events extend a session backward, never shrink it") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val gap = 30L * 1000 * 1000 * 1000 // 30s in nanos
+    val stream = MemoryStream[SessionEvent]
+    val q = sessionizeStreaming(stream.toDS(), gap, idleTimeouts = false)
+      .writeStream.format("memory").queryName("sess_late_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(SessionEvent(1L, 100L * 1000 * 1000 * 1000))
+      q.processAllAvailable()
+      // late event from an earlier instant, still within the gap
+      stream.addData(SessionEvent(1L, 95L * 1000 * 1000 * 1000))
+      q.processAllAvailable()
+      // far-future event closes the session
+      stream.addData(SessionEvent(1L, 1000L * 1000 * 1000 * 1000))
+      q.processAllAvailable()
+      val closed = spark.sql(
+        "SELECT session_start, duration_ns, n_events FROM sess_late_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(closed == Seq((95L * 1000 * 1000 * 1000, 5L * 1000 * 1000 * 1000, 2L)),
+        s"late event should extend start backward (never negative duration), got $closed")
+    } finally q.stop()
+  }
+
   test("sessionizeStreaming flushes idle sessions via the processing-time timeout") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
