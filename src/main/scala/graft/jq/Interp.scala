@@ -565,6 +565,20 @@ object Interp {
           }
         }
 
+      case "del" =>
+        // EXTENSION: delete at a static path (companion of `=`/`|=`,
+        // the expression-level analogue of json_patch remove)
+        if (args.length != 1) return wrongArity
+        flattenPath(args.head) match {
+          case None =>
+            _ => Vector(JEntry(JNull, Vector("del path must be a static .key/.index chain")))
+          case Some(segs) =>
+            doc => JOps.removePath(doc, segs) match {
+              case Right(out) => Vector(JEntry.ok(out))
+              case Left(msg)  => Vector(JEntry(JNull, Vector(msg)))
+            }
+        }
+
       case "join" =>
         // jq join: separator is the ARGUMENT, input is the array; scalar
         // elements stringify (null → ""), containers are an error

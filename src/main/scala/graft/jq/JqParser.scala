@@ -28,7 +28,7 @@ object JqParser {
     "type", "add", "sort", "unique", "reverse", "min", "max",
     "tostring", "tonumber", "floor", "ceil", "sqrt", "abs")
   private[jq] val allBuiltins =
-    bareBuiltins ++ Set("has", "in", "map", "any", "all", "join")
+    bareBuiltins ++ Set("has", "in", "map", "any", "all", "join", "del")
 }
 
 final class JqParser(text: String) {

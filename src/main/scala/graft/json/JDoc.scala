@@ -170,6 +170,42 @@ object JOps {
     }
   }
 
+  /** Remove the value at a static path (jq `del`): deleting a missing
+    * key/index or navigating through null is a no-op (the document is
+    * returned unchanged); deleting through a scalar is an error; the
+    * empty path cannot be deleted. */
+  def removePath(d: JDoc, segs: List[PathSeg]): Either[String, JDoc] = segs match {
+    case Nil => Left("cannot delete the document root")
+    case seg :: Nil => (seg, d) match {
+      case (Left(key), o: JObj)    => Right(JObj(o.props.filterNot(_._1 == key)))
+      case (Right(idx), JArr(items)) =>
+        val i = if (idx < 0) idx + items.length else idx
+        if (i >= 0 && i < items.length)
+          Right(JArr(items.patch(i.toInt, Nil, 1)))
+        else Right(d) // out-of-range delete is a no-op
+      case (_, JNull) => Right(JNull)
+      case (Left(k), other)  => Left(s"cannot index ${other.typeName} with $k")
+      case (Right(i), other) => Left(s"cannot index ${other.typeName} with $i")
+    }
+    case seg :: rest =>
+      def into(child: JDoc, rebuild: JDoc => JDoc): Either[String, JDoc] =
+        removePath(child, rest).map(rebuild)
+      (seg, d) match {
+        case (Left(key), o: JObj) => o.get(key) match {
+          case None        => Right(d) // missing path: no-op
+          case Some(child) => into(child, nv => JObj.fromProps(o.props :+ (key -> nv)))
+        }
+        case (Right(idx), JArr(items)) =>
+          val i = if (idx < 0) idx + items.length else idx
+          if (i >= 0 && i < items.length)
+            into(items(i.toInt), nv => JArr(items.updated(i.toInt, nv)))
+          else Right(d)
+        case (_, JNull) => Right(JNull)
+        case (Left(k), other)  => Left(s"cannot index ${other.typeName} with $k")
+        case (Right(i), other) => Left(s"cannot index ${other.typeName} with $i")
+      }
+  }
+
   /** `a + b` (reference: src/json.rs:963-995): numeric add (any float side →
     * float), string/array concat, object shallow merge (right wins). */
   def add(a: JDoc, b: JDoc): JDoc = (a, b) match {

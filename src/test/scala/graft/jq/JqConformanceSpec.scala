@@ -135,6 +135,17 @@ class JqConformanceSpec extends AnyFunSuite {
     check(".x |= .a.b", """{"x":{"a":{"b":3}}}""", """{"x":3}""")
   }
 
+  test("EXTENSION: del removes a static path (json_patch remove analogue)") {
+    check("del(.a)", """{"a":1,"b":2}""", """{"b":2}""")
+    check("del(.a.b)", """{"a":{"b":1,"c":2}}""", """{"a":{"c":2}}""")
+    check("del(.a.[0])", """{"a":[1,2]}""", """{"a":[2]}""")
+    check("del(.a.[-1])", """{"a":[1,2]}""", """{"a":[1]}""")
+    check("del(.missing)", """{"a":1}""", """{"a":1}""") // no-op
+    check("del(.a.[9])", """{"a":[1]}""", """{"a":[1]}""") // out of range: no-op
+    check("del(.a.b)", """{"a":5}""", "ERROR: cannot index Integer with b")
+    check("del(.)", "{}", "ERROR: cannot delete the document root")
+  }
+
   test("EXTENSION: update `|=` pipes the current value through the filter") {
     check(".k |= . + 1", """{"k": 41}""", """{"k":42}""")
     check(".k |= . * 2 | .k", """{"k": 3}""", "6")
