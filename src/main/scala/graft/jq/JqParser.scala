@@ -22,7 +22,15 @@ object JqParser {
   /** Builtins that may be called bare (no parens), defaulting to input `.`
     * (reference: src/query.rs:226-242 dispatch + commented tests). The
     * names beyond length/chars/keys/has/in/map/any/all are EXTENSIONS —
-    * jq's everyday vocabulary over the same document model (Interp). */
+    * jq's everyday vocabulary over the same document model (Interp).
+    *
+    * DELIBERATE SHADOWING: a bare identifier is field navigation in this
+    * dialect, so a bare `type`/`min`/`sort`/... now means the builtin, as
+    * it does in jq (the reference set this precedent with bare
+    * `length`/`chars`/`keys`). Fields with those names remain reachable
+    * through every dotted/quoted form — `.type`, `."type"`, `.["type"]` —
+    * which are unambiguous; only the bare word changes meaning. Pinned by
+    * the "builtin names shadow only the BARE word" conformance case. */
   private[jq] val bareBuiltins = Set(
     "length", "chars", "keys",
     "type", "add", "sort", "unique", "reverse", "min", "max",
@@ -207,6 +215,15 @@ final class JqParser(text: String) {
     lhs
   }
 
+  /** One primary plus any directly following dot segments — the operand
+    * of a unary operator: exactly a navigation chain, never an arithmetic
+    * continuation. */
+  private def parsePathChain(): Ast = {
+    var e = parsePrimary()
+    while (peekIs(".") && !peekIs("..")) e = Pipe(e, parsePrimary())
+    e
+  }
+
   /** Juxtaposition chain: `.a .b` / `.a.b` pipe without a separator. */
   private def parseJuxt(): Ast = {
     var lhs = parseOr()
@@ -329,18 +346,22 @@ final class JqParser(text: String) {
       val lit: Ast = Lit(JStr(s))
       if (opt) OptMark(lit) else lit
     }
-    // unary operand binds TIGHT (one primary): `!.a == .b` is `(!.a) == .b`
-    // — the reference's PEG comment ('-' Primary | '!' Primary); its
-    // nom_expr code loosely wraps the whole rest (query_nom.rs:551-564),
-    // which contradicts the grammar it documents. We implement the grammar.
-    else if (c == '!') { expect("!"); Not(parsePrimary()) }
+    // unary operand binds TIGHT (one path chain): `!.a == .b` is
+    // `(!.a) == .b` — the reference's PEG comment ('-' Primary |
+    // '!' Primary); its nom_expr code loosely wraps the whole rest
+    // (query_nom.rs:551-564), which contradicts the grammar it documents.
+    // In THIS parser a multi-segment path `.a.b` spans several primaries
+    // (juxtaposition), so the operand is one primary plus any directly
+    // following dot segments: `-.a.b` negates the value at path a.b,
+    // while `-.k + 1` is still (-.k) + 1.
+    else if (c == '!') { expect("!"); Not(parsePathChain()) }
     else if (c == '-' || c == '+' || c.isDigit) {
       tryNumber() match {
         case Some(n) =>
           val opt = eatOpt()
           if (opt) OptMark(Lit(n)) else Lit(n)
         case None =>
-          if (c == '-') { expect("-"); Neg(parsePrimary()) } // `-.k + 1` = (-.k) + 1
+          if (c == '-') { expect("-"); Neg(parsePathChain()) } // `-.k + 1` = (-.k) + 1
           else fail(s"unexpected character '$c'")
       }
     }

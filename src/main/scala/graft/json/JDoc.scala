@@ -156,17 +156,28 @@ object JOps {
   }
 
   /** TOTAL collation order for sorting: like [[cmp]] but NaN compares —
-    * below every other float, equal to itself (jq's sort places NaN first
-    * among numbers). A partial comparator fed to TimSort throws
-    * IllegalArgumentException mid-task on ≥32 elements; sort/unique/min/
-    * max must never do that. */
-  def totalCmp(a: JDoc, b: JDoc): Int = cmp(a, b).getOrElse {
-    // at least one side is a Float NaN (the only None case)
+    * below every other float, equal to itself — at ANY nesting depth
+    * (arrays recurse with this same comparator, so [NaN] vs [1] is
+    * ordered, not "equal to everything"). A partial or intransitive
+    * comparator fed to TimSort throws IllegalArgumentException mid-task
+    * on ≥32 elements; sort/unique/min/max must never do that. */
+  def totalCmp(a: JDoc, b: JDoc): Int = {
+    if (a.typeOrder != b.typeOrder) return java.lang.Integer.compare(a.typeOrder, b.typeOrder)
     (a, b) match {
       case (JDouble(x), JDouble(y)) =>
         val nx = x.isNaN; val ny = y.isNaN
-        if (nx && ny) 0 else if (nx) -1 else 1
-      case _ => 0 // unreachable
+        if (nx || ny) { if (nx && ny) 0 else if (nx) -1 else 1 }
+        else if (x < y) -1 else if (x > y) 1 else 0 // IEEE: -0.0 == 0.0
+      case (JArr(x), JArr(y)) =>
+        var i = 0
+        val n = math.min(x.length, y.length)
+        while (i < n) {
+          val c = totalCmp(x(i), y(i))
+          if (c != 0) return c
+          i += 1
+        }
+        java.lang.Integer.compare(x.length, y.length)
+      case _ => cmp(a, b).getOrElse(0) // scalar/object cases are already total
     }
   }
 
@@ -478,7 +489,9 @@ object JOps {
         val n = items.length
         val i = if (idx < 0) idx + n else idx
         if (i < 0) Left(s"array index $idx out of range")
-        else if (i > MaxPathPad) Left(s"refusing to pad array to $i entries")
+        // guard only actual PADDING: writes to existing slots of a large
+        // array are always fine
+        else if (i >= n && i > MaxPathPad) Left(s"refusing to pad array to $i entries")
         else {
           val padded =
             if (i < n) items else items ++ Vector.fill((i - n + 1).toInt)(JNull: JDoc)

@@ -26,8 +26,12 @@ object JMeta {
 
   val Keys: Seq[String] = Seq("domains", "sources", "keys")
 
-  /** `Meta::new()`: every key an empty array. */
-  def init: JObj = JObj.fromProps(Keys.map(k => k -> (JArr(Vector.empty): JDoc)))
+  /** `Meta::new()`: every key an empty array. A cached val — JObj is
+    * immutable, and combining operators fold from this seed once per
+    * output entry on the per-row hot path. */
+  val init: JObj = JObj.fromProps(Keys.map(k => k -> (JArr(Vector.empty): JDoc)))
+
+  private val emptyMerged: Option[JObj] = Some(init)
 
   /** `Meta::append` (meta.rs:42-61). */
   def append(m: JObj, key: String, value: JDoc): JObj = m.get(key) match {
@@ -56,7 +60,10 @@ object JMeta {
   }
 
   /** `Entry::new_merged`'s meta fold (entry.rs:22-29): start from
-    * `Meta::new()`, merge each operand in order — always Some. */
+    * `Meta::new()`, merge each operand in order — always Some. The
+    * all-None case (every row of a plain Catalyst jq projection) returns
+    * a shared constant: zero allocation per row. */
   def newMerged(metas: Seq[Option[JObj]]): Option[JObj] =
-    metas.foldLeft(Option(init))(merge)
+    if (metas.forall(_.isEmpty)) emptyMerged
+    else metas.foldLeft(Option(init))(merge)
 }

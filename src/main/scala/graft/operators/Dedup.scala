@@ -45,7 +45,14 @@ object Dedup {
     * unique per key (same caveat as exactDedup itself for ties). */
   def exactDedupSalted(df: DataFrame, keys: Seq[Column], tiebreak: Column,
                        salts: Int = 32): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(hash(tiebreak), lit(salts)))
+    // the salt must spread INDEPENDENTLY of the data: a hot key whose
+    // tiebreak values are ALSO duplicated (null-heavy corrupt records —
+    // exactly the motivating case) would collapse a tiebreak-derived salt
+    // to one partition. Row position is uniform regardless; the final
+    // result is salt-invariant (stage 2 reduces the per-salt winners), so
+    // nondeterminism across retries cannot change the output.
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
     val w1 = Window.partitionBy(keys :+ col("__salt"): _*).orderBy(tiebreak.asc)
     val stage1 = salted.withColumn("__rn", row_number().over(w1))
       .filter(col("__rn") === 1).drop("__rn")

@@ -161,6 +161,10 @@ class JqConformanceSpec extends AnyFunSuite {
     // !(1 == 2) = true below.
     check("-.k + 1", """{"k": 5}""", "-4")
     check("!.a == .b", """{"a": 1, "b": 2}""", "false")
+    // the operand is a full PATH chain, not a single dot segment
+    check("-.a.b", """{"a":{"b":7}}""", "-7")
+    check("!.a.b", """{"a":{"b":false}}""", "true")
+    check("-.a.b + 1", """{"a":{"b":7}}""", "-6")
   }
 
   test("pipes, explicit and juxtaposed (query.rs:594-627)") {
@@ -372,6 +376,27 @@ class JqConformanceSpec extends AnyFunSuite {
     check("map(sqrt) | sort | .[0..2]", "[4, -1, 9]", "[NaN,2e0]")
     val big = (1 to 40).map(i => if (i % 3 == 0) "-1" else i.toString).mkString("[", ",", "]")
     check(s"map(sqrt) | sort | length", big, "40")
+    // ...and the order stays total for NaN NESTED inside arrays: [NaN]
+    // must not compare "equal" to [1] and [9] (intransitivity would
+    // crash TimSort at scale and makes unique drop live elements)
+    val nested = (1 to 40).map(i => if (i % 3 == 0) "[-1]" else s"[$i]").mkString("[", ",", "]")
+    check("map(map(sqrt)) | sort | length", nested, "40")
+    // within the Float kind NaN sorts first (Integer < Float across kinds,
+    // so float arrays follow integer arrays in the cross-type order)
+    check("[[2.5], [0 - 1 | sqrt], [1.5]] | sort | .[0..2] | tostring",
+      "null", "\"[[NaN],[1.5e0]]\"")
+    check("[[0 - 1 | sqrt], [1]] | unique | length", "null", "2")
+  }
+
+  test("builtin names shadow only the BARE word; dotted field forms still navigate") {
+    // deliberate jq-style shadowing (see JqParser.bareBuiltins scaladoc):
+    // bare `type` is the builtin, but fields named type/min/sort stay
+    // reachable through every dotted/quoted form
+    check("type", """{"type":"article"}""", "\"object\"")
+    check(".type", """{"type":"article"}""", "\"article\"")
+    check("."  + "\"type\"", """{"type":"article"}""", "\"article\"")
+    check(""".["min"]""", """{"min": 3}""", "3")
+    check(".[] | .type", """[{"type":"a"},{"type":"b"}]""", "\"a\"", "\"b\"")
   }
 
   test("EXTENSION builtins: tostring/tonumber/floor/ceil/sqrt/abs/join") {
