@@ -214,10 +214,19 @@ object SparkEntry {
           ("rev0", "[1, 2, .k] | reverse | .[0]", "long"),
           ("joined", """["a", .k | tostring] | join("-")""", "string"),
           ("fl", ".k | sqrt | floor", "double"),
-          ("ab", "0 - .k | abs", "long")), col("props")).as("m"))
+          ("ab", "0 - .k | abs", "long"),
+          ("has4", """.k | tostring | test("4")""", "bool")), col("props")).as("m"))
         .select(col("event_id"), col("m.sorted"), col("m.total"), col("m.mx"),
           col("m.mn"), col("m.uniq_n"), col("m.rev0"), col("m.joined"),
-          col("m.fl"), col("m.ab"))),
+          col("m.fl"), col("m.ab"), col("m.has4"))),
+
+    // EXTENSION: select — the jq filter primitive; rows fan out only for
+    // documents whose predicate holds
+    "jq_select" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      Jq.explodeDocs(ev, "select(.k > 50) | .k", col("props"), "v_doc")
+        .select(col("event_id"), col("v_doc").cast("bigint").as("k"))
+    }),
 
     // EXTENSION: jq assignment/update operators (`=`, `|=`) — static-path
     // writes, the expression-language companion to json_patch
@@ -672,8 +681,13 @@ object SparkEntry {
              k AS rev0,
              'a-' || k AS joined,
              floor(sqrt(k)) AS fl,
-             k AS ab
+             k AS ab,
+             contains(CAST(k AS VARCHAR), '4') AS has4
       FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
+
+    "jq_select" -> """
+      SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50""",
 
     "jq_assign" -> """
       SELECT event_id,

@@ -565,6 +565,51 @@ object Interp {
           }
         }
 
+      case "select" =>
+        // EXTENSION (jq select): emit the INPUT once per truthy output of
+        // the predicate — `if f then . else empty end` with fan-out
+        if (args.length != 1) return wrongArity
+        val fa = compiledArgs.head
+        doc => fa(doc).flatMap { e =>
+          if (e.errors.nonEmpty) Vector(JEntry(JNull, e.errors))
+          else if (JOps.truthy(e.doc)) Vector(JEntry.ok(doc))
+          else Vector.empty
+        }
+
+      case "test" =>
+        // EXTENSION (jq test): regex find over a string input; a literal
+        // pattern compiles once at plan time on the driver
+        if (args.length != 1) return wrongArity
+        val preCompiled: Option[java.util.regex.Pattern] = args.head match {
+          case Lit(JStr(re)) =>
+            try Some(java.util.regex.Pattern.compile(re))
+            catch { case _: java.util.regex.PatternSyntaxException => None }
+          case _ => None
+        }
+        val fa = compiledArgs.head
+        doc => doc match {
+          case JStr(s) =>
+            preCompiled match {
+              case Some(p) => Vector(JEntry.ok(JBool(p.matcher(s).find())))
+              case None =>
+                firstOut(fa, doc) match {
+                  case Left(msg) => Vector(JEntry(JNull, Vector(msg)))
+                  case Right(re) if re.errors.nonEmpty => Vector(JEntry(JNull, re.errors))
+                  case Right(re) => re.doc match {
+                    case JStr(r) =>
+                      try Vector(JEntry.ok(JBool(
+                        java.util.regex.Pattern.compile(r).matcher(s).find())))
+                      catch {
+                        case e: java.util.regex.PatternSyntaxException =>
+                          Vector(JEntry(JNull, Vector(s"invalid regex: ${e.getDescription}")))
+                      }
+                    case other => Vector(JEntry(JNull, Vector(s"test pattern must be a string, got ${other.typeName}")))
+                  }
+                }
+            }
+          case other => Vector(JEntry(JNull, Vector(s"cannot test ${other.typeName}")))
+        }
+
       case "del" =>
         // EXTENSION: delete at a static path (companion of `=`/`|=`,
         // the expression-level analogue of json_patch remove)

@@ -36,7 +36,7 @@ object JqParser {
     "type", "add", "sort", "unique", "reverse", "min", "max",
     "tostring", "tonumber", "floor", "ceil", "sqrt", "abs")
   private[jq] val allBuiltins =
-    bareBuiltins ++ Set("has", "in", "map", "any", "all", "join", "del")
+    bareBuiltins ++ Set("has", "in", "map", "any", "all", "join", "del", "select", "test")
 }
 
 final class JqParser(text: String) {

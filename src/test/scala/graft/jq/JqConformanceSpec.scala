@@ -135,6 +135,27 @@ class JqConformanceSpec extends AnyFunSuite {
     check(".x |= .a.b", """{"x":{"a":{"b":3}}}""", """{"x":3}""")
   }
 
+  test("EXTENSION: select emits the input per truthy predicate output") {
+    check(".[] | select(. > 2)", "[1, 2, 3, 4]", "3", "4")
+    check("select(.a)", """{"a": true, "b": 1}""", """{"a":true,"b":1}""")
+    check("select(.a)", """{"a": false}""") // falsy: empty stream
+    check("select(.a)", """{"a": null}""")
+    check(".[] | select(.ok) | .v", """[{"ok":true,"v":1},{"ok":false,"v":2},{"ok":1,"v":3}]""",
+      "1", "3") // any non-null/false value is truthy
+    check("select(.missing)", "{}", "ERROR: cannot index missing into Object")
+    // multi-output predicate fans out the input per truthy output
+    check("select(.flags | .[])", """{"flags":[true,false,true]}""",
+      """{"flags":[true,false,true]}""", """{"flags":[true,false,true]}""")
+  }
+
+  test("EXTENSION: test runs a regex find over a string") {
+    check(""""abc123" | test("[0-9]+")""", "null", "true")
+    check(""""abc" | test("[0-9]+")""", "null", "false")
+    check(""".name | test("^Ada")""", """{"name":"Ada Lovelace"}""", "true")
+    check("""42 | test("4")""", "null", "ERROR: cannot test Integer")
+    check(""""x" | test(.re)""", "null", "ERROR: cannot index re into String")
+  }
+
   test("EXTENSION: del removes a static path (json_patch remove analogue)") {
     check("del(.a)", """{"a":1,"b":2}""", """{"b":2}""")
     check("del(.a.b)", """{"a":{"b":1,"c":2}}""", """{"a":{"c":2}}""")
