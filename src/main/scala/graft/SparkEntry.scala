@@ -220,6 +220,16 @@ object SparkEntry {
           col("m.mn"), col("m.uniq_n"), col("m.rev0"), col("m.joined"),
           col("m.fl"), col("m.ab"), col("m.has4"))),
 
+    // EXTENSION: control flow — if/then/elif/else/end and the //
+    // alternative operator
+    "jq_ifelse" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), Jq.multi(Seq(
+          ("branched", "if .k > 50 then .k else 0 - .k end", "long"),
+          ("tiered", """if .k > 80 then "hi" elif .k > 40 then "mid" else "lo" end""", "string"),
+          ("alt", ".missing // .k", "long")), col("props")).as("m"))
+        .select(col("event_id"), col("m.branched"), col("m.tiered"), col("m.alt"))),
+
     // EXTENSION: select — the jq filter primitive; rows fan out only for
     // documents whose predicate holds
     "jq_select" -> ((s, dir) => {
@@ -688,6 +698,13 @@ object SparkEntry {
     "jq_select" -> """
       SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
       FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50""",
+
+    "jq_ifelse" -> """
+      SELECT event_id,
+             CASE WHEN k > 50 THEN k ELSE -k END AS branched,
+             CASE WHEN k > 80 THEN 'hi' WHEN k > 40 THEN 'mid' ELSE 'lo' END AS tiered,
+             k AS alt
+      FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
 
     "jq_assign" -> """
       SELECT event_id,

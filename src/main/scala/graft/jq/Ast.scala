@@ -78,6 +78,16 @@ object Ast {
     * commented tests' intent). */
   final case class Call(name: String, args: List[Ast]) extends Ast
 
+  /** EXTENSION (jq `//`): the truthy outputs of `l`, or — when `l` yields
+    * none (every output null/false/errored) — the outputs of `r`. */
+  final case class Alt(l: Ast, r: Ast) extends Ast
+
+  /** EXTENSION (jq `if c then a [elif ...] [else b] end`): one branch
+    * evaluation per condition output (fan-out); a missing else emits the
+    * input unchanged, like jq. Elif chains desugar to nested IfElse at
+    * parse time. */
+  final case class IfElse(cond: Ast, thenB: Ast, elseB: Option[Ast]) extends Ast
+
   /** EXTENSION (not in the reference grammar; jq's own `=` / `|=`,
     * natural companion to `json_patch`): set or update the value at a
     * static path. `path` must flatten to a chain of

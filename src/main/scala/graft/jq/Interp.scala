@@ -179,6 +179,26 @@ object Interp {
     case Call(name, args) =>
       compileCall(name, args)
 
+    case Alt(l, r) =>
+      // EXTENSION (jq `//`): left's truthy non-errored outputs, else right
+      val fl = compile(l)
+      val fr = compile(r)
+      doc => {
+        val keep = fl(doc).filter(e => e.errors.isEmpty && JOps.truthy(e.doc))
+        if (keep.nonEmpty) keep else fr(doc)
+      }
+
+    case IfElse(cond, thenB, elseB) =>
+      // EXTENSION (jq if/then/elif/else/end): branch per condition output
+      val fc = compile(cond)
+      val ft = compile(thenB)
+      val fe = elseB.map(compile).getOrElse((d: JDoc) => Vector(JEntry.ok(d)))
+      doc => fc(doc).flatMap { ce =>
+        if (ce.errors.nonEmpty) Vector(ce)
+        else if (JOps.truthy(ce.doc)) ft(doc)
+        else fe(doc)
+      }
+
     case Assign(pathAst, valueAst, update) =>
       // EXTENSION (jq `=` / `|=`, Ast.Assign): static-path set/update.
       flattenPath(pathAst) match {

@@ -37,6 +37,12 @@ object JqParser {
     "tostring", "tonumber", "floor", "ceil", "sqrt", "abs")
   private[jq] val allBuiltins =
     bareBuiltins ++ Set("has", "in", "map", "any", "all", "join", "del", "select", "test")
+
+  /** Reserved continuation words of the `if` form (EXTENSION): they stop
+    * juxtaposition/expression scans, so branch bodies end cleanly. Like
+    * the bare builtins, only the BARE words are taken — fields named
+    * then/else/end stay reachable as `.then`, `."else"`, `.["end"]`. */
+  private[jq] val reservedWords = Set("then", "elif", "else", "end")
 }
 
 final class JqParser(text: String) {
@@ -77,6 +83,13 @@ final class JqParser(text: String) {
       while (pos < text.length && isIdentChar(text.charAt(pos))) pos += 1
       Some(text.substring(start, pos))
     } else None
+  }
+
+  /** Word-boundary peek without consuming. */
+  private def peekWord(w: String): Boolean = {
+    skipWs()
+    text.regionMatches(pos, w, 0, w.length) &&
+      (pos + w.length >= text.length || !isIdentChar(text.charAt(pos + w.length)))
   }
 
   /** Keyword with word boundary (so `bor`, `null`… don't eat prefixes). */
@@ -196,9 +209,11 @@ final class JqParser(text: String) {
     lhs
   }
 
-  /** One pipe stage: a juxtaposition chain with optional `=` / `|=`.
-    * Both sides of an assignment take the FULL juxtaposed chain, so
-    * `.a = .b.c` assigns the value at path b.c — not `(.a = .b) | .c`. */
+  /** One pipe stage: a juxtaposition chain with optional `=` / `|=` /
+    * `//`. Both sides of an assignment take the FULL juxtaposed chain, so
+    * `.a = .b.c` assigns the value at path b.c — not `(.a = .b) | .c`.
+    * `//` sits at the same level, left-associative (a simplification of
+    * jq's exact `//`-vs-`=` ordering; parenthesize to override). */
   private def parseStage(): Ast = {
     var lhs = parseJuxt()
     var done = false
@@ -207,6 +222,9 @@ final class JqParser(text: String) {
       if (peekIs("|=")) {
         expect("|=")
         lhs = Assign(lhs, parseJuxt(), update = true)
+      } else if (peekIs("//")) {
+        expect("//")
+        lhs = Alt(lhs, parseJuxt())
       } else if (peekIs("=") && !peekIs("==")) {
         expect("=")
         lhs = Assign(lhs, parseJuxt(), update = false)
@@ -323,6 +341,7 @@ final class JqParser(text: String) {
     while (!done) {
       skipWs()
       if (eat("*")) l = Bin(BinOp.Mul, l, parsePrimary())
+      else if (peekIs("//")) done = true // `a // b` is the alternative op, not division
       else if (eat("/")) l = Bin(BinOp.Div, l, parsePrimary())
       else if (eat("%")) l = Bin(BinOp.Rem, l, parsePrimary())
       else done = true
@@ -371,7 +390,11 @@ final class JqParser(text: String) {
 
   /** keywords, builtins, bare identifiers. */
   private def parseWordForm(): Ast = {
-    if (eatWord("null")) { val o = eatOpt(); if (o) OptMark(Lit(JNull)) else Lit(JNull) }
+    skipWs()
+    // reserved if-continuations terminate whatever scan reached them
+    reservedWords.find(w => peekWord(w)).foreach(w => fail(s"unexpected '$w'"))
+    if (eatWord("if")) parseIfForm()
+    else if (eatWord("null")) { val o = eatOpt(); if (o) OptMark(Lit(JNull)) else Lit(JNull) }
     else if (eatWord("true")) { val o = eatOpt(); if (o) OptMark(Lit(JBool(true))) else Lit(JBool(true)) }
     else if (eatWord("false")) { val o = eatOpt(); if (o) OptMark(Lit(JBool(false))) else Lit(JBool(false)) }
     else {
@@ -397,10 +420,35 @@ final class JqParser(text: String) {
     }
   }
 
+  /** `if COND then A [elif C then B]* [else D] end` (EXTENSION; `if` was
+    * already consumed). The reserved continuation words make every inner
+    * parseExpr stop cleanly at its branch boundary. */
+  private def parseIfForm(): Ast = {
+    val cond = parseExpr()
+    if (!eatWord("then")) fail("expected 'then'")
+    val thenB = parseExpr()
+    def parseTail(): Option[Ast] =
+      if (eatWord("elif")) {
+        val c = parseExpr()
+        if (!eatWord("then")) fail("expected 'then'")
+        val b = parseExpr()
+        Some(IfElse(c, b, parseTail()))
+      } else if (eatWord("else")) Some(parseExpr())
+      else None
+    val elseB = parseTail()
+    if (!eatWord("end")) fail("expected 'end'")
+    IfElse(cond, thenB, elseB)
+  }
+
   /** Everything starting with '.': slices, `.[]`, `.[items]`, `.key`,
     * `..`, identity. */
   private def parseDotForm(): Ast = {
     expect(".")
+    // `. end` is identity followed by the reserved word; `.end` (no
+    // whitespace) stays field access — the documented escape form
+    if (pos < text.length && Character.isWhitespace(text.charAt(pos)) &&
+        reservedWords.exists(peekWord))
+      return Identity
     skipWs()
     if (pos < text.length && text.charAt(pos) == '.') {
       pos += 1

@@ -156,6 +156,37 @@ class JqConformanceSpec extends AnyFunSuite {
     check(""""x" | test(.re)""", "null", "ERROR: cannot index re into String")
   }
 
+  test("EXTENSION: // alternative operator") {
+    check(".a // .b", """{"a":1,"b":2}""", "1")
+    check(".a // .b", """{"a":null,"b":2}""", "2")
+    check(".a // .b", """{"a":false,"b":2}""", "2")
+    check(".missing // 42", "{}", "42")       // errored left → right
+    check(".a.[] // 0", """{"a":[]}""", "0")  // empty left stream → right
+    check(".a.[] // 0", """{"a":[1,2]}""", "1", "2")
+    check("(.a // .b) + 1", """{"b":4}""", "5")
+    check("10 / 2", "null", "5e0") // '/' division still parses
+  }
+
+  test("EXTENSION: if/then/elif/else/end") {
+    check("""if .k > 2 then "big" else "small" end""", """{"k":5}""", "\"big\"")
+    check("""if .k > 2 then "big" else "small" end""", """{"k":1}""", "\"small\"")
+    check("if .k > 10 then 1 elif .k > 5 then 2 else 3 end", """{"k":7}""", "2")
+    check("if .k > 10 then 1 elif .k > 5 then 2 else 3 end", """{"k":3}""", "3")
+    // missing else emits the input unchanged, like jq
+    check("if .a then 1 end", """{"a":false,"b":9}""", """{"a":false,"b":9}""")
+    // one branch evaluation per condition output (fan-out)
+    check("""if .flags | .[] then "t" else "f" end""", """{"flags":[true,false]}""",
+      "\"t\"", "\"f\"")
+    // condition errors propagate
+    check("if .missing then 1 else 2 end", "{}", "ERROR: cannot index missing into Object")
+    // composes with pipes on both sides
+    check("if true then {v: 2} else {v: 3} end | .v", "null", "2")
+    check(".k | if . > 2 then . * 10 else . end", """{"k":4}""", "40")
+    // reserved words shadow only the BARE form; dotted fields still work
+    check(".then", """{"then": 7}""", "7")
+    check(""".["end"]""", """{"end": 8}""", "8")
+  }
+
   test("EXTENSION: del removes a static path (json_patch remove analogue)") {
     check("del(.a)", """{"a":1,"b":2}""", """{"b":2}""")
     check("del(.a.b)", """{"a":{"b":1,"c":2}}""", """{"a":{"c":2}}""")
