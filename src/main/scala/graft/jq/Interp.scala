@@ -598,19 +598,25 @@ object Interp {
 
       case "test" =>
         // EXTENSION (jq test): regex find over a string input; a literal
-        // pattern compiles once at plan time on the driver
+        // pattern resolves ONCE at plan time on the driver — including a
+        // literal pattern that does not compile, which becomes a constant
+        // error entry instead of a per-row compile-throw-catch cycle
         if (args.length != 1) return wrongArity
-        val preCompiled: Option[java.util.regex.Pattern] = args.head match {
+        val preCompiled: Option[Either[String, java.util.regex.Pattern]] = args.head match {
           case Lit(JStr(re)) =>
-            try Some(java.util.regex.Pattern.compile(re))
-            catch { case _: java.util.regex.PatternSyntaxException => None }
+            try Some(Right(java.util.regex.Pattern.compile(re)))
+            catch {
+              case e: java.util.regex.PatternSyntaxException =>
+                Some(Left(s"invalid regex: ${e.getDescription}"))
+            }
           case _ => None
         }
         val fa = compiledArgs.head
         doc => doc match {
           case JStr(s) =>
             preCompiled match {
-              case Some(p) => Vector(JEntry.ok(JBool(p.matcher(s).find())))
+              case Some(Right(p)) => Vector(JEntry.ok(JBool(p.matcher(s).find())))
+              case Some(Left(msg)) => Vector(JEntry(JNull, Vector(msg)))
               case None =>
                 firstOut(fa, doc) match {
                   case Left(msg) => Vector(JEntry(JNull, Vector(msg)))
