@@ -585,6 +585,81 @@ object Interp {
           }
         }
 
+      case "empty" =>
+        // EXTENSION (jq empty): the empty stream
+        _ => Vector.empty
+
+      case "first" | "last" =>
+        // EXTENSION: bare first/last are .[0]/.[-1]; with an argument,
+        // the first/last output of that pipeline
+        val takeFirst = name == "first"
+        if (args.isEmpty) {
+          doc => JOps.indexAt(doc, if (takeFirst) 0 else -1) match {
+            case Some(v) => Vector(JEntry.ok(v))
+            case None    => Vector(JEntry(JNull, Vector(s"cannot index ${doc.typeName}")))
+          }
+        } else {
+          val fa = compiledArgs.head
+          doc => {
+            val out = fa(doc)
+            if (out.isEmpty) Vector.empty
+            else Vector(if (takeFirst) out.head else out.last)
+          }
+        }
+
+      case "range" =>
+        // EXTENSION (jq range, comma-separated args — this dialect has no
+        // ';' argument separator): range(n) → 0..n-1, range(a, b) → a..b-1
+        if (args.isEmpty || args.length > 2) return wrongArity
+        val fs = compiledArgs
+        doc => {
+          val bounds = fs.map(f => firstOut(f, doc))
+          bounds.collectFirst { case Left(m) => m } match {
+            case Some(m) => Vector(JEntry(JNull, Vector(m)))
+            case None =>
+              bounds.map(_.toOption.get.doc) match {
+                case Seq(JLong(n))           => (0L until n).map(i => JEntry.ok(JLong(i))).toVector
+                case Seq(JLong(a), JLong(b)) => (a until b).map(i => JEntry.ok(JLong(i))).toVector
+                case other => Vector(JEntry(JNull,
+                  Vector(s"range bounds must be integers, got ${other.map(_.typeName).mkString(", ")}")))
+              }
+          }
+        }
+
+      case "to_entries" =>
+        // EXTENSION: object → [{"key": k, "value": v}, ...]
+        overInput {
+          case JObj(props) => Right(JArr(props.map { case (k, v) =>
+            JObj.fromProps(Seq("key" -> JStr(k), "value" -> v))
+          }))
+          case other => Left(s"cannot convert ${other.typeName} to entries")
+        }
+
+      case "from_entries" =>
+        // EXTENSION: inverse of to_entries; accepts jq's key/k/name and
+        // value/v spellings, last key wins
+        overInput {
+          case JArr(items) =>
+            var err: String = null
+            val props = Vector.newBuilder[(String, JDoc)]
+            val it = items.iterator
+            while (err == null && it.hasNext) {
+              it.next() match {
+                case o: JObj =>
+                  val key = Seq("key", "k", "name").flatMap(o.get).headOption
+                  val value = Seq("value", "v").flatMap(o.get).headOption.getOrElse(JNull)
+                  key match {
+                    case Some(JStr(k)) => props += ((k, value))
+                    case Some(other)   => err = s"entry key must be a string, got ${other.typeName}"
+                    case None          => err = "entry object has no key field"
+                  }
+                case other => err = s"entries must be objects, got ${other.typeName}"
+              }
+            }
+            if (err != null) Left(err) else Right(JObj.fromProps(props.result()))
+          case other => Left(s"cannot build object from ${other.typeName}")
+        }
+
       case "select" =>
         // EXTENSION (jq select): emit the INPUT once per truthy output of
         // the predicate — `if f then . else empty end` with fan-out

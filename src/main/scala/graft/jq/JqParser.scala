@@ -34,9 +34,11 @@ object JqParser {
   private[jq] val bareBuiltins = Set(
     "length", "chars", "keys",
     "type", "add", "sort", "unique", "reverse", "min", "max",
-    "tostring", "tonumber", "floor", "ceil", "sqrt", "abs")
+    "tostring", "tonumber", "floor", "ceil", "sqrt", "abs",
+    "empty", "first", "last", "to_entries", "from_entries")
   private[jq] val allBuiltins =
-    bareBuiltins ++ Set("has", "in", "map", "any", "all", "join", "del", "select", "test")
+    bareBuiltins ++ Set("has", "in", "map", "any", "all", "join", "del",
+      "select", "test", "range")
 
   /** Reserved continuation words of the `if` form (EXTENSION): they stop
     * juxtaposition/expression scans, so branch bodies end cleanly. Like

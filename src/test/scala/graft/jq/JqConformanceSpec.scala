@@ -187,6 +187,26 @@ class JqConformanceSpec extends AnyFunSuite {
     check(""".["end"]""", """{"end": 8}""", "8")
   }
 
+  test("EXTENSION: empty/first/last/range/to_entries/from_entries") {
+    check("[1, 2, empty, 3]", "null", "[1,2,3]")
+    check("empty", "[1]")
+    check("first", "[7, 8, 9]", "7")
+    check("last", "[7, 8, 9]", "9")
+    check("first(.[])", "[7, 8]", "7")
+    check("last(.[])", "[7, 8]", "8")
+    check("first(empty)", "null") // empty stream stays empty
+    check("[range(4)]", "null", "[0,1,2,3]")
+    check("[range(2, 5)]", "null", "[2,3,4]")
+    check("range(0)", "null")
+    check("to_entries", """{"a":1,"b":2}""",
+      """[{"key":"a","value":1},{"key":"b","value":2}]""")
+    check("from_entries", """[{"key":"a","value":1},{"k":"b","v":2}]""",
+      """{"a":1,"b":2}""")
+    check("to_entries | from_entries", """{"x":[1],"y":null}""", """{"x":[1],"y":null}""")
+    check("from_entries", "[1]", "ERROR: entries must be objects, got Integer")
+    check("to_entries", "[]", "ERROR: cannot convert Array to entries")
+  }
+
   test("EXTENSION: del removes a static path (json_patch remove analogue)") {
     check("del(.a)", """{"a":1,"b":2}""", """{"b":2}""")
     check("del(.a.b)", """{"a":{"b":1,"c":2}}""", """{"a":{"c":2}}""")
