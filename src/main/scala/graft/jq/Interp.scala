@@ -585,6 +585,87 @@ object Interp {
           }
         }
 
+      case "ascii_downcase" | "ascii_upcase" =>
+        // EXTENSION (jq): ASCII-only case mapping (no locale surprises)
+        val down = name == "ascii_downcase"
+        overInput {
+          case JStr(s) => Right(JStr(s.map { c =>
+            if (down && c >= 'A' && c <= 'Z') (c + 32).toChar
+            else if (!down && c >= 'a' && c <= 'z') (c - 32).toChar
+            else c
+          }))
+          case other => Left(s"cannot case-map ${other.typeName}")
+        }
+
+      case "startswith" | "endswith" =>
+        // EXTENSION (jq): string prefix/suffix predicate
+        if (args.length != 1) return wrongArity
+        val starts = name == "startswith"
+        val fa = compiledArgs.head
+        doc => firstOut(fa, doc) match {
+          case Left(msg) => Vector(JEntry(JNull, Vector(msg)))
+          case Right(e) if e.errors.nonEmpty => Vector(JEntry(JNull, e.errors))
+          case Right(e) => (doc, e.doc) match {
+            case (JStr(s), JStr(p)) =>
+              Vector(JEntry.ok(JBool(if (starts) s.startsWith(p) else s.endsWith(p))))
+            case (JStr(_), other) => Vector(JEntry(JNull, Vector(s"$name argument must be a string, got ${other.typeName}")))
+            case (other, _)       => Vector(JEntry(JNull, Vector(s"cannot $name on ${other.typeName}")))
+          }
+        }
+
+      case "ltrimstr" | "rtrimstr" =>
+        // EXTENSION (jq): strip a prefix/suffix when present; non-string
+        // inputs and non-matches pass through unchanged (jq's definition)
+        if (args.length != 1) return wrongArity
+        val leftTrim = name == "ltrimstr"
+        val fa = compiledArgs.head
+        doc => firstOut(fa, doc) match {
+          case Left(msg) => Vector(JEntry(JNull, Vector(msg)))
+          case Right(e) if e.errors.nonEmpty => Vector(JEntry(JNull, e.errors))
+          case Right(e) => (doc, e.doc) match {
+            case (JStr(s), JStr(p)) if leftTrim && s.startsWith(p) =>
+              Vector(JEntry.ok(JStr(s.substring(p.length))))
+            case (JStr(s), JStr(p)) if !leftTrim && s.endsWith(p) =>
+              Vector(JEntry.ok(JStr(s.substring(0, s.length - p.length))))
+            case _ => Vector(JEntry.ok(doc))
+          }
+        }
+
+      case "split" =>
+        // EXTENSION (jq split(sep)): literal-separator split — the builtin
+        // spelling of the `/` string-division semantics
+        if (args.length != 1) return wrongArity
+        val fa = compiledArgs.head
+        doc => firstOut(fa, doc) match {
+          case Left(msg) => Vector(JEntry(JNull, Vector(msg)))
+          case Right(e) if e.errors.nonEmpty => Vector(JEntry(JNull, e.errors))
+          case Right(e) => (doc, e.doc) match {
+            case (JStr(s), JStr(sep)) =>
+              Vector(JEntry.ok(JArr(JOps.splitLiteral(s, sep).map(JStr(_)))))
+            case (JStr(_), other) => Vector(JEntry(JNull, Vector(s"split separator must be a string, got ${other.typeName}")))
+            case (other, _)       => Vector(JEntry(JNull, Vector(s"cannot split ${other.typeName}")))
+          }
+        }
+
+      case "contains" =>
+        // EXTENSION (jq): deep containment — substring for strings, per-
+        // element containment for arrays, key-and-value containment for
+        // objects, equality for scalars
+        if (args.length != 1) return wrongArity
+        val fa = compiledArgs.head
+        def within(a: JDoc, b: JDoc): Boolean = (a, b) match {
+          case (JStr(s), JStr(p))   => s.contains(p)
+          case (JArr(xs), JArr(ys)) => ys.forall(y => xs.exists(x => within(x, y)))
+          case (ao: JObj, bo: JObj) =>
+            bo.props.forall { case (k, bv) => ao.get(k).exists(av => within(av, bv)) }
+          case _ => JOps.eqDoc(a, b)
+        }
+        doc => firstOut(fa, doc) match {
+          case Left(msg) => Vector(JEntry(JNull, Vector(msg)))
+          case Right(e) if e.errors.nonEmpty => Vector(JEntry(JNull, e.errors))
+          case Right(e) => Vector(JEntry.ok(JBool(within(doc, e.doc))))
+        }
+
       case "empty" =>
         // EXTENSION (jq empty): the empty stream
         _ => Vector.empty

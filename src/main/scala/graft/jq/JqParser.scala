@@ -35,10 +35,12 @@ object JqParser {
     "length", "chars", "keys",
     "type", "add", "sort", "unique", "reverse", "min", "max",
     "tostring", "tonumber", "floor", "ceil", "sqrt", "abs",
-    "empty", "first", "last", "to_entries", "from_entries")
+    "empty", "first", "last", "to_entries", "from_entries",
+    "ascii_downcase", "ascii_upcase")
   private[jq] val allBuiltins =
     bareBuiltins ++ Set("has", "in", "map", "any", "all", "join", "del",
-      "select", "test", "range")
+      "select", "test", "range", "startswith", "endswith", "ltrimstr",
+      "rtrimstr", "split", "contains")
 
   /** Reserved continuation words of the `if` form (EXTENSION): they stop
     * juxtaposition/expression scans, so branch bodies end cleanly. Like

@@ -207,6 +207,25 @@ class JqConformanceSpec extends AnyFunSuite {
     check("to_entries", "[]", "ERROR: cannot convert Array to entries")
   }
 
+  test("EXTENSION: string builtins (case/trim/prefix/split/contains)") {
+    check("ascii_downcase", "\"HeLLo-42\"", "\"hello-42\"")
+    check("ascii_upcase", "\"héllo\"", "\"HéLLO\"") // ASCII-only: é untouched
+    check("""startswith("Ada")""", "\"Ada Lovelace\"", "true")
+    check("""endswith("lace")""", "\"Ada Lovelace\"", "true")
+    check("""startswith("x")""", "\"Ada\"", "false")
+    check("""startswith("x")""", "42", "ERROR: cannot startswith on Integer")
+    check("""ltrimstr("foo_")""", "\"foo_bar\"", "\"bar\"")
+    check("""ltrimstr("foo_")""", "\"bar\"", "\"bar\"") // no match: unchanged
+    check("""rtrimstr(".txt")""", "\"a.txt\"", "\"a\"")
+    check("""ltrimstr("x")""", "42", "42") // non-string input passes through
+    check("""split(",")""", "\"a,b,,c\"", """["a","b","","c"]""")
+    check("""split("")""", "\"ab\"", """["","a","b",""]""") // Rust split semantics
+    check("""contains("lo")""", "\"hello\"", "true")
+    check("""contains(["ell"])""", """["hello", "world"]""", "true")
+    check("""contains({"a": 1})""", """{"a":1,"b":2}""", "true")
+    check("""contains({"a": 2})""", """{"a":1,"b":2}""", "false")
+  }
+
   test("EXTENSION: del removes a static path (json_patch remove analogue)") {
     check("del(.a)", """{"a":1,"b":2}""", """{"b":2}""")
     check("del(.a.b)", """{"a":{"b":1,"c":2}}""", """{"a":{"c":2}}""")
