@@ -369,6 +369,17 @@ object Interp {
     def wrongArity: Pipe =
       _ => Vector(JEntry(JNull, Vector(s"expected 1 args, got ${args.length}")))
 
+    /** Shared preamble of every one-argument builtin: resolve the
+      * argument's first output, propagate its errors, then hand
+      * (input doc, argument value) to the builtin body. Hand-rolled
+      * copies of this forget the error-propagation arm (it happened). */
+    def withArgValue(fa: Pipe)(f: (JDoc, JDoc) => Vector[JEntry]): Pipe =
+      doc => firstOut(fa, doc) match {
+        case Left(msg)                       => Vector(JEntry(JNull, Vector(msg)))
+        case Right(e) if e.errors.nonEmpty   => Vector(JEntry(JNull, e.errors))
+        case Right(e)                        => f(doc, e.doc)
+      }
+
     name match {
       case "length" =>
         if (args.length > 1)
@@ -601,16 +612,11 @@ object Interp {
         // EXTENSION (jq): string prefix/suffix predicate
         if (args.length != 1) return wrongArity
         val starts = name == "startswith"
-        val fa = compiledArgs.head
-        doc => firstOut(fa, doc) match {
-          case Left(msg) => Vector(JEntry(JNull, Vector(msg)))
-          case Right(e) if e.errors.nonEmpty => Vector(JEntry(JNull, e.errors))
-          case Right(e) => (doc, e.doc) match {
-            case (JStr(s), JStr(p)) =>
-              Vector(JEntry.ok(JBool(if (starts) s.startsWith(p) else s.endsWith(p))))
-            case (JStr(_), other) => Vector(JEntry(JNull, Vector(s"$name argument must be a string, got ${other.typeName}")))
-            case (other, _)       => Vector(JEntry(JNull, Vector(s"cannot $name on ${other.typeName}")))
-          }
+        withArgValue(compiledArgs.head) {
+          case (JStr(s), JStr(p)) =>
+            Vector(JEntry.ok(JBool(if (starts) s.startsWith(p) else s.endsWith(p))))
+          case (JStr(_), other) => Vector(JEntry(JNull, Vector(s"$name argument must be a string, got ${other.typeName}")))
+          case (other, _)       => Vector(JEntry(JNull, Vector(s"cannot $name on ${other.typeName}")))
         }
 
       case "ltrimstr" | "rtrimstr" =>
@@ -618,41 +624,33 @@ object Interp {
         // inputs and non-matches pass through unchanged (jq's definition)
         if (args.length != 1) return wrongArity
         val leftTrim = name == "ltrimstr"
-        val fa = compiledArgs.head
-        doc => firstOut(fa, doc) match {
-          case Left(msg) => Vector(JEntry(JNull, Vector(msg)))
-          case Right(e) if e.errors.nonEmpty => Vector(JEntry(JNull, e.errors))
-          case Right(e) => (doc, e.doc) match {
-            case (JStr(s), JStr(p)) if leftTrim && s.startsWith(p) =>
-              Vector(JEntry.ok(JStr(s.substring(p.length))))
-            case (JStr(s), JStr(p)) if !leftTrim && s.endsWith(p) =>
-              Vector(JEntry.ok(JStr(s.substring(0, s.length - p.length))))
-            case _ => Vector(JEntry.ok(doc))
-          }
+        withArgValue(compiledArgs.head) {
+          case (JStr(s), JStr(p)) if leftTrim && s.startsWith(p) =>
+            Vector(JEntry.ok(JStr(s.substring(p.length))))
+          case (JStr(s), JStr(p)) if !leftTrim && s.endsWith(p) =>
+            Vector(JEntry.ok(JStr(s.substring(0, s.length - p.length))))
+          case (doc, _) => Vector(JEntry.ok(doc))
         }
 
       case "split" =>
         // EXTENSION (jq split(sep)): literal-separator split — the builtin
         // spelling of the `/` string-division semantics
         if (args.length != 1) return wrongArity
-        val fa = compiledArgs.head
-        doc => firstOut(fa, doc) match {
-          case Left(msg) => Vector(JEntry(JNull, Vector(msg)))
-          case Right(e) if e.errors.nonEmpty => Vector(JEntry(JNull, e.errors))
-          case Right(e) => (doc, e.doc) match {
-            case (JStr(s), JStr(sep)) =>
-              Vector(JEntry.ok(JArr(JOps.splitLiteral(s, sep).map(JStr(_)))))
-            case (JStr(_), other) => Vector(JEntry(JNull, Vector(s"split separator must be a string, got ${other.typeName}")))
-            case (other, _)       => Vector(JEntry(JNull, Vector(s"cannot split ${other.typeName}")))
-          }
+        withArgValue(compiledArgs.head) {
+          case (JStr(s), JStr(sep)) =>
+            Vector(JEntry.ok(JArr(JOps.splitLiteral(s, sep).map(JStr(_)))))
+          case (JStr(_), other) => Vector(JEntry(JNull, Vector(s"split separator must be a string, got ${other.typeName}")))
+          case (other, _)       => Vector(JEntry(JNull, Vector(s"cannot split ${other.typeName}")))
         }
 
       case "contains" =>
         // EXTENSION (jq): deep containment — substring for strings, per-
         // element containment for arrays, key-and-value containment for
-        // objects, equality for scalars
+        // objects, equality for same-kind scalars. A TOP-LEVEL kind
+        // mismatch is an error (jq: "cannot check containment"), so a
+        // typo'd argument shape surfaces instead of silently filtering
+        // everything out; nested mismatches are just not-contained.
         if (args.length != 1) return wrongArity
-        val fa = compiledArgs.head
         def within(a: JDoc, b: JDoc): Boolean = (a, b) match {
           case (JStr(s), JStr(p))   => s.contains(p)
           case (JArr(xs), JArr(ys)) => ys.forall(y => xs.exists(x => within(x, y)))
@@ -660,10 +658,16 @@ object Interp {
             bo.props.forall { case (k, bv) => ao.get(k).exists(av => within(av, bv)) }
           case _ => JOps.eqDoc(a, b)
         }
-        doc => firstOut(fa, doc) match {
-          case Left(msg) => Vector(JEntry(JNull, Vector(msg)))
-          case Right(e) if e.errors.nonEmpty => Vector(JEntry(JNull, e.errors))
-          case Right(e) => Vector(JEntry.ok(JBool(within(doc, e.doc))))
+        def sameKind(a: JDoc, b: JDoc): Boolean = (a, b) match {
+          case (_: JStr, _: JStr) | (_: JArr, _: JArr) | (_: JObj, _: JObj) => true
+          case (_: JStr | _: JArr | _: JObj, _) | (_, _: JStr | _: JArr | _: JObj) => false
+          case _ => true // scalar vs scalar: equality applies
+        }
+        withArgValue(compiledArgs.head) { (doc, b) =>
+          if (!sameKind(doc, b))
+            Vector(JEntry(JNull, Vector(
+              s"cannot check containment of ${b.typeName} in ${doc.typeName}")))
+          else Vector(JEntry.ok(JBool(within(doc, b))))
         }
 
       case "empty" =>
@@ -674,6 +678,7 @@ object Interp {
         // EXTENSION: bare first/last are .[0]/.[-1]; with an argument,
         // the first/last output of that pipeline
         val takeFirst = name == "first"
+        if (args.length > 1) return wrongArity
         if (args.isEmpty) {
           doc => JOps.indexAt(doc, if (takeFirst) 0 else -1) match {
             case Some(v) => Vector(JEntry.ok(v))
@@ -690,19 +695,35 @@ object Interp {
 
       case "range" =>
         // EXTENSION (jq range, comma-separated args — this dialect has no
-        // ';' argument separator): range(n) → 0..n-1, range(a, b) → a..b-1
-        if (args.isEmpty || args.length > 2) return wrongArity
+        // ';' argument separator): range(n) → 0..n-1, range(a, b) → a..b-1.
+        // Capped: a query-driven bound must be an error entry, never an
+        // OOM or an uncaught exception (same policy as JOps.MaxPathPad).
+        if (args.isEmpty || args.length > 2)
+          return (_ => Vector(JEntry(JNull,
+            Vector(s"range takes 1 or 2 args, got ${args.length}"))))
         val fs = compiledArgs
+        val MaxRange = 1000000L
         doc => {
           val bounds = fs.map(f => firstOut(f, doc))
           bounds.collectFirst { case Left(m) => m } match {
             case Some(m) => Vector(JEntry(JNull, Vector(m)))
             case None =>
-              bounds.map(_.toOption.get.doc) match {
-                case Seq(JLong(n))           => (0L until n).map(i => JEntry.ok(JLong(i))).toVector
-                case Seq(JLong(a), JLong(b)) => (a until b).map(i => JEntry.ok(JLong(i))).toVector
-                case other => Vector(JEntry(JNull,
-                  Vector(s"range bounds must be integers, got ${other.map(_.typeName).mkString(", ")}")))
+              val entries = bounds.map(_.toOption.get)
+              entries.find(_.errors.nonEmpty) match {
+                case Some(e) => Vector(JEntry(JNull, e.errors)) // propagate, don't type-check a placeholder
+                case None => entries.map(_.doc) match {
+                  case Seq(JLong(n)) if n > MaxRange =>
+                    Vector(JEntry(JNull, Vector(s"refusing to generate a range of $n values")))
+                  case Seq(JLong(n)) =>
+                    (0L until n).map(i => JEntry.ok(JLong(i))).toVector
+                  case Seq(JLong(a), JLong(b)) if b > a && (b - a < 0 || b - a > MaxRange) =>
+                    // b - a < 0 here means the span overflowed Long
+                    Vector(JEntry(JNull, Vector("refusing to generate a range of more than 1000000 values")))
+                  case Seq(JLong(a), JLong(b)) =>
+                    (a until b).map(i => JEntry.ok(JLong(i))).toVector
+                  case other => Vector(JEntry(JNull,
+                    Vector(s"range bounds must be integers, got ${other.map(_.typeName).mkString(", ")}")))
+                }
               }
           }
         }

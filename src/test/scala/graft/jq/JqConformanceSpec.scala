@@ -205,6 +205,15 @@ class JqConformanceSpec extends AnyFunSuite {
     check("to_entries | from_entries", """{"x":[1],"y":null}""", """{"x":[1],"y":null}""")
     check("from_entries", "[1]", "ERROR: entries must be objects, got Integer")
     check("to_entries", "[]", "ERROR: cannot convert Array to entries")
+    // query-driven materialization is capped (errors-as-data, never OOM)
+    check("range(3000000000)", "null", "ERROR: refusing to generate a range of 3000000000 values")
+    check("[range(0 - 4611686018427387904, 4611686018427387904)] | length", "null",
+      "ERROR: refusing to generate a range of more than 1000000 values")
+    // argument-pipeline errors propagate as themselves, not a type message
+    check("range(.a.b)", """{"a": 1}""", "ERROR: cannot index b into Integer")
+    // fixed arity is enforced
+    check("first(.a, .b)", """{"a":1,"b":2}""", "ERROR: expected 1 args, got 2")
+    check("range(1, 2, 3)", "null", "ERROR: range takes 1 or 2 args, got 3")
   }
 
   test("EXTENSION: string builtins (case/trim/prefix/split/contains)") {
@@ -224,6 +233,10 @@ class JqConformanceSpec extends AnyFunSuite {
     check("""contains(["ell"])""", """["hello", "world"]""", "true")
     check("""contains({"a": 1})""", """{"a":1,"b":2}""", "true")
     check("""contains({"a": 2})""", """{"a":1,"b":2}""", "false")
+    // top-level kind mismatch is a visible error, not a silent false
+    check("""contains("a")""", """["a"]""",
+      "ERROR: cannot check containment of String in Array")
+    check("1 | contains(1)", "null", "true") // same-kind scalars: equality
   }
 
   test("EXTENSION: del removes a static path (json_patch remove analogue)") {
