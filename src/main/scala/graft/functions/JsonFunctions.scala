@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,7 +24,7 @@ private[functions] object JsonFunctions {
   * canonical JSON text (op-specific null results serialize as "null");
   * SQL NULL only for unparseable input. */
 case class JsonBinary(op: String, left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with NativeBinaryCodegen {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = s"json_$op"
@@ -56,7 +56,7 @@ case class JsonBinary(op: String, left: Expression, right: Expression)
   * incomparable (NaN) or unparseable. Usable as a SQL sort key via e.g.
   * `sort_array` over pre-compared tuples or `ORDER BY json_cmp(doc, ref)`. */
 case class JsonCmp(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with NativeBinaryCodegen {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
   override def prettyName: String = "json_cmp"
@@ -76,7 +76,7 @@ case class JsonCmp(left: Expression, right: Expression)
 /** `json_eq(a, b)` → the engine's structural equality (variant-strict,
   * key-only object equality — SURVEY.md §2.5). */
 case class JsonEq(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with NativeBinaryCodegen {
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
   override def prettyName: String = "json_eq"
@@ -94,7 +94,7 @@ case class JsonEq(left: Expression, right: Expression)
   * length → BIGINT (NULL on error); truthy/not → BOOLEAN; others →
   * canonical JSON text. */
 case class JsonUnary(kind: String, child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   override def dataType: DataType = kind match {
     case "length"          => LongType
     case "truthy" | "not"  => BooleanType
@@ -123,7 +123,7 @@ case class JsonUnary(kind: String, child: Expression)
 /** `json_recurse(doc)` → ARRAY<STRING>: pre-order `..` descent, one
   * canonical JSON text per visited value. */
 case class JsonRecurse(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "json_recurse"
@@ -141,7 +141,7 @@ case class JsonRecurse(child: Expression)
   * text; SQL NULL when the patch fails (failed `test`, bad path) or input
   * is unparseable — errors-as-data, never an exception. */
 case class JsonPatchExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with NativeBinaryCodegen {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "json_patch"
@@ -162,7 +162,7 @@ case class JsonPatchExpr(left: Expression, right: Expression)
   * (the reference README's declared second Document codec, realized —
   * graft.json.CborCodec). SQL NULL for unparseable JSON. */
 case class CborEncodeExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def prettyName: String = "json_to_cbor"
@@ -178,7 +178,7 @@ case class CborEncodeExpr(child: Expression)
   * NULL for CBOR the document model cannot hold (tags, byte strings,
   * indefinite lengths) — errors-as-data, never an exception. */
 case class CborDecodeExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "cbor_to_json"
@@ -194,7 +194,7 @@ case class CborDecodeExpr(child: Expression)
 /** `json_to_msgpack(jsonText)` → MessagePack bytes (third Document codec,
   * graft.json.MsgPackCodec). SQL NULL for unparseable JSON. */
 case class MsgPackEncodeExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def prettyName: String = "json_to_msgpack"
@@ -209,7 +209,7 @@ case class MsgPackEncodeExpr(child: Expression)
 /** `msgpack_to_json(bytes)` → canonical JSON text; SQL NULL for MsgPack
   * the document model cannot hold (bin/ext) — errors-as-data. */
 case class MsgPackDecodeExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "msgpack_to_json"

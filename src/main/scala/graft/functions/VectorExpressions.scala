@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -28,7 +28,7 @@ object VectorExpressions {
 /** `vec_cosine(a, b)` over ARRAY<DOUBLE>: dot, norms and quotient in one
   * pass, deterministic left-to-right accumulation. */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with NativeBinaryCodegen {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "vec_cosine"
@@ -52,7 +52,7 @@ case class CosineSim(left: Expression, right: Expression)
 
 /** `vec_dot(a, b)` over ARRAY<DOUBLE>. */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with NativeBinaryCodegen {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
@@ -74,7 +74,7 @@ case class VecDot(left: Expression, right: Expression)
   * base hash per shingle (identical to Spark's `hash()`), K affine
   * permutations, min per permutation — all in a single pass. */
 case class MinhashSig(child: Expression, a: Array[Long], b: Array[Long])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   override protected def nullSafeEval(input: Any): Any = {
@@ -104,7 +104,7 @@ case class MinhashSig(child: Expression, a: Array[Long], b: Array[Long])
 /** 64-bit SimHash of an ARRAY<STRING> token set: xxhash64 per token
   * (Spark's `xxhash64()` seed), signed bit votes, sign → bit. */
 case class Simhash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
   override protected def nullSafeEval(input: Any): Any = {
@@ -148,7 +148,7 @@ case class Simhash64(child: Expression)
   * what lets the dedup operators stay persist-free (no block-manager
   * leak, no 100 TB shingle cache). */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   require(n >= 1, "shingle width must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
@@ -193,7 +193,7 @@ case class WordShingles(child: Expression, n: Int)
   * regexp_replace) — semantics identical: tokens split on single spaces
   * (empties kept), punct = lowercased chars outside [a-z0-9 ]. */
 case class TextStats(child: Expression, stopwords: Set[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   override def dataType: DataType = StructType(Seq(
     StructField("n_chars", LongType, nullable = false),
     StructField("n_punct", LongType, nullable = false),
@@ -234,7 +234,7 @@ case class TextStats(child: Expression, stopwords: Set[String])
 /** Polynomial rolling-hash fingerprint h ← (h·31 + codepoint) mod 1e9+7,
   * one pass (same arithmetic as the SQL-expressible formulation). */
 case class RollingFingerprint(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_fingerprint"
   override protected def nullSafeEval(input: Any): Any = {
