@@ -161,45 +161,50 @@ object Dedup {
     column(org.apache.spark.sql.catalyst.expressions.ShiftRight(expression(c), expression(bits)))
   }
 
-  /** SimHash blocking, round-2 scheme: candidates must agree on TWO of the
-    * 16 4-bit blocks — C(16,2) = 120 block-pair keys per doc, 8-bit bucket
-    * values. Pigeonhole: breaking every 2-block agreement needs errors in
-    * ≥ 15 distinct blocks, so every pair within Hamming distance 14 is
-    * GUARANTEED to collide. True near-dups at jaccard ≥ 0.8 sit at
-    * Hamming ≤ 11 on this corpus (measured at sf0.1: max 11 of 253 pairs),
-    * well inside the guarantee; random pairs sit at ~32. vs the round-1
-    * single-block scheme (16 buckets/block) the keys are 16× finer
-    * (4096 distinct), cutting bucket collisions ~16× for 7.5× more
-    * (narrow) exploded rows — the trade that keeps candidate count
-    * O(n²/4096) instead of O(n²/16) as the corpus grows. */
-  val SimhashBlocks = 16
-  val SimhashBlockBits = 4
+  /** SimHash blocking, round-3 scheme: 14 variable-width blocks covering
+    * the 64 bits (8 five-bit + 6 four-bit); candidates must agree on TWO
+    * blocks — C(14,2) = 91 block-pair keys per doc. Pigeonhole: d bit
+    * errors touch ≤ d blocks, leaving ≥ 14−d intact, so every pair within
+    * Hamming distance 12 is GUARANTEED to share an intact block pair.
+    * True near-dups at jaccard ≥ 0.8 sit at Hamming ≤ 11 on this corpus
+    * (measured at sf0.1: max 11 of 253 pairs) — inside the guarantee with
+    * margin 1; random pairs sit at ~32. vs the round-2 2-of-16×4-bit
+    * scheme (120 keys, guarantee 14): 24% fewer exploded rows AND 2.6×
+    * fewer expected bucket collisions (Σ over block pairs of
+    * 2^-(w_i+w_j) = 0.18 here vs 120/2^8 = 0.47) — at fixed corpus
+    * density the candidate count, not the explode, is the O(n²)-shaped
+    * term, so wider blocks win as n grows. */
+  val SimhashBlockWidths: Array[Int] = Array.fill(8)(5) ++ Array.fill(6)(4)
+  val SimhashHammingGuarantee: Int = SimhashBlockWidths.length - 2
 
   def simhashNearDups(docs: DataFrame, id: String, text: Column,
                       n: Int, threshold: Double): DataFrame = {
     val shingled = docs.select(col(id), wordShingles(text, n).as("sh"))
     val sketched = shingled.select(col(id), col("sh"), simhash64(col("sh")).as("simhash"))
+    val offsets = SimhashBlockWidths.scanLeft(0)(_ + _)
     def block(b: Int): Column =
-      shiftright_dyn(col("simhash"), lit(b * SimhashBlockBits)) bitwiseAND lit(0xFL)
-    // single-long bucket key (pairIdx*256 + bits_i*16 + bits_j): cheaper
-    // join key than a struct under sort-merge
-    val pairKeys = (for { i <- 0 until SimhashBlocks; j <- (i + 1) until SimhashBlocks }
+      shiftright_dyn(col("simhash"), lit(offsets(b))) bitwiseAND
+        lit((1L << SimhashBlockWidths(b)) - 1L)
+    // single-long bucket key (pairIdx·2^12 | bits_i·2^6 | bits_j — block
+    // values are < 2^6): cheaper join key than a struct under sort-merge
+    val m = SimhashBlockWidths.length
+    val pairKeys = (for { i <- 0 until m; j <- (i + 1) until m }
       yield (i, j)).zipWithIndex.map { case ((i, j), p) =>
-        lit(p.toLong * 256L) + block(i) * 16L + block(j)
+        lit(p.toLong * 4096L) + block(i) * 64L + block(j)
       }
     val blocked = sketched.select(
       col(id), col("simhash"), explode(array(pairKeys: _*)).as("bb"))
     val a = blocked.select(col(id).as("id_a"), col("simhash").as("sim_a"), col("bb"))
     val b = blocked.select(col(id).as("id_b"), col("simhash").as("sim_b"), col("bb"))
     // prune bucket collisions with a cheap codegen'd Hamming filter before
-    // the expensive exact-jaccard verify; ≤ 14 is exactly the blocking
-    // guarantee, so the filter never drops a pair the blocking promises
-    // shuffle-hash, not sort-merge: the exploded sides are large (n×120
-    // narrow rows) but each 8-bit bucket's build set is small — hashing
-    // skips two O(n×120 log) sorts
+    // the expensive exact-jaccard verify; ≤ guarantee is exactly the
+    // blocking promise, so the filter never drops a promised pair
+    // shuffle-hash, not sort-merge: the exploded sides are large (n×91
+    // narrow rows) but each bucket's build set is small — hashing
+    // skips two O(n×91 log) sorts
     val cands = a.hint("shuffle_hash")
       .join(b, a("bb") === b("bb") && col("id_a") < col("id_b"))
-      .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 14)
+      .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= SimhashHammingGuarantee)
       .select(col("id_a"), col("id_b")).distinct()
     val sa = shingled.select(col(id).as("id_a"), col("sh").as("sh_a"))
     val sb = shingled.select(col(id).as("id_b"), col("sh").as("sh_b"))
