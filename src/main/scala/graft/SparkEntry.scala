@@ -455,10 +455,15 @@ object SparkEntry {
     }),
 
     // --- dedup family (LLM-pipeline layer) ------------------------------
+    // grouping key is (xxhash64(props), props): the full key must ride the
+    // exchange anyway (it IS the output column), but the 8-byte hash prefix
+    // means the sort-based fallback the hash aggregate spills into at scale
+    // resolves comparisons on the hash, not the whole document
     "dedup_exact" -> ((s, dir) =>
       table(s, dir, "events")
-        .groupBy(col("props"))
-        .agg(min(col("event_id")).as("keeper"), count(lit(1)).as("n"))),
+        .groupBy(xxhash64(col("props")).as("__h"), col("props"))
+        .agg(min(col("event_id")).as("keeper"), count(lit(1)).as("n"))
+        .drop("__h")),
 
     "dedup_exact_docs" -> ((s, dir) =>
       operators.Dedup.exactDedup(

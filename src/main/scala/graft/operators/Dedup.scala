@@ -25,12 +25,34 @@ object Dedup {
 
   // ------------------------------------------------------------ exact
 
-  /** Keep exactly one row per key (the one with the smallest tiebreak).
-    * One shuffle; at 100 TB this is the cheapest possible dedup. */
-  def exactDedup(df: DataFrame, keys: Seq[Column], tiebreak: Column): DataFrame = {
-    val w = Window.partitionBy(keys: _*).orderBy(tiebreak.asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  /** Shared core of [[exactDedup]]/[[exactDedupSalted]]: keep the first row
+    * per distinct `keys` under `tiebreak`, with the exchange KEYED ON THE
+    * 8-BYTE xxhash64 of the keys rather than the keys themselves. When the
+    * key is whole-document content (the motivating dedup case) this matters
+    * twice at 100 TB: the partitioner hashes 8 bytes instead of re-hashing
+    * the document, and the in-partition sort resolves almost every
+    * comparison on the hash — full-key comparisons only happen between
+    * hash-equal rows, i.e. true duplicates or collisions. Collision-SAFE,
+    * not collision-accepting: rows are ordered by the full keys inside each
+    * hash partition and a row survives only when its keys differ from its
+    * predecessor's (lag tie-confirm), so two distinct keys sharing a hash
+    * still dedup independently. */
+  private def keepFirstByHash(df: DataFrame, keys: Seq[Column], tiebreak: Column,
+                              extraPart: Seq[Column]): DataFrame = {
+    val h = xxhash64(keys: _*)
+    val kstruct = struct(keys: _*)
+    val w = Window.partitionBy(h +: extraPart: _*)
+      .orderBy(keys.map(_.asc) :+ tiebreak.asc: _*)
+    df.withColumn("__prevk", lag(kstruct, 1).over(w))
+      .filter(!(col("__prevk") <=> kstruct))
+      .drop("__prevk")
   }
+
+  /** Keep exactly one row per key (the one with the smallest tiebreak).
+    * One shuffle, hash-keyed (see [[keepFirstByHash]]); at 100 TB this is
+    * the cheapest possible dedup. */
+  def exactDedup(df: DataFrame, keys: Seq[Column], tiebreak: Column): DataFrame =
+    keepFirstByHash(df, keys, tiebreak, Nil)
 
   /** Skew-safe exact dedup — the two-stage salted shape of
     * `Relational.saltedCount` applied to whole-row selection. A
@@ -53,12 +75,8 @@ object Dedup {
     // nondeterminism across retries cannot change the output.
     val salted = df.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
-    val w1 = Window.partitionBy(keys :+ col("__salt"): _*).orderBy(tiebreak.asc)
-    val stage1 = salted.withColumn("__rn", row_number().over(w1))
-      .filter(col("__rn") === 1).drop("__rn")
-    val w2 = Window.partitionBy(keys: _*).orderBy(tiebreak.asc)
-    stage1.withColumn("__rn", row_number().over(w2))
-      .filter(col("__rn") === 1).drop("__rn", "__salt")
+    val stage1 = keepFirstByHash(salted, keys, tiebreak, Seq(col("__salt")))
+    keepFirstByHash(stage1, keys, tiebreak, Nil).drop("__salt")
   }
 
   // ------------------------------------------------------------ shingles

@@ -57,10 +57,17 @@ class BucketingSpec extends SparkTestBase {
 
     val salted = Dedup.exactDedupSalted(df, Seq(col("k")), col("tiebreak"), salts = 16)
     val plan = salted.queryExecution.executedPlan.toString
-    // stage-1 exchange must partition on (k, __salt) — the salted spread —
-    // and a later exchange reduces per k alone
-    assert("hashpartitioning\\(k[#0-9]*, __salt".r.findFirstIn(plan).isDefined,
-      s"expected a salted (k, __salt) exchange in:\n$plan")
+    // stage-1 exchange must partition on (xxhash64(k), __salt) — the salted
+    // spread over the 8-byte content hash, never the raw key. The window
+    // planner projects the hash into an aliased _wN column first, so the
+    // exchange key reads hashpartitioning(_wN, __salt) with the xxhash64
+    // visible in the Project below it.
+    assert("xxhash64\\(k#".r.findFirstIn(plan).isDefined,
+      s"expected an xxhash64(k) partition key projection in:\n$plan")
+    assert("hashpartitioning\\(_w[0-9]+#[0-9]+L, __salt".r.findFirstIn(plan).isDefined,
+      s"expected a salted (xxhash64(k), __salt) exchange in:\n$plan")
+    assert(!"hashpartitioning\\(k[#0-9]*[,)]".r.findFirstIn(plan).isDefined,
+      s"raw key must never be an exchange key:\n$plan")
     val plain = Dedup.exactDedup(df, Seq(col("k")), col("tiebreak"))
     val a = salted.select("k", "tiebreak").as[(String, Long)].collect().toSet
     val b = plain.select("k", "tiebreak").as[(String, Long)].collect().toSet
