@@ -31,6 +31,24 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
   }
 
+  /** 3-level nested JSON document built from real event columns
+    * (`{"a":{"b":{"c":C}},"tags":[T,"zz"],"xs":[X,2X]}`). Keys are
+    * pre-sorted and values are ints / plain words, so simple string
+    * concatenation, the engine's canonical serializer, and DuckDB's JSON
+    * parser all agree on the byte form — which is what lets the nested
+    * oracles hash-compare canonical output. */
+  private def nestedDoc: org.apache.spark.sql.Column =
+    concat(
+      lit("{\"a\":{\"b\":{\"c\":"), col("event_id") % 100,
+      lit("}},\"tags\":[\""), col("event_type"), lit("\",\"zz\"],\"xs\":["),
+      col("user_id") % 50, lit(","), (col("user_id") % 50) * 2, lit("]}"))
+
+  /** DuckDB expression producing byte-identically the same document as
+    * [[nestedDoc]] (same key order, same integer formatting). */
+  private val NestedDocSql: String =
+    """'{"a":{"b":{"c":' || (event_id % 100) || '}},"tags":["' || event_type ||""" +
+      """ '","zz"],"xs":[' || (user_id % 50) || ',' || ((user_id % 50) * 2) || ']}'"""
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // identity: canonical re-serialization of the whole document (§2.2)
@@ -454,6 +472,54 @@ object SparkEntry {
         .select(col("event_id"), col("anchor_id"))
     }),
 
+    // --- jq over genuinely nested documents -----------------------------
+    // Round-2 gap (VERDICT): every jq oracle ran over flat {"k": int}
+    // docs, so nested navigation was conformance-spec-only. These build
+    // 3-level docs from real columns (keys pre-sorted so the canonical
+    // serializer and plain string concatenation agree) and DuckDB
+    // navigates the SAME string with its own JSON parser.
+
+    // 3-level field navigation + array index + string field (§2.2)
+    "jq_nested_nav" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), nestedDoc.as("doc"))
+        .select(col("event_id"),
+          Jq.multi(Seq(
+            ("c", ".a.b.c", "long"),
+            ("x1", ".xs | .[1]", "long"),
+            ("t0", ".tags | .[0]", "string")), col("doc")).as("m"))
+        .select(col("event_id"), col("m.c"), col("m.x1"), col("m.t0"))),
+
+    // recurse `..` over 3-level nesting: pre-order, every sub-value (§2.2)
+    "jq_nested_recurse" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("event_id"), nestedDoc.as("doc"))
+      ev.select(col("event_id"), explode(Jq.docs("..", col("doc"))).as("v"))
+    }),
+
+    // re-collection of a nested array with arithmetic: [.xs | .[] | . * 2]
+    // (§2.3 List collect-all over an iterated nested array)
+    "jq_nested_collect" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), nestedDoc.as("doc"))
+        .select(col("event_id"),
+          Jq.string("[.xs | .[] | . * 2]", col("doc")).as("doubled"))),
+
+    // dict fan-out driven by a NESTED array, carrying a deep nav (§2.3)
+    "jq_nested_fanout" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("event_id"), nestedDoc.as("doc"))
+      Jq.explodeDocs(ev, "{c: .a.b.c, t: .tags | .[]}", col("doc"), "v_doc")
+        .select(col("event_id"), col("v_doc"))
+    }),
+
+    // VARIANT carrier: parse_json → Spark VARIANT → the binary-native jq
+    // walk (JqInput.fromVariant), no JSON text re-parse per pipeline (§1.4)
+    "jq_variant_path" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), nestedDoc.as("doc"), col("props"))
+        .select(col("event_id"),
+          Jq.long(".k", parse_json(col("props"))).as("k"),
+          Jq.long(".a.b.c", parse_json(col("doc"))).as("c"))),
+
     // --- dedup family (LLM-pipeline layer) ------------------------------
     // grouping key is (xxhash64(props), props): the full key must ride the
     // exchange anyway (it IS the output column), but the 8-byte hash prefix
@@ -859,6 +925,52 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
              true AS approx_ok, true AS p50_ok
       FROM lineitem GROUP BY l_returnflag""",
+
+    // --- jq over nested documents ----------------------------------------
+    // NESTED_DOC_SQL builds byte-identically the doc nestedDoc builds in
+    // Spark; navigation oracles then use DuckDB's OWN JSON parser on it.
+
+    "jq_nested_nav" -> s"""
+      WITH d AS (SELECT event_id, $NestedDocSql AS doc FROM events)
+      SELECT event_id,
+             CAST(json_extract(doc, '$$.a.b.c') AS BIGINT) AS c,
+             CAST(json_extract(doc, '$$.xs[1]') AS BIGINT) AS x1,
+             json_extract_string(doc, '$$.tags[0]') AS t0
+      FROM d""",
+
+    "jq_nested_recurse" -> s"""
+      WITH d AS (SELECT event_id, event_id % 100 AS c, event_type AS t,
+                        user_id % 50 AS x FROM events)
+      SELECT event_id, $NestedDocSql AS v FROM events
+      UNION ALL SELECT event_id, '{"b":{"c":' || c || '}}' FROM d
+      UNION ALL SELECT event_id, '{"c":' || c || '}' FROM d
+      UNION ALL SELECT event_id, CAST(c AS VARCHAR) FROM d
+      UNION ALL SELECT event_id, '["' || t || '","zz"]' FROM d
+      UNION ALL SELECT event_id, '"' || t || '"' FROM d
+      UNION ALL SELECT event_id, '"zz"' FROM d
+      UNION ALL SELECT event_id, '[' || x || ',' || (x * 2) || ']' FROM d
+      UNION ALL SELECT event_id, CAST(x AS VARCHAR) FROM d
+      UNION ALL SELECT event_id, CAST(x * 2 AS VARCHAR) FROM d""",
+
+    "jq_nested_collect" -> """
+      SELECT event_id,
+             '[' || ((user_id % 50) * 2) || ',' || ((user_id % 50) * 4) || ']' AS doubled
+      FROM events""",
+
+    "jq_nested_fanout" -> """
+      SELECT event_id,
+             '{"c":' || (event_id % 100) || ',"t":"' || event_type || '"}' AS v_doc
+      FROM events
+      UNION ALL
+      SELECT event_id, '{"c":' || (event_id % 100) || ',"t":"zz"}' AS v_doc
+      FROM events""",
+
+    "jq_variant_path" -> s"""
+      WITH d AS (SELECT event_id, $NestedDocSql AS doc FROM events)
+      SELECT e.event_id,
+             CAST(json_extract(e.props, '$$.k') AS BIGINT) AS k,
+             CAST(json_extract(d.doc, '$$.a.b.c') AS BIGINT) AS c
+      FROM events e JOIN d ON e.event_id = d.event_id""",
 
     // --- dedup family ----------------------------------------------------
     "dedup_exact" ->
