@@ -303,6 +303,38 @@ object SparkEntry {
         .select(col("o_orderkey"), col("price"))
     }),
 
+    // README goals (6)-(7) storage mapping, persisted: the upsert snapshot
+    // written as a BUCKETED table (the disk-b-tree/bucket-index analogue)
+    // and read back co-bucketed with a bucketed fact table. The merge-
+    // hinted join then plans with ZERO exchange on either side — the
+    // one-time layout cost that replaces every successive snapshot⋈fact
+    // shuffle at 100 TB (plan evidence: BucketingSpec + PLANS.md).
+    "rel_bucketed_join" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      val base = orders
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice").as("price"))
+        .withColumn("__v", lit(1L))
+      val changes = orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), (col("o_totalprice") * 2).as("price"))
+        .withColumn("__v", lit(2L))
+      val snap = operators.Relational.upsert(base, changes, Seq(col("o_orderkey")), col("__v"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("price"))
+      snap.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", "/tmp/graft_bucketed/snap_b").mode("overwrite")
+        .saveAsTable("graft_snap_b")
+      table(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", "/tmp/graft_bucketed/li_b").mode("overwrite")
+        .saveAsTable("graft_li_b")
+      s.table("graft_snap_b").hint("merge")
+        .join(s.table("graft_li_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("price").cast("decimal(18,2)")).as("sum_price"))
+        .select(col("o_orderstatus"), col("n_lines"),
+          col("sum_price").cast("double").as("sum_price"))
+    }),
+
     // incremental view maintenance over the upsert semantics: post-change
     // per-group aggregate from base aggregate + change deltas only (the
     // oracle recomputes the whole snapshot; the Spark side never does)
@@ -801,6 +833,16 @@ object SparkEntry {
       SELECT o_orderkey,
              CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS price
       FROM orders""",
+
+    "rel_bucketed_join" -> """
+      WITH snap AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS price
+        FROM orders)
+      SELECT s.o_orderstatus, count(*) AS n_lines,
+             CAST(sum(CAST(s.price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM snap s JOIN lineitem l ON s.o_orderkey = l.l_orderkey
+      GROUP BY s.o_orderstatus""",
 
     "rel_ivm" -> """
       WITH snap AS (

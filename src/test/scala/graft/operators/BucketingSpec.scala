@@ -74,4 +74,19 @@ class BucketingSpec extends SparkTestBase {
     assert(a == b, s"salted dedup diverged: ${(a -- b) ++ (b -- a)}")
     assert(a.size == 5001) // HOT winner + 5000 unique keys
   }
+
+  test("rel_bucketed_join: snapshot⋈fact joins with zero exchange below the join") {
+    // the oracle query itself (README goals 6-7 storage mapping): the
+    // bucketed-snapshot read-back must join co-bucketed — any Exchange
+    // below the SortMergeJoin means the layout cost bought nothing
+    val df = graft.SparkEntry.queries("rel_bucketed_join")(spark, sfDir)
+    df.collect() // materialize through AQE so the final plan is real
+    // scope to the AQE final plan: the appended "== Initial Plan ==" dump
+    // repeats the tree and would double-count the post-join agg exchange
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val below = "(?s)SortMergeJoin.*".r.findFirstIn(plan)
+      .map(s => "Exchange hashpartitioning".r.findAllIn(s).length).getOrElse(-1)
+    assert(below == 0,
+      s"expected a co-bucketed shuffle-free join below SortMergeJoin in:\n$plan")
+  }
 }
