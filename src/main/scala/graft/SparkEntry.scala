@@ -684,6 +684,13 @@ object SparkEntry {
       streaming.EventStreams.windowedStats(
         table(s, dir, "events"), "1 hour", "10 minutes")),
 
+    // streaming jq: the jq projection + watermarked windowed aggregate
+    // composition, run here in its batch/backfill form (identical
+    // declaration; StreamingSpec drives the live micro-batch path)
+    "stream_jq_window" -> ((s, dir) =>
+      streaming.EventStreams.jqWindowedStats(
+        table(s, dir, "events"), ".k", "1 hour", "10 minutes")),
+
     "stream_sessionize" -> ((s, dir) =>
       // DuckDB reads the TIMESTAMP(NANOS) parquet at µs precision, so the
       // oracle comparison runs on µs-truncated nanos (semantics unchanged)
@@ -1137,6 +1144,13 @@ object SparkEntry {
       SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wstart, event_type,
              count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2""",
+
+    "stream_jq_window" -> """
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wstart, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
       FROM events GROUP BY 1, 2""",
 
     "stream_sessionize" -> """

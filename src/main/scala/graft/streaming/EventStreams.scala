@@ -45,6 +45,31 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** Streaming jq: the fused jq projection (graft.Jq — one codegen'd
+    * narrow expression, no extra stage) composed with the watermarked
+    * tumbling-window aggregate. The SAME declaration runs as a backfill on
+    * batch input and as the live tail on `readStream` input — the jq
+    * engine needs no streaming-specific path because it is a pure per-row
+    * projection ahead of the stateful aggregate. `query` must yield a
+    * long per document (missing/errored docs → NULL, which the aggregate
+    * ignores). */
+  def jqWindowedStats(events: DataFrame, query: String,
+                      windowLen: String, watermarkDelay: String): DataFrame = {
+    val withTime = events
+      .withColumn("event_time", eventTime(col("ts")))
+      .withColumn("jq_k", graft.Jq.long(query, col("props")))
+    val watermarked =
+      if (withTime.isStreaming) withTime.withWatermark("event_time", watermarkDelay)
+      else withTime
+    watermarked
+      .groupBy(window(col("event_time"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("jq_k")).as("sum_k"),
+        max(col("jq_k")).as("max_k"))
+      .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"),
+        col("n"), col("sum_k"), col("max_k"))
+  }
+
   // ------------------------------------------------------------ sessions
 
   /** Batch sessionization: split each user's event sequence on gaps longer

@@ -37,6 +37,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("jqWindowedStats: jq projection + windowed agg, streaming == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", col("ts").cast("long"))
+      .select("ts", "event_type", "props")
+      .limit(500)
+    val rows = batch.collect()
+
+    val stream = MemoryStream[(Long, String, String)]
+    val sdf = stream.toDF().toDF("ts", "event_type", "props")
+    val q = jqWindowedStats(sdf, ".k", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("jqwin_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(rows.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val streamed = spark.sql("SELECT * FROM jqwin_out").collect().map(key).toSet
+      val expected = jqWindowedStats(batch, ".k", "1 hour", "10 minutes")
+        .collect().map(key).toSet
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("sessionizeStreaming closes sessions exactly like sessionizeBatch") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
