@@ -42,7 +42,10 @@ object Cli {
         else sources.JsonDocs.readJsonl(spark, path)
       val out = docs
         .select(Jq.query(query, col("doc")).as("entries"), col("error"))
-      out.collect().foreach { row =>
+      // toLocalIterator, not collect: the CLI advertises "query a big
+      // file", so the driver holds one partition at a time, never the
+      // whole result (round-2 advice)
+      out.toLocalIterator().forEachRemaining { row =>
         if (!row.isNullAt(1)) System.err.println(s"input error: ${row.getString(1)}")
         else row.getSeq[org.apache.spark.sql.Row](0).foreach { e =>
           val errors = e.getSeq[String](1)
