@@ -504,6 +504,31 @@ object SparkEntry {
         .select(col("event_id"), col("anchor_id"))
     }),
 
+    // *_by family + flatten/paths/getpath/tojson/fromjson (round-3
+    // extension builtins) over an array-of-objects document built from
+    // real columns; every output pinned against closed-form SQL
+    "jq_by_builtins" -> ((s, dir) => {
+      val doc = concat(
+        lit("[{\"a\":"), col("event_id") % 5, lit(",\"b\":1},{\"a\":"),
+        col("user_id") % 5, lit(",\"b\":2}]"))
+      table(s, dir, "events")
+        .select(col("event_id"), doc.as("doc"))
+        .select(col("event_id"),
+          Jq.multi(Seq(
+            ("sorted_b", "sort_by(.a) | map(.b) | tojson", "string"),
+            ("n_groups", "group_by(.a) | length", "long"),
+            ("uniq_n", "unique_by(.a) | length", "long"),
+            ("min_b", "min_by(.a) | .b", "long"),
+            ("max_b", "max_by(.a) | .b", "long"),
+            ("flat", "[[.[0].a],[.[1].a,[.[0].b]]] | flatten | tojson", "string"),
+            ("npaths", "[paths] | length", "long"),
+            ("gp", """getpath([1,"a"])""", "long"),
+            ("rt", "tojson | fromjson | .[0].a", "long")), col("doc")).as("m"))
+        .select(col("event_id"), col("m.sorted_b"), col("m.n_groups"),
+          col("m.uniq_n"), col("m.min_b"), col("m.max_b"), col("m.flat"),
+          col("m.npaths"), col("m.gp"), col("m.rt"))
+    }),
+
     // --- jq over genuinely nested documents -----------------------------
     // Round-2 gap (VERDICT): every jq oracle ran over flat {"k": int}
     // docs, so nested navigation was conformance-spec-only. These build
@@ -974,6 +999,20 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
              true AS approx_ok, true AS p50_ok
       FROM lineitem GROUP BY l_returnflag""",
+
+    "jq_by_builtins" -> """
+      WITH d AS (SELECT event_id, event_id % 5 AS a, user_id % 5 AS b FROM events)
+      SELECT event_id,
+             CASE WHEN a <= b THEN '[1,2]' ELSE '[2,1]' END AS sorted_b,
+             CAST(CASE WHEN a = b THEN 1 ELSE 2 END AS BIGINT) AS n_groups,
+             CAST(CASE WHEN a = b THEN 1 ELSE 2 END AS BIGINT) AS uniq_n,
+             CAST(CASE WHEN a <= b THEN 1 ELSE 2 END AS BIGINT) AS min_b,
+             CAST(CASE WHEN a > b THEN 1 ELSE 2 END AS BIGINT) AS max_b,
+             '[' || a || ',' || b || ',1]' AS flat,
+             CAST(6 AS BIGINT) AS npaths,
+             b AS gp,
+             a AS rt
+      FROM d""",
 
     // --- jq over nested documents ----------------------------------------
     // NESTED_DOC_SQL builds byte-identically the doc nestedDoc builds in

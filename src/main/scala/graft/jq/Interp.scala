@@ -851,6 +851,163 @@ object Interp {
           }
         }
 
+      case "sort_by" | "unique_by" | "group_by" | "min_by" | "max_by" =>
+        // EXTENSION (jq's *_by family): the sort key of element x is the
+        // array of ALL outputs of f on x (jq collects the argument's full
+        // stream). The sort is STABLE (TimSort under Ordering), so: group
+        // members keep input order, min_by returns the FIRST minimal
+        // element, max_by the LAST maximal one (jq's sort-then-.[0]/.[-1]
+        // tie-breaking), and unique_by keeps the first of each key run.
+        // totalCmp, NOT cmp — same NaN-safety note as `sort`.
+        if (args.length != 1) return wrongArity
+        val fa = compiledArgs.head
+        def keyed(items: Vector[JDoc]): Either[Vector[String], Vector[(JDoc, JDoc)]] = {
+          val out = Vector.newBuilder[(JDoc, JDoc)]
+          items.foreach { item =>
+            val entries = fa(item)
+            entries.find(_.errors.nonEmpty) match {
+              case Some(e) => return Left(e.errors)
+              case None    => out += ((JArr(entries.map(_.doc)), item))
+            }
+          }
+          Right(out.result())
+        }
+        val byKey: Ordering[(JDoc, JDoc)] =
+          (a, b) => JOps.totalCmp(a._1, b._1)
+        doc => doc match {
+          case JArr(items) =>
+            keyed(items) match {
+              case Left(errs) => Vector(JEntry(JNull, errs))
+              case Right(kv) =>
+                val sorted = kv.sorted(byKey)
+                name match {
+                  case "sort_by" => Vector(JEntry.ok(JArr(sorted.map(_._2))))
+                  case "unique_by" =>
+                    val out = sorted.foldLeft(Vector.empty[(JDoc, JDoc)]) { (acc, d) =>
+                      if (acc.nonEmpty && JOps.totalCmp(acc.last._1, d._1) == 0) acc
+                      else acc :+ d
+                    }
+                    Vector(JEntry.ok(JArr(out.map(_._2))))
+                  case "group_by" =>
+                    val groups = Vector.newBuilder[JDoc]
+                    var cur = Vector.empty[JDoc]
+                    var curKey: Option[JDoc] = None
+                    sorted.foreach { case (k, v) =>
+                      curKey match {
+                        case Some(ck) if JOps.totalCmp(ck, k) == 0 => cur :+= v
+                        case Some(_) => groups += JArr(cur); cur = Vector(v); curKey = Some(k)
+                        case None    => cur = Vector(v); curKey = Some(k)
+                      }
+                    }
+                    if (curKey.isDefined) groups += JArr(cur)
+                    Vector(JEntry.ok(JArr(groups.result())))
+                  case "min_by" =>
+                    Vector(JEntry.ok(sorted.headOption.map(_._2).getOrElse(JNull)))
+                  case _ => // max_by
+                    Vector(JEntry.ok(sorted.lastOption.map(_._2).getOrElse(JNull)))
+                }
+            }
+          case other => Vector(JEntry(JNull, Vector(s"cannot $name over ${other.typeName}")))
+        }
+
+      case "flatten" =>
+        // EXTENSION (jq): flatten nested arrays. The optional argument is
+        // the DEPTH (jq's flatten(2)), a deliberate exception to the
+        // arg-selects-input convention — join/getpath set the precedent of
+        // jq-faithful argument meaning. No argument = fully flat.
+        if (args.length > 1) return wrongArity
+        val fa = compiledArgs.headOption
+        doc => {
+          val depthE: Either[Vector[String], Long] = fa match {
+            case None => Right(Long.MaxValue)
+            case Some(f) => firstOut(f, doc) match {
+              case Left(m)                       => Left(Vector(m))
+              case Right(e) if e.errors.nonEmpty => Left(e.errors)
+              case Right(e) => e.doc match {
+                case JLong(v) if v >= 0 => Right(v)
+                case other => Left(Vector(s"flatten depth must be a non-negative integer, got ${JsonText.canonical(other)}"))
+              }
+            }
+          }
+          (depthE, doc) match {
+            case (Left(errs), _) => Vector(JEntry(JNull, errs))
+            case (Right(d), JArr(items)) =>
+              def flat(xs: Vector[JDoc], d: Long): Vector[JDoc] =
+                xs.flatMap {
+                  case JArr(inner) if d > 0 => flat(inner, d - 1)
+                  case x                    => Vector(x)
+                }
+              Vector(JEntry.ok(JArr(flat(items, d))))
+            case (_, other) => Vector(JEntry(JNull, Vector(s"cannot flatten ${other.typeName}")))
+          }
+        }
+
+      case "paths" =>
+        // EXTENSION (jq): one path array per sub-value, pre-order, root
+        // excluded; object fields visited in document (canonical) order —
+        // the same traversal `..` uses, but emitting paths not values
+        doc => inputFor(doc).flatMap { e =>
+          if (e.errors.nonEmpty) Vector(e)
+          else {
+            val out = Vector.newBuilder[JDoc]
+            def walk(d: JDoc, path: Vector[JDoc]): Unit = {
+              if (path.nonEmpty) out += JArr(path)
+              d match {
+                case JArr(items) =>
+                  items.zipWithIndex.foreach { case (v, i) => walk(v, path :+ JLong(i.toLong)) }
+                case JObj(props) =>
+                  props.foreach { case (k, v) => walk(v, path :+ JStr(k)) }
+                case _ => ()
+              }
+            }
+            walk(e.doc, Vector.empty)
+            out.result().map(JEntry.ok)
+          }
+        }
+
+      case "getpath" =>
+        // EXTENSION (jq): navigate by a path ARRAY (the runtime companion
+        // of the static .a.b chain); missing / non-navigable steps yield
+        // null, matching jq's "elements that do not exist" contract
+        if (args.length != 1) return wrongArity
+        withArgValue(compiledArgs.head) { (doc, pathDoc) =>
+          pathDoc match {
+            case JArr(segs) =>
+              var cur: JDoc = doc
+              var alive = true
+              segs.foreach { seg =>
+                if (alive) (cur, seg) match {
+                  case (JObj(props), JStr(k)) =>
+                    props.find(_._1 == k) match {
+                      case Some((_, v)) => cur = v
+                      case None         => alive = false
+                    }
+                  case (JArr(items), JLong(i)) =>
+                    val idx = if (i < 0) items.length + i else i
+                    if (idx >= 0 && idx < items.length) cur = items(idx.toInt)
+                    else alive = false
+                  case _ => alive = false
+                }
+              }
+              Vector(JEntry.ok(if (alive) cur else JNull))
+            case other =>
+              Vector(JEntry(JNull, Vector(s"getpath path must be an array, got ${other.typeName}")))
+          }
+        }
+
+      case "tojson" =>
+        // differs from tostring exactly where jq's does: strings are
+        // QUOTED/escaped ("a" → "\"a\"")
+        overInput(d => Right(JStr(JsonText.canonical(d))))
+
+      case "fromjson" =>
+        overInput {
+          case JStr(s) =>
+            try Right(JsonText.parse(s))
+            catch { case e: JsonText.JsonParseException => Left(s"fromjson: ${e.getMessage}") }
+          case other => Left(s"cannot parse ${other.typeName} as json")
+        }
+
       case other =>
         _ => Vector(JEntry(JNull, Vector(s"unknown builtin $other")))
     }

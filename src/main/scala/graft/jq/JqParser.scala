@@ -36,11 +36,13 @@ object JqParser {
     "type", "add", "sort", "unique", "reverse", "min", "max",
     "tostring", "tonumber", "floor", "ceil", "sqrt", "abs",
     "empty", "first", "last", "to_entries", "from_entries",
-    "ascii_downcase", "ascii_upcase")
+    "ascii_downcase", "ascii_upcase",
+    "flatten", "paths", "tojson", "fromjson")
   private[jq] val allBuiltins =
     bareBuiltins ++ Set("has", "in", "map", "any", "all", "join", "del",
       "select", "test", "range", "startswith", "endswith", "ltrimstr",
-      "rtrimstr", "split", "contains")
+      "rtrimstr", "split", "contains",
+      "sort_by", "unique_by", "group_by", "min_by", "max_by", "getpath")
 
   /** Reserved continuation words of the `if` form (EXTENSION): they stop
     * juxtaposition/expression scans, so branch bodies end cleanly. Like

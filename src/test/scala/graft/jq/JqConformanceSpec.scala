@@ -535,6 +535,11 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
       else JsonText.canonical(e.doc)
     }
 
+  private def check(q: String, doc: String, expected: String*): Unit = {
+    val got = outs(q, doc)
+    assert(got == expected.toSeq, s"\nquery: <$q>\ndoc: <$doc>\nexpected: $expected\ngot: $got")
+  }
+
   test("dict: multi-valued keys expand in-place, values fan out (ops.rs:610-650)") {
     // per pair, EVERY key gets the full value list → keys live in the same
     // object; value choices multiply across output objects, first pair
@@ -575,6 +580,52 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(outs("[.missing]?", "{}").isEmpty)
     assert(outs("{v: .missing}?", "{}").isEmpty)
     assert(outs("[.a]?", """{"a":1}""") == Seq("[1]"))
+  }
+
+  test("*_by family: stable sort keys, jq tie-breaking (EXTENSION)") {
+    val doc = """[{"a":2,"b":1},{"a":1,"b":2},{"a":2,"b":3},{"a":1,"b":4}]"""
+    check("sort_by(.a) | map(.b)", doc, "[2,4,1,3]") // stable within equal keys
+    check("group_by(.a) | map(map(.b))", doc, "[[2,4],[1,3]]")
+    check("unique_by(.a) | map(.b)", doc, "[2,1]") // FIRST of each key run
+    check("min_by(.a) | .b", doc, "2")             // first minimal
+    check("max_by(.a) | .b", doc, "3")             // LAST maximal (jq .[-1])
+    check("min_by(.a)", "[]", "null")
+    check("max_by(.a)", "[]", "null")
+    // the key is the argument's FULL output stream as an array (this
+    // dialect separates call args with ',', so a multi-key sort is the
+    // iterate stream `.[a, b]`, not jq's `(.a, .b)`)
+    check("sort_by(.[a, b]) | map(.b)", doc, "[2,4,1,3]")
+    // missing key errors (engine Index semantics) and the error propagates;
+    // suppressed with `?` the key stream is EMPTY ([]) for every element —
+    // all equal, stable sort keeps input order
+    check("sort_by(.x) | map(.b)", doc, "ERROR: cannot index x into Object")
+    check("sort_by(.x?) | map(.b)", doc, "[1,2,3,4]")
+    check("sort_by(.a)", "3", "ERROR: cannot sort_by over Integer")
+  }
+
+  test("flatten / paths / getpath / tojson / fromjson (EXTENSION)") {
+    check("flatten", "[1,[2,[3,[4]]],5]", "[1,2,3,4,5]")
+    check("flatten(1)", "[1,[2,[3]]]", "[1,2,[3]]")
+    check("flatten(0)", "[1,[2]]", "[1,[2]]")
+    check("flatten", "3", "ERROR: cannot flatten Integer")
+    check("flatten(-1)", "[[1]]", "ERROR: flatten depth must be a non-negative integer, got -1")
+    check("[paths]", """{"a":{"b":1},"xs":[7,8]}""",
+      """[["a"],["a","b"],["xs"],["xs",0],["xs",1]]""")
+    check("[paths]", "3", "[]") // scalars have no sub-paths
+    check("""getpath(["a","b"])""", """{"a":{"b":42}}""", "42")
+    check("""getpath(["a","missing"])""", """{"a":{"b":42}}""", "null")
+    check("""getpath(["a",0])""", """{"a":[9]}""", "9")
+    check("""getpath(["a",-1])""", """{"a":[9,10]}""", "10")
+    check("""getpath(["a","b"])""", """{"a":3}""", "null") // through a scalar → null
+    check("getpath(.)", "3", "ERROR: getpath path must be an array, got Integer")
+    // tojson quotes strings where tostring does not
+    check("tojson", "\"hi\"", "\"\\\"hi\\\"\"")
+    check("tostring", "\"hi\"", "\"hi\"")
+    check("tojson", """{"b":2,"a":1}""", "\"{\\\"a\\\":1,\\\"b\\\":2}\"")
+    check("tojson | fromjson | .a", """{"a":5}""", "5")
+    check("fromjson", "\"[1,2]\"", "[1,2]")
+    check("fromjson", "\"{bad\"", "ERROR: fromjson: expected object key string at offset 1")
+    check("fromjson", "3", "ERROR: cannot parse Integer as json")
   }
 
   test("parser: garbage never hangs, always JqParseException") {
