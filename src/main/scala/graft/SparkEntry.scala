@@ -647,6 +647,25 @@ object SparkEntry {
         .agg((sum(coalesce(col("hit"), lit(0L))) >= 4).as("recall_ok"))
     }),
 
+    // IVF coarse-quantizer ANN (the second index family next to SRP-LSH):
+    // recall vs exact top-5 emitted AS DATA and hash-checked, plus the
+    // deterministic self-hit contract (identical vector ⇒ same cell ⇒
+    // always found at rank 1). Measured hits: 4-5/5 at sf0.01, 5/5 at
+    // sf0.1 — the ≥4-of-5 cut has the same margin sim_ann_lsh uses.
+    "sim_ivf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val ivf = operators.Similarity.ivfTopK(emb, qs, k = 5)
+      val exact = operators.Similarity.cosineTopK(emb, qs, k = 5)
+      val selfHit = ivf.filter(col("rnk") === 1)
+        .select(col("qid"), (col("vec_id") === col("qid")).as("self_ok"))
+      exact.join(ivf.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
+          Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) >= 4).as("recall_ok"))
+        .join(selfHit, "qid")
+    }),
+
     // --- text analysis ---------------------------------------------------
     "text_langid" -> ((s, dir) =>
       table(s, dir, "documents").select(
@@ -1114,6 +1133,9 @@ object SparkEntry {
 
     "sim_ann_lsh" ->
       "SELECT DISTINCT vec_id AS qid, true AS recall_ok FROM embeddings WHERE vec_id < 10",
+
+    "sim_ivf" ->
+      "SELECT DISTINCT vec_id AS qid, true AS recall_ok, true AS self_ok FROM embeddings WHERE vec_id < 10",
 
     // --- similarity search ----------------------------------------------
     "sim_topk" -> """

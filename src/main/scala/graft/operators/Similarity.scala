@@ -113,6 +113,55 @@ object Similarity {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  // ------------------------------------------------------- IVF (scale path 2)
+
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer
+    * counterpart of [[annTopK]]'s LSH tables, the other standard ANN
+    * index family. Corpus vectors are assigned to the nearest of C coarse
+    * centroids by a NARROW projection: the centroid table is materialized
+    * once into plan literals (O(C·dim) bytes, exactly like the SRP
+    * hyperplanes), so the corpus is never shuffled to be indexed. Each
+    * query probes its P nearest centroids; exact cosine ranks the union
+    * of probed cells. Per-query candidate work is ~corpus × P/C, and the
+    * only shuffle in the whole operator is the final top-k window over
+    * (qid, vec_id, sim) triples.
+    *
+    * Centroids are a deterministic id-sample of the corpus (the C lowest
+    * vec_ids). A k-means pass would tighten cell boundaries but not the
+    * plan shape, which is what matters at 100 TB. Recall characteristics
+    * differ from LSH: a byte-identical duplicate ALWAYS shares the
+    * query's best cell (equal vectors, equal assignment) and is always
+    * found; weakly-similar neighbors spread across cells, so P/C bounds
+    * their hit rate — the sim_ivf oracle emits both contracts as data. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              cells: Int = 16, probes: Int = 4): DataFrame = {
+    val cents: Array[Array[Double]] = corpus
+      .orderBy(col("vec_id")).limit(cells)
+      .select(dvec(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    def centLit(c: Array[Double]): Column = array(c.map(lit(_)): _*)
+    def simsTo(v: Column): Column = array(cents.map(c => cosine(v, centLit(c))): _*)
+    // 1-based argmax; ties take the lowest cell id (array_position is first-match)
+    def bestCell(v: Column): Column = array_position(simsTo(v), array_max(simsTo(v)))
+
+    val e = corpus.select(col("vec_id"), dvec(col("embedding")).as("v"))
+      .withColumn("cell", bestCell(col("v")))
+    val qv = queries.select(col("vec_id").as("qid"), dvec(col("embedding")).as("qv"))
+    // probe list: the P nearest centroids per query (query side is tiny)
+    val qprobe = qv
+      .select(col("qid"), posexplode(simsTo(col("qv"))).as(Seq("cidx", "csim")))
+      .select(col("qid"), (col("cidx").cast("bigint") + 1L).as("cell"), col("csim"))
+    val w0 = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell").asc)
+    val probed = qprobe.withColumn("crnk", row_number().over(w0))
+      .filter(col("crnk") <= probes).select(col("qid"), col("cell"))
+    val scored = e.join(broadcast(probed), "cell")
+      .join(broadcast(qv), "qid")
+      .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("vec_id"))
+  }
+
   // ------------------------------------------------------- LSH (scale path)
 
   /** Sign-random-projection layout: L independent hash tables of H

@@ -62,6 +62,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(mean >= 0.5, s"mean recall@5 too low: $mean")
   }
 
+  test("IVF top-k: self/identical always found, recall@5 against brute force, no corpus shuffle for indexing") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val ivf = Similarity.ivfTopK(emb, queries, 5)
+    val rows = ivf.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // an identical vector shares the query's best cell deterministically —
+    // every in-corpus query must find ITSELF at rank 1 (sim = 1)
+    rows.filter(_._2 == 1L).foreach { case (q, _, id) => assert(q == id, s"query $q top-1 was $id") }
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val approx = rows.map(t => (t._1, t._3)).groupBy(_._1)
+    val recalls = exact.keys.toSeq.map { q =>
+      val e = exact(q).map(_._2).toSet
+      val a = approx.getOrElse(q, Array.empty).map(_._2).toSet
+      (e intersect a).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@5 too low: $mean")
+    // plan shape: indexing is a narrow projection (centroids are plan
+    // literals), so the corpus reaches its joins via broadcast with no
+    // Exchange. The only hashpartitioning exchanges allowed are per-QUERY
+    // windows (probe ranking over ~|queries| rows, final top-k over the
+    // candidate triples) — both keyed on qid, never on corpus columns
+    val plan = ivf.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val keys = "Exchange hashpartitioning\\((\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(_.startsWith("qid")),
+      s"every exchange must key on qid (query side), got $keys in:\n$plan")
+  }
+
   test("blocked exact near-dup pairs: matches brute force, no nested-loop join") {
     val blocked = Similarity.cosineNearDupPairs(emb, 0.45, blocks = 8)
     // physical shape: every join is an equi-join (hash/sort-merge/broadcast-
