@@ -529,6 +529,20 @@ object SparkEntry {
           col("m.npaths"), col("m.gp"), col("m.rt"))
     }),
 
+    // reduce/foreach folds, `as $x` binders, string interpolation
+    // (round-3 jq-language constructs) — closed-form oracle per column
+    "jq_fold_interp" -> ((s, dir) => {
+      val k = col("event_id") % 100
+      val arrDoc = concat(lit("["), k, lit(","), k * 2, lit(",7]"))
+      table(s, dir, "events")
+        .select(col("event_id"), arrDoc.as("doc"), col("props"))
+        .select(col("event_id"),
+          Jq.long("reduce .[] as $x (0; . + $x)", col("doc")).as("total"),
+          Jq.string("[foreach .[] as $x (0; . + $x)] | tojson", col("doc")).as("scan"),
+          Jq.long(".[0] as $x | .[1] + $x", col("doc")).as("bound"),
+          Jq.string("\"k=\\(.k)!\"", col("props")).as("label"))
+    }),
+
     // --- jq over genuinely nested documents -----------------------------
     // Round-2 gap (VERDICT): every jq oracle ran over flat {"k": int}
     // docs, so nested navigation was conformance-spec-only. These build
@@ -1031,6 +1045,16 @@ object SparkEntry {
              CAST(6 AS BIGINT) AS npaths,
              b AS gp,
              a AS rt
+      FROM d""",
+
+    "jq_fold_interp" -> """
+      WITH d AS (SELECT event_id, event_id % 100 AS k,
+                        CAST(json_extract(props, '$.k') AS BIGINT) AS pk FROM events)
+      SELECT event_id,
+             k * 3 + 7 AS total,
+             '[' || k || ',' || (k * 3) || ',' || (k * 3 + 7) || ']' AS scan,
+             k * 3 AS bound,
+             'k=' || pk || '!' AS label
       FROM d""",
 
     // --- jq over nested documents ----------------------------------------

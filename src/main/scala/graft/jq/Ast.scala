@@ -88,6 +88,27 @@ object Ast {
     * parse time. */
   final case class IfElse(cond: Ast, thenB: Ast, elseB: Option[Ast]) extends Ast
 
+  /** EXTENSION (jq): `$name` variable reference — looks up the innermost
+    * `as $name` binding in scope; unbound is an error entry. */
+  final case class Var(name: String) extends Ast
+
+  /** EXTENSION (jq): `src as $name | body` — for EACH output of src, bind
+    * it to $name and run body (fan-out; body sees the ORIGINAL input as
+    * `.`, jq's binding semantics). */
+  final case class BindAs(src: Ast, name: String, body: Ast) extends Ast
+
+  /** EXTENSION (jq): `reduce src as $name (init; update)` — fold update
+    * over src's outputs; `.` inside update is the accumulator. `foreach`
+    * is the scan variant emitting every intermediate accumulator. */
+  final case class Reduce(src: Ast, name: String, init: Ast, update: Ast,
+                          foreach: Boolean) extends Ast
+
+  /** EXTENSION (jq): interpolated string `"a\(e)b"`. Parts are literal
+    * text (Left) or expressions (Right); expression outputs stringify with
+    * `tostring` semantics and multi-output expressions fan out (cartesian,
+    * first part varies slowest — same order as dict value fan-out). */
+  final case class StrInterp(parts: List[Either[String, Ast]]) extends Ast
+
   /** EXTENSION (not in the reference grammar; jq's own `=` / `|=`,
     * natural companion to `json_patch`): set or update the value at a
     * static path. `path` must flatten to a chain of

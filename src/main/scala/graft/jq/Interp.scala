@@ -34,12 +34,17 @@ object JEntry {
   */
 object Interp {
 
-  type Pipe = JDoc => Vector[JEntry]
+  /** Variable environment: innermost `as $x` binding first (lexical
+    * shadowing by prepend). Threaded through every compiled closure so
+    * `$x`, binders and reduce/foreach work anywhere in a program. */
+  type Env = List[(String, JDoc)]
+
+  type Pipe = (JDoc, Env) => Vector[JEntry]
 
   def run(query: String, doc: JDoc): Vector[JEntry] =
-    compile(JqParser.parse(query))(doc)
+    compile(JqParser.parse(query))(doc, Nil)
 
-  def eval(ast: Ast, doc: JDoc): Vector[JEntry] = compile(ast)(doc)
+  def eval(ast: Ast, doc: JDoc): Vector[JEntry] = compile(ast)(doc, Nil)
 
   /** Compiled form over an already-streamed entry: errored entries pass
     * through untouched (reference: src/ops.rs:296); the input's meta
@@ -49,12 +54,12 @@ object Interp {
     * meta clone, so new_merged would append it once per operand —
     * ops.rs:832+; we merge it exactly once, which keeps the lineage lists
     * duplicate-free. Documented deviation, pinned in JMetaSpec). */
-  def compileE(ast: Ast): JEntry => Vector[JEntry] = {
+  def compileE(ast: Ast): (JEntry, Env) => Vector[JEntry] = {
     val f = compile(ast)
-    e =>
+    (e, env) =>
       if (e.errors.nonEmpty) Vector(e)
-      else if (e.meta.isEmpty) f(e.doc)
-      else f(e.doc).map { out =>
+      else if (e.meta.isEmpty) f(e.doc, env)
+      else f(e.doc, env).map { out =>
         if (out.meta.isEmpty) out.copy(meta = e.meta)
         else out.copy(meta = JMeta.merge(out.meta, e.meta))
       }
@@ -64,44 +69,44 @@ object Interp {
     if (opt) Vector.empty else Vector(JEntry(JNull, Vector(msg)))
 
   def compile(ast: Ast): Pipe = ast match {
-    case Identity => doc => Vector(JEntry.ok(doc))
-    case Recurse  => doc => JOps.recurse(doc).map(JEntry.ok)
+    case Identity => (doc, env) => Vector(JEntry.ok(doc))
+    case Recurse  => (doc, env) => JOps.recurse(doc).map(JEntry.ok)
 
     case Lit(v) =>
       val out = Vector(JEntry.ok(v)) // literals are constant per input
-      _ => out
+      (_, _) => out
 
     case OptMark(e) =>
       val f = compile(e)
-      doc => f(doc).filter(_.errors.isEmpty)
+      (doc, env) => f(doc, env).filter(_.errors.isEmpty)
 
     case IndexKey(key, opt) =>
-      doc => JOps.getKey(doc, key) match {
+      (doc, env) => JOps.getKey(doc, key) match {
         case Some(v) => Vector(JEntry.ok(v))
         case None    => err(s"cannot index $key into ${doc.typeName}", opt)
       }
 
     case IndexNum(off, opt) =>
-      doc => JOps.indexAt(doc, off) match {
+      (doc, env) => JOps.indexAt(doc, off) match {
         case Some(v) => Vector(JEntry.ok(v))
         case None    => err(s"cannot index $off into ${doc.typeName}", opt)
       }
 
     case Ident(name, opt) =>
       // bare identifier ≡ field access (reference: src/ops.rs:332-341)
-      doc => JOps.getKey(doc, name) match {
+      (doc, env) => JOps.getKey(doc, name) match {
         case Some(v) => Vector(JEntry.ok(v))
         case None    => err(s"cannot index $name into ${doc.typeName}", opt)
       }
 
     case Slice(start, end, opt) =>
-      doc => JOps.slice(doc, start, end) match {
+      (doc, env) => JOps.slice(doc, start, end) match {
         case Some(v) => Vector(JEntry.ok(v))
         case None    => err(s"cannot slice ${doc.typeName}", opt)
       }
 
     case IterValues(opt) =>
-      doc => JOps.docValues(doc) match {
+      (doc, env) => JOps.docValues(doc) match {
         case Some(vs) => vs.map(JEntry.ok)
         case None     => err(s"cannot iterate ${doc.typeName}", opt)
       }
@@ -116,8 +121,8 @@ object Interp {
       // (tested) semantics and skip exhausted pipelines. Pinned by
       // JqConformanceSpec "iterate round-robin skips exhausted streams".
       val fs = items.map(compile)
-      doc => {
-        val streams = fs.map(_(doc))
+      (doc, env) => {
+        val streams = fs.map(_(doc, env))
         val maxLen = if (streams.isEmpty) 0 else streams.map(_.length).max
         val out = Vector.newBuilder[JEntry]
         var round = 0
@@ -133,8 +138,8 @@ object Interp {
       // entries contribute their (null) doc and their errors are merged
       // (reference: src/ops.rs:556-597).
       val fs = items.map(compile)
-      doc => {
-        val entries = fs.flatMap(_(doc))
+      (doc, env) => {
+        val entries = fs.flatMap(_(doc, env))
         Vector(JEntry(JArr(entries.map(_.doc).toVector), entries.flatMap(_.errors).toVector,
           JMeta.newMerged(entries.map(_.meta))))
       }
@@ -144,10 +149,10 @@ object Interp {
 
     case Neg(e) =>
       val f = compile(e)
-      doc => f(doc).map(mapOk(_)(JOps.neg))
+      (doc, env) => f(doc, env).map(mapOk(_)(JOps.neg))
     case Not(e) =>
       val f = compile(e)
-      doc => f(doc).map(mapOk(_)(JOps.not))
+      (doc, env) => f(doc, env).map(mapOk(_)(JOps.not))
 
     case Bin(op, l, r) =>
       // per-entry zip of both operand streams, truncated to the shorter
@@ -156,9 +161,9 @@ object Interp {
       val fl = compile(l)
       val fr = compile(r)
       val kernel = binKernel(op)
-      doc => {
-        val ls = fl(doc)
-        val rs = fr(doc)
+      (doc, env) => {
+        val ls = fl(doc, env)
+        val rs = fr(doc, env)
         val n = math.min(ls.length, rs.length)
         val out = Vector.newBuilder[JEntry]
         var i = 0
@@ -174,7 +179,7 @@ object Interp {
     case Pipe(l, r) =>
       val fl = compile(l)
       val fr = compileE(r)
-      doc => fl(doc).flatMap(fr)
+      (doc, env) => fl(doc, env).flatMap(fr(_, env))
 
     case Call(name, args) =>
       compileCall(name, args)
@@ -183,32 +188,123 @@ object Interp {
       // EXTENSION (jq `//`): left's truthy non-errored outputs, else right
       val fl = compile(l)
       val fr = compile(r)
-      doc => {
-        val keep = fl(doc).filter(e => e.errors.isEmpty && JOps.truthy(e.doc))
-        if (keep.nonEmpty) keep else fr(doc)
+      (doc, env) => {
+        val keep = fl(doc, env).filter(e => e.errors.isEmpty && JOps.truthy(e.doc))
+        if (keep.nonEmpty) keep else fr(doc, env)
       }
 
     case IfElse(cond, thenB, elseB) =>
       // EXTENSION (jq if/then/elif/else/end): branch per condition output
       val fc = compile(cond)
       val ft = compile(thenB)
-      val fe = elseB.map(compile).getOrElse((d: JDoc) => Vector(JEntry.ok(d)))
-      doc => fc(doc).flatMap { ce =>
+      val fe = elseB.map(compile).getOrElse((d: JDoc, _: Env) => Vector(JEntry.ok(d)))
+      (doc, env) => fc(doc, env).flatMap { ce =>
         if (ce.errors.nonEmpty) Vector(ce)
-        else if (JOps.truthy(ce.doc)) ft(doc)
-        else fe(doc)
+        else if (JOps.truthy(ce.doc)) ft(doc, env)
+        else fe(doc, env)
+      }
+
+    case Var(name) =>
+      // EXTENSION (jq `$x`): innermost binding wins (env is a prepend list)
+      (doc, env) => env.collectFirst { case (n, v) if n == name => v } match {
+        case Some(v) => Vector(JEntry.ok(v))
+        case None    => Vector(JEntry(JNull, Vector(s"$$$name is not defined")))
+      }
+
+    case BindAs(src, name, body) =>
+      // EXTENSION (jq `src as $x | body`): fan out over src's outputs;
+      // body still sees the ORIGINAL input as `.`
+      val fs = compile(src)
+      val fb = compile(body)
+      (doc, env) => fs(doc, env).flatMap { e =>
+        if (e.errors.nonEmpty) Vector(e)
+        else fb(doc, (name, e.doc) :: env)
+      }
+
+    case Reduce(src, name, init, update, foreach) =>
+      // EXTENSION (jq reduce/foreach): fold update over src's outputs with
+      // `.` = accumulator and $name = current element. Multi-output update
+      // keeps the LAST output as the next accumulator (jq's rule); an
+      // empty update stream resets the accumulator to null (documented
+      // simplification of jq's backtracking). foreach emits EVERY update
+      // output as it goes; reduce emits only the final accumulator.
+      val fs = compile(src)
+      val fi = compile(init)
+      val fu = compile(update)
+      (doc, env) => {
+        val srcs = fs(doc, env)
+        srcs.find(_.errors.nonEmpty) match {
+          case Some(e) => Vector(e)
+          case None =>
+            fi(doc, env).flatMap { i0 =>
+              if (i0.errors.nonEmpty) Vector(i0)
+              else {
+                var acc = i0.doc
+                val outs = Vector.newBuilder[JEntry]
+                var failed: Option[JEntry] = None
+                srcs.foreach { s =>
+                  if (failed.isEmpty) {
+                    val ups = fu(acc, (name, s.doc) :: env)
+                    ups.find(_.errors.nonEmpty) match {
+                      case Some(e) => failed = Some(e)
+                      case None =>
+                        acc = ups.lastOption.map(_.doc).getOrElse(JNull)
+                        if (foreach) ups.foreach(outs += _)
+                    }
+                  }
+                }
+                failed match {
+                  case Some(e) => Vector(e)
+                  case None    => if (foreach) outs.result() else Vector(JEntry.ok(acc))
+                }
+              }
+            }
+        }
+      }
+
+    case StrInterp(parts) =>
+      // EXTENSION (jq "\(e)"): expression outputs stringify with tostring
+      // semantics (strings stay bare, other values canonical); multi-output
+      // parts fan out as a cartesian product, first part varying slowest —
+      // the same order dict value fan-out uses
+      val compiled: List[Either[String, Pipe]] =
+        parts.map { case Left(s) => Left(s); case Right(a) => Right(compile(a)) }
+      (doc, env) => {
+        var results: Vector[JEntry] = Vector(JEntry.ok(JStr("")))
+        compiled.foreach { part =>
+          results = results.flatMap { cur =>
+            if (cur.errors.nonEmpty) Vector(cur)
+            else {
+              val prefix = cur.doc.asInstanceOf[JStr].v
+              part match {
+                case Left(txt) => Vector(JEntry.ok(JStr(prefix + txt)))
+                case Right(f) => f(doc, env).map { e =>
+                  if (e.errors.nonEmpty) e
+                  else {
+                    val s = e.doc match {
+                      case JStr(x) => x
+                      case d       => JsonText.canonical(d)
+                    }
+                    JEntry.ok(JStr(prefix + s))
+                  }
+                }
+              }
+            }
+          }
+        }
+        results
       }
 
     case Assign(pathAst, valueAst, update) =>
       // EXTENSION (jq `=` / `|=`, Ast.Assign): static-path set/update.
       flattenPath(pathAst) match {
         case None =>
-          _ => Vector(JEntry(JNull, Vector("assignment path must be a static .key/.index chain")))
+          (_, _) => Vector(JEntry(JNull, Vector("assignment path must be a static .key/.index chain")))
         case Some(segs) =>
           val fv = compile(valueAst)
           if (!update) {
             // `.p = e`: e runs against the ROOT input; one output per entry
-            doc => fv(doc).map { ve =>
+            (doc, env) => fv(doc, env).map { ve =>
               if (ve.errors.nonEmpty) ve
               else JOps.setPath(doc, segs, ve.doc) match {
                 case Right(out) => JEntry(out, Vector.empty, ve.meta)
@@ -217,10 +313,10 @@ object Interp {
             }
           } else {
             // `.p |= f`: f runs against the CURRENT value; first output wins
-            doc => JOps.getPath(doc, segs) match {
+            (doc, env) => JOps.getPath(doc, segs) match {
               case Left(msg) => Vector(JEntry(JNull, Vector(msg)))
               case Right(cur) =>
-                fv(cur).headOption match {
+                fv(cur, env).headOption match {
                   case None => Vector(JEntry(JNull, Vector("update produced no output")))
                   case Some(ve) if ve.errors.nonEmpty => Vector(ve)
                   case Some(ve) =>
@@ -288,12 +384,12 @@ object Interp {
     val compiled: List[(Pipe, Option[Pipe])] =
       pairs.map(p => (compile(p.key), p.value.map(compile)))
 
-    doc => {
+    (doc, env) => {
       val props: List[(JEntry, Vector[JEntry])] = compiled.flatMap { case (fk, fvOpt) =>
-        val keys = fk(doc)
+        val keys = fk(doc, env)
         fvOpt match {
           case Some(fv) =>
-            val values = fv(doc)
+            val values = fv(doc, env)
             keys.map(k => (k, values))
           case None =>
             // dynamic shorthand: value = input doc's field named by the key
@@ -347,11 +443,11 @@ object Interp {
   private def compileCall(name: String, args: List[Ast]): Pipe = {
     val compiledArgs = args.map(compile)
 
-    def inputFor(doc: JDoc): Vector[JEntry] =
-      if (compiledArgs.isEmpty) Vector(JEntry.ok(doc)) else compiledArgs.head(doc)
+    def inputFor(doc: JDoc, env: Env): Vector[JEntry] =
+      if (compiledArgs.isEmpty) Vector(JEntry.ok(doc)) else compiledArgs.head(doc, env)
 
     def overInput(f: JDoc => Either[String, JDoc]): Pipe =
-      doc => inputFor(doc).map { e =>
+      (doc, env) => inputFor(doc, env).map { e =>
         if (e.errors.nonEmpty) e
         else f(e.doc) match {
           case Right(v)  => JEntry.ok(v)
@@ -361,20 +457,20 @@ object Interp {
 
     /** first output of the compiled arg against `d` (builtin arg position,
       * reference: `thunk(value)?.remove(0)`). */
-    def firstOut(f: Pipe, d: JDoc): Either[String, JEntry] = {
-      val out = f(d)
+    def firstOut(f: Pipe, d: JDoc, env: Env): Either[String, JEntry] = {
+      val out = f(d, env)
       if (out.isEmpty) Left(s"$name: argument produced no output") else Right(out.head)
     }
 
     def wrongArity: Pipe =
-      _ => Vector(JEntry(JNull, Vector(s"expected 1 args, got ${args.length}")))
+      (_, _) => Vector(JEntry(JNull, Vector(s"expected 1 args, got ${args.length}")))
 
     /** Shared preamble of every one-argument builtin: resolve the
       * argument's first output, propagate its errors, then hand
       * (input doc, argument value) to the builtin body. Hand-rolled
       * copies of this forget the error-propagation arm (it happened). */
     def withArgValue(fa: Pipe)(f: (JDoc, JDoc) => Vector[JEntry]): Pipe =
-      doc => firstOut(fa, doc) match {
+      (doc, env) => firstOut(fa, doc, env) match {
         case Left(msg)                       => Vector(JEntry(JNull, Vector(msg)))
         case Right(e) if e.errors.nonEmpty   => Vector(JEntry(JNull, e.errors))
         case Right(e)                        => f(doc, e.doc)
@@ -383,7 +479,7 @@ object Interp {
     name match {
       case "length" =>
         if (args.length > 1)
-          return _ => Vector(JEntry(JNull, Vector("invalid number of args for length")))
+          return (_, _) => Vector(JEntry(JNull, Vector("invalid number of args for length")))
         overInput { d =>
           JOps.lengthOf(d) match {
             case Some(n) => Right(JLong(n))
@@ -393,7 +489,7 @@ object Interp {
 
       case "chars" =>
         if (args.length > 1)
-          return _ => Vector(JEntry(JNull, Vector("invalid number of args for chars")))
+          return (_, _) => Vector(JEntry(JNull, Vector("invalid number of args for chars")))
         overInput { d =>
           JOps.intoIter(d) match {
             case Some(vs) => Right(JArr(vs))
@@ -403,7 +499,7 @@ object Interp {
 
       case "keys" =>
         if (args.length > 1)
-          return _ => Vector(JEntry(JNull, Vector("invalid number of args for keys")))
+          return (_, _) => Vector(JEntry(JNull, Vector("invalid number of args for keys")))
         overInput { d =>
           JOps.keysOf(d) match {
             case Some(v) => Right(v)
@@ -416,7 +512,7 @@ object Interp {
         // (reference: src/ops.rs:1583-1606)
         if (args.length != 1) return wrongArity
         val fa = compiledArgs.head
-        doc => firstOut(fa, doc) match {
+        (doc, env) => firstOut(fa, doc, env) match {
           case Left(msg) => Vector(JEntry(JNull, Vector(msg)))
           case Right(item) =>
             doc match {
@@ -431,7 +527,7 @@ object Interp {
         // (reference: src/ops.rs:1608-1630)
         if (args.length != 1) return wrongArity
         val fa = compiledArgs.head
-        doc => firstOut(fa, doc) match {
+        (doc, env) => firstOut(fa, doc, env) match {
           case Left(msg) => Vector(JEntry(JNull, Vector(msg)))
           case Right(container) =>
             container.doc match {
@@ -446,12 +542,12 @@ object Interp {
         // (reference: src/ops.rs:1632-1656)
         if (args.length != 1) return wrongArity
         val fa = compiledArgs.head
-        def evalMap(doc: JDoc): Vector[JEntry] = doc match {
+        def evalMap(doc: JDoc, env: Env): Vector[JEntry] = doc match {
           case JStr(_) | JArr(_) =>
             val items = JOps.intoIter(doc).get
             val out = Vector.newBuilder[JDoc]
             items.foreach { item =>
-              firstOut(fa, item) match {
+              firstOut(fa, item, env) match {
                 case Left(msg)                     => return Vector(JEntry(JNull, Vector(msg)))
                 case Right(e) if e.errors.nonEmpty => return Vector(JEntry(JNull, e.errors))
                 case Right(e)                      => out += e.doc
@@ -461,7 +557,7 @@ object Interp {
           case JObj(props) =>
             val out = Vector.newBuilder[(String, JDoc)]
             props.foreach { case (k, v) =>
-              firstOut(fa, v) match {
+              firstOut(fa, v, env) match {
                 case Left(msg)                     => return Vector(JEntry(JNull, Vector(msg)))
                 case Right(e) if e.errors.nonEmpty => return Vector(JEntry(JNull, e.errors))
                 case Right(e)                      => out += ((k, e.doc))
@@ -470,7 +566,7 @@ object Interp {
             Vector(JEntry.ok(JObj.fromProps(out.result())))
           case other => Vector(JEntry(JNull, Vector(s"cannot map over ${other.typeName}")))
         }
-        evalMap
+        (doc, env) => evalMap(doc, env)
 
       case "any" | "all" =>
         // only a literal `true` output counts as true
@@ -478,7 +574,7 @@ object Interp {
         if (args.length != 1) return wrongArity
         val fa = compiledArgs.head
         val isAny = name == "any"
-        def evalAnyAll(doc: JDoc): Vector[JEntry] = {
+        def evalAnyAll(doc: JDoc, env: Env): Vector[JEntry] = {
           val itemsOpt: Option[Vector[JDoc]] = doc match {
             case JStr(_) | JArr(_) => JOps.intoIter(doc)
             case JObj(props)       => Some(props.map(_._2))
@@ -488,7 +584,7 @@ object Interp {
             case None => Vector(JEntry(JNull, Vector(s"cannot iterate over ${doc.typeName}")))
             case Some(items) =>
               items.foreach { item =>
-                firstOut(fa, item) match {
+                firstOut(fa, item, env) match {
                   case Left(msg)                     => return Vector(JEntry(JNull, Vector(msg)))
                   case Right(e) if e.errors.nonEmpty => return Vector(JEntry(JNull, e.errors))
                   case Right(e) =>
@@ -500,7 +596,7 @@ object Interp {
               Vector(JEntry.ok(JBool(!isAny)))
           }
         }
-        evalAnyAll
+        (doc, env) => evalAnyAll(doc, env)
 
       // ---- EXTENSION builtins (not in the reference's set of 8; jq's own
       // everyday vocabulary, with jq semantics over this document model).
@@ -672,7 +768,7 @@ object Interp {
 
       case "empty" =>
         // EXTENSION (jq empty): the empty stream
-        _ => Vector.empty
+        (_, _) => Vector.empty
 
       case "first" | "last" =>
         // EXTENSION: bare first/last are .[0]/.[-1]; with an argument,
@@ -680,14 +776,14 @@ object Interp {
         val takeFirst = name == "first"
         if (args.length > 1) return wrongArity
         if (args.isEmpty) {
-          doc => JOps.indexAt(doc, if (takeFirst) 0 else -1) match {
+          (doc, env) => JOps.indexAt(doc, if (takeFirst) 0 else -1) match {
             case Some(v) => Vector(JEntry.ok(v))
             case None    => Vector(JEntry(JNull, Vector(s"cannot index ${doc.typeName}")))
           }
         } else {
           val fa = compiledArgs.head
-          doc => {
-            val out = fa(doc)
+          (doc, env) => {
+            val out = fa(doc, env)
             if (out.isEmpty) Vector.empty
             else Vector(if (takeFirst) out.head else out.last)
           }
@@ -699,12 +795,12 @@ object Interp {
         // Capped: a query-driven bound must be an error entry, never an
         // OOM or an uncaught exception (same policy as JOps.MaxPathPad).
         if (args.isEmpty || args.length > 2)
-          return (_ => Vector(JEntry(JNull,
+          return ((_, _) => Vector(JEntry(JNull,
             Vector(s"range takes 1 or 2 args, got ${args.length}"))))
         val fs = compiledArgs
         val MaxRange = 1000000L
-        doc => {
-          val bounds = fs.map(f => firstOut(f, doc))
+        (doc, env) => {
+          val bounds = fs.map(f => firstOut(f, doc, env))
           bounds.collectFirst { case Left(m) => m } match {
             case Some(m) => Vector(JEntry(JNull, Vector(m)))
             case None =>
@@ -767,7 +863,7 @@ object Interp {
         // the predicate — `if f then . else empty end` with fan-out
         if (args.length != 1) return wrongArity
         val fa = compiledArgs.head
-        doc => fa(doc).flatMap { e =>
+        (doc, env) => fa(doc, env).flatMap { e =>
           if (e.errors.nonEmpty) Vector(JEntry(JNull, e.errors))
           else if (JOps.truthy(e.doc)) Vector(JEntry.ok(doc))
           else Vector.empty
@@ -789,13 +885,13 @@ object Interp {
           case _ => None
         }
         val fa = compiledArgs.head
-        doc => doc match {
+        (doc, env) => doc match {
           case JStr(s) =>
             preCompiled match {
               case Some(Right(p)) => Vector(JEntry.ok(JBool(p.matcher(s).find())))
               case Some(Left(msg)) => Vector(JEntry(JNull, Vector(msg)))
               case None =>
-                firstOut(fa, doc) match {
+                firstOut(fa, doc, env) match {
                   case Left(msg) => Vector(JEntry(JNull, Vector(msg)))
                   case Right(re) if re.errors.nonEmpty => Vector(JEntry(JNull, re.errors))
                   case Right(re) => re.doc match {
@@ -819,9 +915,9 @@ object Interp {
         if (args.length != 1) return wrongArity
         flattenPath(args.head) match {
           case None =>
-            _ => Vector(JEntry(JNull, Vector("del path must be a static .key/.index chain")))
+            (_, _) => Vector(JEntry(JNull, Vector("del path must be a static .key/.index chain")))
           case Some(segs) =>
-            doc => JOps.removePath(doc, segs) match {
+            (doc, env) => JOps.removePath(doc, segs) match {
               case Right(out) => Vector(JEntry.ok(out))
               case Left(msg)  => Vector(JEntry(JNull, Vector(msg)))
             }
@@ -832,7 +928,7 @@ object Interp {
         // elements stringify (null → ""), containers are an error
         if (args.length != 1) return wrongArity
         val fa = compiledArgs.head
-        doc => firstOut(fa, doc) match {
+        (doc, env) => firstOut(fa, doc, env) match {
           case Left(msg) => Vector(JEntry(JNull, Vector(msg)))
           case Right(sepE) => (sepE.doc, doc) match {
             case (JStr(sep), JArr(items)) =>
@@ -861,10 +957,10 @@ object Interp {
         // totalCmp, NOT cmp — same NaN-safety note as `sort`.
         if (args.length != 1) return wrongArity
         val fa = compiledArgs.head
-        def keyed(items: Vector[JDoc]): Either[Vector[String], Vector[(JDoc, JDoc)]] = {
+        def keyed(items: Vector[JDoc], env: Env): Either[Vector[String], Vector[(JDoc, JDoc)]] = {
           val out = Vector.newBuilder[(JDoc, JDoc)]
           items.foreach { item =>
-            val entries = fa(item)
+            val entries = fa(item, env)
             entries.find(_.errors.nonEmpty) match {
               case Some(e) => return Left(e.errors)
               case None    => out += ((JArr(entries.map(_.doc)), item))
@@ -874,9 +970,9 @@ object Interp {
         }
         val byKey: Ordering[(JDoc, JDoc)] =
           (a, b) => JOps.totalCmp(a._1, b._1)
-        doc => doc match {
+        (doc, env) => doc match {
           case JArr(items) =>
-            keyed(items) match {
+            keyed(items, env) match {
               case Left(errs) => Vector(JEntry(JNull, errs))
               case Right(kv) =>
                 val sorted = kv.sorted(byKey)
@@ -917,10 +1013,10 @@ object Interp {
         // jq-faithful argument meaning. No argument = fully flat.
         if (args.length > 1) return wrongArity
         val fa = compiledArgs.headOption
-        doc => {
+        (doc, env) => {
           val depthE: Either[Vector[String], Long] = fa match {
             case None => Right(Long.MaxValue)
-            case Some(f) => firstOut(f, doc) match {
+            case Some(f) => firstOut(f, doc, env) match {
               case Left(m)                       => Left(Vector(m))
               case Right(e) if e.errors.nonEmpty => Left(e.errors)
               case Right(e) => e.doc match {
@@ -946,7 +1042,7 @@ object Interp {
         // EXTENSION (jq): one path array per sub-value, pre-order, root
         // excluded; object fields visited in document (canonical) order —
         // the same traversal `..` uses, but emitting paths not values
-        doc => inputFor(doc).flatMap { e =>
+        (doc, env) => inputFor(doc, env).flatMap { e =>
           if (e.errors.nonEmpty) Vector(e)
           else {
             val out = Vector.newBuilder[JDoc]
@@ -1009,7 +1105,7 @@ object Interp {
         }
 
       case other =>
-        _ => Vector(JEntry(JNull, Vector(s"unknown builtin $other")))
+        (_, _) => Vector(JEntry(JNull, Vector(s"unknown builtin $other")))
     }
   }
 }

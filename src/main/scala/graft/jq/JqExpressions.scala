@@ -42,7 +42,7 @@ trait JqNativeInput extends UnaryExpression {
   /** Run `compiled` over one input value; malformed JSON *text* becomes the
     * errors-as-data record, never an exception (reference: src/entry.rs:5-10). */
   protected final def runPipe(compiled: Interp.Pipe, input: Any): Vector[JEntry] =
-    try compiled(inputConv(input))
+    try compiled(inputConv(input), Nil)
     catch {
       case e: JsonText.JsonParseException =>
         Vector(JEntry(JNull, Vector(s"invalid json: ${e.getMessage}")))
@@ -188,7 +188,7 @@ case class JqMulti(fields: Seq[(String, Ast, String)], queryText: String, child:
     if (doc != null) {
       var i = 0
       while (i < fields.length) {
-        values(i) = compiled(i)(doc).find(_.errors.isEmpty) match {
+        values(i) = compiled(i)(doc, Nil).find(_.errors.isEmpty) match {
           case None     => null
           case Some(en) => JqEval.extract(fields(i)._3, en.doc)
         }

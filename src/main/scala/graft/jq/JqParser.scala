@@ -44,11 +44,12 @@ object JqParser {
       "rtrimstr", "split", "contains",
       "sort_by", "unique_by", "group_by", "min_by", "max_by", "getpath")
 
-  /** Reserved continuation words of the `if` form (EXTENSION): they stop
-    * juxtaposition/expression scans, so branch bodies end cleanly. Like
-    * the bare builtins, only the BARE words are taken — fields named
-    * then/else/end stay reachable as `.then`, `."else"`, `.["end"]`. */
-  private[jq] val reservedWords = Set("then", "elif", "else", "end")
+  /** Reserved continuation words of the `if` form and the `as` binder
+    * (EXTENSIONS): they stop juxtaposition/expression scans, so branch
+    * bodies and binder sources end cleanly. Like the bare builtins, only
+    * the BARE words are taken — fields named then/else/end/as stay
+    * reachable as `.then`, `."else"`, `.["as"]`. */
+  private[jq] val reservedWords = Set("then", "elif", "else", "end", "as")
 }
 
 final class JqParser(text: String) {
@@ -168,13 +169,71 @@ final class JqParser(text: String) {
       }
       if (found < 0) fail("unterminated string literal")
       val raw = remaining.substring(0, found + 1)
-      val parsed = JsonText.parse(raw) match {
+      // a malformed escape (e.g. `\(` — interpolation is an expression-
+      // position form, not valid in key position) must surface as a QUERY
+      // parse error, never the document codec's exception type
+      val parsed = (try JsonText.parse(raw) catch {
+        case e: JsonText.JsonParseException => fail(s"invalid string literal: ${e.getMessage}")
+      }) match {
         case JStr(s) => s
         case _        => fail("invalid string literal")
       }
       pos += found + 1
       Some(parsed)
     } else None
+  }
+
+  /** String literal in expression position: plain JSON string → Lit,
+    * `"a\(expr)b"` → StrInterp (EXTENSION, jq string interpolation). The
+    * interpolated expression is parsed by the real parser in place, so it
+    * may itself contain strings and parens. */
+  private def parseStringForm(): Ast = {
+    skipWs()
+    expect("\"")
+    val parts = List.newBuilder[Either[String, Ast]]
+    var interpolated = false
+    val sb = new StringBuilder
+    var done = false
+    while (!done) {
+      if (pos >= text.length) fail("unterminated string literal")
+      val c = text.charAt(pos)
+      if (c == '"') { pos += 1; done = true }
+      else if (c == '\\') {
+        if (pos + 1 >= text.length) fail("unterminated escape")
+        text.charAt(pos + 1) match {
+          case '(' =>
+            interpolated = true
+            if (sb.nonEmpty) { parts += Left(sb.toString); sb.clear() }
+            pos += 2
+            val e = parseExpr()
+            skipWs()
+            if (pos >= text.length || text.charAt(pos) != ')')
+              fail("expected ')' closing string interpolation")
+            pos += 1
+            parts += Right(e)
+          case '"'  => sb.append('"'); pos += 2
+          case '\\' => sb.append('\\'); pos += 2
+          case '/'  => sb.append('/'); pos += 2
+          case 'b'  => sb.append('\b'); pos += 2
+          case 'f'  => sb.append('\f'); pos += 2
+          case 'n'  => sb.append('\n'); pos += 2
+          case 'r'  => sb.append('\r'); pos += 2
+          case 't'  => sb.append('\t'); pos += 2
+          case 'u'  =>
+            if (pos + 6 > text.length) fail("bad \\u escape")
+            val cp = try Integer.parseInt(text.substring(pos + 2, pos + 6), 16)
+              catch { case _: NumberFormatException => fail("bad \\u escape") }
+            sb.append(cp.toChar) // surrogate pairs arrive as two \u escapes
+            pos += 6
+          case other => fail(s"invalid escape \\$other")
+        }
+      } else { sb.append(c); pos += 1 }
+    }
+    if (!interpolated) Lit(JStr(sb.toString))
+    else {
+      if (sb.nonEmpty) parts += Left(sb.toString)
+      StrInterp(parts.result())
+    }
   }
 
   private def eatOpt(): Boolean = eat("?")
@@ -204,15 +263,39 @@ final class JqParser(text: String) {
   // the piped value (jq's own precedence).
   def parseExpr(): Ast = {
     var lhs = parseStage()
+    // `src as $x | body` (EXTENSION, jq binder): body is the REST of the
+    // pipeline, so chained binders nest right-associatively
+    skipWs()
+    if (eatWord("as")) {
+      val name = parseVarName()
+      skipWs()
+      if (!eat("|")) fail("expected '|' after as $" + name)
+      return BindAs(lhs, name, parseExpr())
+    }
     var done = false
     while (!done) {
       skipWs()
       if (peekIs("|") && !peekIs("||") && !peekIs("|=")) {
         expect("|")
-        lhs = Pipe(lhs, parseStage())
+        val rhs = parseStage()
+        skipWs()
+        if (eatWord("as")) {
+          val name = parseVarName()
+          skipWs()
+          if (!eat("|")) fail("expected '|' after as $" + name)
+          return Pipe(lhs, BindAs(rhs, name, parseExpr()))
+        }
+        lhs = Pipe(lhs, rhs)
       } else done = true
     }
     lhs
+  }
+
+  /** `$name` after `as` / in reduce/foreach binders. */
+  private def parseVarName(): String = {
+    skipWs()
+    if (!eat("$")) fail("expected '$variable'")
+    tryIdentifier().getOrElse(fail("expected variable name after '$'"))
   }
 
   /** One pipe stage: a juxtaposition chain with optional `=` / `|=` /
@@ -366,10 +449,13 @@ final class JqParser(text: String) {
     else if (c == '[') parseListForm()
     else if (c == '{') parseDictForm()
     else if (c == '"') {
-      val s = tryJsonString().get
+      val lit = parseStringForm()
       val opt = eatOpt()
-      val lit: Ast = Lit(JStr(s))
       if (opt) OptMark(lit) else lit
+    }
+    else if (c == '$') {
+      expect("$")
+      Var(tryIdentifier().getOrElse(fail("expected variable name after '$'")))
     }
     // unary operand binds TIGHT (one path chain): `!.a == .b` is
     // `(!.a) == .b` — the reference's PEG comment ('-' Primary |
@@ -400,6 +486,8 @@ final class JqParser(text: String) {
     // reserved if-continuations terminate whatever scan reached them
     reservedWords.find(w => peekWord(w)).foreach(w => fail(s"unexpected '$w'"))
     if (eatWord("if")) parseIfForm()
+    else if (eatWord("reduce")) parseReduceForm(foreach = false)
+    else if (eatWord("foreach")) parseReduceForm(foreach = true)
     else if (eatWord("null")) { val o = eatOpt(); if (o) OptMark(Lit(JNull)) else Lit(JNull) }
     else if (eatWord("true")) { val o = eatOpt(); if (o) OptMark(Lit(JBool(true))) else Lit(JBool(true)) }
     else if (eatWord("false")) { val o = eatOpt(); if (o) OptMark(Lit(JBool(false))) else Lit(JBool(false)) }
@@ -424,6 +512,25 @@ final class JqParser(text: String) {
         Ident(name, eatOpt())
       }
     }
+  }
+
+  /** `reduce SRC as $x (init; update)` / `foreach SRC as $x (init;
+    * update)` (EXTENSION, jq folds; the keyword was already consumed).
+    * SRC is a juxtaposition chain — the reserved word `as` ends it. */
+  private def parseReduceForm(foreach: Boolean): Ast = {
+    val src = parseJuxt()
+    skipWs()
+    if (!eatWord("as")) fail("expected 'as' in reduce/foreach")
+    val name = parseVarName()
+    skipWs()
+    expect("(")
+    val init = parseExpr()
+    skipWs()
+    expect(";")
+    val update = parseExpr()
+    skipWs()
+    expect(")")
+    Reduce(src, name, init, update, foreach)
   }
 
   /** `if COND then A [elif C then B]* [else D] end` (EXTENSION; `if` was

@@ -628,11 +628,43 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("fromjson", "3", "ERROR: cannot parse Integer as json")
   }
 
+  test("variables and binders: $x, as, shadowing (EXTENSION)") {
+    check(".a as $x | .b + $x", """{"a":1,"b":10}""", "11")
+    // fan-out over src outputs; body sees the ORIGINAL input as `.`
+    check(".[] as $x | [$x, $x * 2]", "[1,2]", "[1,2]", "[2,4]")
+    check(".[] as $x | length", "[7,8]", "2", "2")
+    check("$missing", "1", "ERROR: $missing is not defined")
+    check("1 as $x | 2 as $x | $x", "null", "2") // innermost shadows
+    check("3 as $x | [1, 2] | map(. + $x)", "null", "[4,5]") // env crosses pipes + builtin args
+    // chained binder mid-pipeline: a | b as $x | c
+    check(".a | .b as $x | $x + 1", """{"a":{"b":5}}""", "6")
+  }
+
+  test("reduce / foreach folds (EXTENSION)") {
+    check("reduce .[] as $x (0; . + $x)", "[1,2,3,4]", "10")
+    check("reduce .[] as $x (0; . + $x)", "[]", "0")
+    check("reduce .[] as $x (0; [., $x] | .[])", "[1,2]", "2") // multi-output update keeps LAST
+    check("reduce .[] as $x (0; empty)", "[1]", "null")       // empty update → null (documented)
+    check("foreach .[] as $x (0; . + $x)", "[1,2,3]", "1", "3", "6")
+    check("reduce .[] as $x ({}; . + {(\"k\\($x)\"): $x})", "[1,2]",
+      """{"k1":1,"k2":2}""")
+    check("reduce .missing as $x (0; . + $x)", "{}", "ERROR: cannot index missing into Object")
+  }
+
+  test("string interpolation (EXTENSION)") {
+    check("\"k=\\(.k), twice \\(.k * 2)\"", """{"k":21}""", "\"k=21, twice 42\"")
+    check("\"<\\(.xs | .[])>\"", """{"xs":[1,2]}""", "\"<1>\"", "\"<2>\"")
+    check("\"v=\\(.a)\"", """{"a":"s"}""", "\"v=s\"")      // strings interpolate bare
+    check("\"v=\\(.a)\"", """{"a":[1,2]}""", "\"v=[1,2]\"") // containers canonical
+    check("\"plain\"", "null", "\"plain\"")                 // no regression
+    check("\"\\(.x)\"", "{}", "ERROR: cannot index x into Object")
+  }
+
   test("parser: garbage never hangs, always JqParseException") {
     val rnd = new scala.util.Random(7)
     val tokens = Seq(".", "[", "]", "{", "}", "(", ")", "|", "+", "-", "*",
       "..", "?", ",", ":", "a", "\"s\"", "1", "1.5", "==", "<", "&&", "bor",
-      "=", "|=", ".k")
+      "=", "|=", ".k", "$x", "as", "reduce", "foreach", ";", "\"\\(", ")\"")
     (1 to 1000).foreach { _ =>
       val prog = Seq.fill(rnd.nextInt(12))(tokens(rnd.nextInt(tokens.length))).mkString(" ")
       try { graft.jq.JqParser.parse(prog); () }

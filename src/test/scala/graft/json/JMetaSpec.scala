@@ -52,7 +52,7 @@ class JMetaSpec extends AnyFunSuite {
     // once at the entry boundary — duplicate-free lists, same lineage
     val m = JMeta.append(JMeta.init, "sources", JArr(Vector(JStr("f.jsons"))))
     val in = Vector(JEntry.withMeta(JsonText.parse("""{"a":1,"b":2}"""), m))
-    val out = in.flatMap(Interp.compileE(graft.jq.JqParser.parse(".a + .b")))
+    val out = in.flatMap(Interp.compileE(graft.jq.JqParser.parse(".a + .b"))(_, Nil))
     assert(out.map(_.doc) == Vector(JLong(3)))
     assert(out.head.meta.map(JsonText.canonical).contains(
       """{"domains":[],"keys":[],"sources":["f.jsons"]}"""))
@@ -63,7 +63,7 @@ class JMetaSpec extends AnyFunSuite {
     val doc = JsonText.parse("""{"a": {"b": 7}}""")
     // pipe: the envelope attached after the first stage must survive `.b`
     val stage1 = Vector(JEntry.withMeta(JsonText.parse("""{"b": 7}"""), m))
-    val out = stage1.flatMap(Interp.compileE(graft.jq.JqParser.parse(".b")))
+    val out = stage1.flatMap(Interp.compileE(graft.jq.JqParser.parse(".b"))(_, Nil))
     assert(out.map(_.doc) == Vector(JLong(7)))
     assert(out.head.meta.contains(m))
     assert(Interp.run(".a | .b", doc).head.doc == JLong(7)) // behavior unchanged
