@@ -749,6 +749,18 @@ object SparkEntry {
       streaming.EventStreams.jqWindowedStats(
         table(s, dir, "events"), ".k", "1 hour", "10 minutes")),
 
+    // stream-stream interval join (batch/backfill form of the
+    // watermarked streaming declaration; StreamingSpec drives the
+    // MemoryStream path): purchases within 1h after a click, same user
+    "stream_interval_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      streaming.EventStreams.intervalJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          "user_id", windowMicros = 3600L * 1000 * 1000, watermarkDelay = "10 minutes")
+        .select(col("l_event_id").as("click_id"), col("r_event_id").as("purchase_id"))
+    }),
+
     "stream_sessionize" -> ((s, dir) =>
       // DuckDB reads the TIMESTAMP(NANOS) parquet at µs precision, so the
       // oracle comparison runs on µs-truncated nanos (semantics unchanged)
@@ -1237,6 +1249,13 @@ object SparkEntry {
              CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
       FROM events GROUP BY 1, 2""",
+
+    "stream_interval_join" -> """
+      SELECT l.event_id AS click_id, r.event_id AS purchase_id
+      FROM events l JOIN events r
+        ON l.user_id = r.user_id
+       AND l.event_type = 'click' AND r.event_type = 'purchase'
+       AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR""",
 
     "stream_sessionize" -> """
       WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn FROM events),

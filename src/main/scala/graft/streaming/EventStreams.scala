@@ -70,6 +70,32 @@ object EventStreams {
         col("n"), col("sum_k"), col("max_k"))
   }
 
+  /** Stream-stream interval join: for each left event, the right events
+    * of the same key whose event time falls in [left_t, left_t + window].
+    * On streaming inputs BOTH sides carry watermarks and the range
+    * condition is on the watermarked columns — exactly what lets the join
+    * state store evict: left rows age out once the right watermark passes
+    * left_t + window, right rows once the left watermark passes their
+    * time. The identical declaration runs on batch input as the backfill
+    * (watermarks are no-ops there). Event time is µs-truncated nanos
+    * ([[eventTime]]), the same precision contract the sessionize oracle
+    * uses. Output: all left columns prefixed l_, right prefixed r_. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   windowMicros: Long, watermarkDelay: String): DataFrame = {
+    def side(df: DataFrame, prefix: String): DataFrame = {
+      val t = df.withColumn("event_time", eventTime(col("ts")))
+      val w = if (t.isStreaming) t.withWatermark("event_time", watermarkDelay) else t
+      w.select(col(key).as(s"${prefix}_key") +: w.columns.filterNot(_ == key)
+        .map(c => col(c).as(s"${prefix}_$c")).toSeq: _*)
+    }
+    val lp = side(left, "l")
+    val rp = side(right, "r")
+    lp.join(rp,
+      col("l_key") === col("r_key") &&
+        col("r_event_time") >= col("l_event_time") &&
+        col("r_event_time") <= col("l_event_time") + expr(s"INTERVAL $windowMicros MICROSECOND"))
+  }
+
   // ------------------------------------------------------------ sessions
 
   /** Batch sessionization: split each user's event sequence on gaps longer

@@ -64,6 +64,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("intervalJoin: stream-stream join with watermarks == batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", col("ts").cast("long"))
+      .select("ts", "user_id", "event_id", "event_type")
+      .limit(800)
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+    val hourUs = 3600L * 1000 * 1000
+
+    val ls = MemoryStream[(Long, Long, Long)]
+    val rs = MemoryStream[(Long, Long, Long)]
+    val joined = intervalJoin(
+      ls.toDF().toDF("ts", "user_id", "event_id"),
+      rs.toDF().toDF("ts", "user_id", "event_id"),
+      "user_id", hourUs, "10 minutes")
+      .select(col("l_event_id"), col("r_event_id"))
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("ts", "user_id", "event_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      ls.addData(rows(clicks))
+      rs.addData(rows(purchases))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM ij_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = intervalJoin(clicks, purchases, "user_id", hourUs, "10 minutes")
+        .select(col("l_event_id"), col("r_event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(expected.nonEmpty, "fixture should produce matches")
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("sessionizeStreaming closes sessions exactly like sessionizeBatch") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
