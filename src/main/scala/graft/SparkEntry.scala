@@ -529,6 +529,15 @@ object SparkEntry {
           col("m.npaths"), col("m.gp"), col("m.rt"))
     }),
 
+    // user function definitions incl. recursion (round-3 `def` prologue)
+    "jq_userdef" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Jq.long("def double: . * 2; def add2($a, $b): $a + $b; add2(.k | double, 7)",
+          col("props")).as("v"),
+        Jq.long("def fact: if . < 2 then 1 else . * (. - 1 | fact) end; .k % 6 + 1 | fact",
+          col("props")).as("f"))),
+
     // reduce/foreach folds, `as $x` binders, string interpolation
     // (round-3 jq-language constructs) — closed-form oracle per column
     "jq_fold_interp" -> ((s, dir) => {
@@ -1057,6 +1066,12 @@ object SparkEntry {
              CAST(6 AS BIGINT) AS npaths,
              b AS gp,
              a AS rt
+      FROM d""",
+
+    "jq_userdef" -> """
+      WITH d AS (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+      SELECT event_id, k * 2 + 7 AS v,
+             CAST(factorial(CAST(k % 6 + 1 AS INTEGER)) AS BIGINT) AS f
       FROM d""",
 
     "jq_fold_interp" -> """

@@ -92,6 +92,17 @@ object Ast {
     * `as $name` binding in scope; unbound is an error entry. */
   final case class Var(name: String) extends Ast
 
+  /** EXTENSION (jq): one `def name($a, $b): body;` definition. Params are
+    * VALUE params (bound like `as`-variables from the call arguments'
+    * outputs, cartesian fan-out). */
+  final case class FuncDef(name: String, params: List[String], body: Ast)
+
+  /** EXTENSION (jq): a program prologue of function definitions followed
+    * by the main expression. Defs may call themselves (recursion) and any
+    * def declared earlier; user definitions shadow builtins of the same
+    * name. This dialect allows defs only at the program start. */
+  final case class Defs(defs: List[FuncDef], body: Ast) extends Ast
+
   /** EXTENSION (jq): `src as $name | body` — for EACH output of src, bind
     * it to $name and run body (fan-out; body sees the ORIGINAL input as
     * `.`, jq's binding semantics). */

@@ -204,6 +204,23 @@ object Interp {
         else fe(doc, env)
       }
 
+    case Defs(defs, body) =>
+      // EXTENSION (jq defs): extend the COMPILE-TIME function scope, then
+      // compile def bodies and the main body under it. Each table entry
+      // indirects through a cell filled after compilation, so recursive
+      // and mutually-referencing defs compile without cycles; the
+      // returned closures are pure (the DynamicVariable is only read
+      // during this compile call).
+      val outer = funcScope.value
+      val cells = scala.collection.mutable.Map.empty[String, Pipe]
+      val table = outer ++ defs.map { d =>
+        d.name -> UserFunc(d.params, (doc: JDoc, env: Env) => cells(d.name)(doc, env))
+      }
+      funcScope.withValue(table) {
+        defs.foreach(d => cells(d.name) = compile(d.body))
+        compile(body)
+      }
+
     case Var(name) =>
       // EXTENSION (jq `$x`): innermost binding wins (env is a prepend list)
       (doc, env) => env.collectFirst { case (n, v) if n == name => v } match {
@@ -437,10 +454,51 @@ object Interp {
     }
   }
 
+  /** A user `def`: value params + a pipe indirecting through its
+    * definition cell (see the Defs compile case). */
+  private final case class UserFunc(params: List[String], body: Pipe)
+
+  /** Compile-time function scope for user defs. Only read inside
+    * [[compile]] (single-threaded per compilation; executors re-enter
+    * through the Defs case when they lazily compile, re-establishing the
+    * scope), never captured by the compiled closures themselves. */
+  private val funcScope =
+    new scala.util.DynamicVariable[Map[String, UserFunc]](Map.empty)
+
+  /** User-def call: args evaluate against the call input WITH the
+    * call-site env (they may use $vars in scope), but the body runs under
+    * the DEFINITION scope — params only, lexical not dynamic scoping.
+    * Multi-output args fan out as a cartesian product, first arg slowest
+    * (dict fan-out order). */
+  private def compileUserCall(name: String, uf: UserFunc, args: List[Ast]): Pipe = {
+    if (args.length != uf.params.length)
+      return (_, _) => Vector(JEntry(JNull,
+        Vector(s"$name expects ${uf.params.length} args, got ${args.length}")))
+    val fargs = args.map(compile)
+    (doc, env) => {
+      def go(ps: List[String], fs: List[Pipe], bound: Env): Vector[JEntry] =
+        (ps, fs) match {
+          case (Nil, Nil) => uf.body(doc, bound)
+          case (p :: pt, f :: ft) =>
+            f(doc, env).flatMap { e =>
+              if (e.errors.nonEmpty) Vector(e)
+              else go(pt, ft, (p, e.doc) :: bound)
+            }
+          case _ => Vector.empty
+        }
+      go(uf.params, fargs, Nil)
+    }
+  }
+
   /** Builtin dispatch (reference: src/query.rs:226-242; semantics from
     * src/ops.rs:1418-1579 and the specified-but-dead impls at
-    * src/ops.rs:1583-1713 with their test vectors). */
+    * src/ops.rs:1583-1713 with their test vectors). User defs are checked
+    * FIRST — they shadow builtins of the same name (jq's rule). */
   private def compileCall(name: String, args: List[Ast]): Pipe = {
+    funcScope.value.get(name) match {
+      case Some(uf) => return compileUserCall(name, uf, args)
+      case None     => ()
+    }
     val compiledArgs = args.map(compile)
 
     def inputFor(doc: JDoc, env: Env): Vector[JEntry] =

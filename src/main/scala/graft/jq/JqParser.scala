@@ -240,13 +240,45 @@ final class JqParser(text: String) {
 
   // ------------------------------------------------------------- program
 
+  /** Names defined by the program's `def` prologue: makes `name` /
+    * `name(args)` parse as calls instead of field accesses for the rest
+    * of this parse. */
+  private val userDefNames = scala.collection.mutable.Set.empty[String]
+
   def parseProgram(): Ast = {
     skipWs()
     if (atEnd) return Identity // empty program ≡ identity (reference: src/query_nom.rs:630-636)
+    // `def name($a, $b): body;` prologue (EXTENSION, jq function defs —
+    // value params, ','-separated like every call in this dialect)
+    val defs = List.newBuilder[FuncDef]
+    var more = true
+    while (more) {
+      skipWs()
+      if (eatWord("def")) {
+        skipWs()
+        val name = tryIdentifier().getOrElse(fail("expected function name after 'def'"))
+        userDefNames += name // before the body parse: recursion sees itself
+        val params = List.newBuilder[String]
+        skipWs()
+        if (eat("(")) {
+          params += parseVarName()
+          while ({ skipWs(); eat(",") }) params += parseVarName()
+          skipWs()
+          expect(")")
+        }
+        skipWs()
+        expect(":")
+        val body = parseExpr()
+        skipWs()
+        expect(";")
+        defs += FuncDef(name, params.result(), body)
+      } else more = false
+    }
     val e = parseExpr()
     skipWs()
     if (!atEnd) fail(s"trailing content: '${text.substring(pos)}'")
-    e
+    val ds = defs.result()
+    if (ds.isEmpty) e else Defs(ds, e)
   }
 
   /** attempt `p`, restoring position on failure. */
@@ -494,7 +526,7 @@ final class JqParser(text: String) {
     else {
       val name = tryIdentifier().getOrElse(fail("expected identifier"))
       skipWs()
-      if (peekIs("(") && allBuiltins.contains(name)) {
+      if (peekIs("(") && (allBuiltins.contains(name) || userDefNames(name))) {
         expect("(")
         val args = scala.collection.mutable.ListBuffer.empty[Ast]
         skipWs()
@@ -505,7 +537,7 @@ final class JqParser(text: String) {
         expect(")")
         val call = Call(name, args.toList)
         if (eatOpt()) OptMark(call) else call
-      } else if (bareBuiltins.contains(name)) {
+      } else if (bareBuiltins.contains(name) || userDefNames(name)) {
         val call = Call(name, Nil) // bare length/chars/keys apply to `.`
         if (eatOpt()) OptMark(call) else call
       } else {

@@ -651,6 +651,26 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("reduce .missing as $x (0; . + $x)", "{}", "ERROR: cannot index missing into Object")
   }
 
+  test("def: user function definitions (EXTENSION)") {
+    check("def double: . * 2; .k | double", """{"k":21}""", "42")
+    check("def add2($a, $b): $a + $b; add2(.x, .y)", """{"x":1,"y":2}""", "3")
+    // recursion
+    check("def fact: if . < 2 then 1 else . * (. - 1 | fact) end; fact", "5", "120")
+    // defs calling earlier defs
+    check("def sq: . * .; def quad: sq | sq; 3 | quad", "null", "81")
+    // arg fan-out: one body run per arg output
+    check("def pairup($a): [$a, $a]; pairup(.[])", "[1,2]", "[1,1]", "[2,2]")
+    // error propagation through the call
+    check("def idf: .; .missing | idf", "{}", "ERROR: cannot index missing into Object")
+    // user defs shadow builtins
+    check("def keys: 99; keys", "{}", "99")
+    // lexical scoping: the body does NOT see call-site bindings
+    check("def leak: $x; 1 as $x | leak", "null", "ERROR: $x is not defined")
+    // args DO see call-site bindings
+    check("def echo($a): $a; 7 as $x | echo($x + 1)", "null", "8")
+    check("def f($a): $a; f(1, 2)", "null", "ERROR: f expects 1 args, got 2")
+  }
+
   test("string interpolation (EXTENSION)") {
     check("\"k=\\(.k), twice \\(.k * 2)\"", """{"k":21}""", "\"k=21, twice 42\"")
     check("\"<\\(.xs | .[])>\"", """{"xs":[1,2]}""", "\"<1>\"", "\"<2>\"")
