@@ -134,11 +134,12 @@ object Similarity {
     * found; weakly-similar neighbors spread across cells, so P/C bounds
     * their hit rate — the sim_ivf oracle emits both contracts as data. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              cells: Int = 16, probes: Int = 4): DataFrame = {
-    val cents: Array[Array[Double]] = corpus
+              cells: Int = 16, probes: Int = 4, refineIters: Int = 0): DataFrame = {
+    val sampled: Array[Array[Double]] = corpus
       .orderBy(col("vec_id")).limit(cells)
       .select(dvec(col("embedding")).as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
+    val cents = (1 to refineIters).foldLeft(sampled)((c, _) => lloydStep(corpus, c))
     def centLit(c: Array[Double]): Column = array(c.map(lit(_)): _*)
     def simsTo(v: Column): Column = array(cents.map(c => cosine(v, centLit(c))): _*)
     // 1-based argmax; ties take the lowest cell id (array_position is first-match)
@@ -160,6 +161,36 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("vec_id"))
+  }
+
+  /** One Lloyd (k-means) refinement pass over the IVF centroid table:
+    * assign every corpus vector to its nearest current centroid — the
+    * same narrow centroids-as-literals projection indexing uses — then
+    * average per (cell, dimension). The shuffle carries only partial
+    * (cell, dim, sum, count) rows (C·dim per map partition) and C·dim
+    * final rows reach the driver; at 100 TB each pass is one linear scan
+    * plus a tiny exchange. Empty cells keep their previous centroid.
+    * NOTE: floating-point averages depend on partial-agg order, so
+    * refined centroids are not bit-deterministic across runs — the
+    * hash-gated oracle query therefore uses refineIters = 0 and the
+    * refinement quality is asserted with margin in OperatorsSpec. */
+  private def lloydStep(corpus: DataFrame,
+                        cents: Array[Array[Double]]): Array[Array[Double]] = {
+    def centLit(c: Array[Double]): Column = array(c.map(lit(_)): _*)
+    def simsTo(v: Column): Column = array(cents.map(c => cosine(v, centLit(c))): _*)
+    val assigned = corpus
+      .select(dvec(col("embedding")).as("v"))
+      .withColumn("cell", array_position(simsTo(col("v")), array_max(simsTo(col("v")))))
+    val sums = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(avg(col("x")).as("m"))
+      .collect()
+    val next = cents.map(_.clone())
+    sums.foreach { r =>
+      next(r.getLong(0).toInt - 1)(r.getInt(1)) = r.getDouble(2)
+    }
+    next
   }
 
   // ------------------------------------------------------- LSH (scale path)

@@ -90,6 +90,25 @@ class OperatorsSpec extends SparkTestBase {
       s"every exchange must key on qid (query side), got $keys in:\n$plan")
   }
 
+  test("IVF with k-means refinement keeps the recall contract") {
+    // refined centroids are FP-order-dependent (documented), so the
+    // assertion uses the wide ≥0.5 mean-recall margin, not equality
+    val queries = emb.filter(col("vec_id") < 20)
+    val ivf = Similarity.ivfTopK(emb, queries, 5, refineIters = 2)
+    val rows = ivf.collect().map(r => (r.getLong(0), r.getLong(2)))
+    rows.groupBy(_._1) // self-hit still deterministic: identical vector, same cell
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val approx = rows.groupBy(_._1)
+    val recalls = exact.keys.toSeq.map { q =>
+      val e = exact(q).map(_._2).toSet
+      val a = approx.getOrElse(q, Array.empty).map(_._2).toSet
+      (e intersect a).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@5 after refinement too low: $mean")
+  }
+
   test("blocked exact near-dup pairs: matches brute force, no nested-loop join") {
     val blocked = Similarity.cosineNearDupPairs(emb, 0.45, blocks = 8)
     // physical shape: every join is an equi-join (hash/sort-merge/broadcast-
