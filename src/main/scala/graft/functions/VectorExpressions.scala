@@ -231,6 +231,106 @@ case class TextStats(child: Expression, stopwords: Set[String])
     copy(child = newChild)
 }
 
+/** Product-quantization encode: L2-normalize the vector, split it into
+  * M subvectors, emit per subspace the index of the nearest codebook
+  * centroid (L2). `books(m)(k)` is centroid k of subspace m; output is
+  * ARRAY<INT> of length M — at M=8 that is an 8-int code standing in for
+  * a 64-float vector (32× compression before bit-packing). Zero vectors
+  * encode as code 0 per subspace. */
+case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression with NativeUnaryCodegen {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val dim = a.numElements()
+    val v = new Array[Double](dim)
+    var n2 = 0.0
+    var i = 0
+    while (i < dim) { val x = a.getDouble(i); v(i) = x; n2 += x * x; i += 1 }
+    val inv = if (n2 > 0) 1.0 / math.sqrt(n2) else 0.0
+    val m = books.length
+    val sub = dim / m
+    val code = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val cents = books(mi)
+      var best = 0; var bestD = Double.MaxValue
+      var k = 0
+      while (k < cents.length) {
+        val c = cents(k)
+        var d = 0.0
+        var j = 0
+        while (j < sub) {
+          val diff = v(mi * sub + j) * inv - c(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      code(mi) = best
+      mi += 1
+    }
+    new GenericArrayData(code)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup table: `lut(m*K + k)` = dot(query subvector m,
+  * centroid k). Computed ONCE per query row; scoring a corpus code is
+  * then M table reads + adds ([[PqAdc]]), never a d-dim dot product. */
+case class PqLut(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression with NativeUnaryCodegen {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val dim = a.numElements()
+    val m = books.length
+    val ksub = books(0).length
+    val sub = dim / m
+    val lut = new Array[Double](m * ksub)
+    var mi = 0
+    while (mi < m) {
+      var k = 0
+      while (k < ksub) {
+        val c = books(mi)(k)
+        var d = 0.0
+        var j = 0
+        while (j < sub) { d += a.getDouble(mi * sub + j) * c(j); j += 1 }
+        lut(mi * ksub + k) = d
+        k += 1
+      }
+      mi += 1
+    }
+    new GenericArrayData(lut)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+/** Asymmetric distance computation: approximate dot(query, vector) from
+  * the vector's PQ code and the query's LUT — M adds per (query, vector)
+  * pair. `ksub` must match the LUT layout. */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression with NativeBinaryCodegen {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override protected def nullSafeEval(code: Any, lut: Any): Any = {
+    val c = code.asInstanceOf[ArrayData]
+    val l = lut.asInstanceOf[ArrayData]
+    var s = 0.0
+    var mi = 0
+    val m = c.numElements()
+    while (mi < m) { s += l.getDouble(mi * ksub + c.getInt(mi)); mi += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(left = l, right = r)
+}
+
 /** Polynomial rolling-hash fingerprint h ← (h·31 + codepoint) mod 1e9+7,
   * one pass (same arithmetic as the SQL-expressible formulation). */
 case class RollingFingerprint(child: Expression)

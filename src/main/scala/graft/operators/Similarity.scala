@@ -193,6 +193,65 @@ object Similarity {
     next
   }
 
+  // ------------------------------------------------------- PQ (scale path 3)
+
+  /** Product-quantization approximate top-k — the third ANN family next
+    * to SRP-LSH and IVF. Corpus vectors are L2-normalized, split into M
+    * subspaces and encoded as M small centroid indices (8 ints standing
+    * in for 64 floats): the scan that scores candidates reads CODES, not
+    * vectors — at 100 TB this is the difference between scanning the
+    * corpus and scanning 1/32 of it. Queries precompute an ADC lookup
+    * table once ([[graft.functions.PqLut]]); scoring a vector is M table
+    * reads + adds ([[graft.functions.PqAdc]]). The approximate top
+    * `rerank·k` per query are re-ranked EXACTLY (vectors re-attached by
+    * equi-join on the small candidate set), so the emitted ranking is an
+    * exact cosine ordering of an approximate candidate set — recall is
+    * the only approximation, and the sim_pq oracle emits it as data.
+    *
+    * Codebooks are deterministic id-samples (subvectors of the first K
+    * corpus vectors), materialized as plan literals like the IVF
+    * centroids and the LSH planes: encoding is a narrow projection, the
+    * corpus never shuffles to be indexed. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 32, rerank: Int = 10): DataFrame = {
+    import graft.functions.{PqAdc, PqEncode, PqLut}
+    val sample: Array[Array[Double]] = corpus
+      .orderBy(col("vec_id")).limit(ksub)
+      .select(dvec(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val dim = sample(0).length
+    val sub = dim / m
+    require(m * sub == dim, s"dim $dim must divide into $m subspaces")
+    // books(mi)(kk) = normalized subvector mi of sample vector kk
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+      sample.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        val inv = if (n > 0) 1.0 / n else 0.0
+        Array.tabulate(sub)(j => v(mi * sub + j) * inv)
+      }
+    }
+    def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      ColumnBridge.column(e)
+    val codes = corpus.select(col("vec_id"),
+      colOf(PqEncode(ColumnBridge.expression(dvec(col("embedding"))), books)).as("code"))
+    val q = queries.select(col("vec_id").as("qid"),
+      colOf(PqLut(ColumnBridge.expression(dvec(col("embedding"))), books)).as("lut"))
+    val scored = codes.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        colOf(PqAdc(ColumnBridge.expression(col("code")),
+          ColumnBridge.expression(col("lut")), ksub)).as("ascore"))
+    val w0 = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id").asc)
+    val cands = scored.withColumn("arnk", row_number().over(w0))
+      .filter(col("arnk") <= rerank * k).select(col("qid"), col("vec_id"))
+    val exact = cands
+      .join(corpus.select(col("vec_id"), dvec(col("embedding")).as("v")), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("qid"), dvec(col("embedding")).as("qv"))), "qid")
+      .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("vec_id"))
+  }
+
   // ------------------------------------------------------- LSH (scale path)
 
   /** Sign-random-projection layout: L independent hash tables of H

@@ -32,6 +32,10 @@ class KernelCodegenSpec extends SparkTestBase {
         col2(TextStats(expr2(col("text")), Set("the", "a"))).as("st"),
         col2(RollingFingerprint(expr2(col("text")))).as("fp"))
       assert(r.count() > 0)
+      val books = Array.tabulate(8)(_ => Array.tabulate(4)(k => Array.fill(8)(k * 0.1)))
+      val pq = emb.select(col2(PqEncode(vec, books)).as("code"), col2(PqLut(vec, books)).as("lut"))
+        .select(col2(PqAdc(expr2(col("code")), expr2(col("lut")), 4)).as("adc"))
+      assert(pq.count() > 0)
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 

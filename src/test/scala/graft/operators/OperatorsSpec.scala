@@ -90,6 +90,26 @@ class OperatorsSpec extends SparkTestBase {
       s"every exchange must key on qid (query side), got $keys in:\n$plan")
   }
 
+  test("PQ top-k: ADC candidates + exact re-rank, self always found") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val pq = Similarity.pqTopK(emb, queries, 5)
+    val rows = pq.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the exact re-rank puts the byte-identical vector (cosine 1) first
+    // whenever ADC admits it — and a vector's ADC score against its own
+    // code is the max the code can give, so self is always admitted
+    rows.filter(_._2 == 1L).foreach { case (q, _, id) => assert(q == id, s"query $q top-1 was $id") }
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val approx = rows.map(t => (t._1, t._3)).groupBy(_._1)
+    val recalls = exact.keys.toSeq.map { q =>
+      val e = exact(q).map(_._2).toSet
+      val a = approx.getOrElse(q, Array.empty).map(_._2).toSet
+      (e intersect a).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean recall@5 too low: $mean")
+  }
+
   test("IVF with k-means refinement keeps the recall contract") {
     // refined centroids are FP-order-dependent (documented), so the
     // assertion uses the wide ≥0.5 mean-recall margin, not equality
