@@ -529,6 +529,17 @@ object SparkEntry {
           col("m.npaths"), col("m.gp"), col("m.rt"))
     }),
 
+    // limit/while/until loops + runtime-path setpath/delpaths (round 3)
+    "jq_paths_update" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Jq.multi(Seq(
+          ("sp", """setpath(["a"], .k) | tojson""", "string"),
+          ("wh", ".k | [while(. < 50, . + 7)] | length", "long"),
+          ("ut", ".k | until(. * 2 > 100, . + 13)", "long"),
+          ("lim", "[limit(.k % 3 + 1, range(9))] | length", "long")), col("props")).as("m"))
+        .select(col("event_id"), col("m.sp"), col("m.wh"), col("m.ut"), col("m.lim"))),
+
     // user function definitions incl. recursion (round-3 `def` prologue)
     "jq_userdef" -> ((s, dir) =>
       table(s, dir, "events").select(
@@ -1085,6 +1096,16 @@ object SparkEntry {
              CAST(6 AS BIGINT) AS npaths,
              b AS gp,
              a AS rt
+      FROM d""",
+
+    "jq_paths_update" -> """
+      WITH d AS (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+      SELECT event_id,
+             '{"a":' || k || ',"k":' || k || '}' AS sp,
+             CASE WHEN k >= 50 THEN 0 ELSE CAST(CEIL((50 - k) / 7.0) AS BIGINT) END AS wh,
+             CASE WHEN k > 50 THEN k
+                  ELSE k + 13 * (CAST(FLOOR((50 - k) / 13.0) AS BIGINT) + 1) END AS ut,
+             k % 3 + 1 AS lim
       FROM d""",
 
     "jq_userdef" -> """

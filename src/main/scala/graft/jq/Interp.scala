@@ -454,6 +454,20 @@ object Interp {
     }
   }
 
+  /** Runtime path array → static segments (getpath/setpath/delpaths):
+    * strings index objects, integers index arrays. */
+  private def runtimeSegs(d: JDoc): Either[String, List[JOps.PathSeg]] = d match {
+    case JArr(segs) =>
+      val out = List.newBuilder[JOps.PathSeg]
+      segs.foreach {
+        case JStr(s)  => out += Left(s)
+        case JLong(n) => out += Right(n)
+        case other    => return Left(s"path segment must be a string or integer, got ${other.typeName}")
+      }
+      Right(out.result())
+    case other => Left(s"path must be an array, got ${other.typeName}")
+  }
+
   /** A user `def`: value params + a pipe indirecting through its
     * definition cell (see the Defs compile case). */
   private final case class UserFunc(params: List[String], body: Pipe)
@@ -1146,6 +1160,117 @@ object Interp {
               Vector(JEntry.ok(if (alive) cur else JNull))
             case other =>
               Vector(JEntry(JNull, Vector(s"getpath path must be an array, got ${other.typeName}")))
+          }
+        }
+
+      case "limit" =>
+        // EXTENSION (jq limit(n; f) — ','-separated here): first n
+        // outputs of the filter
+        if (args.length != 2)
+          return (_, _) => Vector(JEntry(JNull, Vector(s"limit takes 2 args, got ${args.length}")))
+        val fn = compiledArgs(0)
+        val ff = compiledArgs(1)
+        (doc, env) => firstOut(fn, doc, env) match {
+          case Left(m)                       => Vector(JEntry(JNull, Vector(m)))
+          case Right(e) if e.errors.nonEmpty => Vector(JEntry(JNull, e.errors))
+          case Right(e) => e.doc match {
+            case JLong(n) if n >= 0 => ff(doc, env).take(math.min(n, Int.MaxValue).toInt)
+            case other =>
+              Vector(JEntry(JNull, Vector(s"limit count must be a non-negative integer, got ${JsonText.canonical(other)}")))
+          }
+        }
+
+      case "while" | "until" =>
+        // EXTENSION (jq loops, first-output update — multi-output update
+        // fan-out is jq's tree recursion, deliberately simplified to the
+        // first output and documented): while emits every value for which
+        // cond holds; until applies update until cond holds and emits the
+        // final value. Capped like range — a divergent loop must be an
+        // error entry, never a hang.
+        if (args.length != 2)
+          return (_, _) => Vector(JEntry(JNull, Vector(s"$name takes 2 args, got ${args.length}")))
+        val fc = compiledArgs(0)
+        val fu = compiledArgs(1)
+        val isWhile = name == "while"
+        val MaxIters = 100000
+        (doc, env) => {
+          val out = Vector.newBuilder[JEntry]
+          var cur = doc
+          var iters = 0
+          var done = false
+          var result: Vector[JEntry] = null
+          while (!done) {
+            if (iters > MaxIters) {
+              result = Vector(JEntry(JNull, Vector(s"$name exceeded $MaxIters iterations")))
+              done = true
+            } else firstOut(fc, cur, env) match {
+              case Left(m)                       => result = Vector(JEntry(JNull, Vector(m))); done = true
+              case Right(e) if e.errors.nonEmpty => result = Vector(JEntry(JNull, e.errors)); done = true
+              case Right(e) =>
+                val condTrue = JOps.truthy(e.doc)
+                if (isWhile && !condTrue) { result = out.result(); done = true }
+                else if (!isWhile && condTrue) { result = Vector(JEntry.ok(cur)); done = true }
+                else {
+                  if (isWhile) out += JEntry.ok(cur)
+                  firstOut(fu, cur, env) match {
+                    case Left(m)                        => result = Vector(JEntry(JNull, Vector(m))); done = true
+                    case Right(u) if u.errors.nonEmpty  => result = Vector(JEntry(JNull, u.errors)); done = true
+                    case Right(u)                       => cur = u.doc; iters += 1
+                  }
+                }
+            }
+          }
+          result
+        }
+
+      case "setpath" =>
+        // EXTENSION (jq setpath(p; v)): set at a RUNTIME path array — the
+        // dynamic companion of the static `.a.b = v`; missing containers
+        // are created, arrays pad (JOps.setPath)
+        if (args.length != 2)
+          return (_, _) => Vector(JEntry(JNull, Vector(s"setpath takes 2 args, got ${args.length}")))
+        val fp = compiledArgs(0)
+        val fv = compiledArgs(1)
+        (doc, env) => (firstOut(fp, doc, env), firstOut(fv, doc, env)) match {
+          case (Left(m), _) => Vector(JEntry(JNull, Vector(m)))
+          case (_, Left(m)) => Vector(JEntry(JNull, Vector(m)))
+          case (Right(pe), _) if pe.errors.nonEmpty => Vector(JEntry(JNull, pe.errors))
+          case (_, Right(ve)) if ve.errors.nonEmpty => Vector(JEntry(JNull, ve.errors))
+          case (Right(pe), Right(ve)) =>
+            runtimeSegs(pe.doc) match {
+              case Left(m) => Vector(JEntry(JNull, Vector(m)))
+              case Right(segs) => JOps.setPath(doc, segs, ve.doc) match {
+                case Right(out) => Vector(JEntry.ok(out))
+                case Left(m)    => Vector(JEntry(JNull, Vector(m)))
+              }
+            }
+        }
+
+      case "delpaths" =>
+        // EXTENSION (jq delpaths): delete several runtime paths; applied
+        // in DESCENDING path order so earlier array deletions never shift
+        // the indices of later ones (jq's own rule)
+        if (args.length != 1) return wrongArity
+        withArgValue(compiledArgs.head) { (doc, pathsDoc) =>
+          pathsDoc match {
+            case JArr(paths) =>
+              val segsE = paths.map(runtimeSegs)
+              segsE.collectFirst { case Left(m) => m } match {
+                case Some(m) => Vector(JEntry(JNull, Vector(m)))
+                case None =>
+                  val ordered = paths.zip(segsE.map(_.toOption.get))
+                    .sortWith((a, b) => JOps.totalCmp(a._1, b._1) > 0).map(_._2)
+                  var cur: Either[String, JDoc] = Right(doc)
+                  ordered.foreach { segs =>
+                    cur = cur.flatMap(d => JOps.removePath(d, segs))
+                  }
+                  cur match {
+                    case Right(out) => Vector(JEntry.ok(out))
+                    case Left(m)    => Vector(JEntry(JNull, Vector(m)))
+                  }
+              }
+            case other =>
+              Vector(JEntry(JNull, Vector(s"delpaths takes an array of paths, got ${other.typeName}")))
           }
         }
 

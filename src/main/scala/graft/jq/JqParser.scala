@@ -42,7 +42,8 @@ object JqParser {
     bareBuiltins ++ Set("has", "in", "map", "any", "all", "join", "del",
       "select", "test", "range", "startswith", "endswith", "ltrimstr",
       "rtrimstr", "split", "contains",
-      "sort_by", "unique_by", "group_by", "min_by", "max_by", "getpath")
+      "sort_by", "unique_by", "group_by", "min_by", "max_by", "getpath",
+      "limit", "while", "until", "setpath", "delpaths")
 
   /** Reserved continuation words of the `if` form and the `as` binder
     * (EXTENSIONS): they stop juxtaposition/expression scans, so branch

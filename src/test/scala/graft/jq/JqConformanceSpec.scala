@@ -651,6 +651,28 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("reduce .missing as $x (0; . + $x)", "{}", "ERROR: cannot index missing into Object")
   }
 
+  test("limit / while / until / setpath / delpaths (EXTENSION)") {
+    check("limit(2, .[])", "[1,2,3,4]", "1", "2")
+    check("limit(0, .[])", "[1,2]")
+    check("limit(9, .[])", "[1,2]", "1", "2")
+    check("limit(.[0], .[])", "[2,9,8]", "2", "9") // count is a filter
+    check("limit(-1, .[])", "[1]",
+      "ERROR: limit count must be a non-negative integer, got -1")
+    check("while(. < 10, . * 2)", "1", "1", "2", "4", "8")
+    check("while(. < 0, . * 2)", "5")
+    check("until(. > 10, . * 2)", "1", "16")
+    check("until(. > 0, .)", "-1", "ERROR: until exceeded 100000 iterations")
+    check("""setpath(["a","b"], 42)""", """{"a":{}}""", """{"a":{"b":42}}""")
+    check("""setpath([0], 9)""", "[1,2]", "[9,2]")
+    check("""setpath(["a"], .x)""", """{"x":7}""", """{"a":7,"x":7}""")
+    check("""delpaths([["a"],["b",0]])""", """{"a":1,"b":[5,6],"c":2}""",
+      """{"b":[6],"c":2}""")
+    // descending order: deleting [0] and [1] from one array removes the
+    // ORIGINAL elements 0 and 1, not 0 then the shifted 2
+    check("""delpaths([[0],[1]])""", "[10,20,30]", "[30]")
+    check("delpaths(.)", "3", "ERROR: delpaths takes an array of paths, got Integer")
+  }
+
   test("def: user function definitions (EXTENSION)") {
     check("def double: . * 2; .k | double", """{"k":21}""", "42")
     check("def add2($a, $b): $a + $b; add2(.x, .y)", """{"x":1,"y":2}""", "3")
