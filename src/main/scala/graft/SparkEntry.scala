@@ -529,6 +529,17 @@ object SparkEntry {
           col("m.npaths"), col("m.gp"), col("m.rt"))
     }),
 
+    // regex replace + codepoint round-trip + rounding (round-3 builtins)
+    "jq_regex_text" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), struct(col("text")).as("doc"))
+        .select(col("doc_id"),
+          Jq.multi(Seq(
+            ("subbed", """.text | gsub("[aeiou]", "_")""", "string"),
+            ("sub1", """.text | sub("e", "3")""", "string"),
+            ("rt", ".text | chars | implode", "string")), col("doc")).as("m"))
+        .select(col("doc_id"), col("m.subbed"), col("m.sub1"), col("m.rt"))),
+
     // limit/while/until loops + runtime-path setpath/delpaths (round 3)
     "jq_paths_update" -> ((s, dir) =>
       table(s, dir, "events").select(
@@ -1097,6 +1108,13 @@ object SparkEntry {
              b AS gp,
              a AS rt
       FROM d""",
+
+    "jq_regex_text" -> """
+      SELECT doc_id,
+             regexp_replace(text, '[aeiou]', '_', 'g') AS subbed,
+             regexp_replace(text, 'e', '3') AS sub1,
+             text AS rt
+      FROM documents""",
 
     "jq_paths_update" -> """
       WITH d AS (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)

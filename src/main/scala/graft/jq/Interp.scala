@@ -747,9 +747,13 @@ object Interp {
           case other => Left(s"cannot convert ${other.typeName} to number")
         }
 
-      case "floor" | "ceil" | "sqrt" | "abs" =>
+      case "floor" | "ceil" | "sqrt" | "abs" | "round" =>
         overInput { d =>
           (name, d) match {
+            case ("round", n: JLong)  => Right(n)
+            case ("round", JDouble(v)) =>
+              // jq rounds half AWAY from zero (C round), not half-even
+              Right(JDouble(if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)))
             case ("floor", n: JLong)  => Right(n)
             case ("floor", JDouble(v)) => Right(JDouble(math.floor(v)))
             case ("ceil",  n: JLong)  => Right(n)
@@ -866,11 +870,23 @@ object Interp {
         // ';' argument separator): range(n) → 0..n-1, range(a, b) → a..b-1.
         // Capped: a query-driven bound must be an error entry, never an
         // OOM or an uncaught exception (same policy as JOps.MaxPathPad).
-        if (args.isEmpty || args.length > 2)
+        if (args.isEmpty || args.length > 3)
           return ((_, _) => Vector(JEntry(JNull,
-            Vector(s"range takes 1 or 2 args, got ${args.length}"))))
+            Vector(s"range takes 1 to 3 args, got ${args.length}"))))
         val fs = compiledArgs
         val MaxRange = 1000000L
+        def stepped(a: Long, b: Long, step: Long): Vector[JEntry] = {
+          if (step == 0)
+            return Vector(JEntry(JNull, Vector("range step must be non-zero")))
+          // span check BEFORE materializing; BigInt dodges Long overflow
+          val span = (BigInt(b) - BigInt(a)) / BigInt(step)
+          if (span > MaxRange)
+            return Vector(JEntry(JNull, Vector("refusing to generate a range of more than 1000000 values")))
+          val out = Vector.newBuilder[JEntry]
+          var i = a
+          while (if (step > 0) i < b else i > b) { out += JEntry.ok(JLong(i)); i += step }
+          out.result()
+        }
         (doc, env) => {
           val bounds = fs.map(f => firstOut(f, doc, env))
           bounds.collectFirst { case Left(m) => m } match {
@@ -880,15 +896,9 @@ object Interp {
               entries.find(_.errors.nonEmpty) match {
                 case Some(e) => Vector(JEntry(JNull, e.errors)) // propagate, don't type-check a placeholder
                 case None => entries.map(_.doc) match {
-                  case Seq(JLong(n)) if n > MaxRange =>
-                    Vector(JEntry(JNull, Vector(s"refusing to generate a range of $n values")))
-                  case Seq(JLong(n)) =>
-                    (0L until n).map(i => JEntry.ok(JLong(i))).toVector
-                  case Seq(JLong(a), JLong(b)) if b > a && (b - a < 0 || b - a > MaxRange) =>
-                    // b - a < 0 here means the span overflowed Long
-                    Vector(JEntry(JNull, Vector("refusing to generate a range of more than 1000000 values")))
-                  case Seq(JLong(a), JLong(b)) =>
-                    (a until b).map(i => JEntry.ok(JLong(i))).toVector
+                  case Seq(JLong(n))                     => stepped(0L, n, 1L)
+                  case Seq(JLong(a), JLong(b))           => stepped(a, b, 1L)
+                  case Seq(JLong(a), JLong(b), JLong(s)) => stepped(a, b, s)
                   case other => Vector(JEntry(JNull,
                     Vector(s"range bounds must be integers, got ${other.map(_.typeName).mkString(", ")}")))
                 }
@@ -1110,7 +1120,8 @@ object Interp {
           }
         }
 
-      case "paths" =>
+      case "paths" | "leaf_paths" =>
+        val leavesOnly = name == "leaf_paths"
         // EXTENSION (jq): one path array per sub-value, pre-order, root
         // excluded; object fields visited in document (canonical) order —
         // the same traversal `..` uses, but emitting paths not values
@@ -1119,7 +1130,11 @@ object Interp {
           else {
             val out = Vector.newBuilder[JDoc]
             def walk(d: JDoc, path: Vector[JDoc]): Unit = {
-              if (path.nonEmpty) out += JArr(path)
+              val leaf = d match {
+                case _: JArr | _: JObj => false
+                case _                 => true
+              }
+              if (path.nonEmpty && (!leavesOnly || leaf)) out += JArr(path)
               d match {
                 case JArr(items) =>
                   items.zipWithIndex.foreach { case (v, i) => walk(v, path :+ JLong(i.toLong)) }
@@ -1161,6 +1176,83 @@ object Interp {
             case other =>
               Vector(JEntry(JNull, Vector(s"getpath path must be an array, got ${other.typeName}")))
           }
+        }
+
+      case "sub" | "gsub" =>
+        // EXTENSION (jq sub/gsub — ','-separated args): regex replace,
+        // first match / all matches. The replacement is a LITERAL string
+        // (Matcher.quoteReplacement — no capture interpolation, no Java
+        // `$1` surprises); a literal pattern resolves once at plan time
+        // like test().
+        if (args.length != 2)
+          return (_, _) => Vector(JEntry(JNull, Vector(s"$name takes 2 args, got ${args.length}")))
+        val global = name == "gsub"
+        val preCompiled: Option[Either[String, java.util.regex.Pattern]] = args.head match {
+          case Lit(JStr(re)) =>
+            try Some(Right(java.util.regex.Pattern.compile(re)))
+            catch {
+              case e: java.util.regex.PatternSyntaxException =>
+                Some(Left(s"invalid regex: ${e.getDescription}"))
+            }
+          case _ => None
+        }
+        val fre = compiledArgs(0)
+        val frep = compiledArgs(1)
+        (doc, env) => doc match {
+          case JStr(s) =>
+            val patE: Either[String, java.util.regex.Pattern] = preCompiled match {
+              case Some(x) => x
+              case None => firstOut(fre, doc, env) match {
+                case Left(m)                       => Left(m)
+                case Right(e) if e.errors.nonEmpty => Left(e.errors.mkString("; "))
+                case Right(e) => e.doc match {
+                  case JStr(r) =>
+                    try Right(java.util.regex.Pattern.compile(r))
+                    catch {
+                      case ex: java.util.regex.PatternSyntaxException =>
+                        Left(s"invalid regex: ${ex.getDescription}")
+                    }
+                  case other => Left(s"$name pattern must be a string, got ${other.typeName}")
+                }
+              }
+            }
+            patE match {
+              case Left(m) => Vector(JEntry(JNull, Vector(m)))
+              case Right(p) => firstOut(frep, doc, env) match {
+                case Left(m)                       => Vector(JEntry(JNull, Vector(m)))
+                case Right(e) if e.errors.nonEmpty => Vector(JEntry(JNull, e.errors))
+                case Right(e) => e.doc match {
+                  case JStr(rep) =>
+                    val quoted = java.util.regex.Matcher.quoteReplacement(rep)
+                    val matcher = p.matcher(s)
+                    Vector(JEntry.ok(JStr(
+                      if (global) matcher.replaceAll(quoted) else matcher.replaceFirst(quoted))))
+                  case other =>
+                    Vector(JEntry(JNull, Vector(s"$name replacement must be a string, got ${other.typeName}")))
+                }
+              }
+            }
+          case other => Vector(JEntry(JNull, Vector(s"cannot $name over ${other.typeName}")))
+        }
+
+      case "implode" =>
+        // EXTENSION (jq implode): codepoint array → string, the inverse
+        // of `chars`; invalid codepoints (surrogates, out of range) are
+        // error entries
+        overInput {
+          case JArr(items) =>
+            val sb = new java.lang.StringBuilder
+            var bad: Option[String] = None
+            items.foreach {
+              case JLong(cp) if bad.isEmpty =>
+                if (cp >= 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+                  sb.appendCodePoint(cp.toInt)
+                else bad = Some(s"invalid codepoint $cp")
+              case other if bad.isEmpty => bad = Some(s"codepoint must be an integer, got ${other.typeName}")
+              case _ => ()
+            }
+            bad.toLeft(JStr(sb.toString))
+          case other => Left(s"cannot implode ${other.typeName}")
         }
 
       case "limit" =>

@@ -37,13 +37,13 @@ object JqParser {
     "tostring", "tonumber", "floor", "ceil", "sqrt", "abs",
     "empty", "first", "last", "to_entries", "from_entries",
     "ascii_downcase", "ascii_upcase",
-    "flatten", "paths", "tojson", "fromjson")
+    "flatten", "paths", "leaf_paths", "tojson", "fromjson", "implode", "round")
   private[jq] val allBuiltins =
     bareBuiltins ++ Set("has", "in", "map", "any", "all", "join", "del",
       "select", "test", "range", "startswith", "endswith", "ltrimstr",
       "rtrimstr", "split", "contains",
       "sort_by", "unique_by", "group_by", "min_by", "max_by", "getpath",
-      "limit", "while", "until", "setpath", "delpaths")
+      "limit", "while", "until", "setpath", "delpaths", "sub", "gsub")
 
   /** Reserved continuation words of the `if` form and the `as` binder
     * (EXTENSIONS): they stop juxtaposition/expression scans, so branch

@@ -206,14 +206,18 @@ class JqConformanceSpec extends AnyFunSuite {
     check("from_entries", "[1]", "ERROR: entries must be objects, got Integer")
     check("to_entries", "[]", "ERROR: cannot convert Array to entries")
     // query-driven materialization is capped (errors-as-data, never OOM)
-    check("range(3000000000)", "null", "ERROR: refusing to generate a range of 3000000000 values")
+    check("range(3000000000)", "null", "ERROR: refusing to generate a range of more than 1000000 values")
     check("[range(0 - 4611686018427387904, 4611686018427387904)] | length", "null",
       "ERROR: refusing to generate a range of more than 1000000 values")
     // argument-pipeline errors propagate as themselves, not a type message
     check("range(.a.b)", """{"a": 1}""", "ERROR: cannot index b into Integer")
     // fixed arity is enforced
     check("first(.a, .b)", """{"a":1,"b":2}""", "ERROR: expected 1 args, got 2")
-    check("range(1, 2, 3)", "null", "ERROR: range takes 1 or 2 args, got 3")
+    check("range(1, 2, 3)", "null", "1") // one step lands, the next passes b
+    check("[range(0, 10, 3)]", "null", "[0,3,6,9]")
+    check("[range(5, 0, -2)]", "null", "[5,3,1]")
+    check("range(0, 1, 0)", "null", "ERROR: range step must be non-zero")
+    check("range(1, 2, 3, 4)", "null", "ERROR: range takes 1 to 3 args, got 4")
   }
 
   test("EXTENSION: string builtins (case/trim/prefix/split/contains)") {
@@ -649,6 +653,27 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("reduce .[] as $x ({}; . + {(\"k\\($x)\"): $x})", "[1,2]",
       """{"k1":1,"k2":2}""")
     check("reduce .missing as $x (0; . + $x)", "{}", "ERROR: cannot index missing into Object")
+  }
+
+  test("sub / gsub / implode / leaf_paths / round (EXTENSION)") {
+    check("""sub("o", "0")""", "\"fooboo\"", "\"f0oboo\"")
+    check("""gsub("o", "0")""", "\"fooboo\"", "\"f00b00\"")
+    check("""gsub("[0-9]+", "#")""", "\"a1b22c333\"", "\"a#b#c#\"")
+    // replacement is literal: regex group syntax and backslashes inert
+    check("""gsub("o", "$1\\x")""", "\"oo\"", "\"$1\\\\x$1\\\\x\"")
+    check("""gsub(.sep, "-")""", "\"x\"", "ERROR: cannot index sep into String")
+    check("""sub("(", "x")""", "\"a\"", "ERROR: invalid regex: Unclosed group")
+    check("""3 | sub("3", "x")""", "null", "ERROR: cannot sub over Integer")
+    check("chars | implode", "\"héllo\"", "\"héllo\"") // inverse of chars
+    check("implode", "[104,105]", "\"hi\"")
+    check("implode", "[55296]", "ERROR: invalid codepoint 55296") // lone surrogate
+    check("implode", "[true]", "ERROR: codepoint must be an integer, got Bool")
+    check("[leaf_paths]", """{"a":{"b":1},"xs":[7,{"c":2}]}""",
+      """[["a","b"],["xs",0],["xs",1,"c"]]""")
+    check("round", "2.5", "3e0")
+    check("round", "-2.5", "-3e0") // half AWAY from zero, not half-even
+    check("round", "2.4", "2e0")
+    check("round", "7", "7")
   }
 
   test("limit / while / until / setpath / delpaths (EXTENSION)") {
