@@ -558,7 +558,9 @@ object SparkEntry {
         Jq.long("def double: . * 2; def add2($a, $b): $a + $b; add2(.k | double, 7)",
           col("props")).as("v"),
         Jq.long("def fact: if . < 2 then 1 else . * (. - 1 | fact) end; .k % 6 + 1 | fact",
-          col("props")).as("f"))),
+          col("props")).as("f"),
+        Jq.long("def mymap(f): [.[] | f]; [.k, .k * 2] | mymap(. + 1) | add",
+          col("props")).as("fm"))),
 
     // reduce/foreach folds, `as $x` binders, string interpolation
     // (round-3 jq-language constructs) — closed-form oracle per column
@@ -1129,7 +1131,8 @@ object SparkEntry {
     "jq_userdef" -> """
       WITH d AS (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
       SELECT event_id, k * 2 + 7 AS v,
-             CAST(factorial(CAST(k % 6 + 1 AS INTEGER)) AS BIGINT) AS f
+             CAST(factorial(CAST(k % 6 + 1 AS INTEGER)) AS BIGINT) AS f,
+             k * 3 + 2 AS fm
       FROM d""",
 
     "jq_fold_interp" -> """

@@ -92,10 +92,14 @@ object Ast {
     * `as $name` binding in scope; unbound is an error entry. */
   final case class Var(name: String) extends Ast
 
-  /** EXTENSION (jq): one `def name($a, $b): body;` definition. Params are
-    * VALUE params (bound like `as`-variables from the call arguments'
-    * outputs, cartesian fan-out). */
-  final case class FuncDef(name: String, params: List[String], body: Ast)
+  /** One `def` parameter: `$name` is a VALUE param (bound like an
+    * `as`-variable from the call argument's outputs, cartesian fan-out);
+    * a bare `name` is a FILTER param (the argument expression itself,
+    * callable inside the body — jq's closure-valued parameters). */
+  final case class FuncParam(name: String, filter: Boolean)
+
+  /** EXTENSION (jq): one `def name($a, f): body;` definition. */
+  final case class FuncDef(name: String, params: List[FuncParam], body: Ast)
 
   /** EXTENSION (jq): a program prologue of function definitions followed
     * by the main expression. Defs may call themselves (recursion) and any

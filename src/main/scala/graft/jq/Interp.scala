@@ -213,11 +213,19 @@ object Interp {
       // during this compile call).
       val outer = funcScope.value
       val cells = scala.collection.mutable.Map.empty[String, Pipe]
+      var tableRef: Map[String, UserFunc] = null
       val table = outer ++ defs.map { d =>
-        d.name -> UserFunc(d.params, (doc: JDoc, env: Env) => cells(d.name)(doc, env))
+        d.name -> UserFunc(d.params,
+          (doc: JDoc, env: Env) => cells(d.name)(doc, env),
+          d.body, () => tableRef)
       }
+      tableRef = table
       funcScope.withValue(table) {
-        defs.foreach(d => cells(d.name) = compile(d.body))
+        // value-only defs compile ONCE here (recursion through the cell);
+        // defs with filter params specialize per CALL SITE instead
+        defs.foreach { d =>
+          if (d.params.forall(!_.filter)) cells(d.name) = compile(d.body)
+        }
         compile(body)
       }
 
@@ -468,9 +476,13 @@ object Interp {
     case other => Left(s"path must be an array, got ${other.typeName}")
   }
 
-  /** A user `def`: value params + a pipe indirecting through its
-    * definition cell (see the Defs compile case). */
-  private final case class UserFunc(params: List[String], body: Pipe)
+  /** A user `def`: params, the once-compiled body pipe (valid for
+    * value-param-only defs — indirects through the definition cell for
+    * recursion), the raw body AST (re-specialized per call site when the
+    * def has FILTER params), and the definition-scope table (lexical
+    * scoping for the specialization). */
+  private final case class UserFunc(params: List[FuncParam], cellBody: Pipe,
+                                    bodyAst: Ast, defTable: () => Map[String, UserFunc])
 
   /** Compile-time function scope for user defs. Only read inside
     * [[compile]] (single-threaded per compilation; executors re-enter
@@ -478,6 +490,11 @@ object Interp {
     * scope), never captured by the compiled closures themselves. */
   private val funcScope =
     new scala.util.DynamicVariable[Map[String, UserFunc]](Map.empty)
+
+  /** Defs currently being call-site-specialized (filter params):
+    * re-entering one is the recursion guard's error case. */
+  private val specializing =
+    new scala.util.DynamicVariable[Set[String]](Set.empty)
 
   /** User-def call: args evaluate against the call input WITH the
     * call-site env (they may use $vars in scope), but the body runs under
@@ -488,19 +505,39 @@ object Interp {
     if (args.length != uf.params.length)
       return (_, _) => Vector(JEntry(JNull,
         Vector(s"$name expects ${uf.params.length} args, got ${args.length}")))
-    val fargs = args.map(compile)
-    (doc, env) => {
-      def go(ps: List[String], fs: List[Pipe], bound: Env): Vector[JEntry] =
-        (ps, fs) match {
-          case (Nil, Nil) => uf.body(doc, bound)
-          case (p :: pt, f :: ft) =>
-            f(doc, env).flatMap { e =>
-              if (e.errors.nonEmpty) Vector(e)
-              else go(pt, ft, (p, e.doc) :: bound)
-            }
-          case _ => Vector.empty
+    val filterParams = uf.params.zipWithIndex.filter(_._1.filter)
+    val body: Pipe =
+      if (filterParams.isEmpty) uf.cellBody
+      else {
+        // FILTER params (jq closure-valued parameters): re-specialize the
+        // def body at THIS call site with each filter argument bound as a
+        // zero-arg user function. The filter pipe runs against whatever
+        // value the body applies it to; call-site $vars inside a filter
+        // argument are a documented limitation (lexical body scope wins).
+        // A recursive filter-param def would specialize forever — guarded
+        // into an error entry.
+        if (specializing.value(name))
+          return (_, _) => Vector(JEntry(JNull,
+            Vector(s"recursive filter-parameter calls to $name are not supported")))
+        val bound: Map[String, UserFunc] = filterParams.map { case (p, i) =>
+          val fp = compile(args(i)) // call-site lexical scope
+          p.name -> UserFunc(Nil, fp, args(i), () => funcScope.value)
+        }.toMap
+        specializing.withValue(specializing.value + name) {
+          funcScope.withValue(uf.defTable() ++ bound) { compile(uf.bodyAst) }
         }
-      go(uf.params, fargs, Nil)
+      }
+    val valueArgs = uf.params.zip(args).collect { case (p, a) if !p.filter => (p.name, compile(a)) }
+    (doc, env) => {
+      def go(ps: List[(String, Pipe)], bound: Env): Vector[JEntry] = ps match {
+        case Nil => body(doc, bound)
+        case (p, f) :: pt =>
+          f(doc, env).flatMap { e =>
+            if (e.errors.nonEmpty) Vector(e)
+            else go(pt, (p, e.doc) :: bound)
+          }
+      }
+      go(valueArgs, Nil)
     }
   }
 

@@ -259,20 +259,32 @@ final class JqParser(text: String) {
         skipWs()
         val name = tryIdentifier().getOrElse(fail("expected function name after 'def'"))
         userDefNames += name // before the body parse: recursion sees itself
-        val params = List.newBuilder[String]
+        val params = List.newBuilder[FuncParam]
         skipWs()
+        def oneParam(): FuncParam = {
+          skipWs()
+          if (peekIs("$")) FuncParam(parseVarName(), filter = false)
+          else FuncParam(
+            tryIdentifier().getOrElse(fail("expected parameter ('$value' or bare filter name)")),
+            filter = true)
+        }
         if (eat("(")) {
-          params += parseVarName()
-          while ({ skipWs(); eat(",") }) params += parseVarName()
+          params += oneParam()
+          while ({ skipWs(); eat(",") }) params += oneParam()
           skipWs()
           expect(")")
         }
         skipWs()
         expect(":")
-        val body = parseExpr()
+        // FILTER params are callable (bare or with args) inside THIS body
+        // only — scope the name registration to the body parse
+        val ps = params.result()
+        val filterNames = ps.filter(_.filter).map(_.name).filterNot(userDefNames)
+        filterNames.foreach(userDefNames += _)
+        val body = try parseExpr() finally filterNames.foreach(userDefNames -= _)
         skipWs()
         expect(";")
-        defs += FuncDef(name, params.result(), body)
+        defs += FuncDef(name, ps, body)
       } else more = false
     }
     val e = parseExpr()

@@ -718,6 +718,22 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("def f($a): $a; f(1, 2)", "null", "ERROR: f expects 1 args, got 2")
   }
 
+  test("def filter params: closure-valued arguments (EXTENSION)") {
+    check("def twice(f): f | f; .k | twice(. * 2)", """{"k":3}""", "12")
+    check("def mymap(f): [.[] | f]; mymap(. + 1)", "[1,2]", "[2,3]")
+    check("def coal(f): f // 0; coal(.a)", """{"a":5}""", "5")
+    check("def coal(f): f // 0; coal(.a)", """{"b":1}""", "0")
+    // mixed value + filter params
+    check("def addmap($n, f): [.[] | f + $n]; addmap(10, . * 2)", "[1,2]", "[12,14]")
+    // a filter argument may call other defs (call-site lexical scope)
+    check("def inc: . + 1; def app(f): f; 5 | app(inc)", "null", "6")
+    // filter params are scoped to their body: bare `f` outside is a field
+    check("def app(f): f; {f: 9} | f", "null", "9")
+    // recursion through a filter param is guarded, not a hang
+    check("def r(f): r(f); r(.)", "null",
+      "ERROR: recursive filter-parameter calls to r are not supported")
+  }
+
   test("string interpolation (EXTENSION)") {
     check("\"k=\\(.k), twice \\(.k * 2)\"", """{"k":21}""", "\"k=21, twice 42\"")
     check("\"<\\(.xs | .[])>\"", """{"xs":[1,2]}""", "\"<1>\"", "\"<2>\"")
