@@ -231,6 +231,47 @@ object Dedup {
       .filter(col("j") >= threshold)
   }
 
+  // ------------------------------------------------------------ clustering
+
+  /** Connected components over a near-dup pair list — the reduce step of
+    * web-scale dedup: pairs from [[minhashNearDups]]/[[simhashNearDups]]
+    * form clusters, and the pipeline keeps ONE document per cluster.
+    * Returns (id, rep) where rep is the MINIMUM id transitively reachable
+    * through the pair relation (isolated ids are their own rep).
+    *
+    * Algorithm: iterative min-label propagation — per round, every id
+    * takes the min of its label and its neighbors' labels; one shuffle
+    * per round on the id, no driver-side union-find, no full closure
+    * materialization. Near-dup components are short chains (pairs,
+    * triangles, small stars), so the fixpoint lands in a handful of
+    * rounds; label distance to the component minimum HALVES per round
+    * for path graphs (pointer-jumping-like behavior through min over
+    * neighbors-of-neighbors across rounds), and `maxIters` bounds the
+    * worst case. Each round materializes eagerly (localCheckpoint) so
+    * lineage stays flat; the loop stops as soon as a round changes no
+    * label — a driver-side CONVERGENCE check, not driver-side data. */
+  def nearDupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
+                      maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep")).localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (iters < maxIters && !converged) {
+      val viaNeighbors = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("rep"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.select(col("id"), col("rep").as("prev")), "id")
+        .filter(col("rep") =!= col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    labels
+  }
+
   // ------------------------------------------------------------ n-gram pairs
 
   /** Exact n-gram jaccard for an explicit pair list (deterministic

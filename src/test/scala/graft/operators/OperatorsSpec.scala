@@ -165,6 +165,19 @@ class OperatorsSpec extends SparkTestBase {
       s"recall_ok false for: ${out.filterNot(_.getBoolean(1)).mkString(",")}")
   }
 
+  test("nearDupClusters: connected components via min-label propagation") {
+    import spark.implicits._
+    // components: chain 1-2-3-4, triangle 10-11-12, pair 20-21, isolates 30/31
+    val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L, 31L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(ids, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 31L))
+  }
+
   test("dedup leaves no cached blocks behind; withShingles releases its cache") {
     Dedup.minhashNearDups(docs, "doc_id", col("text"), 3, 0.8).count()
     Dedup.simhashNearDups(docs, "doc_id", col("text"), 3, 0.8).count()
