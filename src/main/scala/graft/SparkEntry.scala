@@ -420,6 +420,11 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), operators.Relational.dsum(col("l_quantity")).as("sum_qty"))),
 
+    "rel_cube" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), operators.Relational.dsum(col("l_quantity")).as("sum_qty"))),
+
     "rel_agg_stats" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -1067,6 +1072,11 @@ object SparkEntry {
       SELECT l_returnflag, l_linestatus, count(*) AS n,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "rel_cube" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 
     "rel_agg_stats" -> """
       SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,

@@ -1272,6 +1272,39 @@ object Interp {
           case other => Vector(JEntry(JNull, Vector(s"cannot $name over ${other.typeName}")))
         }
 
+      case "capture" =>
+        // EXTENSION (jq capture): named groups of the FIRST regex match as
+        // an object (unmatched optional groups → null); no match → empty
+        // stream. Group names are read from the pattern text (Java exposes
+        // no API for them), so only literal `(?<name>...)` groups surface.
+        if (args.length != 1) return wrongArity
+        val groupNameRe = "\\(\\?<([a-zA-Z][a-zA-Z0-9]*)>".r
+        val fre = compiledArgs.head
+        def run(s: String, re: String): Vector[JEntry] =
+          try {
+            val p = java.util.regex.Pattern.compile(re)
+            val names = groupNameRe.findAllMatchIn(re).map(_.group(1)).toList
+            val m = p.matcher(s)
+            if (!m.find()) Vector.empty
+            else Vector(JEntry.ok(JObj.fromProps(names.map { n =>
+              n -> Option(m.group(n)).map(JStr(_): JDoc).getOrElse(JNull)
+            })))
+          } catch {
+            case e: java.util.regex.PatternSyntaxException =>
+              Vector(JEntry(JNull, Vector(s"invalid regex: ${e.getDescription}")))
+          }
+        (doc, env) => doc match {
+          case JStr(s) => firstOut(fre, doc, env) match {
+            case Left(m)                       => Vector(JEntry(JNull, Vector(m)))
+            case Right(e) if e.errors.nonEmpty => Vector(JEntry(JNull, e.errors))
+            case Right(e) => e.doc match {
+              case JStr(re) => run(s, re)
+              case other    => Vector(JEntry(JNull, Vector(s"capture pattern must be a string, got ${other.typeName}")))
+            }
+          }
+          case other => Vector(JEntry(JNull, Vector(s"cannot capture over ${other.typeName}")))
+        }
+
       case "implode" =>
         // EXTENSION (jq implode): codepoint array → string, the inverse
         // of `chars`; invalid codepoints (surrogates, out of range) are

@@ -43,7 +43,8 @@ object JqParser {
       "select", "test", "range", "startswith", "endswith", "ltrimstr",
       "rtrimstr", "split", "contains",
       "sort_by", "unique_by", "group_by", "min_by", "max_by", "getpath",
-      "limit", "while", "until", "setpath", "delpaths", "sub", "gsub")
+      "limit", "while", "until", "setpath", "delpaths", "sub", "gsub",
+      "capture")
 
   /** Reserved continuation words of the `if` form and the `as` binder
     * (EXTENSIONS): they stop juxtaposition/expression scans, so branch

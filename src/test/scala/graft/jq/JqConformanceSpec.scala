@@ -676,6 +676,15 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("round", "7", "7")
   }
 
+  test("capture: named regex groups as an object (EXTENSION)") {
+    check("""capture("(?<x>[0-9]+)-(?<y>[a-z]+)")""", "\"12-ab!\"",
+      """{"x":"12","y":"ab"}""")
+    check("""capture("(?<n>[0-9]+)")""", "\"abc\"") // no match: empty stream
+    check("""capture("(?<a>x)(?<b>y)?")""", "\"x\"", """{"a":"x","b":null}""")
+    check("""capture("(")""", "\"a\"", "ERROR: invalid regex: Unclosed group")
+    check("""3 | capture("3")""", "null", "ERROR: cannot capture over Integer")
+  }
+
   test("limit / while / until / setpath / delpaths (EXTENSION)") {
     check("limit(2, .[])", "[1,2,3,4]", "1", "2")
     check("limit(0, .[])", "[1,2]")
