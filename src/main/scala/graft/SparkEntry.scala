@@ -649,6 +649,21 @@ object SparkEntry {
       operators.Dedup.minhashNearDups(
         table(s, dir, "documents"), "doc_id", col("text"), n = 3, threshold = 0.8)),
 
+    // the end-to-end dedup pipeline output: the corpus with one document
+    // kept per near-dup cluster (shingle → minhash LSH → verify →
+    // components → keep representatives) — what a training-data run
+    // actually writes out
+    "dedup_keep" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = operators.Dedup.minhashNearDups(docs, "doc_id", col("text"), 3, 0.8)
+        .select(col("id_a"), col("id_b"))
+      val clusters = operators.Dedup.nearDupClusters(
+        docs.select(col("doc_id")), "doc_id", pairs)
+      docs.join(clusters.filter(col("id") === col("rep"))
+          .select(col("id").as("doc_id")), "doc_id")
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // the dedup REDUCE: connected components over the near-dup pairs,
     // one representative (min id) per cluster — what a training-data
     // pipeline actually keeps. Oracle: DuckDB recursive-CTE transitive
@@ -1232,6 +1247,30 @@ object SparkEntry {
                  / len(list_distinct(a.shingles || b.shingles)) AS j
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
       WHERE j >= 0.8""",
+
+    "dedup_keep" -> """
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(s) >= 3
+          THEN [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]
+          ELSE [] END) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+      p AS (
+        SELECT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                   / len(list_distinct(a.shingles || b.shingles)) AS j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+        WHERE j >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION SELECT id_b, id_a FROM p),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      SELECT d.doc_id, d.lang
+      FROM documents d
+      JOIN (SELECT src, min(dst) AS rep FROM reach GROUP BY src) c
+        ON d.doc_id = c.src AND d.doc_id = c.rep""",
 
     "dedup_clusters" -> """
       WITH RECURSIVE sh AS (
