@@ -534,6 +534,20 @@ object SparkEntry {
           col("m.npaths"), col("m.gp"), col("m.rt"))
     }),
 
+    // @format strings: base64 round trip vs DuckDB's own encoder, CSV row
+    "jq_formats" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), struct(col("text")).as("doc"))
+        .select(col("doc_id"),
+          Jq.string(".text | @base64", col("doc")).as("b64"),
+          Jq.string(".text | @base64 | @base64d", col("doc")).as("rt"))
+      val csv = ev.select(col("event_id"),
+        Jq.string("""[.k, .k * 2, "x,y"] | @csv""", col("props")).as("csvrow"))
+      docs.join(csv, docs("doc_id") === csv("event_id"))
+        .select(col("doc_id"), col("b64"), col("rt"), col("csvrow"))
+    }),
+
     // regex replace + codepoint round-trip + rounding (round-3 builtins)
     "jq_regex_text" -> ((s, dir) =>
       table(s, dir, "documents")
@@ -1147,6 +1161,14 @@ object SparkEntry {
              b AS gp,
              a AS rt
       FROM d""",
+
+    "jq_formats" -> """
+      WITH c AS (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+      SELECT d.doc_id,
+             to_base64(encode(d.text)) AS b64,
+             d.text AS rt,
+             c.k || ',' || (c.k * 2) || ',"x,y"' AS csvrow
+      FROM documents d JOIN c ON d.doc_id = c.event_id""",
 
     "jq_regex_text" -> """
       SELECT doc_id,

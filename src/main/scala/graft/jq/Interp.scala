@@ -1436,6 +1436,74 @@ object Interp {
           }
         }
 
+      case "@text" => overInput {
+        case s: JStr => Right(s)
+        case d       => Right(JStr(JsonText.canonical(d)))
+      }
+
+      case "@json" => overInput(d => Right(JStr(JsonText.canonical(d))))
+
+      case "@csv" | "@tsv" =>
+        // EXTENSION (jq format strings): one delimited row from an array.
+        // CSV: strings double-quoted with "" escaping; TSV: unquoted with
+        // \t \n \r \\ escapes. Numbers/booleans render canonically,
+        // null → empty field; containers are an error (jq's rule).
+        val isCsv = name == "@csv"
+        overInput {
+          case JArr(items) =>
+            val parts = items.map {
+              case JStr(s) =>
+                if (isCsv) Right("\"" + s.replace("\"", "\"\"") + "\"")
+                else Right(s.replace("\\", "\\\\").replace("\t", "\\t")
+                  .replace("\n", "\\n").replace("\r", "\\r"))
+              case JNull => Right("")
+              case d @ (_: JBool | _: JLong | _: JDouble) => Right(JsonText.canonical(d))
+              case other => Left(s"$name cannot format ${other.typeName} fields")
+            }
+            parts.collectFirst { case Left(m) => m } match {
+              case Some(m) => Left(m)
+              case None => Right(JStr(parts.map(_.toOption.get)
+                .mkString(if (isCsv) "," else "\t")))
+            }
+          case other => Left(s"$name requires an array, got ${other.typeName}")
+        }
+
+      case "@base64" => overInput {
+        case JStr(s) => Right(JStr(java.util.Base64.getEncoder
+          .encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        case other => Left(s"@base64 requires a string, got ${other.typeName}")
+      }
+
+      case "@base64d" => overInput {
+        case JStr(s) =>
+          try Right(JStr(new String(java.util.Base64.getDecoder.decode(s),
+            java.nio.charset.StandardCharsets.UTF_8)))
+          catch { case _: IllegalArgumentException => Left("invalid base64") }
+        case other => Left(s"@base64d requires a string, got ${other.typeName}")
+      }
+
+      case "@uri" => overInput {
+        case JStr(s) =>
+          // RFC 3986: unreserved chars pass through, everything else is
+          // %XX over the UTF-8 bytes
+          val sb = new java.lang.StringBuilder
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+            val c = b.toChar
+            if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+                (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' || c == '~')
+              sb.append(c)
+            else sb.append(f"%%${b & 0xFF}%02X")
+          }
+          Right(JStr(sb.toString))
+        case other => Left(s"@uri requires a string, got ${other.typeName}")
+      }
+
+      case "@html" => overInput {
+        case JStr(s) => Right(JStr(s.replace("&", "&amp;").replace("<", "&lt;")
+          .replace(">", "&gt;").replace("'", "&#39;").replace("\"", "&quot;")))
+        case other => Left(s"@html requires a string, got ${other.typeName}")
+      }
+
       case "tojson" =>
         // differs from tostring exactly where jq's does: strings are
         // QUOTED/escaped ("a" → "\"a\"")

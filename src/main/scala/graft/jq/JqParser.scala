@@ -522,6 +522,13 @@ final class JqParser(text: String) {
           else fail(s"unexpected character '$c'")
       }
     }
+    else if (c == '@') {
+      // EXTENSION (jq format strings): @csv/@tsv/@base64/... — zero-arg
+      // builtins over `.`, dispatched with the '@' kept in the name
+      expect("@")
+      val name = tryIdentifier().getOrElse(fail("expected format name after '@'"))
+      Call("@" + name, Nil)
+    }
     else if (isIdentStart(c)) parseWordForm()
     else fail(s"unexpected character '$c'")
   }

@@ -676,6 +676,22 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("round", "7", "7")
   }
 
+  test("@format strings: csv/tsv/base64/uri/html/text/json (EXTENSION)") {
+    check("""[1, "a,b", null, true] | @csv""", "null", "\"1,\\\"a,b\\\",,true\"")
+    check("""["x\ty", 2] | @tsv""", "null", "\"x\\\\ty\\t2\"")
+    check("""[["1"]] | @csv""", "null", "ERROR: @csv cannot format Array fields")
+    check("""3 | @csv""", "null", "ERROR: @csv requires an array, got Integer")
+    check("\"hi\" | @base64", "null", "\"aGk=\"")
+    check("\"hi\" | @base64 | @base64d", "null", "\"hi\"")
+    check("\"!!\" | @base64d", "null", "ERROR: invalid base64")
+    check("\"a b/c~\" | @uri", "null", "\"a%20b%2Fc~\"")
+    check("\"é\" | @uri", "null", "\"%C3%A9\"") // UTF-8 bytes percent-encode
+    check("\"<a & 'b'>\" | @html", "null", "\"&lt;a &amp; &#39;b&#39;&gt;\"")
+    check("[1] | @text", "null", "\"[1]\"")
+    check("\"s\" | @text", "null", "\"s\"")
+    check("\"s\" | @json", "null", "\"\\\"s\\\"\"")
+  }
+
   test("capture: named regex groups as an object (EXTENSION)") {
     check("""capture("(?<x>[0-9]+)-(?<y>[a-z]+)")""", "\"12-ab!\"",
       """{"x":"12","y":"ab"}""")
