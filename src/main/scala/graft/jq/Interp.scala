@@ -1272,6 +1272,31 @@ object Interp {
           case other => Vector(JEntry(JNull, Vector(s"cannot $name over ${other.typeName}")))
         }
 
+      case "splits" =>
+        // EXTENSION (jq splits): REGEX split as a stream of parts (the
+        // literal-separator `split` returns an array; this is its regex
+        // sibling with jq's stream shape). Trailing empty parts kept
+        // (limit -1), matching split's byte-faithful behavior.
+        if (args.length != 1) return wrongArity
+        val fre = compiledArgs.head
+        (doc, env) => doc match {
+          case JStr(s) => firstOut(fre, doc, env) match {
+            case Left(m)                       => Vector(JEntry(JNull, Vector(m)))
+            case Right(e) if e.errors.nonEmpty => Vector(JEntry(JNull, e.errors))
+            case Right(e) => e.doc match {
+              case JStr(re) =>
+                try java.util.regex.Pattern.compile(re).split(s, -1).toVector
+                  .map(p => JEntry.ok(JStr(p)))
+                catch {
+                  case ex: java.util.regex.PatternSyntaxException =>
+                    Vector(JEntry(JNull, Vector(s"invalid regex: ${ex.getDescription}")))
+                }
+              case other => Vector(JEntry(JNull, Vector(s"splits pattern must be a string, got ${other.typeName}")))
+            }
+          }
+          case other => Vector(JEntry(JNull, Vector(s"cannot splits ${other.typeName}")))
+        }
+
       case "capture" =>
         // EXTENSION (jq capture): named groups of the FIRST regex match as
         // an object (unmatched optional groups → null); no match → empty

@@ -44,7 +44,7 @@ object JqParser {
       "rtrimstr", "split", "contains",
       "sort_by", "unique_by", "group_by", "min_by", "max_by", "getpath",
       "limit", "while", "until", "setpath", "delpaths", "sub", "gsub",
-      "capture")
+      "capture", "splits")
 
   /** Reserved continuation words of the `if` form and the `as` binder
     * (EXTENSIONS): they stop juxtaposition/expression scans, so branch

@@ -128,16 +128,35 @@ object Dedup {
     ColumnBridge.column(MinhashSig(ColumnBridge.expression(shingles), hashA, hashB))
 
   /** Candidate pairs from LSH banding: docs sharing any band bucket.
-    * Shuffles on (band, bucket slice); self-join inside buckets. */
-  def lshCandidates(docs: DataFrame, id: String, shingleCol: String): DataFrame = {
+    * Shuffles on (band, bucket slice); self-join inside buckets.
+    *
+    * `maxBucketSize` (0 = off) is the web-scale safety valve: a bucket
+    * with B members generates B² candidate pairs, and ultra-common
+    * buckets (boilerplate shingles hashing together across unrelated
+    * docs) are both quadratic AND useless as discriminators — the
+    * standard practice is to skip them. CAVEAT, documented loudly:
+    * byte-identical mega-clusters collide in EVERY band, so a capped run
+    * assumes exact duplicates were removed first ([[exactDedup]] — the
+    * pipeline order dedup_keep uses is exact-then-near). Genuine near
+    * (not identical) pairs keep their other bands' chances. The size
+    * filter is one partial-aggregated count on the bucket key the join
+    * shuffles on anyway. */
+  def lshCandidates(docs: DataFrame, id: String, shingleCol: String,
+                    maxBucketSize: Int = 0): DataFrame = {
     val sig = docs.select(col(id), minhashSignature(col(shingleCol)).as("sig"))
     val bucketed = sig.select(
       col(id),
       explode(transform(sequence(lit(0), lit(MinhashBands - 1)), b =>
         struct(b.as("band"), slice(col("sig"), b * MinhashRows + 1, lit(MinhashRows)).as("key")))).as("bb"))
       .select(col(id), col("bb"))
-    val a = bucketed.select(col(id).as("id_a"), col("bb"))
-    val b = bucketed.select(col(id).as("id_b"), col("bb"))
+    val pruned =
+      if (maxBucketSize <= 0) bucketed
+      else bucketed.join(
+        bucketed.groupBy(col("bb")).count()
+          .filter(col("count") <= maxBucketSize).select(col("bb")),
+        "bb")
+    val a = pruned.select(col(id).as("id_a"), col("bb"))
+    val b = pruned.select(col(id).as("id_b"), col("bb"))
     a.hint("shuffle_hash") // hash beats two sorts of the exploded band rows
       .join(b, a("bb") === b("bb") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
@@ -148,7 +167,7 @@ object Dedup {
     * that collide in ≥1 band (recall ≈ 1 for thresholds ≤ the banding
     * design point). */
   def minhashNearDups(docs: DataFrame, id: String, text: Column,
-                      n: Int, threshold: Double): DataFrame = {
+                      n: Int, threshold: Double, maxBucketSize: Int = 0): DataFrame = {
     // the shingle table feeds bucketing AND both verify joins. It is NOT
     // persisted: an un-released persist() leaks block-manager entries for
     // the session's lifetime (round-1 ADVICE), and at 100 TB the shingle
@@ -157,7 +176,7 @@ object Dedup {
     // many dedup passes over one corpus can scope a cache via
     // [[withShingles]], which guarantees release.
     val shingled = docs.select(col(id), wordShingles(text, n).as("sh"))
-    val cands = lshCandidates(shingled, id, "sh")
+    val cands = lshCandidates(shingled, id, "sh", maxBucketSize)
     val sa = shingled.select(col(id).as("id_a"), col("sh").as("sh_a"))
     val sb = shingled.select(col(id).as("id_b"), col("sh").as("sh_b"))
     cands.join(sa, "id_a").join(sb, "id_b")

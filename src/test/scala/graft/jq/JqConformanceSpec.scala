@@ -692,6 +692,14 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("\"s\" | @json", "null", "\"\\\"s\\\"\"")
   }
 
+  test("splits: regex split as a stream (EXTENSION)") {
+    check("""splits("[0-9]+")""", "\"a1b22c\"", "\"a\"", "\"b\"", "\"c\"")
+    check("""splits(",")""", "\"a,,b,\"", "\"a\"", "\"\"", "\"b\"", "\"\"") // empties kept
+    check("""[splits("\\s+")] | length""", "\"one  two three\"", "3")
+    check("""splits("(")""", "\"a\"", "ERROR: invalid regex: Unclosed group")
+    check("""3 | splits("x")""", "null", "ERROR: cannot splits Integer")
+  }
+
   test("capture: named regex groups as an object (EXTENSION)") {
     check("""capture("(?<x>[0-9]+)-(?<y>[a-z]+)")""", "\"12-ab!\"",
       """{"x":"12","y":"ab"}""")
