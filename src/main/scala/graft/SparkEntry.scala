@@ -810,6 +810,17 @@ object SparkEntry {
         operators.TextAnalysis.fingerprint(col("text")).as("fp"))),
 
     // --- multimodal plumbing (stub codec, real batch shape) -------------
+    // layer composition: exact dedup over OPAQUE BINARY media payloads —
+    // the same hash-keyed keepFirstByHash shape the text path uses, with
+    // xxhash64 over raw bytes as the 8-byte exchange key
+    "mm_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = operators.Multimodal.fromText(
+        table(s, dir, "documents"), "doc_id", "text", "image")
+      operators.Dedup.exactDedup(media.toDF(), Seq(col("content")), col("media_id"))
+        .select(col("media_id"))
+    }),
+
     "mm_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val media = operators.Multimodal.fromText(
@@ -1406,6 +1417,9 @@ object SparkEntry {
       FROM documents""",
 
     // --- multimodal ------------------------------------------------------
+    "mm_dedup" ->
+      "SELECT min(doc_id) AS media_id FROM documents GROUP BY text",
+
     "mm_decode" -> """
       SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
              16 + strlen(text) % 64 AS width,

@@ -780,7 +780,8 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val rnd = new scala.util.Random(7)
     val tokens = Seq(".", "[", "]", "{", "}", "(", ")", "|", "+", "-", "*",
       "..", "?", ",", ":", "a", "\"s\"", "1", "1.5", "==", "<", "&&", "bor",
-      "=", "|=", ".k", "$x", "as", "reduce", "foreach", ";", "\"\\(", ")\"")
+      "=", "|=", ".k", "$x", "as", "reduce", "foreach", ";", "\"\\(", ")\"",
+      "@", "@csv", "def", "capture", "splits", "limit", "$")
     (1 to 1000).foreach { _ =>
       val prog = Seq.fill(rnd.nextInt(12))(tokens(rnd.nextInt(tokens.length))).mkString(" ")
       try { graft.jq.JqParser.parse(prog); () }
