@@ -1461,6 +1461,58 @@ object Interp {
           }
         }
 
+      case "not" =>
+        // EXTENSION (jq `| not`): truthiness negation as a builtin — the
+        // pipe-position form of the `!` operator
+        overInput(d => Right(JOps.not(d)))
+
+      case "error" =>
+        // EXTENSION (jq error): raise a custom error-as-data. With an
+        // argument, the message is its first output; bare `error` uses
+        // the input string — data-validation pipelines branch on it like
+        // any other error entry
+        if (args.length > 1) return wrongArity
+        if (args.isEmpty) {
+          (doc, _) => doc match {
+            case JStr(s) => Vector(JEntry(JNull, Vector(s)))
+            case d       => Vector(JEntry(JNull, Vector(JsonText.canonical(d))))
+          }
+        } else {
+          val fa = compiledArgs.head
+          (doc, env) => firstOut(fa, doc, env) match {
+            case Left(m)                       => Vector(JEntry(JNull, Vector(m)))
+            case Right(e) if e.errors.nonEmpty => Vector(JEntry(JNull, e.errors))
+            case Right(e) => e.doc match {
+              case JStr(s) => Vector(JEntry(JNull, Vector(s)))
+              case d       => Vector(JEntry(JNull, Vector(JsonText.canonical(d))))
+            }
+          }
+        }
+
+      case "trim" | "ltrim" | "rtrim" =>
+        // EXTENSION (jq 1.7): whitespace trim
+        overInput {
+          case JStr(s) => Right(JStr(name match {
+            case "trim"  => s.strip()
+            case "ltrim" => s.stripLeading()
+            case _       => s.stripTrailing()
+          }))
+          case other => Left(s"cannot $name ${other.typeName}")
+        }
+
+      case "nan"      => overInput(_ => Right(JDouble(Double.NaN)))
+      case "infinite" => overInput(_ => Right(JDouble(Double.PositiveInfinity)))
+      case "isnan" => overInput {
+        case JDouble(v) => Right(JBool(v.isNaN))
+        case _: JLong   => Right(JBool(false))
+        case other      => Left(s"isnan requires a number, got ${other.typeName}")
+      }
+      case "isinfinite" => overInput {
+        case JDouble(v) => Right(JBool(v.isInfinite))
+        case _: JLong   => Right(JBool(false))
+        case other      => Left(s"isinfinite requires a number, got ${other.typeName}")
+      }
+
       case "@text" => overInput {
         case s: JStr => Right(s)
         case d       => Right(JStr(JsonText.canonical(d)))

@@ -37,7 +37,9 @@ object JqParser {
     "tostring", "tonumber", "floor", "ceil", "sqrt", "abs",
     "empty", "first", "last", "to_entries", "from_entries",
     "ascii_downcase", "ascii_upcase",
-    "flatten", "paths", "leaf_paths", "tojson", "fromjson", "implode", "round")
+    "flatten", "paths", "leaf_paths", "tojson", "fromjson", "implode", "round",
+    "not", "error", "trim", "ltrim", "rtrim", "nan", "infinite",
+    "isnan", "isinfinite")
   private[jq] val allBuiltins =
     bareBuiltins ++ Set("has", "in", "map", "any", "all", "join", "del",
       "select", "test", "range", "startswith", "endswith", "ltrimstr",

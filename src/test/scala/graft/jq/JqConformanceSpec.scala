@@ -692,6 +692,27 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("\"s\" | @json", "null", "\"\\\"s\\\"\"")
   }
 
+  test("not / error / trim family / nan / infinite (EXTENSION)") {
+    check(".a | not", """{"a": true}""", "false")
+    check(".a | not", """{"a": null}""", "true")
+    check("1 | not", "null", "false") // truthiness, not boolean-only
+    check("""error("boom")""", "null", "ERROR: boom")
+    check(""".msg | error""", """{"msg":"bad row"}""", "ERROR: bad row")
+    check("""error({code: 7})""", "null", "ERROR: {\"code\":7}")
+    check("""error("x")?""", "null") // suppressible like any error
+    check("\"  a b \" | trim", "null", "\"a b\"")
+    check("\"  a \" | ltrim", "null", "\"a \"")
+    check("\"  a \" | rtrim", "null", "\"  a\"")
+    check("3 | trim", "null", "ERROR: cannot trim Integer")
+    check("nan | isnan", "null", "true")
+    check("infinite | isinfinite", "null", "true")
+    check("nan", "null", "NaN")           // canonical NaN form
+    check("infinite", "null", "inf")
+    check("0 - 1 | . * infinite", "null", "-inf")
+    check("1 | isnan", "null", "false")
+    check("\"x\" | isnan", "null", "ERROR: isnan requires a number, got String")
+  }
+
   test("splits: regex split as a stream (EXTENSION)") {
     check("""splits("[0-9]+")""", "\"a1b22c\"", "\"a\"", "\"b\"", "\"c\"")
     check("""splits(",")""", "\"a,,b,\"", "\"a\"", "\"\"", "\"b\"", "\"\"") // empties kept
