@@ -534,6 +534,14 @@ object SparkEntry {
           col("m.npaths"), col("m.gp"), col("m.rt"))
     }),
 
+    // tostream/fromstream wire form: event count + byte-exact round trip
+    "jq_stream_rt" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), nestedDoc.as("doc"))
+        .select(col("event_id"),
+          Jq.string("[tostream] | fromstream | tojson", col("doc")).as("rt"),
+          Jq.long("[tostream] | length", col("doc")).as("n_events"))),
+
     // @format strings: base64 round trip vs DuckDB's own encoder, CSV row
     "jq_formats" -> ((s, dir) => {
       val ev = table(s, dir, "events")
@@ -1172,6 +1180,10 @@ object SparkEntry {
              b AS gp,
              a AS rt
       FROM d""",
+
+    "jq_stream_rt" -> s"""
+      SELECT event_id, $NestedDocSql AS rt, CAST(10 AS BIGINT) AS n_events
+      FROM events""",
 
     "jq_formats" -> """
       WITH c AS (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)

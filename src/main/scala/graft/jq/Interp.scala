@@ -1461,6 +1461,64 @@ object Interp {
           }
         }
 
+      case "tostream" =>
+        // EXTENSION (jq tostream): depth-first stream of [path, leaf]
+        // events plus a [path-to-last-child] CLOSING event after each
+        // non-empty container (jq's wire form for streaming/diffing).
+        // Empty containers and scalars are leaves; a top-level scalar is
+        // [[], value].
+        (doc, env) => inputFor(doc, env).flatMap { e =>
+          if (e.errors.nonEmpty) Vector(e)
+          else {
+            val out = Vector.newBuilder[JEntry]
+            def walk(d: JDoc, path: Vector[JDoc]): Unit = {
+              val children: Vector[(JDoc, JDoc)] = d match {
+                case JArr(items) => items.zipWithIndex.map { case (v, i) => (JLong(i.toLong): JDoc, v) }
+                case JObj(props) => props.toVector.map { case (k, v) => (JStr(k): JDoc, v) }
+                case _           => Vector.empty
+              }
+              d match {
+                case (_: JArr | _: JObj) if children.nonEmpty =>
+                  children.foreach { case (k, v) => walk(v, path :+ k) }
+                  out += JEntry.ok(JArr(Vector(JArr(path :+ children.last._1))))
+                case _ =>
+                  out += JEntry.ok(JArr(Vector(JArr(path), d)))
+              }
+            }
+            walk(e.doc, Vector.empty)
+            out.result()
+          }
+        }
+
+      case "fromstream" =>
+        // EXTENSION (jq fromstream, dialect adaptation: the input is the
+        // COLLECTED event array — `[tostream] | fromstream` round-trips —
+        // because builtins here take values, not generator arguments).
+        // Leaf events setpath into the accumulator; closing events are
+        // skipped; a root leaf ([[], v]) replaces the accumulator.
+        overInput {
+          case JArr(events) =>
+            var acc: JDoc = JNull
+            var bad: Option[String] = None
+            events.foreach {
+              case JArr(Vector(JArr(path), value)) if bad.isEmpty =>
+                if (path.isEmpty) acc = value
+                else runtimeSegs(JArr(path)) match {
+                  case Left(m) => bad = Some(m)
+                  case Right(segs) => JOps.setPath(acc, segs, value) match {
+                    case Right(next) => acc = next
+                    case Left(m)     => bad = Some(m)
+                  }
+                }
+              case JArr(Vector(JArr(_))) => () // closing event
+              case other if bad.isEmpty =>
+                bad = Some(s"invalid stream event ${JsonText.canonical(other)}")
+              case _ => ()
+            }
+            bad.toLeft(acc)
+          case other => Left(s"fromstream takes an event array, got ${other.typeName}")
+        }
+
       case "not" =>
         // EXTENSION (jq `| not`): truthiness negation as a builtin — the
         // pipe-position form of the `!` operator

@@ -39,7 +39,7 @@ object JqParser {
     "ascii_downcase", "ascii_upcase",
     "flatten", "paths", "leaf_paths", "tojson", "fromjson", "implode", "round",
     "not", "error", "trim", "ltrim", "rtrim", "nan", "infinite",
-    "isnan", "isinfinite")
+    "isnan", "isinfinite", "tostream", "fromstream")
   private[jq] val allBuiltins =
     bareBuiltins ++ Set("has", "in", "map", "any", "all", "join", "del",
       "select", "test", "range", "startswith", "endswith", "ltrimstr",

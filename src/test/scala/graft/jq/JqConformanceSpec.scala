@@ -692,6 +692,37 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("\"s\" | @json", "null", "\"\\\"s\\\"\"")
   }
 
+  test("tostream / fromstream: streaming wire form round-trips (EXTENSION)") {
+    check("tostream", """{"a":[1,2]}""",
+      """[["a",0],1]""", """[["a",1],2]""", """[["a",1]]""", """[["a"]]""")
+    check("tostream", "1", "[[],1]")
+    check("tostream", """{"a":{}}""", """[["a"],{}]""", """[["a"]]""") // empty container = leaf
+    check("[tostream] | fromstream", """{"a":[1,{"b":null}],"c":"s"}""",
+      """{"a":[1,{"b":null}],"c":"s"}""")
+    check("[tostream] | fromstream", "[]", "[]")
+    check("fromstream", "3", "ERROR: fromstream takes an event array, got Integer")
+    check("fromstream", "[7]", "ERROR: invalid stream event 7")
+    // deterministic round-trip fuzz over the whole value model
+    val rnd = new scala.util.Random(11)
+    def randDoc(depth: Int): String = {
+      val kind = if (depth == 0) rnd.nextInt(4) else rnd.nextInt(6)
+      kind match {
+        case 0 => "null"
+        case 1 => rnd.nextBoolean().toString
+        case 2 => rnd.nextInt(1000).toString
+        case 3 => "\"s" + rnd.nextInt(100) + "\""
+        case 4 => (0 until rnd.nextInt(4)).map(_ => randDoc(depth - 1)).mkString("[", ",", "]")
+        case _ => (0 until rnd.nextInt(4)).map(i => s""""k$i":${randDoc(depth - 1)}""").mkString("{", ",", "}")
+      }
+    }
+    (1 to 200).foreach { _ =>
+      val doc = randDoc(3)
+      val canonical = outs(".", doc)
+      assert(outs("[tostream] | fromstream", doc) == canonical,
+        s"round trip broke for $doc")
+    }
+  }
+
   test("not / error / trim family / nan / infinite (EXTENSION)") {
     check(".a | not", """{"a": true}""", "false")
     check(".a | not", """{"a": null}""", "true")
