@@ -268,7 +268,12 @@ object Dedup {
     * neighbors-of-neighbors across rounds), and `maxIters` bounds the
     * worst case. Each round materializes eagerly (localCheckpoint) so
     * lineage stays flat; the loop stops as soon as a round changes no
-    * label — a driver-side CONVERGENCE check, not driver-side data. */
+    * label — a driver-side CONVERGENCE check, not driver-side data.
+    *
+    * PRECONDITION: every id in `pairs` appears in `ids` — propagation
+    * would otherwise surface the unknown ids in the output (pairs from
+    * the near-dup operators over the same corpus satisfy this by
+    * construction). */
   def nearDupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
                       maxIters: Int = 10): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))

@@ -692,6 +692,26 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("\"s\" | @json", "null", "\"\\\"s\\\"\"")
   }
 
+  test("compound interactions: defs + folds + binders + interpolation") {
+    // a closure param applied inside a reduce, with an as-binder feeding it
+    check("def sumwith(f): reduce .[] as $x (0; . + ($x | f)); [1,2,3] | sumwith(. * 10)",
+      "null", "60")
+    // interpolation inside a def body using a value param and the input
+    check("""def label($p): "\($p):\(.)"; 7 | label("id")""", "null", "\"id:7\"")
+    // foreach scanning through a user def
+    check("def step: . + 1; [foreach .[] as $x (0; step)] | tojson", "[5,5,5]",
+      "\"[1,2,3]\"")
+    // binder value flowing through group_by key and back out
+    check(".k as $k | [{a: $k}, {a: $k + 1}, {a: $k}] | group_by(.a) | map(length) | tojson",
+      """{"k":3}""", "\"[2,1]\"")
+    // reduce building an object with interpolated dynamic keys from $vars
+    check("""reduce .[] as $x ({}; setpath(["n\($x)"], $x)) | tojson""", "[1,2]",
+      "\"{\\\"n1\\\":1,\\\"n2\\\":2}\"")
+    // error inside a closure param propagates out of the fold
+    check("def app(f): reduce .[] as $x (0; . + ($x | f)); [1] | app(.missing)",
+      "null", "ERROR: cannot index missing into Integer")
+  }
+
   test("tostream / fromstream: streaming wire form round-trips (EXTENSION)") {
     check("tostream", """{"a":[1,2]}""",
       """[["a",0],1]""", """[["a",1],2]""", """[["a",1]]""", """[["a"]]""")
