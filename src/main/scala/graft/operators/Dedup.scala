@@ -258,17 +258,31 @@ object Dedup {
     * Returns (id, rep) where rep is the MINIMUM id transitively reachable
     * through the pair relation (isolated ids are their own rep).
     *
-    * Algorithm: iterative min-label propagation — per round, every id
-    * takes the min of its label and its neighbors' labels; one shuffle
-    * per round on the id, no driver-side union-find, no full closure
-    * materialization. Near-dup components are short chains (pairs,
-    * triangles, small stars), so the fixpoint lands in a handful of
-    * rounds; label distance to the component minimum HALVES per round
-    * for path graphs (pointer-jumping-like behavior through min over
-    * neighbors-of-neighbors across rounds), and `maxIters` bounds the
-    * worst case. Each round materializes eagerly (localCheckpoint) so
-    * lineage stays flat; the loop stops as soon as a round changes no
-    * label — a driver-side CONVERGENCE check, not driver-side data.
+    * Algorithm: min-label propagation WITH pointer jumping — per round,
+    * (1) every id takes the min of its label and its direct neighbors'
+    * labels (one hop), then (2) every id replaces its label with its
+    * label's label (`rep := rep(rep)`, the pointer jump). The jump is
+    * what makes convergence logarithmic: after the hop shrinks label
+    * distance to the component minimum by at least one edge, the jump
+    * composes two label links into one, so the remaining distance at
+    * least HALVES per round — a diameter-D component converges in
+    * O(log D) rounds, not D (a one-hop-only loop needs ~D rounds). Two
+    * shuffles per round (the hop's groupBy + the jump's self-join), no
+    * driver-side union-find, no full closure materialization. Each round
+    * materializes eagerly (localCheckpoint) so lineage stays flat; the
+    * loop stops as soon as a round changes no label — a driver-side
+    * CONVERGENCE check, not driver-side data.
+    *
+    * The jump's self-join is total because labels are always ids already
+    * in the table: initial reps are the ids themselves, the hop takes
+    * mins over existing reps, and the jump only follows them.
+    *
+    * If the loop exhausts `maxIters` without converging the result would
+    * silently contain split clusters (duplicate documents surviving
+    * dedup_keep), so that exit THROWS instead — with pointer jumping,
+    * maxIters=10 covers component diameters up to ~2^10, far beyond any
+    * real near-dup graph, so the throw is a corrupted-input tripwire,
+    * not an expected path.
     *
     * PRECONDITION: every id in `pairs` appears in `ids` — propagation
     * would otherwise surface the unknown ids in the output (pairs from
@@ -284,8 +298,13 @@ object Dedup {
     while (iters < maxIters && !converged) {
       val viaNeighbors = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("rep"))
-      val next = labels.unionByName(viaNeighbors)
+      val hopped = labels.unionByName(viaNeighbors)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .localCheckpoint(true)
+      val next = hopped
+        .join(hopped.select(col("id").as("jid"), col("rep").as("jrep")),
+          hopped("rep") === col("jid"))
+        .select(col("id"), least(col("rep"), col("jrep")).as("rep"))
         .localCheckpoint(true)
       val changed = next.join(labels.select(col("id"), col("rep").as("prev")), "id")
         .filter(col("rep") =!= col("prev")).limit(1).count()
@@ -293,6 +312,11 @@ object Dedup {
       converged = changed == 0
       iters += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge within $maxIters rounds — " +
+          "component diameter exceeds 2^maxIters or `pairs` references ids " +
+          "missing from `ids`; the partial labels would split clusters")
     labels
   }
 

@@ -139,6 +139,8 @@ object Similarity {
       .orderBy(col("vec_id")).limit(cells)
       .select(dvec(col("embedding")).as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
+    require(sampled.nonEmpty,
+      "ivfTopK: corpus is empty — no vectors to sample centroids from")
     val cents = (1 to refineIters).foldLeft(sampled)((c, _) => lloydStep(corpus, c))
     def centLit(c: Array[Double]): Column = array(c.map(lit(_)): _*)
     def simsTo(v: Column): Column = array(cents.map(c => cosine(v, centLit(c))): _*)
@@ -219,6 +221,8 @@ object Similarity {
       .orderBy(col("vec_id")).limit(ksub)
       .select(dvec(col("embedding")).as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty,
+      "pqTopK: corpus is empty — no vectors to sample codebooks from")
     val dim = sample(0).length
     val sub = dim / m
     require(m * sub == dim, s"dim $dim must divide into $m subspaces")
@@ -236,10 +240,14 @@ object Similarity {
       colOf(PqEncode(ColumnBridge.expression(dvec(col("embedding"))), books)).as("code"))
     val q = queries.select(col("vec_id").as("qid"),
       colOf(PqLut(ColumnBridge.expression(dvec(col("embedding"))), books)).as("lut"))
+    // ADC stride must be the ACTUAL codebook size (sample.length, which is
+    // min(ksub, corpus rows)) — PqEncode/PqLut lay codes and LUT out with
+    // that size, so passing the requested ksub on a small corpus would
+    // misalign every subspace after the first
     val scored = codes.crossJoin(broadcast(q))
       .select(col("qid"), col("vec_id"),
         colOf(PqAdc(ColumnBridge.expression(col("code")),
-          ColumnBridge.expression(col("lut")), ksub)).as("ascore"))
+          ColumnBridge.expression(col("lut")), sample.length)).as("ascore"))
     val w0 = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id").asc)
     val cands = scored.withColumn("arnk", row_number().over(w0))
       .filter(col("arnk") <= rerank * k).select(col("qid"), col("vec_id"))

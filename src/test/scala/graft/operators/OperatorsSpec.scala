@@ -205,6 +205,53 @@ class OperatorsSpec extends SparkTestBase {
       30L -> 30L, 31L -> 31L))
   }
 
+  test("nearDupClusters: pointer jumping converges on a long chain within default rounds") {
+    import spark.implicits._
+    // a 60-node path has diameter 59: one-hop-only propagation would need
+    // ~59 rounds, pointer jumping lands inside the default maxIters=10
+    val n = 60L
+    val ids = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(ids, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == n && got.values.forall(_ == 1L),
+      s"every chain node should label to the minimum id, got ${got.filter(_._2 != 1L)}")
+  }
+
+  test("nearDupClusters: throws instead of returning split clusters when rounds run out") {
+    import spark.implicits._
+    val n = 40L
+    val ids = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.nearDupClusters(ids, "doc_id", pairs, maxIters = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("pqTopK: corpus smaller than the requested codebook size stays aligned") {
+    // 12 vectors < default ksub=32 — the ADC stride must follow the actual
+    // sampled codebook size or subspaces past the first read out of bounds
+    val small = emb.filter(col("vec_id") < 12)
+    val queries = small.filter(col("vec_id") < 3)
+    val pq = Similarity.pqTopK(small, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pq.length == 3 * 5)
+    // exact re-rank on a corpus this small must reproduce brute force
+    val exact = Similarity.cosineTopK(small, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pq.toSet == exact.toSet)
+  }
+
+  test("ivfTopK/pqTopK: empty corpus fails fast with a clear message") {
+    val empty = emb.filter(col("vec_id") < 0)
+    val queries = emb.filter(col("vec_id") < 3)
+    val e1 = intercept[IllegalArgumentException](Similarity.ivfTopK(empty, queries, 5))
+    assert(e1.getMessage.contains("corpus is empty"))
+    val e2 = intercept[IllegalArgumentException](Similarity.pqTopK(empty, queries, 5))
+    assert(e2.getMessage.contains("corpus is empty"))
+  }
+
   test("dedup leaves no cached blocks behind; withShingles releases its cache") {
     Dedup.minhashNearDups(docs, "doc_id", col("text"), 3, 0.8).count()
     Dedup.simhashNearDups(docs, "doc_id", col("text"), 3, 0.8).count()
