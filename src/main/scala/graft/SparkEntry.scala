@@ -651,6 +651,44 @@ object SparkEntry {
           Jq.long(".k", parse_json(col("props"))).as("k"),
           Jq.long(".a.b.c", parse_json(col("doc"))).as("c"))),
 
+    // walk builtin + user-def recursive closure (round-5 specialization
+    // cells: `uw(f)` inside uw's own body) + a mid-pipeline def — all
+    // three of round 5's jq-language additions in one hash-gated row
+    "jq_walk" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), nestedDoc.as("doc"))
+        .select(col("event_id"),
+          Jq.multi(Seq(
+            ("w", "walk(if type == \"number\" then . + 1 else . end)", "string"),
+            ("uw", "def uw(f): if type == \"array\" then map(uw(f)) " +
+              "elif type == \"object\" then map_values(uw(f)) else f end; " +
+              "uw(if type == \"number\" then . + 1 else . end)", "string"),
+            ("md", ".a.b.c | def inc: . + 1; inc | inc", "long")), col("doc")).as("m"))
+        .select(col("event_id"), col("m.w"), col("m.uw"), col("m.md"))),
+
+    // try/catch: suppression, handler replacement, error VALUE as the
+    // handler's input (round 5)
+    "jq_trycatch" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Jq.long("try .missing catch -1", col("props")).as("t1"),
+        Jq.long("try .k catch -1", col("props")).as("t2"),
+        Jq.string("try error(\"bad \\(.k)\") catch .", col("props")).as("t3"),
+        Jq.long("[try .nope] | length", col("props")).as("t4"))),
+
+    // regex match objects + scan streams (round 5) — DuckDB's own regex
+    // engine is the oracle for the extracted strings; codepoint offsets
+    // are conformance-pinned (DuckDB exposes no offset function)
+    "jq_scan" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), struct(col("text")).as("doc"))
+        .select(col("doc_id"),
+          Jq.multi(Seq(
+            ("sc", ".text | [scan(\"[aeiou]+\")] | join(\"|\")", "string"),
+            ("mg", ".text | [match(\"[a-z]+\", \"g\") | .string] | join(\",\")", "string"),
+            ("mo", ".text | [match(\"e\", \"g\") | .offset] | length", "long")), col("doc")).as("m"))
+        .select(col("doc_id"), col("m.sc"), col("m.mg"), col("m.mo"))),
+
     // --- dedup family (LLM-pipeline layer) ------------------------------
     // grouping key is (xxhash64(props), props): the full key must ride the
     // exchange anyway (it IS the output column), but the 8-byte hash prefix
@@ -1272,6 +1310,33 @@ object SparkEntry {
              CAST(json_extract(e.props, '$$.k') AS BIGINT) AS k,
              CAST(json_extract(d.doc, '$$.a.b.c') AS BIGINT) AS c
       FROM events e JOIN d ON e.event_id = d.event_id""",
+
+    "jq_walk" -> """
+      WITH d AS (SELECT event_id, event_id % 100 + 1 AS c, event_type AS t,
+                        user_id % 50 AS x FROM events)
+      SELECT event_id,
+             '{"a":{"b":{"c":' || c || '}},"tags":["' || t || '","zz"],"xs":['
+               || (x + 1) || ',' || (x * 2 + 1) || ']}' AS w,
+             '{"a":{"b":{"c":' || c || '}},"tags":["' || t || '","zz"],"xs":['
+               || (x + 1) || ',' || (x * 2 + 1) || ']}' AS uw,
+             c + 1 AS md
+      FROM d""",
+
+    "jq_trycatch" -> """
+      WITH d AS (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+      SELECT event_id,
+             CAST(-1 AS BIGINT) AS t1,
+             k AS t2,
+             'bad ' || k AS t3,
+             CAST(0 AS BIGINT) AS t4
+      FROM d""",
+
+    "jq_scan" -> """
+      SELECT doc_id,
+             array_to_string(regexp_extract_all(text, '[aeiou]+'), '|') AS sc,
+             array_to_string(regexp_extract_all(text, '[a-z]+'), ',') AS mg,
+             CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS mo
+      FROM documents""",
 
     // --- dedup family ----------------------------------------------------
     "dedup_exact" ->

@@ -101,11 +101,20 @@ object Ast {
   /** EXTENSION (jq): one `def name($a, f): body;` definition. */
   final case class FuncDef(name: String, params: List[FuncParam], body: Ast)
 
-  /** EXTENSION (jq): a program prologue of function definitions followed
-    * by the main expression. Defs may call themselves (recursion) and any
-    * def declared earlier; user definitions shadow builtins of the same
-    * name. This dialect allows defs only at the program start. */
+  /** EXTENSION (jq): function definitions scoping over `body`. Defs may
+    * call themselves (recursion) and any def declared earlier; user
+    * definitions shadow builtins of the same name. Defs may appear at the
+    * program start OR at any pipe-stage start (`.[] | def d: 3; . + d`),
+    * scoping over the REST of the pipeline. */
   final case class Defs(defs: List[FuncDef], body: Ast) extends Ast
+
+  /** EXTENSION (jq `try b catch h`): b's successful outputs pass through;
+    * an error output is suppressed (no handler) or replaced by the
+    * handler's outputs with the error MESSAGE string as its input. Like
+    * the `?` suffix, suppression is per-branch: other fan-out branches of
+    * b keep emitting (jq aborts the whole try body — documented
+    * deviation, pinned in conformance). */
+  final case class TryCatch(body: Ast, handler: Option[Ast]) extends Ast
 
   /** EXTENSION (jq): `src as $name | body` — for EACH output of src, bind
     * it to $name and run body (fan-out; body sees the ORIGINAL input as

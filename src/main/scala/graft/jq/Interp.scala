@@ -193,6 +193,23 @@ object Interp {
         if (keep.nonEmpty) keep else fr(doc, env)
       }
 
+    case TryCatch(b, h) =>
+      // EXTENSION (jq try/catch): successful outputs pass through; an
+      // error output is dropped (no handler) or replaced by the handler's
+      // outputs, with the error MESSAGE string as the handler's input
+      // (jq's error-value rule). Per-BRANCH like `?` — other fan-out
+      // branches of the body keep emitting (documented deviation from
+      // jq's abort-the-whole-try; pinned in conformance).
+      val fb = compile(b)
+      val fh = h.map(compile)
+      (doc, env) => fb(doc, env).flatMap { e =>
+        if (e.errors.isEmpty) Vector(e)
+        else fh match {
+          case None     => Vector.empty
+          case Some(hf) => hf(JStr(e.errors.head), env)
+        }
+      }
+
     case IfElse(cond, thenB, elseB) =>
       // EXTENSION (jq if/then/elif/else/end): branch per condition output
       val fc = compile(cond)
@@ -491,10 +508,42 @@ object Interp {
   private val funcScope =
     new scala.util.DynamicVariable[Map[String, UserFunc]](Map.empty)
 
-  /** Defs currently being call-site-specialized (filter params):
-    * re-entering one is the recursion guard's error case. */
-  private val specializing =
-    new scala.util.DynamicVariable[Set[String]](Set.empty)
+  /** One call-site specialization of a filter-param def, identified by
+    * the def and the IDENTITIES of its filter-arg bindings. Reference
+    * equality is the point: jq's recursive-closure pattern
+    * (`def walk(f): ... map(walk(f)) ... f ...`) re-calls the def with
+    * the SAME bound param, so the inner call's key equals the in-flight
+    * outer one and compiles to an indirection through the outer cell
+    * instead of specializing forever. */
+  private final class SpecKey(val uf: UserFunc, val bindings: List[UserFunc]) {
+    override def hashCode: Int =
+      bindings.foldLeft(System.identityHashCode(uf))(
+        (h, b) => h * 31 + System.identityHashCode(b))
+    override def equals(o: Any): Boolean = o match {
+      case k: SpecKey =>
+        (k.uf eq uf) && k.bindings.length == bindings.length &&
+          k.bindings.lazyZip(bindings).forall(_ eq _)
+      case _ => false
+    }
+  }
+
+  /** Filled when a specialization finishes compiling; recursive calls
+    * compiled mid-specialization indirect through it at RUNTIME (by then
+    * it is always filled — compilation completes before any row runs). */
+  private final class SpecCell { var pipe: Pipe = null }
+
+  /** In-flight filter-param specializations (compile-time only). */
+  private val specCells =
+    new scala.util.DynamicVariable[Map[SpecKey, SpecCell]](Map.empty)
+
+  /** Nesting depth of filter-param specialization: a recursive closure
+    * whose inner call does NOT canonicalize to an in-flight key (e.g.
+    * `def w(f): w(f | .) ...`) would specialize forever — the depth guard
+    * turns that into an error entry instead of a compiler stack overflow.
+    * Legitimate programs nest far below this (each distinct call SITE
+    * adds one level, not each runtime recursion). */
+  private val specDepth = new scala.util.DynamicVariable[Int](0)
+  private val MaxSpecDepth = 64
 
   /** User-def call: args evaluate against the call input WITH the
     * call-site env (they may use $vars in scope), but the body runs under
@@ -514,17 +563,45 @@ object Interp {
         // zero-arg user function. The filter pipe runs against whatever
         // value the body applies it to; call-site $vars inside a filter
         // argument are a documented limitation (lexical body scope wins).
-        // A recursive filter-param def would specialize forever — guarded
-        // into an error entry.
-        if (specializing.value(name))
-          return (_, _) => Vector(JEntry(JNull,
-            Vector(s"recursive filter-parameter calls to $name are not supported")))
-        val bound: Map[String, UserFunc] = filterParams.map { case (p, i) =>
-          val fp = compile(args(i)) // call-site lexical scope
-          p.name -> UserFunc(Nil, fp, args(i), () => funcScope.value)
-        }.toMap
-        specializing.withValue(specializing.value + name) {
-          funcScope.withValue(uf.defTable() ++ bound) { compile(uf.bodyAst) }
+        //
+        // A filter argument that is itself a bare zero-arg call (the
+        // `walk(f)` inside walk's own body) CANONICALIZES to the resolved
+        // UserFunc instead of a fresh wrapper, so the recursive call's
+        // SpecKey equals the in-flight outer one and the recursion
+        // becomes a runtime indirection through the outer cell — jq's
+        // recursive-closure pattern compiles in one pass. Non-canonical
+        // self reference (`w(f | .)`) still diverges; the depth guard
+        // makes that an error entry, not a stack overflow.
+        val bindings: List[(FuncParam, UserFunc)] = filterParams.map { case (p, i) =>
+          val b = args(i) match {
+            case Call(n, Nil) =>
+              funcScope.value.get(n) match {
+                case Some(g) if g.params.isEmpty => g
+                case _ => UserFunc(Nil, compile(args(i)), args(i), () => funcScope.value)
+              }
+            case _ => UserFunc(Nil, compile(args(i)), args(i), () => funcScope.value)
+          }
+          (p, b)
+        }
+        val key = new SpecKey(uf, bindings.map(_._2))
+        specCells.value.get(key) match {
+          case Some(cell) =>
+            (doc: JDoc, env: Env) => cell.pipe(doc, env)
+          case None =>
+            if (specDepth.value >= MaxSpecDepth)
+              return (_, _) => Vector(JEntry(JNull,
+                Vector(s"filter-parameter specialization of $name exceeds depth " +
+                  s"$MaxSpecDepth — non-convergent recursive closure")))
+            val cell = new SpecCell
+            val bound = bindings.map { case (p, b) => p.name -> b }.toMap
+            specCells.withValue(specCells.value + (key -> cell)) {
+              specDepth.withValue(specDepth.value + 1) {
+                funcScope.withValue(uf.defTable() ++ bound) {
+                  cell.pipe = compile(uf.bodyAst)
+                }
+              }
+            }
+            cell.pipe
         }
       }
     val valueArgs = uf.params.zip(args).collect { case (p, a) if !p.filter => (p.name, compile(a)) }
@@ -676,6 +753,197 @@ object Interp {
           case other => Vector(JEntry(JNull, Vector(s"cannot map over ${other.typeName}")))
         }
         (doc, env) => evalMap(doc, env)
+
+      case "walk" =>
+        // EXTENSION (jq walk): bottom-up structural transform — children
+        // first, then f on the rebuilt node; FIRST output of f per node
+        // (the map convention). Provided natively so walk works without a
+        // user def; a user `def walk(f):` shadows this (user defs resolve
+        // first) and ALSO works now via specialization cells.
+        if (args.length != 1) return wrongArity
+        val fw = compiledArgs.head
+        def wk(doc: JDoc, env: Env): Either[String, JDoc] = {
+          val rebuilt: Either[String, JDoc] = doc match {
+            case JArr(xs) =>
+              val out = Vector.newBuilder[JDoc]
+              xs.foreach { x =>
+                wk(x, env) match {
+                  case Left(m)  => return Left(m)
+                  case Right(v) => out += v
+                }
+              }
+              Right(JArr(out.result()))
+            case JObj(props) =>
+              val out = List.newBuilder[(String, JDoc)]
+              props.foreach { case (k, v) =>
+                wk(v, env) match {
+                  case Left(m)   => return Left(m)
+                  case Right(nv) => out += ((k, nv))
+                }
+              }
+              Right(JObj.fromProps(out.result()))
+            case other => Right(other)
+          }
+          rebuilt.flatMap { d =>
+            firstOut(fw, d, env) match {
+              case Left(m)                       => Left(m)
+              case Right(e) if e.errors.nonEmpty => Left(e.errors.head)
+              case Right(e)                      => Right(e.doc)
+            }
+          }
+        }
+        (doc, env) => wk(doc, env) match {
+          case Left(m)  => Vector(JEntry(JNull, Vector(m)))
+          case Right(d) => Vector(JEntry.ok(d))
+        }
+
+      case "map_values" =>
+        // EXTENSION (jq map_values): `.[] |= f` — array/object with each
+        // value replaced by f's FIRST output; values where f yields
+        // NOTHING are dropped (jq's update-assignment empty rule — the
+        // difference from map, which errors shape-wise and collects)
+        if (args.length != 1) return wrongArity
+        val fmv = compiledArgs.head
+        def evalMapValues(doc: JDoc, env: Env): Vector[JEntry] = doc match {
+          case JArr(xs) =>
+            val out = Vector.newBuilder[JDoc]
+            xs.foreach { x =>
+              val es = fmv(x, env)
+              es.headOption match {
+                case Some(e) if e.errors.nonEmpty => return Vector(JEntry(JNull, e.errors))
+                case Some(e)                      => out += e.doc
+                case None                         => () // empty → drop element
+              }
+            }
+            Vector(JEntry.ok(JArr(out.result())))
+          case JObj(props) =>
+            val out = List.newBuilder[(String, JDoc)]
+            props.foreach { case (k, v) =>
+              val es = fmv(v, env)
+              es.headOption match {
+                case Some(e) if e.errors.nonEmpty => return Vector(JEntry(JNull, e.errors))
+                case Some(e)                      => out += ((k, e.doc))
+                case None                         => () // empty → drop key
+              }
+            }
+            Vector(JEntry.ok(JObj.fromProps(out.result())))
+          case other => Vector(JEntry(JNull, Vector(s"cannot map_values over ${other.typeName}")))
+        }
+        (doc, env) => evalMapValues(doc, env)
+
+      case "match" | "scan" =>
+        // EXTENSION (jq match/scan): match(re) → the FIRST match as jq's
+        // match object {offset,length,string,captures}; match(re; "g"-in-
+        // flags) → every match as a stream. Offsets/lengths are CODEPOINT
+        // counts (jq's rule), not UTF-16 units. scan(re) → per match
+        // (always global): the matched string, or the array of capture
+        // strings when the pattern has groups. Capture NAMES are read
+        // from literal `(?<name>...)` pattern text, like capture().
+        if (name == "scan" && args.length != 1) return wrongArity
+        if (name == "match" && (args.length < 1 || args.length > 2))
+          return (_, _) => Vector(JEntry(JNull,
+            Vector(s"match takes 1 or 2 args, got ${args.length}")))
+        val fre2 = compiledArgs.head
+        val fflags = if (args.length > 1) Some(compiledArgs(1)) else None
+        // capture-group INDEX → literal (?<name>...) name; scans the
+        // pattern text (Java exposes no name-by-index API)
+        def groupNames(re: String): Vector[Option[String]] = {
+          val out = Vector.newBuilder[Option[String]]
+          var i = 0
+          while (i < re.length) {
+            val c = re.charAt(i)
+            if (c == '\\') i += 2
+            else if (c == '[') { // character class: groups inside don't count
+              i += 1
+              if (i < re.length && re.charAt(i) == ']') i += 1
+              while (i < re.length && re.charAt(i) != ']') {
+                if (re.charAt(i) == '\\') i += 1
+                i += 1
+              }
+              i += 1
+            } else if (c == '(') {
+              if (i + 1 < re.length && re.charAt(i + 1) == '?') {
+                if (i + 3 < re.length && re.charAt(i + 2) == '<' &&
+                    re.charAt(i + 3) != '=' && re.charAt(i + 3) != '!') {
+                  val end = re.indexOf('>', i + 3)
+                  if (end < 0) return out.result() // malformed; Pattern.compile will error
+                  out += Some(re.substring(i + 3, end))
+                  i = end + 1
+                } else i += 2 // (?: (?= (?! (?<= (?<! — non-capturing
+              } else { out += None; i += 1 }
+            } else i += 1
+          }
+          out.result()
+        }
+        def matchObj(s: String, m: java.util.regex.Matcher, names: Vector[Option[String]]): JDoc = {
+          val caps = (1 to m.groupCount()).toVector.map { gi =>
+            val nm: JDoc = names.lift(gi - 1).flatten.map(JStr(_): JDoc).getOrElse(JNull)
+            if (m.group(gi) == null)
+              JObj.fromProps(List("offset" -> JLong(-1L), "length" -> JLong(0L),
+                "string" -> JNull, "name" -> nm))
+            else JObj.fromProps(List(
+              "offset" -> JLong(s.codePointCount(0, m.start(gi)).toLong),
+              "length" -> JLong(s.codePointCount(m.start(gi), m.end(gi)).toLong),
+              "string" -> JStr(m.group(gi)), "name" -> nm))
+          }
+          JObj.fromProps(List(
+            "offset" -> JLong(s.codePointCount(0, m.start()).toLong),
+            "length" -> JLong(s.codePointCount(m.start(), m.end()).toLong),
+            "string" -> JStr(m.group()),
+            "captures" -> JArr(caps)))
+        }
+        def runMatch(s: String, re: String, flags: String, env: Env): Vector[JEntry] =
+          try {
+            var jf = 0
+            if (flags.contains('i')) jf |= java.util.regex.Pattern.CASE_INSENSITIVE
+            if (flags.contains('x')) jf |= java.util.regex.Pattern.COMMENTS
+            val global = name == "scan" || flags.contains('g')
+            val p = java.util.regex.Pattern.compile(re, jf)
+            val names = groupNames(re)
+            val m = p.matcher(s)
+            val out = Vector.newBuilder[JEntry]
+            var from = 0
+            var go = true
+            while (go && from <= s.length && m.find(from)) {
+              if (name == "match") out += JEntry.ok(matchObj(s, m, names))
+              else if (m.groupCount() == 0) out += JEntry.ok(JStr(m.group()))
+              else out += JEntry.ok(JArr((1 to m.groupCount()).toVector.map { gi =>
+                Option(m.group(gi)).map(JStr(_): JDoc).getOrElse(JNull)
+              }))
+              if (!global) go = false
+              else from = if (m.end() == m.start()) m.end() + 1 else m.end() // zero-width: step past
+            }
+            out.result()
+          } catch {
+            case ex: java.util.regex.PatternSyntaxException =>
+              Vector(JEntry(JNull, Vector(s"invalid regex: ${ex.getDescription}")))
+          }
+        (doc, env) => doc match {
+          case JStr(s) => firstOut(fre2, doc, env) match {
+            case Left(m)                       => Vector(JEntry(JNull, Vector(m)))
+            case Right(e) if e.errors.nonEmpty => Vector(JEntry(JNull, e.errors))
+            case Right(e) => e.doc match {
+              case JStr(re) =>
+                val flagsE: Either[String, String] = fflags match {
+                  case None => Right("")
+                  case Some(ff) => firstOut(ff, doc, env) match {
+                    case Left(m)                        => Left(m)
+                    case Right(fe) if fe.errors.nonEmpty => Left(fe.errors.mkString("; "))
+                    case Right(fe) => fe.doc match {
+                      case JStr(f) => Right(f)
+                      case other   => Left(s"match flags must be a string, got ${other.typeName}")
+                    }
+                  }
+                }
+                flagsE match {
+                  case Left(m)      => Vector(JEntry(JNull, Vector(m)))
+                  case Right(flags) => runMatch(s, re, flags, env)
+                }
+              case other => Vector(JEntry(JNull, Vector(s"$name pattern must be a string, got ${other.typeName}")))
+            }
+          }
+          case other => Vector(JEntry(JNull, Vector(s"cannot $name over ${other.typeName}")))
+        }
 
       case "any" | "all" =>
         // only a literal `true` output counts as true

@@ -46,14 +46,14 @@ object JqParser {
       "rtrimstr", "split", "contains",
       "sort_by", "unique_by", "group_by", "min_by", "max_by", "getpath",
       "limit", "while", "until", "setpath", "delpaths", "sub", "gsub",
-      "capture", "splits")
+      "capture", "splits", "walk", "map_values", "match", "scan")
 
   /** Reserved continuation words of the `if` form and the `as` binder
     * (EXTENSIONS): they stop juxtaposition/expression scans, so branch
     * bodies and binder sources end cleanly. Like the bare builtins, only
     * the BARE words are taken — fields named then/else/end/as stay
     * reachable as `.then`, `."else"`, `.["as"]`. */
-  private[jq] val reservedWords = Set("then", "elif", "else", "end", "as")
+  private[jq] val reservedWords = Set("then", "elif", "else", "end", "as", "catch")
 }
 
 final class JqParser(text: String) {
@@ -252,49 +252,53 @@ final class JqParser(text: String) {
   def parseProgram(): Ast = {
     skipWs()
     if (atEnd) return Identity // empty program ≡ identity (reference: src/query_nom.rs:630-636)
-    // `def name($a, $b): body;` prologue (EXTENSION, jq function defs —
-    // value params, ','-separated like every call in this dialect)
-    val defs = List.newBuilder[FuncDef]
-    var more = true
-    while (more) {
-      skipWs()
-      if (eatWord("def")) {
-        skipWs()
-        val name = tryIdentifier().getOrElse(fail("expected function name after 'def'"))
-        userDefNames += name // before the body parse: recursion sees itself
-        val params = List.newBuilder[FuncParam]
-        skipWs()
-        def oneParam(): FuncParam = {
-          skipWs()
-          if (peekIs("$")) FuncParam(parseVarName(), filter = false)
-          else FuncParam(
-            tryIdentifier().getOrElse(fail("expected parameter ('$value' or bare filter name)")),
-            filter = true)
-        }
-        if (eat("(")) {
-          params += oneParam()
-          while ({ skipWs(); eat(",") }) params += oneParam()
-          skipWs()
-          expect(")")
-        }
-        skipWs()
-        expect(":")
-        // FILTER params are callable (bare or with args) inside THIS body
-        // only — scope the name registration to the body parse
-        val ps = params.result()
-        val filterNames = ps.filter(_.filter).map(_.name).filterNot(userDefNames)
-        filterNames.foreach(userDefNames += _)
-        val body = try parseExpr() finally filterNames.foreach(userDefNames -= _)
-        skipWs()
-        expect(";")
-        defs += FuncDef(name, ps, body)
-      } else more = false
-    }
+    // defs (prologue or mid-pipe) are handled by parseExpr
     val e = parseExpr()
     skipWs()
     if (!atEnd) fail(s"trailing content: '${text.substring(pos)}'")
-    val ds = defs.result()
-    if (ds.isEmpty) e else Defs(ds, e)
+    e
+  }
+
+  /** One `def name($a, f): body;` (the `def` word is already consumed).
+    * EXTENSION (jq function defs — value params, ','-separated like every
+    * call in this dialect). */
+  private def parseOneDef(): FuncDef = {
+    skipWs()
+    val name = tryIdentifier().getOrElse(fail("expected function name after 'def'"))
+    userDefNames += name // before the body parse: recursion sees itself
+    val params = List.newBuilder[FuncParam]
+    skipWs()
+    def oneParam(): FuncParam = {
+      skipWs()
+      if (peekIs("$")) FuncParam(parseVarName(), filter = false)
+      else FuncParam(
+        tryIdentifier().getOrElse(fail("expected parameter ('$value' or bare filter name)")),
+        filter = true)
+    }
+    if (eat("(")) {
+      params += oneParam()
+      while ({ skipWs(); eat(",") }) params += oneParam()
+      skipWs()
+      expect(")")
+    }
+    skipWs()
+    expect(":")
+    // FILTER params are callable (bare or with args) inside THIS body
+    // only — scope the name registration to the body parse
+    val ps = params.result()
+    val filterNames = ps.filter(_.filter).map(_.name).filterNot(userDefNames)
+    filterNames.foreach(userDefNames += _)
+    val body = try parseExpr() finally filterNames.foreach(userDefNames -= _)
+    skipWs()
+    expect(";")
+    FuncDef(name, ps, body)
+  }
+
+  /** Zero or more consecutive `def ...;` at an expression start. */
+  private def parseDefs(): List[FuncDef] = {
+    val defs = List.newBuilder[FuncDef]
+    while ({ skipWs(); eatWord("def") }) defs += parseOneDef()
+    defs.result()
   }
 
   /** attempt `p`, restoring position on failure. */
@@ -310,6 +314,10 @@ final class JqParser(text: String) {
   // `.a.b = 1` assigns into the root while `.a | .b = 1` assigns inside
   // the piped value (jq's own precedence).
   def parseExpr(): Ast = {
+    // `def ...;` at an expression start scopes over the REST of the
+    // expression (jq's rule — mid-program defs, not just a prologue)
+    val defs0 = parseDefs()
+    if (defs0.nonEmpty) return Defs(defs0, parseExpr())
     var lhs = parseStage()
     // `src as $x | body` (EXTENSION, jq binder): body is the REST of the
     // pipeline, so chained binders nest right-associatively
@@ -325,6 +333,10 @@ final class JqParser(text: String) {
       skipWs()
       if (peekIs("|") && !peekIs("||") && !peekIs("|=")) {
         expect("|")
+        // defs after a pipe scope over the rest of the pipeline:
+        // `.[] | def d: 3; . + d` (right-associative, like binders)
+        val midDefs = parseDefs()
+        if (midDefs.nonEmpty) return Pipe(lhs, Defs(midDefs, parseExpr()))
         val rhs = parseStage()
         skipWs()
         if (eatWord("as")) {
@@ -543,6 +555,16 @@ final class JqParser(text: String) {
     if (eatWord("if")) parseIfForm()
     else if (eatWord("reduce")) parseReduceForm(foreach = false)
     else if (eatWord("foreach")) parseReduceForm(foreach = true)
+    else if (eatWord("try")) {
+      // EXTENSION (jq try/catch): body and handler bind TIGHT (one path
+      // chain, like unary operands) — `try .a.b catch null | f` pipes the
+      // try's outputs; parenthesize for a wider body. jq's own grammar
+      // also binds try to a term.
+      val body = parsePathChain()
+      skipWs()
+      val handler = if (eatWord("catch")) Some(parsePathChain()) else None
+      TryCatch(body, handler)
+    }
     else if (eatWord("null")) { val o = eatOpt(); if (o) OptMark(Lit(JNull)) else Lit(JNull) }
     else if (eatWord("true")) { val o = eatOpt(); if (o) OptMark(Lit(JBool(true))) else Lit(JBool(true)) }
     else if (eatWord("false")) { val o = eatOpt(); if (o) OptMark(Lit(JBool(false))) else Lit(JBool(false)) }

@@ -834,9 +834,78 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("def inc: . + 1; def app(f): f; 5 | app(inc)", "null", "6")
     // filter params are scoped to their body: bare `f` outside is a field
     check("def app(f): f; {f: 9} | f", "null", "9")
-    // recursion through a filter param is guarded, not a hang
-    check("def r(f): r(f); r(.)", "null",
-      "ERROR: recursive filter-parameter calls to r are not supported")
+    // walk-style recursion: the inner call's filter arg is the BOUND
+    // param, so its specialization key matches the in-flight outer one
+    // and compiles to a cell indirection (jq's canonical recursive
+    // closure works)
+    check("def w(f): if type == \"array\" then map(w(f)) " +
+      "elif type == \"object\" then map_values(w(f)) else f end; " +
+      "w(if type == \"number\" then . + 1 else . end)",
+      """[{"a":1},2,[3]]""", """[{"a":2},3,[4]]""")
+    // mixed value+filter params recurse too ($n rebinds per call)
+    check("def rep(f, $n): if $n < 1 then . else f | rep(f, $n - 1) end; " +
+      "rep(. * 2, 3)", "1", "8")
+    // NON-canonical self reference re-specializes with a fresh binding
+    // per level — the depth guard turns divergence into an error entry
+    check("def r(f): r(f | .); r(.)", "null",
+      "ERROR: filter-parameter specialization of r exceeds depth 64 — " +
+        "non-convergent recursive closure")
+  }
+
+  test("walk / map_values builtins (EXTENSION)") {
+    check("walk(if type == \"number\" then . + 1 else . end)",
+      """{"a":[1,{"b":2}],"c":"s"}""", """{"a":[2,{"b":3}],"c":"s"}""")
+    // bottom-up: children are transformed BEFORE f sees the parent
+    check("walk(if type == \"array\" then length else . end)",
+      "[[1,2],[3]]", "2")
+    check("walk(.)", "5", "5")
+    check("3 | map_values(.)", "null", "ERROR: cannot map_values over Integer")
+    check("map_values(. + 1)", "[1,2]", "[2,3]")
+    check("map_values(. * 10)", """{"a":1,"b":2}""", """{"a":10,"b":20}""")
+    // empty output DROPS the key (the difference from map)
+    check("map_values(select(. > 1))", """{"a":1,"b":2}""", """{"b":2}""")
+    // a user def named walk shadows the builtin
+    check("def walk(f): 99; walk(.)", "null", "99")
+  }
+
+  test("try/catch (EXTENSION)") {
+    check("try .a", """{"a":7}""", "7")
+    check("try .a", "3")                       // error suppressed, no handler
+    check("try .a catch 0", "3", "0")          // handler output replaces
+    check("""try error("boom") catch .""", "null", "\"boom\"") // error VALUE is the input
+    // successful outputs pass through untouched
+    check("try .[] catch 0", "[1,2]", "1", "2")
+    // handler errors surface (not re-caught); handler input is the
+    // error-message STRING, so .b indexes a String
+    check("try .a catch .b.c", "3", "ERROR: cannot index b into String")
+    // body binds tight: `try .a.b | f` pipes try's OUTPUT
+    check("try .a.b catch 0 | . + 1", """{"a":{"b":4}}""", "5")
+    check("try .a.b catch 0 | . + 1", "9", "1")
+  }
+
+  test("mid-program defs (EXTENSION)") {
+    check(".[] | def d: 3; . + d", "[1,2]", "4", "5")
+    check(".k | def double: . * 2; double | double", """{"k":5}""", "20")
+    // a def after a pipe scopes over the REST of the pipeline only
+    check("1 | def one: 1; def two: one + one; two + one", "null", "3")
+  }
+
+  test("match / scan builtins (EXTENSION — ','-separated args like every call)") {
+    check("""[match("[aeiou]", "g") | .offset]""", "\"banana\"", "[1,3,5]")
+    check("""match("an") | .string""", "\"banana\"", "\"an\"") // first match only
+    check("""match("zz")""", "\"banana\"")                     // no match → empty
+    check("""match("a(n)") | .captures | .[0] | .string""", "\"banana\"", "\"n\"")
+    check("""match("(?<c>n)") | .captures | .[0] | .name""", "\"ban\"", "\"c\"")
+    // case-insensitive flag
+    check("""[match("A", "gi") | .offset]""", "\"banana\"", "[1,3,5]")
+    // codepoint offsets, not UTF-16 units (汉 is one codepoint)
+    check("""match("b") | .offset""", "\"汉汉b\"", "2")
+    check("""[scan("[aeiou]+")]""", "\"banana\"", """["a","a","a"]""")
+    // with capture groups scan emits the capture array per match
+    check("""[scan("a(n)")]""", "\"banana\"", """[["n"],["n"]]""")
+    check("""match(3)""", "\"x\"", "ERROR: match pattern must be a string, got Integer")
+    check("""3 | scan("x")""", "null", "ERROR: cannot scan over Integer")
+    check("""scan("(")""", "\"a\"", "ERROR: invalid regex: Unclosed group")
   }
 
   test("string interpolation (EXTENSION)") {
