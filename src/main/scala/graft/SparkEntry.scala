@@ -689,6 +689,16 @@ object SparkEntry {
             ("mo", ".text | [match(\"e\", \"g\") | .offset] | length", "long")), col("doc")).as("m"))
         .select(col("doc_id"), col("m.sc"), col("m.mg"), col("m.mo"))),
 
+    // streaming dedup (round 5): the SAME declaration that runs
+    // dropDuplicatesWithinWatermark (bounded state, watermark eviction)
+    // on a live stream, here on its batch-backfill path; the kept KEY SET
+    // is the deterministic surface (which row survives is unspecified),
+    // so the query projects the key. StreamingSpec drives the live path.
+    "stream_dedup" -> ((s, dir) =>
+      graft.streaming.EventStreams
+        .dedupWithinWatermark(table(s, dir, "events"), Seq("props"), "10 minutes")
+        .select(col("props"))),
+
     // --- dedup family (LLM-pipeline layer) ------------------------------
     // grouping key is (xxhash64(props), props): the full key must ride the
     // exchange anyway (it IS the output column), but the 8-byte hash prefix
@@ -1543,6 +1553,8 @@ object SparkEntry {
             FROM f)
       SELECT user_id, session_seq, min(tsn) AS session_start,
              max(tsn) - min(tsn) AS duration_ns, count(*) AS n_events
-      FROM g GROUP BY user_id, session_seq"""
+      FROM g GROUP BY user_id, session_seq""",
+
+    "stream_dedup" -> "SELECT DISTINCT props FROM events"
   )
 }

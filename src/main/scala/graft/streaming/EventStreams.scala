@@ -96,6 +96,44 @@ object EventStreams {
         col("r_event_time") <= col("l_event_time") + expr(s"INTERVAL $windowMicros MICROSECOND"))
   }
 
+  // ------------------------------------------------------------ dedup
+
+  /** Streaming exact dedup: keep ONE row per key with a BOUNDED state
+    * store — the live-tail counterpart of [[graft.operators.Dedup]].
+    * On a streaming input this is `dropDuplicatesWithinWatermark`: key
+    * state is evicted once the event-time watermark passes its last-seen
+    * time plus the delay, so the store is bounded by arrival-rate ×
+    * horizon instead of stream HISTORY — the only viable shape for an
+    * unbounded firehose. The documented trade-off: a re-occurrence
+    * arriving farther apart than the horizon is emitted again (exact
+    * global dedup over all time needs the batch backfill). On batch input
+    * the same declaration is a plain `dropDuplicates` backfill.
+    *
+    * WHICH row survives per key is explicitly unspecified (streaming
+    * keeps arrival-order first) — downstream should project the key or
+    * key-determined columns; for a deterministic keep-one in batch use
+    * `Dedup.exactDedup`. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           watermarkDelay: String): DataFrame = {
+    val withTime = events.withColumn("event_time", eventTime(col("ts")))
+    if (withTime.isStreaming)
+      withTime.withWatermark("event_time", watermarkDelay)
+        .dropDuplicatesWithinWatermark(keyCols.toArray)
+    else withTime.dropDuplicates(keyCols.toArray)
+  }
+
+  /** [[dedupWithinWatermark]] keyed on `xxhash64(content)`: each state
+    * row is 8 bytes instead of the document, the same exchange-key trick
+    * as the batch `Dedup.keepFirstByHash`. Unlike the batch path there is
+    * no in-bucket tie-confirm (the state store holds only the key), so a
+    * 64-bit collision drops one distinct document — probability ~2^-64
+    * per pair, the standard trade for not buffering document text in the
+    * state store; the collision-SAFE batch backfill reconciles. */
+  def dedupContentHashed(events: DataFrame, content: Column,
+                         watermarkDelay: String): DataFrame =
+    dedupWithinWatermark(events.withColumn("__key", xxhash64(content)),
+      Seq("__key"), watermarkDelay).drop("__key")
+
   // ------------------------------------------------------------ sessions
 
   /** Batch sessionization: split each user's event sequence on gaps longer

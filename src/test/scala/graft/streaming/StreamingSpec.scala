@@ -102,6 +102,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark: duplicates across micro-batches emit once; keys == batch distinct") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // controlled fixture: duplicates always arrive within the horizon, so
+    // the kept set is exact (the parquet fixture spans hours — there a
+    // re-occurrence past the horizon re-emits by DESIGN, the documented
+    // bounded-state trade-off)
+    val base = 1700000000L * 1000000000L // nanos epoch
+    def t(sec: Long) = base + sec * 1000000000L
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("ts", "props")
+    val q = dedupWithinWatermark(sdf, Seq("props"), "10 minutes")
+      .select(col("props"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((t(0), "A"), (t(1), "B"), (t(2), "A"))) // in-batch dup
+      q.processAllAvailable()
+      stream.addData(Seq((t(3), "A"), (t(4), "C"))) // cross-batch dup + new key
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT props FROM dedup_out")
+        .collect().map(_.getString(0)).toSeq
+      assert(streamed.length == streamed.distinct.length, "stream emitted a duplicate key")
+      assert(streamed.sorted == Seq("A", "B", "C"))
+    } finally q.stop()
+
+    // batch path of the same declaration = plain dropDuplicates backfill
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", col("ts").cast("long"))
+      .select("ts", "props").limit(400)
+    val expected = batch.collect().map(_.getString(1)).distinct.toSeq
+    val batchKeys = dedupWithinWatermark(batch, Seq("props"), "10 minutes")
+      .select(col("props")).collect().map(_.getString(0)).toSeq
+    assert(batchKeys.sorted == expected.sorted)
+    // hashed variant keeps the same NUMBER of rows (8-byte state keys)
+    val hashedKeys = dedupContentHashed(batch, col("props"), "10 minutes")
+      .select(col("props")).collect().map(_.getString(0)).toSeq
+    assert(hashedKeys.length == expected.length)
+  }
+
   test("sessionizeStreaming closes sessions exactly like sessionizeBatch") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
