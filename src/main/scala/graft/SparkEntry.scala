@@ -425,6 +425,44 @@ object SparkEntry {
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), operators.Relational.dsum(col("l_quantity")).as("sum_qty"))),
 
+    // explicit grouping sets (beyond rollup/cube's fixed lattices): the
+    // DataFrame API has no grouping-sets verb, so this drops to SQL — the
+    // Catalyst plan is the same Expand + partial-agg shape as cube
+    "rel_grouping_sets" -> ((s, dir) => {
+      table(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+    }),
+
+    // lead/lag/ntile/percent_rank over one deterministic-order window
+    // spec — a single exchange serves all four
+    "rel_window_misc" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      table(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).cast("double").as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).cast("double").as("next_price"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        percent_rank().over(w).as("pr"))
+    }),
+
+    // skew-safe salted join (round 5): deterministic fact-side salt + dim
+    // replicated salts× — one hot custkey spreads over 8 tasks; the
+    // ORACLE is the plain unsalted join, pinning result-equality
+    "rel_skew_join" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      operators.Relational.saltedJoin(o, c, "o_custkey", col("o_orderkey"), 8)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          operators.Relational.dsum(col("o_totalprice")).as("rev"))
+    }),
+
     "rel_agg_stats" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -1173,6 +1211,26 @@ object SparkEntry {
       SELECT l_returnflag, l_linestatus, count(*) AS n,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    "rel_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+
+    "rel_window_misc" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(lag(o_totalprice, 1) OVER w AS DOUBLE) AS prev_price,
+             CAST(lead(o_totalprice, 1) OVER w AS DOUBLE) AS next_price,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             percent_rank() OVER w AS pr
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "rel_skew_join" -> """
+      SELECT c_nationkey, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey""",
 
     "rel_agg_stats" -> """
       SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,

@@ -86,6 +86,26 @@ object Relational {
       .agg(sum(col("__partial")).as("n"))
   }
 
+  /** Skew-safe replicated-salt equi-join: the fact side gets a
+    * DETERMINISTIC salt in [0, salts) hashed from `saltSrc` (any
+    * fact-side column — typically the row id, so re-runs salt
+    * identically), and the dim side is replicated salts× via an inline
+    * explode. The join key becomes (key, salt), so one pathological hot
+    * key spreads over `salts` tasks instead of one straggler; the result
+    * is EXACTLY the unsalted join (every fact row still meets every
+    * matching dim row exactly once, in its salt's replica). Shuffle cost:
+    * dim × salts extra rows — the usual trade, cheap when dim is the
+    * small side. AQE's skew-join split handles moderate runtime skew;
+    * this is the static discipline for the known-hot-key case (a
+    * null-heavy foreign key, a celebrity user) at 100 TB. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltSrc: Column, salts: Int): DataFrame = {
+    val sf = fact.withColumn("__salt", pmod(xxhash64(saltSrc), lit(salts.toLong)))
+    val sd = dim.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    sf.join(sd, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** MVCC-style snapshot merge (the reference README's goals (5)-(6) —
     * LLRB/MVCC index with snapshot reads — mapped onto Spark storage): the
     * next snapshot is the per-key LATEST version across base ∪ changes.

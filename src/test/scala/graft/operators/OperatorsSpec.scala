@@ -362,4 +362,24 @@ class SaltingSpec extends graft.SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted == plain)
   }
+
+  test("saltedJoin == plain inner join, including a hot key and null keys") {
+    import spark.implicits._
+    // one pathological hot key (k=1, 500 rows), normal keys, a null key
+    val fact = ((1 to 500).map(i => (Option(1L), i.toLong)) ++
+      Seq((Option(2L), 1001L), (Option(3L), 1002L), (Option.empty[Long], 1003L)))
+      .toDF("k", "fid")
+    val dim = Seq((Option(1L), "a"), (Option(2L), "b"), (Option.empty[Long], "z"))
+      .toDF("k", "dval")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getString(2))
+    val plain = fact.join(dim, "k").select(col("k"), col("fid"), col("dval"))
+      .collect().map(key).toSet
+    val salted = Relational.saltedJoin(fact, dim, "k", col("fid"), salts = 8)
+      .select(col("k"), col("fid"), col("dval")).collect().map(key).toSet
+    assert(salted == plain)
+    assert(plain.size == 501) // hot key fully joined; null keys + unmatched k=3 dropped (inner)
+    // each fact row meets its dim match exactly once (no replica double-count)
+    val n = Relational.saltedJoin(fact, dim, "k", col("fid"), salts = 8).count()
+    assert(n == 501L)
+  }
 }
