@@ -727,6 +727,16 @@ object SparkEntry {
             ("mo", ".text | [match(\"e\", \"g\") | .offset] | length", "long")), col("doc")).as("m"))
         .select(col("doc_id"), col("m.sc"), col("m.mg"), col("m.mo"))),
 
+    // date builtins (round 5): epoch↔ISO-8601 round trip, gmtime/mktime
+    // composition, strftime subset — DuckDB formats the same instants
+    "jq_dates" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Jq.string(".k * 86400 + 1500000000 | todate", col("props")).as("iso"),
+        Jq.long(".k * 86400 + 1500000000 | todate | fromdate", col("props")).as("rt"),
+        Jq.long(".k * 86400 + 1500000000 | gmtime | mktime", col("props")).as("gm"),
+        Jq.string(".k * 86400 + 1500000000 | strftime(\"%Y/%j %H:%M\")", col("props")).as("fmt"))),
+
     // streaming dedup (round 5): the SAME declaration that runs
     // dropDuplicatesWithinWatermark (bounded state, watermark eviction)
     // on a live stream, here on its batch-backfill path; the kept KEY SET
@@ -1613,6 +1623,20 @@ object SparkEntry {
              max(tsn) - min(tsn) AS duration_ns, count(*) AS n_events
       FROM g GROUP BY user_id, session_seq""",
 
-    "stream_dedup" -> "SELECT DISTINCT props FROM events"
+    "stream_dedup" -> "SELECT DISTINCT props FROM events",
+
+    "jq_dates" -> """
+      WITH d AS (SELECT event_id,
+                        make_timestamp((CAST(json_extract(props, '$.k') AS BIGINT)
+                          * 86400 + 1500000000) * 1000000) AS t,
+                        CAST(json_extract(props, '$.k') AS BIGINT)
+                          * 86400 + 1500000000 AS sec
+                 FROM events)
+      SELECT event_id,
+             strftime(t, '%Y-%m-%dT%H:%M:%SZ') AS iso,
+             sec AS rt,
+             sec AS gm,
+             strftime(t, '%Y/%j %H:%M') AS fmt
+      FROM d"""
   )
 }

@@ -555,14 +555,19 @@ object Interp {
       return (_, _) => Vector(JEntry(JNull,
         Vector(s"$name expects ${uf.params.length} args, got ${args.length}")))
     val filterParams = uf.params.zipWithIndex.filter(_._1.filter)
+    // per-call-site closure env for wrapped filter args: armed with the
+    // call-site runtime env on every invocation (dynamic extent covers
+    // the whole body run, so recursive re-entry still reads the ORIGINAL
+    // call's env — withValue stacks per thread)
+    lazy val callEnv = new scala.util.DynamicVariable[Env](Nil)
+    var armCallEnv = false
     val body: Pipe =
       if (filterParams.isEmpty) uf.cellBody
       else {
         // FILTER params (jq closure-valued parameters): re-specialize the
         // def body at THIS call site with each filter argument bound as a
         // zero-arg user function. The filter pipe runs against whatever
-        // value the body applies it to; call-site $vars inside a filter
-        // argument are a documented limitation (lexical body scope wins).
+        // value the body applies it to.
         //
         // A filter argument that is itself a bare zero-arg call (the
         // `walk(f)` inside walk's own body) CANONICALIZES to the resolved
@@ -572,14 +577,27 @@ object Interp {
         // recursive-closure pattern compiles in one pass. Non-canonical
         // self reference (`w(f | .)`) still diverges; the depth guard
         // makes that an error entry, not a stack overflow.
+        //
+        // A wrapped filter argument is a CLOSURE over the call site: it
+        // runs with the call-site runtime env (so `$x` bound outside the
+        // call works inside the argument, jq's rule), carried through a
+        // per-call-site dynamic cell the returned pipe arms on every
+        // invocation — the body's own env stays invisible to the
+        // argument, which is exactly lexical scoping.
         val bindings: List[(FuncParam, UserFunc)] = filterParams.map { case (p, i) =>
+          def wrapper(): UserFunc = {
+            val fp = compile(args(i)) // call-site lexical scope
+            armCallEnv = true
+            val cell = callEnv
+            UserFunc(Nil, (d: JDoc, _: Env) => fp(d, cell.value), args(i), () => funcScope.value)
+          }
           val b = args(i) match {
             case Call(n, Nil) =>
               funcScope.value.get(n) match {
                 case Some(g) if g.params.isEmpty => g
-                case _ => UserFunc(Nil, compile(args(i)), args(i), () => funcScope.value)
+                case _ => wrapper()
               }
-            case _ => UserFunc(Nil, compile(args(i)), args(i), () => funcScope.value)
+            case _ => wrapper()
           }
           (p, b)
         }
@@ -614,7 +632,8 @@ object Interp {
             else go(pt, (p, e.doc) :: bound)
           }
       }
-      go(valueArgs, Nil)
+      if (armCallEnv) callEnv.withValue(env) { go(valueArgs, Nil) }
+      else go(valueArgs, Nil)
     }
   }
 
@@ -1812,6 +1831,108 @@ object Interp {
               case JStr(s) => Vector(JEntry(JNull, Vector(s)))
               case d       => Vector(JEntry(JNull, Vector(JsonText.canonical(d))))
             }
+          }
+        }
+
+      case "todate" =>
+        // EXTENSION (jq todate): epoch SECONDS → ISO-8601 UTC
+        // ("2015-03-05T23:51:47Z"); fractional input truncates toward
+        // zero like jq's integer output
+        overInput {
+          case JLong(n) => Right(JStr(
+            java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+              java.time.Instant.ofEpochSecond(n))))
+          case JDouble(x) if !x.isNaN && !x.isInfinite => Right(JStr(
+            java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+              java.time.Instant.ofEpochSecond(x.toLong))))
+          case other => Left(s"todate requires a number, got ${other.typeName}")
+        }
+
+      case "fromdate" =>
+        // EXTENSION (jq fromdate): ISO-8601 UTC → epoch seconds
+        overInput {
+          case JStr(s) =>
+            try Right(JLong(java.time.Instant.from(
+              java.time.format.DateTimeFormatter.ISO_INSTANT.parse(s)).getEpochSecond))
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                Left(s"fromdate cannot parse '$s' as ISO-8601")
+            }
+          case other => Left(s"fromdate requires a string, got ${other.typeName}")
+        }
+
+      case "gmtime" =>
+        // EXTENSION (jq gmtime): epoch seconds → broken-down UTC time in
+        // jq's field order [year, month 0-11, day, hour, minute, second,
+        // weekday (Sunday=0), yearday 0-365]
+        overInput {
+          case JLong(n) =>
+            val t = java.time.Instant.ofEpochSecond(n).atOffset(java.time.ZoneOffset.UTC)
+            Right(JArr(Vector[JDoc](
+              JLong(t.getYear.toLong), JLong((t.getMonthValue - 1).toLong),
+              JLong(t.getDayOfMonth.toLong), JLong(t.getHour.toLong),
+              JLong(t.getMinute.toLong), JLong(t.getSecond.toLong),
+              JLong((t.getDayOfWeek.getValue % 7).toLong), // ISO Mon=1..Sun=7 → Sun=0
+              JLong((t.getDayOfYear - 1).toLong))))
+          case other => Left(s"gmtime requires a number, got ${other.typeName}")
+        }
+
+      case "mktime" =>
+        // EXTENSION (jq mktime): gmtime's array back to epoch seconds;
+        // fields past the first six are ignored (weekday/yearday are
+        // derived, jq does the same)
+        overInput {
+          case JArr(fs) if fs.length >= 6 && fs.forall(_.isInstanceOf[JLong]) =>
+            val v = fs.map(_.asInstanceOf[JLong].v.toInt)
+            try Right(JLong(java.time.LocalDateTime
+              .of(v(0), v(1) + 1, v(2), v(3), v(4), v(5))
+              .toEpochSecond(java.time.ZoneOffset.UTC)))
+            catch {
+              case e: java.time.DateTimeException => Left(s"mktime: ${e.getMessage}")
+            }
+          case JArr(_) => Left("mktime requires at least 6 integer fields")
+          case other   => Left(s"mktime requires an array, got ${other.typeName}")
+        }
+
+      case "strftime" =>
+        // EXTENSION (jq strftime): epoch-seconds input formatted with a
+        // C-style pattern — the documented subset %Y %m %d %e %H %M %S
+        // %j %Z %%; an unknown specifier is an error entry, not silent
+        // passthrough (a formatting bug should not hash-match anything)
+        if (args.length != 1) return wrongArity
+        withArgValue(compiledArgs.head) { (doc, fmtDoc) =>
+          (doc, fmtDoc) match {
+            case (JLong(n), JStr(fmt)) =>
+              val t = java.time.Instant.ofEpochSecond(n).atOffset(java.time.ZoneOffset.UTC)
+              val sb = new java.lang.StringBuilder
+              var i = 0
+              var err: String = null
+              while (i < fmt.length && err == null) {
+                val c = fmt.charAt(i)
+                if (c != '%' || i + 1 >= fmt.length) { sb.append(c); i += 1 }
+                else {
+                  fmt.charAt(i + 1) match {
+                    case 'Y' => sb.append(t.getYear)
+                    case 'm' => sb.append(f"${t.getMonthValue}%02d")
+                    case 'd' => sb.append(f"${t.getDayOfMonth}%02d")
+                    case 'e' => sb.append(f"${t.getDayOfMonth}%2d")
+                    case 'H' => sb.append(f"${t.getHour}%02d")
+                    case 'M' => sb.append(f"${t.getMinute}%02d")
+                    case 'S' => sb.append(f"${t.getSecond}%02d")
+                    case 'j' => sb.append(f"${t.getDayOfYear}%03d")
+                    case 'Z' => sb.append("UTC")
+                    case '%' => sb.append('%')
+                    case o   => err = s"strftime: unsupported specifier %$o"
+                  }
+                  i += 2
+                }
+              }
+              if (err != null) Vector(JEntry(JNull, Vector(err)))
+              else Vector(JEntry.ok(JStr(sb.toString)))
+            case (JLong(_), other) =>
+              Vector(JEntry(JNull, Vector(s"strftime format must be a string, got ${other.typeName}")))
+            case (other, _) =>
+              Vector(JEntry(JNull, Vector(s"strftime requires a number, got ${other.typeName}")))
           }
         }
 

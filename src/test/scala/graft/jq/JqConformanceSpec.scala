@@ -834,6 +834,17 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("def inc: . + 1; def app(f): f; 5 | app(inc)", "null", "6")
     // filter params are scoped to their body: bare `f` outside is a field
     check("def app(f): f; {f: 9} | f", "null", "9")
+    // a filter argument is a CLOSURE over the call site: $vars bound
+    // outside the call are visible inside the argument (jq's rule)
+    check("def app(f): f; 7 as $x | app($x + 1)", "null", "8")
+    check("def app(f): [.[] | f]; 10 as $x | app(. * $x)", "[1,2]", "[10,20]")
+    // ...but the body's OWN bindings stay invisible to the argument
+    // (lexical, not dynamic, scoping)
+    check("def app(f): 99 as $x | f; 7 as $x | app($x)", "null", "7")
+    // the closure env survives recursive re-entry (walk threads the same
+    // bound argument through every level)
+    check("def w(f): if type == \"array\" then map(w(f)) else f end; " +
+      "5 as $x | w(. + $x)", "[1,[2]]", "[6,[7]]")
     // walk-style recursion: the inner call's filter arg is the BOUND
     // param, so its specialization key matches the in-flight outer one
     // and compiles to a cell indirection (jq's canonical recursive
@@ -906,6 +917,24 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("""match(3)""", "\"x\"", "ERROR: match pattern must be a string, got Integer")
     check("""3 | scan("x")""", "null", "ERROR: cannot scan over Integer")
     check("""scan("(")""", "\"a\"", "ERROR: invalid regex: Unclosed group")
+  }
+
+  test("date builtins: todate/fromdate/gmtime/mktime/strftime (EXTENSION)") {
+    check("todate", "1425599507", "\"2015-03-05T23:51:47Z\"")
+    check("0 | todate", "null", "\"1970-01-01T00:00:00Z\"")
+    check("\"2015-03-05T23:51:47Z\" | fromdate", "null", "1425599507")
+    check("todate | fromdate", "1425599507", "1425599507") // round trip
+    check("todate", "\"x\"", "ERROR: todate requires a number, got String")
+    check("fromdate", "\"nope\"", "ERROR: fromdate cannot parse 'nope' as ISO-8601")
+    // gmtime: jq field order [y, month 0-11, d, h, m, s, wday Sun=0, yday 0-based]
+    check("gmtime", "1425599507", "[2015,2,5,23,51,47,4,63]")
+    check("gmtime | mktime", "1425599507", "1425599507") // round trip
+    check("mktime", "[2015,2,5,23,51,47]", "1425599507") // derived fields optional
+    check("mktime", "[2015,2]", "ERROR: mktime requires at least 6 integer fields")
+    check("""strftime("%Y-%m-%d %H:%M:%S %Z")""", "1425599507",
+      "\"2015-03-05 23:51:47 UTC\"")
+    check("""strftime("day %j, 100%%")""", "1425599507", "\"day 064, 100%\"")
+    check("""strftime("%q")""", "0", "ERROR: strftime: unsupported specifier %q")
   }
 
   test("string interpolation (EXTENSION)") {
