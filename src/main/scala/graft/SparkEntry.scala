@@ -463,6 +463,24 @@ object SparkEntry {
           operators.Relational.dsum(col("o_totalprice")).as("rev"))
     }),
 
+    // partitioned-layout write + partition-PRUNED read-back (round 5):
+    // the filtered scan reads ONLY the matching event_type directory
+    // (PartitionFilters in the plan, pinned by BucketingSpec) — at
+    // 100 TB, layout pruning is the difference between scanning one
+    // partition and scanning the lake. The write is inside the query so
+    // the oracle covers the whole write→read cycle, like rel_bucketed_join.
+    "rel_partition_prune" -> ((s, dir) => {
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.partitionBy("event_type").mode("overwrite")
+        .parquet("/tmp/graft_partitioned/events_by_type")
+      s.read.parquet("/tmp/graft_partitioned/events_by_type")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          operators.Relational.dsum(col("value")).as("sum_value"))
+    }),
+
     "rel_agg_stats" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -726,6 +744,18 @@ object SparkEntry {
             ("mg", ".text | [match(\"[a-z]+\", \"g\") | .string] | join(\",\")", "string"),
             ("mo", ".text | [match(\"e\", \"g\") | .offset] | length", "long")), col("doc")).as("m"))
         .select(col("doc_id"), col("m.sc"), col("m.mg"), col("m.mo"))),
+
+    // sequence/search builtins (round 5): indices (overlap-aware),
+    // rindex, transpose (null-padded), @sh quoting — data-dependent
+    // pipelines with closed-form SQL
+    "jq_seq_builtins" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Jq.string("[.k % 2, 1, 0] | indices(1) | tojson", col("props")).as("idx"),
+        Jq.string("[[.k], [.k + 1, 9]] | transpose | tojson", col("props")).as("tr"),
+        Jq.long("\"ab\" * (.k % 3 + 1) | rindex(\"ab\")", col("props")).as("ridx"),
+        Jq.long("\"ab\" * (.k % 3 + 1) | indices(\"ab\") | length", col("props")).as("nidx"),
+        Jq.string("[(.k | tostring), \"a b\"] | @sh", col("props")).as("sh"))),
 
     // date builtins (round 5): epoch↔ISO-8601 round trip, gmtime/mktime
     // composition, strftime subset — DuckDB formats the same instants
@@ -1242,6 +1272,11 @@ object SparkEntry {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_nationkey""",
 
+    "rel_partition_prune" -> """
+      SELECT user_id, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id""",
+
     "rel_agg_stats" -> """
       SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
              min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, count(*) AS n
@@ -1624,6 +1659,16 @@ object SparkEntry {
       FROM g GROUP BY user_id, session_seq""",
 
     "stream_dedup" -> "SELECT DISTINCT props FROM events",
+
+    "jq_seq_builtins" -> """
+      WITH d AS (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+      SELECT event_id,
+             CASE WHEN k % 2 = 1 THEN '[0,1]' ELSE '[1]' END AS idx,
+             '[[' || k || ',' || (k + 1) || '],[null,9]]' AS tr,
+             (k % 3) * 2 AS ridx,
+             k % 3 + 1 AS nidx,
+             '''' || k || ''' ''a b''' AS sh
+      FROM d""",
 
     "jq_dates" -> """
       WITH d AS (SELECT event_id,

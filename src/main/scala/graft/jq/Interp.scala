@@ -692,13 +692,15 @@ object Interp {
           }
         }
 
-      case "chars" =>
+      case "chars" | "explode" =>
+        // `explode` is jq's name for the same codepoint-array op (the
+        // reference calls it chars); both resolve here
         if (args.length > 1)
-          return (_, _) => Vector(JEntry(JNull, Vector("invalid number of args for chars")))
+          return (_, _) => Vector(JEntry(JNull, Vector(s"invalid number of args for $name")))
         overInput { d =>
           JOps.intoIter(d) match {
             case Some(vs) => Right(JArr(vs))
-            case None     => Left(s"cannot find chars for ${d.typeName}")
+            case None     => Left(s"cannot find $name for ${d.typeName}")
           }
         }
 
@@ -1139,14 +1141,17 @@ object Interp {
           case (other, _)       => Vector(JEntry(JNull, Vector(s"cannot split ${other.typeName}")))
         }
 
-      case "contains" =>
+      case "contains" | "inside" =>
         // EXTENSION (jq): deep containment — substring for strings, per-
         // element containment for arrays, key-and-value containment for
-        // objects, equality for same-kind scalars. A TOP-LEVEL kind
-        // mismatch is an error (jq: "cannot check containment"), so a
-        // typo'd argument shape surfaces instead of silently filtering
-        // everything out; nested mismatches are just not-contained.
+        // objects, equality for same-kind scalars. `inside` is the same
+        // relation with the roles flipped (`. inside(b)` ⇔ `b contains .`,
+        // jq defines it exactly so). A TOP-LEVEL kind mismatch is an
+        // error (jq: "cannot check containment"), so a typo'd argument
+        // shape surfaces instead of silently filtering everything out;
+        // nested mismatches are just not-contained.
         if (args.length != 1) return wrongArity
+        val flipped = name == "inside"
         def within(a: JDoc, b: JDoc): Boolean = (a, b) match {
           case (JStr(s), JStr(p))   => s.contains(p)
           case (JArr(xs), JArr(ys)) => ys.forall(y => xs.exists(x => within(x, y)))
@@ -1160,11 +1165,81 @@ object Interp {
           case _ => true // scalar vs scalar: equality applies
         }
         withArgValue(compiledArgs.head) { (doc, b) =>
-          if (!sameKind(doc, b))
+          val (outer, inner) = if (flipped) (b, doc) else (doc, b)
+          if (!sameKind(outer, inner))
             Vector(JEntry(JNull, Vector(
-              s"cannot check containment of ${b.typeName} in ${doc.typeName}")))
-          else Vector(JEntry.ok(JBool(within(doc, b))))
+              s"cannot check containment of ${inner.typeName} in ${outer.typeName}")))
+          else Vector(JEntry.ok(JBool(within(outer, inner))))
         }
+
+      case "indices" | "index" | "rindex" =>
+        // EXTENSION (jq): occurrence positions. String input + string
+        // arg → BYTE offsets (the dialect's string-offset convention,
+        // same as length/slice), overlapping matches included; array
+        // input + scalar arg → indices of equal elements; array input +
+        // array arg → start indices of the contiguous subsequence
+        // (overlapping). index/rindex are first/last or null; null input
+        // → null (jq's rule). Empty pattern → no matches.
+        if (args.length != 1) return wrongArity
+        def occurrences(doc: JDoc, pat: JDoc): Either[String, Vector[Long]] = (doc, pat) match {
+          case (JStr(s), JStr(p)) =>
+            if (p.isEmpty) Right(Vector.empty)
+            else {
+              val hay = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val needle = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val out = Vector.newBuilder[Long]
+              var i = 0
+              while (i <= hay.length - needle.length) {
+                var j = 0
+                while (j < needle.length && hay(i + j) == needle(j)) j += 1
+                if (j == needle.length) out += i.toLong
+                i += 1
+              }
+              Right(out.result())
+            }
+          case (JArr(xs), JArr(ys)) =>
+            if (ys.isEmpty) Right(Vector.empty)
+            else Right((0 to xs.length - ys.length).collect {
+              case i if ys.indices.forall(j => JOps.eqDoc(xs(i + j), ys(j))) => i.toLong
+            }.toVector)
+          case (JArr(xs), p) =>
+            Right(xs.zipWithIndex.collect {
+              case (x, i) if JOps.eqDoc(x, p) => i.toLong
+            })
+          case (other, _) => Left(s"cannot find $name in ${other.typeName}")
+        }
+        withArgValue(compiledArgs.head) { (doc, pat) =>
+          if (doc == JNull) Vector(JEntry.ok(JNull))
+          else occurrences(doc, pat) match {
+            case Left(m) => Vector(JEntry(JNull, Vector(m)))
+            case Right(is) => name match {
+              case "indices" => Vector(JEntry.ok(JArr(is.map(JLong(_)))))
+              case "index"   => Vector(JEntry.ok(is.headOption.map(JLong(_): JDoc).getOrElse(JNull)))
+              case _         => Vector(JEntry.ok(is.lastOption.map(JLong(_): JDoc).getOrElse(JNull)))
+            }
+          }
+        }
+
+      case "transpose" =>
+        // EXTENSION (jq transpose): array of arrays → transposed, short
+        // rows padded with null to the longest (jq's rule)
+        overInput {
+          case JArr(rows) if rows.forall(_.isInstanceOf[JArr]) =>
+            val rs = rows.map(_.asInstanceOf[JArr].items)
+            val width = if (rs.isEmpty) 0 else rs.map(_.length).max
+            Right(JArr((0 until width).toVector.map { j =>
+              JArr(rs.map(r => if (j < r.length) r(j) else JNull))
+            }))
+          case other => Left(s"cannot transpose ${other.typeName}")
+        }
+
+      case "debug" =>
+        // EXTENSION (jq debug): identity passthrough. jq writes
+        // ["DEBUG:", .] to stderr; per-row stderr from executors is
+        // noise, not observability — the passthrough keeps programs
+        // using debug for tracing runnable unchanged.
+        if (args.nonEmpty) return wrongArity
+        (doc, _) => Vector(JEntry.ok(doc))
 
       case "empty" =>
         // EXTENSION (jq empty): the empty stream
@@ -1966,6 +2041,27 @@ object Interp {
       }
 
       case "@json" => overInput(d => Right(JStr(JsonText.canonical(d))))
+
+      case "@sh" =>
+        // EXTENSION (jq @sh): POSIX-shell quoting — strings single-quoted
+        // with the '\'' escape, other scalars canonical, arrays
+        // space-joined; containers inside are an error (jq's rule)
+        overInput { d =>
+          def q(x: JDoc): Either[String, String] = x match {
+            case JStr(s) => Right("'" + s.replace("'", "'\\''") + "'")
+            case JNull | _: JBool | _: JLong | _: JDouble => Right(JsonText.canonical(x))
+            case other => Left(s"@sh cannot format ${other.typeName}")
+          }
+          d match {
+            case JArr(items) =>
+              val parts = items.map(q)
+              parts.collectFirst { case Left(m) => m } match {
+                case Some(m) => Left(m)
+                case None    => Right(JStr(parts.map(_.toOption.get).mkString(" ")))
+              }
+            case other => q(other).map(JStr(_))
+          }
+        }
 
       case "@csv" | "@tsv" =>
         // EXTENSION (jq format strings): one delimited row from an array.

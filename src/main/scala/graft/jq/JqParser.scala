@@ -40,14 +40,16 @@ object JqParser {
     "flatten", "paths", "leaf_paths", "tojson", "fromjson", "implode", "round",
     "not", "error", "trim", "ltrim", "rtrim", "nan", "infinite",
     "isnan", "isinfinite", "tostream", "fromstream",
-    "todate", "fromdate", "gmtime", "mktime")
+    "todate", "fromdate", "gmtime", "mktime",
+    "explode", "transpose", "debug")
   private[jq] val allBuiltins =
     bareBuiltins ++ Set("has", "in", "map", "any", "all", "join", "del",
       "select", "test", "range", "startswith", "endswith", "ltrimstr",
       "rtrimstr", "split", "contains",
       "sort_by", "unique_by", "group_by", "min_by", "max_by", "getpath",
       "limit", "while", "until", "setpath", "delpaths", "sub", "gsub",
-      "capture", "splits", "walk", "map_values", "match", "scan", "strftime")
+      "capture", "splits", "walk", "map_values", "match", "scan", "strftime",
+      "inside", "indices", "index", "rindex")
 
   /** Reserved continuation words of the `if` form and the `as` binder
     * (EXTENSIONS): they stop juxtaposition/expression scans, so branch

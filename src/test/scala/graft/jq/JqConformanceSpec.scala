@@ -919,6 +919,35 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("""scan("(")""", "\"a\"", "ERROR: invalid regex: Unclosed group")
   }
 
+  test("indices/index/rindex, transpose, inside, explode, debug, @sh (EXTENSION)") {
+    check("""indices(", ")""", "\"a,b, cd, efg\"", "[3,7]")
+    check("""indices("aba")""", "\"ababa\"", "[0,2]")        // overlapping
+    check("indices(1)", "[0,1,2,1,3,1,4]", "[1,3,5]")
+    check("indices([1,2])", "[0,1,2,3,1,4,2,5,1,2,6,7]", "[1,8]")
+    check("""indices("x")""", "\"abc\"", "[]")
+    check("""indices("")""", "\"abc\"", "[]")                // empty pattern
+    check("""indices("a")""", "null", "null")                 // null input
+    check("indices(1)", "3", "ERROR: cannot find indices in Integer")
+    // byte offsets, like length/slice ("汉" is 3 UTF-8 bytes)
+    check("""indices("b")""", "\"汉b\"", "[3]")
+    check("""index(", ")""", "\"a,b, cd, efg\"", "3")
+    check("""rindex(", ")""", "\"a,b, cd, efg\"", "7")
+    check("""index("x")""", "\"abc\"", "null")
+    check("transpose", "[[1,2],[3,4,5]]", "[[1,3],[2,4],[null,5]]")
+    check("transpose", "[]", "[]")
+    check("transpose", "[1]", "ERROR: cannot transpose Array")
+    check("inside([1,2,3])", "[1,3]", "true")
+    check("inside([1,2,3])", "[1,5]", "false")
+    check("""inside("foobar")""", "\"bar\"", "true")
+    check("inside([1])", "\"s\"", "ERROR: cannot check containment of String in Array")
+    check("explode", "\"ab\"", "[97,98]")
+    check("explode | implode", "\"汉语\"", "\"汉语\"")
+    check("debug", "[1,2]", "[1,2]")
+    check("@sh", "\"it's\"", "\"'it'\\\\''s'\"")
+    check("@sh", """["a b",1,null]""", "\"'a b' 1 null\"")
+    check("@sh", """[["x"]]""", "ERROR: @sh cannot format Array")
+  }
+
   test("date builtins: todate/fromdate/gmtime/mktime/strftime (EXTENSION)") {
     check("todate", "1425599507", "\"2015-03-05T23:51:47Z\"")
     check("0 | todate", "null", "\"1970-01-01T00:00:00Z\"")

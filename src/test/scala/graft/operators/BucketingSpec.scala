@@ -89,4 +89,17 @@ class BucketingSpec extends SparkTestBase {
     assert(below == 0,
       s"expected a co-bucketed shuffle-free join below SortMergeJoin in:\n$plan")
   }
+
+  test("rel_partition_prune: the filter lands in PartitionFilters, not a data filter") {
+    val df = graft.SparkEntry.queries("rel_partition_prune")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the event_type predicate must prune DIRECTORIES: it appears in
+    // PartitionFilters on the scan and nowhere as a row-level Filter —
+    // a row filter would mean every partition was read and then dropped
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(plan).isDefined,
+      s"event_type filter must be a partition filter in:\n$plan")
+    assert(!"\\bFilter .*event_type".r.findFirstIn(plan).isDefined,
+      s"event_type must not survive as a row filter in:\n$plan")
+  }
 }
