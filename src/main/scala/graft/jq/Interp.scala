@@ -545,6 +545,19 @@ object Interp {
   private val specDepth = new scala.util.DynamicVariable[Int](0)
   private val MaxSpecDepth = 64
 
+  /** RUNTIME user-def call depth (per thread; the interpreter recurses on
+    * the JVM stack, so unbounded jq recursion — `def f: f; f` — would
+    * stack-overflow the executor thread). 200 is far above any per-row
+    * document program and measured to fire well before the JVM stack
+    * does (~350 interpreter calls fit a default 1 MB thread stack),
+    * turning runaway recursion into an error ENTRY (the errors-as-data
+    * contract) instead of a task crash; runPipe's StackOverflowError
+    * backstop covers pathological non-call recursion. */
+  private val callDepth = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = Array(0)
+  }
+  private val MaxCallDepth = 200
+
   /** User-def call: args evaluate against the call input WITH the
     * call-site env (they may use $vars in scope), but the body runs under
     * the DEFINITION scope — params only, lexical not dynamic scoping.
@@ -632,8 +645,17 @@ object Interp {
             else go(pt, (p, e.doc) :: bound)
           }
       }
-      if (armCallEnv) callEnv.withValue(env) { go(valueArgs, Nil) }
-      else go(valueArgs, Nil)
+      val depth = callDepth.get()
+      if (depth(0) >= MaxCallDepth)
+        Vector(JEntry(JNull, Vector(
+          s"call depth exceeded $MaxCallDepth calling $name — runaway recursion")))
+      else {
+        depth(0) += 1
+        try {
+          if (armCallEnv) callEnv.withValue(env) { go(valueArgs, Nil) }
+          else go(valueArgs, Nil)
+        } finally depth(0) -= 1
+      }
     }
   }
 
@@ -1348,6 +1370,43 @@ object Interp {
           if (e.errors.nonEmpty) Vector(JEntry(JNull, e.errors))
           else if (JOps.truthy(e.doc)) Vector(JEntry.ok(doc))
           else Vector.empty
+        }
+
+      case "test" if args.length == 2 =>
+        // EXTENSION (jq test(re, flags)): "i" case-insensitive, "x"
+        // comments; "g" is accepted and meaningless (test only asks IF a
+        // match exists). ','-separated args like every call here.
+        val fre = compiledArgs(0)
+        val ffl = compiledArgs(1)
+        (doc, env) => firstOut(fre, doc, env) match {
+          case Left(m)                       => Vector(JEntry(JNull, Vector(m)))
+          case Right(e) if e.errors.nonEmpty => Vector(JEntry(JNull, e.errors))
+          case Right(e) => (doc, e.doc) match {
+            case (JStr(s), JStr(re)) =>
+              firstOut(ffl, doc, env) match {
+                case Left(m)                        => Vector(JEntry(JNull, Vector(m)))
+                case Right(fe) if fe.errors.nonEmpty => Vector(JEntry(JNull, fe.errors))
+                case Right(fe) => fe.doc match {
+                  case JStr(flags) =>
+                    try {
+                      var jf = 0
+                      if (flags.contains('i')) jf |= java.util.regex.Pattern.CASE_INSENSITIVE
+                      if (flags.contains('x')) jf |= java.util.regex.Pattern.COMMENTS
+                      Vector(JEntry.ok(JBool(
+                        java.util.regex.Pattern.compile(re, jf).matcher(s).find())))
+                    } catch {
+                      case e: java.util.regex.PatternSyntaxException =>
+                        Vector(JEntry(JNull, Vector(s"invalid regex: ${e.getDescription}")))
+                    }
+                  case other => Vector(JEntry(JNull,
+                    Vector(s"test flags must be a string, got ${other.typeName}")))
+                }
+              }
+            case (JStr(_), other) => Vector(JEntry(JNull,
+              Vector(s"test pattern must be a string, got ${other.typeName}")))
+            case (other, _) => Vector(JEntry(JNull,
+              Vector(s"cannot test ${other.typeName}")))
+          }
         }
 
       case "test" =>

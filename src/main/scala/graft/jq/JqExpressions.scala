@@ -46,6 +46,11 @@ trait JqNativeInput extends UnaryExpression {
     catch {
       case e: JsonText.JsonParseException =>
         Vector(JEntry(JNull, Vector(s"invalid json: ${e.getMessage}")))
+      case _: StackOverflowError =>
+        // backstop behind Interp's call-depth guard: pathological
+        // non-call recursion becomes an error entry at this (unwound)
+        // boundary, not a dead executor task
+        Vector(JEntry(JNull, Vector("jq evaluation exceeded the stack — runaway recursion")))
     }
 
   override def checkInputDataTypes(): TypeCheckResult =

@@ -821,6 +821,19 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     // args DO see call-site bindings
     check("def echo($a): $a; 7 as $x | echo($x + 1)", "null", "8")
     check("def f($a): $a; f(1, 2)", "null", "ERROR: f expects 1 args, got 2")
+    // runaway recursion is an error ENTRY, not an executor stack overflow
+    check("def f: f; f", "null",
+      "ERROR: call depth exceeded 200 calling f — runaway recursion")
+    // deep-but-bounded recursion still works under the guard
+    check("def down: if . > 0 then . - 1 | down else . end; 150 | down",
+      "null", "0")
+  }
+
+  test("test with flags: test(re, flags) (EXTENSION)") {
+    check("""test("ANA", "i")""", "\"banana\"", "true")
+    check("""test("ANA")""", "\"banana\"", "false")
+    check("""test("zz", "i")""", "\"banana\"", "false")
+    check("""test("a", 3)""", "\"x\"", "ERROR: test flags must be a string, got Integer")
   }
 
   test("def filter params: closure-valued arguments (EXTENSION)") {
