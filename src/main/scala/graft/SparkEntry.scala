@@ -425,6 +425,29 @@ object SparkEntry {
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), operators.Relational.dsum(col("l_quantity")).as("sum_qty"))),
 
+    // exact second moments from DECIMAL sums (round 5): variance/stddev/
+    // correlation computed by the SAME closed-form double expression on
+    // both engines — decimal sums are exact, the double arithmetic is
+    // written in identical order, so the hash gate applies to statistics
+    // that are normally fp-flaky across engines
+    "rel_agg_variance" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+      val nd = col("n").cast("double")
+      table(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sx"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double").as("sxx"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sy"),
+          sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).cast("double").as("syy"),
+          sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).cast("double").as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("sxx") - col("sx") * col("sx") / nd) / (nd - lit(1.0))).as("var_qty"),
+          sqrt((col("sxx") - col("sx") * col("sx") / nd) / (nd - lit(1.0))).as("std_qty"),
+          ((nd * col("sxy") - col("sx") * col("sy")) /
+            sqrt((nd * col("sxx") - col("sx") * col("sx")) *
+                 (nd * col("syy") - col("sy") * col("sy")))).as("corr_qp"))
+    }),
+
     // explicit grouping sets (beyond rollup/cube's fixed lattices): the
     // DataFrame API has no grouping-sets verb, so this drops to SQL — the
     // Catalyst plan is the same Expand + partial-agg shape as cube
@@ -827,6 +850,31 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       operators.Dedup.simhashNearDups(
         table(s, dir, "documents"), "doc_id", col("text"), n = 3, threshold = 0.8)),
+
+    // CAPSTONE (round 5): the end-to-end corpus-cleaning run a
+    // training-data pipeline actually executes — language gate →
+    // punctuation quality gate → exact dedup (hash-keyed, min-id keep) →
+    // near-dup keep-one (minhash LSH → exact-jaccard verify → connected
+    // components) — composed from the operators above and hash-checked
+    // END TO END against DuckDB running the identical pipeline (gates in
+    // SQL, closure via recursive CTE). Every stage is the scale shape:
+    // narrow filters, hash-keyed exchange, banded LSH, log-round
+    // label propagation.
+    "pipeline_clean" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val kept = docs
+        .filter(operators.TextAnalysis.langId(col("text")) === "en" &&
+          operators.TextAnalysis.punctRatio(col("text")) < 0.3)
+        .select(col("doc_id"), col("text"))
+      val exact = operators.Dedup.exactDedup(kept, Seq(col("text")), col("doc_id"))
+      val pairs = operators.Dedup.minhashNearDups(exact, "doc_id", col("text"), 3, 0.8)
+        .select(col("id_a"), col("id_b"))
+      val clusters = operators.Dedup.nearDupClusters(
+        exact.select(col("doc_id")), "doc_id", pairs)
+      exact.join(clusters.filter(col("id") === col("rep"))
+          .select(col("id").as("doc_id")), "doc_id")
+        .select(col("doc_id"))
+    }),
 
     "dedup_ngram_pairs" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
@@ -1251,6 +1299,55 @@ object SparkEntry {
       SELECT l_returnflag, l_linestatus, count(*) AS n,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    "pipeline_clean" -> """
+      WITH RECURSIVE base AS (
+        SELECT doc_id, text FROM documents
+        WHERE len(list_filter(string_split(text, ' '),
+                t -> t IN ('the','a','an','of','and','to','in','is','on','for','with','as','at','by','be','this','that','it','or','are','was','from')))::DOUBLE
+              / len(string_split(text, ' ')) >= 0.05
+          AND (strlen(text) - strlen(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+              / strlen(text) < 0.3),
+      kept AS (
+        SELECT min(doc_id) AS doc_id, text FROM base GROUP BY text),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(s) >= 3
+          THEN [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]
+          ELSE [] END) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM kept)),
+      p AS (
+        SELECT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                   / len(list_distinct(a.shingles || b.shingles)) AS j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+        WHERE j >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION SELECT id_b, id_a FROM p),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM kept
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      SELECT k.doc_id FROM kept k
+      JOIN (SELECT src, min(dst) AS rep FROM reach GROUP BY src) c
+        ON k.doc_id = c.src AND k.doc_id = c.rep""",
+
+    "rel_agg_variance" -> """
+      WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_qty,
+             sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS std_qty,
+             (CAST(n AS DOUBLE) * sxy - sx * sy) /
+               sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) *
+                    (CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qp
+      FROM m""",
 
     "rel_grouping_sets" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n,
