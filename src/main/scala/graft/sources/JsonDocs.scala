@@ -83,6 +83,22 @@ object JsonDocs {
       .toDF("doc", "error")
   }
 
+  /** Distributed JSONL sink — the write path symmetric to [[readJsonl]]:
+    * one canonical JSON value per line, one file per partition (a 100 TB
+    * corpus writes with no coordination). Canonicalization (sorted keys,
+    * shortest floats) makes the write→read round trip byte-identical;
+    * non-canonical input text is normalized, malformed text is an error.
+    * Line order within a partition follows row order — `orderBy`/
+    * `sortWithinPartitions` upstream if a stable order matters. */
+  def writeJsonl(docs: DataFrame, docCol: String, path: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(docCol).cast("string"))
+      .as[String]
+      .map(line => JsonText.canonical(JsonText.parse(line)))
+      .write.mode("overwrite").text(path)
+  }
+
   /** Unbounded variant of [[readJsonl]] for Structured Streaming. */
   def streamJsonl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

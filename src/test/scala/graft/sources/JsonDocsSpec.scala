@@ -65,4 +65,17 @@ class JsonDocsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).sorted
     assert(out.toSeq == Seq(0L, 3L))
   }
+
+  test("writeJsonl → readJsonl round trips byte-identically (canonical normalization)") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_sink").toFile
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    // non-canonical input: unsorted keys, spaces, long float form
+    val docs = JsonDocs.fromStrings(spark, Seq(
+      """{"b": 2, "a": 1}""", """[10.2, "x"]""", """"s""""))
+    JsonDocs.writeJsonl(docs, "doc", out)
+    val back = JsonDocs.readJsonl(spark, out).collect()
+    assert(back.forall(_.isNullAt(1)), "round trip must produce no error rows")
+    val lines = back.map(_.getString(0)).sorted
+    assert(lines.toSeq == Seq("\"s\"", """[1.02e1,"x"]""", """{"a":1,"b":2}""").sorted)
+  }
 }
