@@ -768,6 +768,18 @@ object SparkEntry {
             ("mo", ".text | [match(\"e\", \"g\") | .offset] | length", "long")), col("doc")).as("m"))
         .select(col("doc_id"), col("m.sc"), col("m.mg"), col("m.mo"))),
 
+    // label/break (round 5): stop a stream mid-way, keeping the prefix —
+    // the jq early-termination construct, data-dependent cut point
+    "jq_labelbreak" -> ((s, dir) => {
+      val k = col("event_id") % 100
+      val arrDoc = concat(lit("["), k, lit(","), k * 2, lit(",7]"))
+      table(s, dir, "events")
+        .select(col("event_id"), arrDoc.as("doc"))
+        .select(col("event_id"),
+          Jq.string("[label $out | .[] | if . >= 100 then break $out else . end] | tojson",
+            col("doc")).as("pfx"))
+    }),
+
     // sequence/search builtins (round 5): indices (overlap-aware),
     // rindex, transpose (null-padded), @sh quoting — data-dependent
     // pipelines with closed-form SQL
@@ -1756,6 +1768,13 @@ object SparkEntry {
       FROM g GROUP BY user_id, session_seq""",
 
     "stream_dedup" -> "SELECT DISTINCT props FROM events",
+
+    "jq_labelbreak" -> """
+      WITH d AS (SELECT event_id, event_id % 100 AS k FROM events)
+      SELECT event_id,
+             CASE WHEN k * 2 >= 100 THEN '[' || k || ']'
+                  ELSE '[' || k || ',' || (k * 2) || ',7]' END AS pfx
+      FROM d""",
 
     "jq_seq_builtins" -> """
       WITH d AS (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)

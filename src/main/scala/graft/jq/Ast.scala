@@ -108,6 +108,16 @@ object Ast {
     * scoping over the REST of the pipeline. */
   final case class Defs(defs: List[FuncDef], body: Ast) extends Ast
 
+  /** EXTENSION (jq `label $name | body`): run body; a `break $name`
+    * evaluated inside it stops the body's output stream — outputs
+    * produced BEFORE the break are kept. Lexically scoped; an inner
+    * same-name label shadows the outer. */
+  final case class Label(name: String, body: Ast) extends Ast
+
+  /** EXTENSION (jq `break $name`): abort the lexically enclosing
+    * `label $name`. Unbound names are a compile-time error ENTRY. */
+  final case class Break(name: String) extends Ast
+
   /** EXTENSION (jq `try b catch h`): b's successful outputs pass through;
     * an error output is suppressed (no handler) or replaced by the
     * handler's outputs with the error MESSAGE string as its input. Like

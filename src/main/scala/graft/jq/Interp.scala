@@ -68,6 +68,45 @@ object Interp {
   private def err(msg: String, opt: Boolean): Vector[JEntry] =
     if (opt) Vector.empty else Vector(JEntry(JNull, Vector(msg)))
 
+  /** jq label/break control flow: thrown by `break $l`, caught by the
+    * matching `label $l` (matched by compile-time id so nested same-name
+    * labels shadow correctly). Stackless — it is control flow, not an
+    * error, so `try` does NOT intercept it (jq's rule). `partial`
+    * accumulates the outputs produced BEFORE the break as the signal
+    * unwinds through the concatenating combinators ([[breakFlatMap]]);
+    * combinators that collect a sub-stream into one value (list/dict
+    * construction) deliberately do NOT accumulate — their partial
+    * containers are discarded, which is jq's behavior. */
+  final class BreakSignal(val id: Long, var partial: Vector[JEntry])
+      extends RuntimeException(null, null, false, false) {
+    def prependAndRethrow(prefix: Vector[JEntry]): Nothing = {
+      if (prefix.nonEmpty) partial = prefix ++ partial
+      throw this
+    }
+  }
+
+  private val labelIds = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Compile-time label scope (same discipline as funcScope: read only
+    * during [[compile]]). */
+  private val labelScope =
+    new scala.util.DynamicVariable[Map[String, Long]](Map.empty)
+
+  /** Output-stream concatenation that preserves already-produced entries
+    * when a [[BreakSignal]] unwinds mid-stream — the eager-interpreter
+    * equivalent of a lazy stream's "outputs before the break are
+    * already emitted". */
+  private def breakFlatMap(xs: Vector[JEntry])(f: JEntry => Vector[JEntry]): Vector[JEntry] = {
+    val out = Vector.newBuilder[JEntry]
+    var i = 0
+    while (i < xs.length) {
+      try out ++= f(xs(i))
+      catch { case b: BreakSignal => b.prependAndRethrow(out.result()) }
+      i += 1
+    }
+    out.result()
+  }
+
   def compile(ast: Ast): Pipe = ast match {
     case Identity => (doc, env) => Vector(JEntry.ok(doc))
     case Recurse  => (doc, env) => JOps.recurse(doc).map(JEntry.ok)
@@ -179,7 +218,7 @@ object Interp {
     case Pipe(l, r) =>
       val fl = compile(l)
       val fr = compileE(r)
-      (doc, env) => fl(doc, env).flatMap(fr(_, env))
+      (doc, env) => breakFlatMap(fl(doc, env))(fr(_, env))
 
     case Call(name, args) =>
       compileCall(name, args)
@@ -193,6 +232,25 @@ object Interp {
         if (keep.nonEmpty) keep else fr(doc, env)
       }
 
+    case Label(name, body) =>
+      // EXTENSION (jq label): fresh id per lexical label so nested
+      // same-name labels shadow; the matching break's partial outputs
+      // ARE the label's outputs
+      val id = labelIds.incrementAndGet()
+      val fb = labelScope.withValue(labelScope.value + (name -> id)) { compile(body) }
+      (doc, env) => try fb(doc, env) catch {
+        case b: BreakSignal if b.id == id => b.partial
+      }
+
+    case Break(name) =>
+      // EXTENSION (jq break): resolved lexically at compile time —
+      // unbound labels are a constant error entry, not a runtime escape
+      labelScope.value.get(name) match {
+        case Some(id) => (_, _) => throw new BreakSignal(id, Vector.empty)
+        case None => (_, _) => Vector(JEntry(JNull,
+          Vector(s"$$$name is not a label in scope")))
+      }
+
     case TryCatch(b, h) =>
       // EXTENSION (jq try/catch): successful outputs pass through; an
       // error output is dropped (no handler) or replaced by the handler's
@@ -202,7 +260,7 @@ object Interp {
       // jq's abort-the-whole-try; pinned in conformance).
       val fb = compile(b)
       val fh = h.map(compile)
-      (doc, env) => fb(doc, env).flatMap { e =>
+      (doc, env) => breakFlatMap(fb(doc, env)) { e =>
         if (e.errors.isEmpty) Vector(e)
         else fh match {
           case None     => Vector.empty
@@ -215,7 +273,7 @@ object Interp {
       val fc = compile(cond)
       val ft = compile(thenB)
       val fe = elseB.map(compile).getOrElse((d: JDoc, _: Env) => Vector(JEntry.ok(d)))
-      (doc, env) => fc(doc, env).flatMap { ce =>
+      (doc, env) => breakFlatMap(fc(doc, env)) { ce =>
         if (ce.errors.nonEmpty) Vector(ce)
         else if (JOps.truthy(ce.doc)) ft(doc, env)
         else fe(doc, env)
@@ -258,7 +316,7 @@ object Interp {
       // body still sees the ORIGINAL input as `.`
       val fs = compile(src)
       val fb = compile(body)
-      (doc, env) => fs(doc, env).flatMap { e =>
+      (doc, env) => breakFlatMap(fs(doc, env)) { e =>
         if (e.errors.nonEmpty) Vector(e)
         else fb(doc, (name, e.doc) :: env)
       }
@@ -286,7 +344,14 @@ object Interp {
                 var failed: Option[JEntry] = None
                 srcs.foreach { s =>
                   if (failed.isEmpty) {
-                    val ups = fu(acc, (name, s.doc) :: env)
+                    val ups =
+                      try fu(acc, (name, s.doc) :: env)
+                      catch {
+                        // foreach's already-emitted scan outputs survive
+                        // a break (reduce emits nothing until the end,
+                        // so its prefix is empty and the signal passes)
+                        case b: BreakSignal if foreach => b.prependAndRethrow(outs.result())
+                      }
                     ups.find(_.errors.nonEmpty) match {
                       case Some(e) => failed = Some(e)
                       case None =>
@@ -640,7 +705,7 @@ object Interp {
       def go(ps: List[(String, Pipe)], bound: Env): Vector[JEntry] = ps match {
         case Nil => body(doc, bound)
         case (p, f) :: pt =>
-          f(doc, env).flatMap { e =>
+          breakFlatMap(f(doc, env)) { e =>
             if (e.errors.nonEmpty) Vector(e)
             else go(pt, (p, e.doc) :: bound)
           }
@@ -1366,7 +1431,7 @@ object Interp {
         // the predicate — `if f then . else empty end` with fan-out
         if (args.length != 1) return wrongArity
         val fa = compiledArgs.head
-        (doc, env) => fa(doc, env).flatMap { e =>
+        (doc, env) => breakFlatMap(fa(doc, env)) { e =>
           if (e.errors.nonEmpty) Vector(JEntry(JNull, e.errors))
           else if (JOps.truthy(e.doc)) Vector(JEntry.ok(doc))
           else Vector.empty

@@ -51,6 +51,11 @@ trait JqNativeInput extends UnaryExpression {
         // non-call recursion becomes an error entry at this (unwound)
         // boundary, not a dead executor task
         Vector(JEntry(JNull, Vector("jq evaluation exceeded the stack — runaway recursion")))
+      case b: Interp.BreakSignal =>
+        // unreachable by construction (unbound breaks are compile-time
+        // error entries; bound ones are caught by their label) — if a
+        // signal ever escapes, its pre-break outputs are the best answer
+        b.partial
     }
 
   override def checkInputDataTypes(): TypeCheckResult =

@@ -558,6 +558,18 @@ final class JqParser(text: String) {
     if (eatWord("if")) parseIfForm()
     else if (eatWord("reduce")) parseReduceForm(foreach = false)
     else if (eatWord("foreach")) parseReduceForm(foreach = true)
+    // label/break are keywords only when followed by `$` — a user def or
+    // field named label/break (pinned by conformance) stays reachable
+    else if (peekWord("label") && { val save = pos; eatWord("label"); val isL = peekIs("$"); if (!isL) pos = save; isL }) {
+      // EXTENSION (jq label): scopes the REST of the pipeline, like
+      // binders — `label $out | body`
+      val name = parseVarName()
+      skipWs()
+      if (!eat("|")) fail("expected '|' after label $" + name)
+      Label(name, parseExpr())
+    }
+    else if (peekWord("break") && { val save = pos; eatWord("break"); val isB = peekIs("$"); if (!isB) pos = save; isB })
+      Break(parseVarName())
     else if (eatWord("try")) {
       // EXTENSION (jq try/catch): body and handler bind TIGHT (one path
       // chain, like unary operands) — `try .a.b catch null | f` pipes the

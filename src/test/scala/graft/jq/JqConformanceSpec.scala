@@ -961,6 +961,35 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("@sh", """[["x"]]""", "ERROR: @sh cannot format Array")
   }
 
+  test("label/break: outputs before the break survive, lexical scoping (EXTENSION)") {
+    // the canonical use: stop a stream mid-way, keeping the prefix
+    check("label $out | .[] | if . == 3 then break $out else . end",
+      "[1,2,3,4]", "1", "2")
+    check("label $out | break $out", "null") // immediate break → empty
+    check("[label $out | .[] | if . >= 2 then break $out else . end]",
+      "[1,2,3]", "[1]")
+    // a break crossing a LIST boundary discards the partial list (jq)
+    check("label $out | .[] | [if . == 2 then break $out else . end]",
+      "[1,2]", "[1]")
+    // nested same-name labels: break binds the INNERMOST
+    check("label $out | [label $out | .[] | if . > 1 then break $out else . end] | length",
+      "[1,2,3]", "1")
+    // lexical scoping through a def compiled inside the label
+    check("label $out | def f: break $out; .[] | if . == 2 then f else . end",
+      "[1,2,3]", "1")
+    // try does NOT intercept break (control flow, not an error)
+    check("label $out | .[] | try (if . == 2 then break $out else . end) catch 99",
+      "[1,2,3]", "1")
+    // foreach keeps its already-emitted scan outputs
+    check("label $out | foreach .[] as $x (0; if $x == 3 then break $out else . + $x end)",
+      "[1,2,3,4]", "1", "3")
+    // unbound label is a compile-resolved error entry
+    check("break $nope", "null", "ERROR: $nope is not a label in scope")
+    // a def body compiled OUTSIDE the label cannot see it (lexical)
+    check("def f: break $out; label $out | f", "null",
+      "ERROR: $out is not a label in scope")
+  }
+
   test("date builtins: todate/fromdate/gmtime/mktime/strftime (EXTENSION)") {
     check("todate", "1425599507", "\"2015-03-05T23:51:47Z\"")
     check("0 | todate", "null", "\"1970-01-01T00:00:00Z\"")
