@@ -983,6 +983,9 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     // foreach keeps its already-emitted scan outputs
     check("label $out | foreach .[] as $x (0; if $x == 3 then break $out else . + $x end)",
       "[1,2,3,4]", "1", "3")
+    // a break crossing a DICT boundary discards the partial object too
+    check("label $out | .[] | {v: (if . == 2 then break $out else . end)}",
+      "[1,2]", """{"v":1}""")
     // unbound label is a compile-resolved error entry
     check("break $nope", "null", "ERROR: $nope is not a label in scope")
     // a def body compiled OUTSIDE the label cannot see it (lexical)
