@@ -993,6 +993,22 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
       "ERROR: $out is not a label in scope")
   }
 
+  test("new-builtin properties: involution, consistency, round trips") {
+    // zero-width global match advances (no infinite loop), codepoint offsets
+    check("""[match("", "g") | .offset]""", "\"ab\"", "[0,1,2]")
+    // transpose is an involution on rectangular arrays
+    check("transpose | transpose", "[[1,2],[3,4],[5,6]]", "[[1,2],[3,4],[5,6]]")
+    // index agrees with indices' first element wherever both exist
+    for (pat <- Seq("a", "an", "na", "zz"))
+      check(s"""[indices("$pat") | .[0]?] == [index("$pat") | select(. != null)]""",
+        "\"banana\"", "true")
+    // fromdate ∘ todate is the identity across sign and magnitude
+    for (epoch <- Seq(-86400L, 0L, 1L, 951782400L, 4102444799L))
+      check("todate | fromdate", epoch.toString, epoch.toString)
+    // gmtime ∘ mktime round-trips the broken-down form
+    check("gmtime | mktime | gmtime | mktime", "1425599507", "1425599507")
+  }
+
   test("date builtins: todate/fromdate/gmtime/mktime/strftime (EXTENSION)") {
     check("todate", "1425599507", "\"2015-03-05T23:51:47Z\"")
     check("0 | todate", "null", "\"1970-01-01T00:00:00Z\"")
