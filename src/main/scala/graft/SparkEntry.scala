@@ -792,6 +792,14 @@ object SparkEntry {
         Jq.long("\"ab\" * (.k % 3 + 1) | indices(\"ab\") | length", col("props")).as("nidx"),
         Jq.string("[(.k | tostring), \"a b\"] | @sh", col("props")).as("sh"))),
 
+    // context-window chunking (round 5): overlapping fixed-size chunks,
+    // the training-data splitting step — narrow transform+explode, no
+    // shuffle; DuckDB replays the same arithmetic with generate_series
+    "text_chunks" -> ((s, dir) =>
+      operators.TextAnalysis.chunkText(
+        table(s, dir, "documents"), col("text"), size = 200, overlap = 40,
+        idCols = Seq(col("doc_id")))),
+
     // date builtins (round 5): epoch↔ISO-8601 round trip, gmtime/mktime
     // composition, strftime subset — DuckDB formats the same instants
     "jq_dates" -> ((s, dir) =>
@@ -1785,6 +1793,15 @@ object SparkEntry {
              k % 3 + 1 AS nidx,
              '''' || k || ''' ''a b''' AS sh
       FROM d""",
+
+    "text_chunks" -> """
+      WITH d AS (
+        SELECT doc_id, text,
+               greatest(CAST(ceil((length(text) - 40)::DOUBLE / 160) AS BIGINT), 1) AS n
+        FROM documents),
+      e AS (SELECT doc_id, text, unnest(range(0, n)) AS i FROM d)
+      SELECT doc_id, i AS chunk_id, substr(text, i * 160 + 1, 200) AS chunk
+      FROM e""",
 
     "jq_dates" -> """
       WITH d AS (SELECT event_id,

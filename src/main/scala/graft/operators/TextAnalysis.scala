@@ -67,6 +67,31 @@ object TextAnalysis {
   private def substring(c: Column, pos: Column, len: Column): Column =
     c.substr(pos, len)
 
+  /** Overlapping fixed-size character chunks — the context-window
+    * splitting step of a training-data pipeline. Chunk i covers
+    * characters [i·step, i·step + size) with step = size − overlap; the
+    * chunk count ceil((len − overlap)/step) (min 1) guarantees the tail
+    * is covered and every consecutive pair overlaps by exactly
+    * `overlap`. A NARROW transform+explode — the sequence/substr run
+    * inside codegen, no shuffle, no UDF — so chunking 100 TB is pure
+    * map-side work that splits with the input. Returns one row per chunk
+    * with (chunk_id, chunk) appended to `idCols`. */
+  def chunkText(df: org.apache.spark.sql.DataFrame, text: Column,
+                size: Int, overlap: Int,
+                idCols: Seq[Column]): org.apache.spark.sql.DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val n = greatest(
+      ceil((length(text) - lit(overlap)).cast("double") / lit(step)).cast("int"),
+      lit(1))
+    df.select(idCols :+ posexplode(
+      transform(sequence(lit(0), n - 1), i => text.substr(i * lit(step) + 1, lit(size)))): _*)
+      .withColumnRenamed("pos", "chunk_id")
+      .withColumnRenamed("col", "chunk")
+      .withColumn("chunk_id", col("chunk_id").cast("long"))
+  }
+
   /** One-pass counters for the quality pipeline
     * (struct: n_chars, n_punct, n_tokens, n_stop, sum_token_len) —
     * native kernel, same semantics as the individual column functions. */

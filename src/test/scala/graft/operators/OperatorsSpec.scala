@@ -287,6 +287,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(incr.exists(_._1 == "D") && !incr.exists(t => t._1 == "B" && t._2 == 2))
   }
 
+  test("chunkText: overlap/coverage invariants, short-doc single chunk") {
+    import spark.implicits._
+    val df = Seq((1L, "a" * 500), (2L, "xy"), (3L, "b" * 200)).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkText(df, col("text"), size = 200, overlap = 40,
+      idCols = Seq(col("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // len 500, step 160: ceil(460/160)=3 chunks; tail covered
+    assert(out(1L).size == 3)
+    assert(out(1L).map(_.length).toSeq == Seq(200, 200, 180))
+    // consecutive chunks overlap by exactly `overlap` characters
+    assert(out(1L)(0).takeRight(40) == out(1L)(1).take(40))
+    // short doc → exactly one whole chunk
+    assert(out(2L) == Seq("xy"))
+    // len == size → one chunk, not an empty second
+    assert(out(3L) == Seq("b" * 200))
+    // reassembling steps reproduces the document (coverage, no gaps)
+    val reassembled = out(1L).head + out(1L).tail.map(_.drop(40)).mkString
+    assert(reassembled == "a" * 500)
+  }
+
   test("language heuristic: threshold on stopword mass, deterministic") {
     // the synthetic corpus uses ONE shared vocabulary for every lang label,
     // so no text heuristic can recover the label; assert the heuristic's
