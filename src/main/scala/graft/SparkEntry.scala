@@ -800,6 +800,16 @@ object SparkEntry {
         table(s, dir, "documents"), col("text"), size = 200, overlap = 40,
         idCols = Seq(col("doc_id")))),
 
+    // corpus-level term statistics (round 5): global top-k tokens —
+    // explode → partial-agg count → TakeOrdered; deterministic
+    // tie-break (count desc, term asc)
+    "text_term_freq" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(explode(operators.TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc)
+        .limit(20)),
+
     // date builtins (round 5): epoch↔ISO-8601 round trip, gmtime/mktime
     // composition, strftime subset — DuckDB formats the same instants
     "jq_dates" -> ((s, dir) =>
@@ -1802,6 +1812,11 @@ object SparkEntry {
       e AS (SELECT doc_id, text, unnest(range(0, n)) AS i FROM d)
       SELECT doc_id, i AS chunk_id, substr(text, i * 160 + 1, 200) AS chunk
       FROM e""",
+
+    "text_term_freq" -> """
+      SELECT term, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term ORDER BY n DESC, term ASC LIMIT 20""",
 
     "jq_dates" -> """
       WITH d AS (SELECT event_id,
