@@ -810,6 +810,42 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term").asc)
         .limit(20)),
 
+    // BM25-style relevance scoring (round 5): tf from one token explode,
+    // corpus stats (N, avg length, per-term df) broadcast as a one-row
+    // frame, per-term contributions added in WRITTEN order. The idf is
+    // the RATIONAL core (N - df + 0.5)/(df + 0.5) — the ln() of textbook
+    // BM25 is deliberately omitted: ln is not correctly-rounded-guaranteed
+    // across engines, while +,*,/ are, so this variant stays hash-exact
+    // (same trick as rel_agg_variance)
+    "text_bm25" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(operators.TextAnalysis.tokens(col("text"))).as("t"))
+      val tf = toks.groupBy(col("doc_id")).agg(
+        sum(when(col("t") === "the", 1L).otherwise(0L)).as("tf1"),
+        sum(when(col("t") === "data", 1L).otherwise(0L)).as("tf2"),
+        sum(when(col("t") === "model", 1L).otherwise(0L)).as("tf3"),
+        count(lit(1)).as("len"))
+      val stats = tf.agg(
+        count(lit(1)).as("n"),
+        sum(col("len")).as("toklen"),
+        sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+        sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+        sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+      val j = tf.crossJoin(broadcast(stats))
+      def term(tfc: org.apache.spark.sql.Column, dfc: org.apache.spark.sql.Column) = {
+        val k1 = lit(1.2); val b = lit(0.75)
+        val idf = (col("n").cast("double") - dfc.cast("double") + lit(0.5)) /
+          (dfc.cast("double") + lit(0.5))
+        val avg = col("toklen").cast("double") / col("n").cast("double")
+        idf * (tfc.cast("double") * (k1 + lit(1.0))) /
+          (tfc.cast("double") + k1 * (lit(1.0) - b + b * col("len").cast("double") / avg))
+      }
+      j.select(col("doc_id"),
+        (term(col("tf1"), col("df1")) + term(col("tf2"), col("df2")) +
+          term(col("tf3"), col("df3"))).as("bm25"))
+    }),
+
     // date builtins (round 5): epoch↔ISO-8601 round trip, gmtime/mktime
     // composition, strftime subset — DuckDB formats the same instants
     "jq_dates" -> ((s, dir) =>
@@ -1812,6 +1848,35 @@ object SparkEntry {
       e AS (SELECT doc_id, text, unnest(range(0, n)) AS i FROM d)
       SELECT doc_id, i AS chunk_id, substr(text, i * 160 + 1, 200) AS chunk
       FROM e""",
+
+    "text_bm25" -> """
+      WITH tf AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x = 'the')) AS BIGINT) AS tf1,
+               CAST(len(list_filter(string_split(text, ' '), x -> x = 'data')) AS BIGINT) AS tf2,
+               CAST(len(list_filter(string_split(text, ' '), x -> x = 'model')) AS BIGINT) AS tf3,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        FROM documents),
+      st AS (
+        SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS toklen,
+               CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+               CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+               CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+        FROM tf)
+      SELECT doc_id,
+             (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)
+               * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len AS DOUBLE)
+                    / (CAST(toklen AS DOUBLE) / CAST(n AS DOUBLE))))
+           + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)
+               * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len AS DOUBLE)
+                    / (CAST(toklen AS DOUBLE) / CAST(n AS DOUBLE))))
+           + (CAST(n AS DOUBLE) - CAST(df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5)
+               * (CAST(tf3 AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf3 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len AS DOUBLE)
+                    / (CAST(toklen AS DOUBLE) / CAST(n AS DOUBLE)))) AS bm25
+      FROM tf, st""",
 
     "text_term_freq" -> """
       SELECT term, count(*) AS n
