@@ -155,10 +155,10 @@ object Dedup {
         bucketed.groupBy(col("bb")).count()
           .filter(col("count") <= maxBucketSize).select(col("bb")),
         "bb")
-    val a = pruned.select(col(id).as("id_a"), col("bb"))
-    val b = pruned.select(col(id).as("id_b"), col("bb"))
+    val a = pruned.select(col(id).as("id_a"), col("bb").as("bb_a"))
+    val b = pruned.select(col(id).as("id_b"), col("bb").as("bb_b"))
     a.hint("shuffle_hash") // hash beats two sorts of the exploded band rows
-      .join(b, a("bb") === b("bb") && col("id_a") < col("id_b"))
+      .join(b, col("bb_a") === col("bb_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }
 
@@ -231,8 +231,8 @@ object Dedup {
       }
     val blocked = sketched.select(
       col(id), col("simhash"), explode(array(pairKeys: _*)).as("bb"))
-    val a = blocked.select(col(id).as("id_a"), col("simhash").as("sim_a"), col("bb"))
-    val b = blocked.select(col(id).as("id_b"), col("simhash").as("sim_b"), col("bb"))
+    val a = blocked.select(col(id).as("id_a"), col("simhash").as("sim_a"), col("bb").as("bb_a"))
+    val b = blocked.select(col(id).as("id_b"), col("simhash").as("sim_b"), col("bb").as("bb_b"))
     // prune bucket collisions with a cheap codegen'd Hamming filter before
     // the expensive exact-jaccard verify; ≤ guarantee is exactly the
     // blocking promise, so the filter never drops a promised pair
@@ -240,7 +240,7 @@ object Dedup {
     // narrow rows) but each bucket's build set is small — hashing
     // skips two O(n×91 log) sorts
     val cands = a.hint("shuffle_hash")
-      .join(b, a("bb") === b("bb") && col("id_a") < col("id_b"))
+      .join(b, col("bb_a") === col("bb_b") && col("id_a") < col("id_b"))
       .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= SimhashHammingGuarantee)
       .select(col("id_a"), col("id_b")).distinct()
     val sa = shingled.select(col(id).as("id_a"), col("sh").as("sh_a"))

@@ -104,10 +104,10 @@ object Similarity {
       col("vec_id"), col("v"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), srpBucket(col("v"), ps(t)).as("b"))): _*)).as("tb"))
-    val a = bucketed.select(col("vec_id").as("id_a"), col("v").as("va"), col("tb"))
-    val b = bucketed.select(col("vec_id").as("id_b"), col("v").as("vb"), col("tb"))
+    val a = bucketed.select(col("vec_id").as("id_a"), col("v").as("va"), col("tb").as("tb_a"))
+    val b = bucketed.select(col("vec_id").as("id_b"), col("v").as("vb"), col("tb").as("tb_b"))
     a.hint("shuffle_hash") // hash beats sorting the exploded table rows
-      .join(b, a("tb") === b("tb") && col("id_a") < col("id_b"))
+      .join(b, col("tb_a") === col("tb_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("va"), col("vb"))
       .filter(cosine(col("va"), col("vb")) >= threshold)
       .select(col("id_a"), col("id_b")).distinct()
