@@ -942,6 +942,33 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // benchmark decontamination: train docs sharing >= 2 distinct 3-gram
+    // shingles with the (broadcast) eval split — the eval side never
+    // forces a shuffle of the corpus shingles
+    "pipeline_decontam" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(37)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(37)) =!= 0)
+      operators.Curation.contaminationHits(train, bench, "doc_id", col("text"),
+        n = 3, minOverlap = 2)
+    }),
+
+    // deterministic stratified Bernoulli sample — zero-shuffle filter,
+    // retry/partitioning-invariant (selection is a pure function of doc_id)
+    "pipeline_stratified" -> ((s, dir) =>
+      operators.Curation.stratifiedSample(table(s, dir, "documents"),
+          col("lang"), col("doc_id"),
+          Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // domain mixing by exact per-source quota: deterministic draw ranks
+    // within each source, one shuffle on the stratum
+    "pipeline_mix" -> ((s, dir) =>
+      operators.Curation.mixByQuota(table(s, dir, "documents"),
+          col("source"), col("doc_id"),
+          Map("src0" -> 15, "src1" -> 10), default = 5)
+        .select(col("doc_id"), col("source"))),
+
     "dedup_ngram_pairs" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
@@ -1037,6 +1064,20 @@ object SparkEntry {
         col("doc_id"),
         operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         operators.TextAnalysis.wordTokenCount(col("text")).as("n_words"))),
+
+    // PII scrub over text with deterministically planted email/IP/phone
+    // (the raw corpus has none — planting makes every row exercise all
+    // three patterns); narrow triple regexp_replace, zero shuffles
+    "text_redact" -> ((s, dir) => {
+      val planted = concat(
+        col("text"), lit(" contact u"), col("doc_id").cast("string"),
+        lit("@mail.example.org from 10.2."), pmod(col("doc_id"), lit(250)).cast("string"),
+        lit(".9 call 415-555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        operators.TextAnalysis.redactPII(planted).as("redacted"),
+        operators.TextAnalysis.piiCount(planted).cast("long").as("n_pii"))
+    }),
 
     "text_quality" -> ((s, dir) =>
       // one-pass TextStats kernel; ratios derived from the struct so the
@@ -1398,6 +1439,31 @@ object SparkEntry {
       JOIN (SELECT src, min(dst) AS rep FROM reach GROUP BY src) c
         ON k.doc_id = c.src AND k.doc_id = c.rep""",
 
+    "pipeline_decontam" -> """
+      WITH sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(s) >= 3
+          THEN [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]
+          ELSE [] END) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+      tr AS (SELECT doc_id, unnest(shingles) AS sgram FROM sh WHERE doc_id % 37 <> 0),
+      ev AS (SELECT DISTINCT unnest(shingles) AS sgram FROM sh WHERE doc_id % 37 = 0)
+      SELECT tr.doc_id, count(DISTINCT tr.sgram) AS n_hits
+      FROM tr JOIN ev USING (sgram)
+      GROUP BY tr.doc_id HAVING count(DISTINCT tr.sgram) >= 2""",
+
+    "pipeline_stratified" -> """
+      SELECT doc_id, lang, source FROM documents
+      WHERE (((doc_id % 1000003) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0
+            < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END""",
+
+    "pipeline_mix" -> """
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY ((doc_id % 1000003) * 2654435761) % 4294967296, doc_id) AS rk
+        FROM documents) t
+      WHERE rk <= CASE source WHEN 'src0' THEN 15 WHEN 'src1' THEN 10 ELSE 5 END""",
+
     "rel_agg_variance" -> """
       WITH m AS (
         SELECT l_returnflag, count(*) AS n,
@@ -1745,6 +1811,30 @@ object SparkEntry {
              len(string_split(text, ' '))::BIGINT AS n_tokens,
              len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_words
       FROM documents""",
+
+    "text_redact" -> """
+      WITH planted AS (
+        SELECT doc_id,
+               text || ' contact u' || doc_id || '@mail.example.org from 10.2.' ||
+               (doc_id % 250) || '.9 call 415-555-' ||
+               lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+        FROM documents),
+      s1 AS (
+        SELECT doc_id, t,
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g') AS t1
+        FROM planted),
+      s2 AS (
+        SELECT doc_id, t, t1,
+               regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                              '<IP>', 'g') AS t2
+        FROM s1)
+      SELECT doc_id,
+             regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted,
+             (len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+              + len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')))::BIGINT AS n_pii
+      FROM s2""",
 
     "text_quality" -> """
       WITH f AS (

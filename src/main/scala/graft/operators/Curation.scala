@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline needs beyond
+  * dedup/similarity: benchmark decontamination, deterministic stratified
+  * sampling, and domain mixing (per-source quotas).
+  *
+  * Determinism is a first-class requirement here: at 100 TB a sampling
+  * decision must not depend on partitioning, task retries, or row order,
+  * or the corpus is irreproducible. Every selector below is a pure
+  * function of the row's key, so re-running the pipeline (or re-running
+  * one failed task) selects the identical corpus.
+  */
+object Curation {
+
+  // ------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: training docs that share at least
+    * `minOverlap` distinct word n-grams with ANY document of the
+    * benchmark/eval set. Returns (id, n_hits = distinct contaminated
+    * n-grams) for flagged docs — the caller anti-joins to drop them.
+    *
+    * Shape at 100 TB: the benchmark side (eval suites) is tiny relative
+    * to the corpus, so its distinct n-gram set is BROADCAST — the train
+    * side never shuffles its shingles; the only exchange is the final
+    * partial-aggregated (id, n_hits) count of HITS, which is bounded by
+    * the contamination volume, not the corpus. With `broadcastBench =
+    * false` (a genuinely large right side) the join becomes a shuffle
+    * keyed on the 8-byte xxhash64 of the n-gram — the exchange never
+    * carries the n-gram text as a KEY, only as a payload for the
+    * equality confirm, so hash collisions cannot create false hits. */
+  def contaminationHits(train: DataFrame, bench: DataFrame, id: String,
+                        text: Column, n: Int = 8, minOverlap: Int = 1,
+                        broadcastBench: Boolean = true): DataFrame = {
+    require(n >= 1 && minOverlap >= 1, s"need n>=1, minOverlap>=1; got n=$n minOverlap=$minOverlap")
+    val tr = train.select(col(id), explode(Dedup.wordShingles(text, n)).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val ev0 = bench.select(explode(Dedup.wordShingles(text, n)).as("s_ev")).distinct()
+      .withColumn("h_ev", xxhash64(col("s_ev")))
+    val ev = if (broadcastBench) broadcast(ev0) else ev0
+    tr.join(ev, col("h") === col("h_ev"))
+      .filter(col("s") === col("s_ev")) // collision confirm (residual, not a shuffle key)
+      .groupBy(col(id))
+      .agg(count_distinct(col("s")).as("n_hits"))
+      .filter(col("n_hits") >= minOverlap)
+  }
+
+  // ------------------------------------------------- deterministic selectors
+
+  /** Uniform-looking value in [0,1) from a 64-bit key — production
+    * variant: full-width xxhash64 folded to 52 mantissa-exact bits.
+    * Codegen'd, narrow, retry-stable. Not replicable in engines without
+    * xxhash64 — use [[lcgUniform]] when a cross-engine oracle must
+    * reproduce the draw bit-for-bit. */
+  def hashUniform(key: Column): Column =
+    pmod(xxhash64(key), lit(1L << 52)).cast("double") / lit((1L << 52).toDouble)
+
+  /** Oracle-replicable deterministic uniform: Knuth multiplicative hash
+    * ((key mod 1000003) * 2654435761) mod 2^32, scaled to [0,1). Plain
+    * BIGINT arithmetic (max intermediate ~2.66e15, no 64-bit overflow —
+    * DuckDB errors on BIGINT overflow rather than wrapping, so the
+    * pre-reduction mod 1000003 is load-bearing), hence expressible
+    * identically in ANSI SQL. The 1000003 pre-fold caps distinct draw
+    * values at ~1e6 — fine for rate selection, not for cryptographic
+    * uniqueness; [[hashUniform]] is the full-width variant. */
+  def lcgUniform(key: Column): Column =
+    pmod(pmod(key, lit(1000003L)) * lit(2654435761L), lit(4294967296L))
+      .cast("double") / lit(4294967296.0)
+
+  /** Per-stratum rate lookup as a CASE chain (small, literal strata). */
+  private def rateOf(stratum: Column, rates: Map[String, Double], default: Double): Column =
+    rates.foldLeft(lit(default)) { case (acc, (k, v)) => when(stratum === lit(k), lit(v)).otherwise(acc) }
+
+  /** Deterministic stratified Bernoulli sample: keep a row iff
+    * u(key) < rate(stratum). ZERO shuffles — a codegen'd filter that
+    * splits with the scan — and the kept set is a pure function of the
+    * keys, so it is identical across retries, partitionings, and
+    * engines. This is how a 100 TB corpus is downsampled per language /
+    * source without materializing anything. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       rates: Map[String, Double], default: Double = 0.0): DataFrame =
+    df.filter(lcgUniform(key) < rateOf(stratum, rates, default))
+
+  /** Domain mixing by exact per-source quota: the `quota(stratum)`
+    * rows with the smallest deterministic draw win, ties broken by key.
+    * One shuffle (partition by stratum) + in-partition TOP-quota.
+    *
+    * Scale note: rank-by-draw needs each stratum on one task, so a
+    * single stratum must fit a task's spill budget — true for
+    * source/language mixing (tens of strata). For quotas over huge
+    * strata prefer [[stratifiedSample]] with rate = quota/count(stratum)
+    * (two narrow passes, no per-stratum ordering) and accept ±binomial
+    * noise around the quota. */
+  def mixByQuota(df: DataFrame, stratum: Column, key: Column,
+                 quotas: Map[String, Int], default: Int = 0): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(lcgUniform(key).asc, key.asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= rateOf(stratum, quotas.map { case (k, v) => k -> v.toDouble }, default.toDouble))
+      .drop("__rk")
+  }
+}

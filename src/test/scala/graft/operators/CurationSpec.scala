@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Behavior specs for the curation operators (decontamination, deterministic
+  * sampling, domain mixing, PII scrub). */
+class CurationSpec extends SparkTestBase {
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("contaminationHits flags exactly the docs sharing enough n-grams") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains bench 3-grams
+      (2L, "entirely different words with no overlap at all"),
+      (3L, "quick brown fox appears here too")              // one shared 3-gram
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox sat")).toDF("doc_id", "text")
+    // bench 3-grams: {the quick brown, quick brown fox, brown fox sat}
+    val hits = Curation.contaminationHits(train, bench, "doc_id", col("text"),
+      n = 3, minOverlap = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 2L), s"doc 1 shares exactly 2 bench 3-grams; got $hits")
+    val hits1 = Curation.contaminationHits(train, bench, "doc_id", col("text"),
+      n = 3, minOverlap = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(hits1 == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("contaminationHits: broadcast and shuffle paths agree on the fixture") {
+    val bench = docs.filter(pmod(col("doc_id"), lit(37)) === 0)
+    val train = docs.filter(pmod(col("doc_id"), lit(37)) =!= 0)
+    def run(b: Boolean) = Curation.contaminationHits(train, bench, "doc_id",
+        col("text"), n = 3, minOverlap = 2, broadcastBench = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBroadcast = run(true)
+    val viaShuffle = run(false)
+    assert(viaBroadcast.nonEmpty, "fixture should contain contaminated docs")
+    assert(viaBroadcast == viaShuffle)
+  }
+
+  test("stratifiedSample: deterministic, stratum-scoped, rate-monotone") {
+    val rates = Map("en" -> 0.5, "de" -> 0.25)
+    val once = Curation.stratifiedSample(docs, col("lang"), col("doc_id"), rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Curation.stratifiedSample(docs.repartition(7), col("lang"),
+        col("doc_id"), rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once == again, "selection must be partitioning-invariant")
+    // default rate 0.0: strata without an explicit rate are dropped entirely
+    val langs = Curation.stratifiedSample(docs, col("lang"), col("doc_id"), rates)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de")))
+    // a higher rate can only grow the kept set (same draw, larger cutoff)
+    val half = Curation.stratifiedSample(docs, col("lang"), col("doc_id"),
+      Map("en" -> 0.5)).select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = Curation.stratifiedSample(docs, col("lang"), col("doc_id"),
+      Map("en" -> 1.0)).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(half.subsetOf(full))
+    val en = docs.filter(col("lang") === "en").count()
+    assert(full.size == en, "rate 1.0 keeps the whole stratum")
+  }
+
+  test("mixByQuota: exact per-stratum counts, deterministic winners") {
+    val quotas = Map("src0" -> 7, "src1" -> 3)
+    val out = Curation.mixByQuota(docs, col("source"), col("doc_id"), quotas, default = 2)
+    val counts = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, n) <- counts)
+      assert(n == math.min(quotas.getOrElse(src, 2).toLong, sizes(src)),
+        s"$src kept $n of ${sizes(src)}")
+    val again = Curation.mixByQuota(docs.repartition(5), col("source"),
+        col("doc_id"), quotas, default = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == again)
+  }
+
+  test("redactPII: all three patterns, ordering traps, counts") {
+    import spark.implicits._
+    val cases = Seq(
+      ("write bob.smith+x@sub.example.org now", "write <EMAIL> now", 1L),
+      ("server at 10.0.255.7 responded", "server at <IP> responded", 1L),
+      ("call 415-555-0134 today", "call <PHONE> today", 1L),
+      // email containing digits+dots must be consumed before IP/phone run
+      ("u1.2.3.4@ex.org", "<EMAIL>", 1L),
+      ("a@b.co 1.2.3.4 555-123-4567", "<EMAIL> <IP> <PHONE>", 3L),
+      ("no pii here", "no pii here", 0L),
+      // dotted quad must not be half-consumed as a phone number
+      ("ip 1.222.333.4 end", "ip <IP> end", 1L))
+      .toDF("t", "expect", "n")
+    val got = cases.select(
+      TextAnalysis.redactPII(col("t")).as("r"),
+      TextAnalysis.piiCount(col("t")).cast("long").as("c"),
+      col("expect"), col("n")).collect()
+    got.foreach { r =>
+      assert(r.getString(0) == r.getString(2), s"redact mismatch for ${r}")
+      assert(r.getLong(1) == r.getLong(3), s"count mismatch for ${r}")
+    }
+  }
+
+  test("lcgUniform/hashUniform land in [0,1) and are key-deterministic") {
+    val u = docs.select(
+      Curation.lcgUniform(col("doc_id")).as("u1"),
+      Curation.hashUniform(col("doc_id")).as("u2"))
+    val bad = u.filter(col("u1") < 0 || col("u1") >= 1 || col("u2") < 0 || col("u2") >= 1)
+    assert(bad.count() == 0)
+    // spread sanity: draws are not degenerate
+    assert(u.select(countDistinct(col("u1"))).head().getLong(0) > 100)
+    assert(u.select(countDistinct(col("u2"))).head().getLong(0) > 100)
+  }
+}
