@@ -238,6 +238,26 @@ object SparkEntry {
           col("m.mn"), col("m.uniq_n"), col("m.rev0"), col("m.joined"),
           col("m.fl"), col("m.ab"), col("m.has4"))),
 
+    // EXTENSION: round-5 builtin batch — type filters (select-shaped),
+    // utf8bytelength, combinations, with_entries, and the math family
+    // (only EXACT cases are oracled: integer powers, Math.log10's 10^n
+    // contract; transcendental outputs stay conformance-only)
+    "jq_misc_builtins" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), Jq.multi(Seq(
+          ("nums", """[.k, "s", null] | [.[] | numbers] | add""", "long"),
+          ("scal", """[.k, [1], {"a":2}, null] | [.[] | scalars] | length""", "long"),
+          ("byte_len", ".k | tostring | utf8bytelength", "long"),
+          ("combos", "[[.k, 1], [2, 3]] | [combinations | add] | add", "long"),
+          ("wentries", "{a: .k} | with_entries(.value |= . + 1) | .a", "long"),
+          ("p2", "pow(2, 10)", "double"),
+          ("t", ".k + 0.5 | trunc", "double"),
+          ("l10", "pow(10, 3) | log10", "double"),
+          ("fa", ".k - 200 | fabs", "double")), col("props")).as("m"))
+        .select(col("event_id"), col("m.nums"), col("m.scal"), col("m.byte_len"),
+          col("m.combos"), col("m.wentries"), col("m.p2"), col("m.t"),
+          col("m.l10"), col("m.fa"))),
+
     // EXTENSION: control flow — if/then/elif/else/end and the //
     // alternative operator
     "jq_ifelse" -> ((s, dir) =>
@@ -1271,6 +1291,19 @@ object SparkEntry {
              floor(sqrt(k)) AS fl,
              k AS ab,
              contains(CAST(k AS VARCHAR), '4') AS has4
+      FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
+
+    "jq_misc_builtins" -> """
+      SELECT event_id,
+             k AS nums,
+             2::BIGINT AS scal,
+             strlen(CAST(k AS VARCHAR))::BIGINT AS byte_len,
+             2 * k + 12 AS combos,
+             k + 1 AS wentries,
+             CAST(1024 AS DOUBLE) AS p2,
+             CAST(k AS DOUBLE) AS t,
+             CAST(3 AS DOUBLE) AS l10,
+             CAST(200 - k AS DOUBLE) AS fa
       FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
 
     "jq_select" -> """

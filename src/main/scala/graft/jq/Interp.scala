@@ -2261,6 +2261,186 @@ object Interp {
           case other => Left(s"cannot parse ${other.typeName} as json")
         }
 
+      // ------------------------------------------------ type filters
+
+      case "arrays" | "objects" | "booleans" | "numbers" | "strings" |
+           "nulls" | "values" | "iterables" | "scalars" =>
+        // EXTENSION (jq type filters): emit the input unchanged iff it has
+        // the named type, else emit NOTHING — select semantics, not errors
+        if (args.nonEmpty)
+          return (_, _) => Vector(JEntry(JNull, Vector(s"$name takes no arguments")))
+        (doc, env) => inputFor(doc, env).flatMap { e =>
+          if (e.errors.nonEmpty) Vector(e)
+          else {
+            val keep = name match {
+              case "arrays"    => e.doc.isInstanceOf[JArr]
+              case "objects"   => e.doc.isInstanceOf[JObj]
+              case "booleans"  => e.doc.isInstanceOf[JBool]
+              case "numbers"   => e.doc.isInstanceOf[JLong] || e.doc.isInstanceOf[JDouble]
+              case "strings"   => e.doc.isInstanceOf[JStr]
+              case "nulls"     => e.doc == JNull
+              case "values"    => e.doc != JNull
+              case "iterables" => e.doc.isInstanceOf[JArr] || e.doc.isInstanceOf[JObj]
+              case _           => !(e.doc.isInstanceOf[JArr] || e.doc.isInstanceOf[JObj]) // scalars
+            }
+            if (keep) Vector(e) else Vector.empty
+          }
+        }
+
+      case "utf8bytelength" =>
+        // EXTENSION (jq): explicit byte-length name. This dialect's `length`
+        // is ALREADY byte length on strings (reference: src/json.rs string
+        // length), so on strings the two agree; utf8bytelength additionally
+        // rejects non-strings instead of dispatching on type.
+        if (args.nonEmpty)
+          return (_, _) => Vector(JEntry(JNull, Vector("utf8bytelength takes no arguments")))
+        overInput {
+          case JStr(s) => Right(JLong(s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong))
+          case other   => Left(s"utf8bytelength requires a string, got ${other.typeName}")
+        }
+
+      case "combinations" =>
+        // EXTENSION (jq): cartesian product of an array of arrays — one
+        // output array per combination; [] input yields one [] output, an
+        // empty inner array yields no outputs
+        if (args.nonEmpty)
+          return (_, _) => Vector(JEntry(JNull, Vector("combinations takes no arguments")))
+        (doc, env) => inputFor(doc, env).flatMap { e =>
+          if (e.errors.nonEmpty) Vector(e)
+          else e.doc match {
+            case JArr(xs) =>
+              val inner = Vector.newBuilder[Vector[JDoc]]
+              var err: String = null
+              xs.foreach {
+                case JArr(ys) => inner += ys
+                case other    => if (err == null) err = s"combinations requires arrays, got ${other.typeName}"
+              }
+              if (err != null) Vector(JEntry(JNull, Vector(err)))
+              else inner.result()
+                .foldLeft(Vector(Vector.empty[JDoc])) { (acc, ys) =>
+                  for { p <- acc; y <- ys } yield p :+ y
+                }
+                .map(c => JEntry.ok(JArr(c)))
+            case other => Vector(JEntry(JNull, Vector(s"combinations requires an array, got ${other.typeName}")))
+          }
+        }
+
+      case "with_entries" =>
+        // EXTENSION (jq): to_entries | map(f) | from_entries — desugared at
+        // compile time so the entry builtins carry the semantics
+        if (args.length != 1) return wrongArity
+        compile(Pipe(Call("to_entries", Nil),
+          Pipe(Call("map", args), Call("from_entries", Nil))))
+
+      // ------------------------------------------------ math builtins
+
+      case "exp" | "exp2" | "exp10" | "log" | "log2" | "log10" | "fabs" | "trunc" =>
+        // EXTENSION (jq math): always Float results (jq/C convention even
+        // for integer inputs); log2 answers exact powers of two with the
+        // exact integer exponent (as C log2 does) and the log-ratio
+        // elsewhere — conformance pins only the exact cases, oracles never
+        // hash transcendental outputs
+        if (args.nonEmpty)
+          return (_, _) => Vector(JEntry(JNull, Vector(s"$name takes no arguments")))
+        overInput { d =>
+          val vOpt = d match {
+            case JLong(v)   => Some(v.toDouble)
+            case JDouble(v) => Some(v)
+            case _          => None
+          }
+          vOpt match {
+            case None => Left(s"$name requires a number, got ${d.typeName}")
+            case Some(v) =>
+              val r = name match {
+                case "exp"   => math.exp(v)
+                case "exp2"  => math.pow(2.0, v)
+                case "exp10" => math.pow(10.0, v)
+                case "log"   => math.log(v)
+                case "log10" => math.log10(v) // exact for 10^n by Math.log10 contract
+                case "log2"  =>
+                  val bits = java.lang.Double.doubleToLongBits(v)
+                  val mant = bits & ((1L << 52) - 1)
+                  val biased = (bits >>> 52) & 0x7ffL
+                  if (v > 0 && mant == 0L && biased != 0L && biased != 0x7ffL)
+                    biased.toDouble - 1023.0
+                  else math.log(v) / 0.6931471805599453
+                case "fabs"  => math.abs(v)
+                case _       => if (v < 0) math.ceil(v) else math.floor(v) // trunc
+              }
+              Right(JDouble(r))
+          }
+        }
+
+      case "pow" =>
+        // EXTENSION (jq): pow(x; y) — ','-separated args in this dialect,
+        // both evaluated against the input; Float result
+        if (args.length != 2)
+          return (_, _) => Vector(JEntry(JNull, Vector(s"pow takes 2 args, got ${args.length}")))
+        val fx = compiledArgs(0)
+        val fy = compiledArgs(1)
+        (doc, env) => {
+          def num(p: Pipe, which: String): Either[Vector[String], Double] =
+            firstOut(p, doc, env) match {
+              case Left(msg)                     => Left(Vector(msg))
+              case Right(e) if e.errors.nonEmpty => Left(e.errors)
+              case Right(e) => e.doc match {
+                case JLong(v)   => Right(v.toDouble)
+                case JDouble(v) => Right(v)
+                case other      => Left(Vector(s"pow $which must be a number, got ${other.typeName}"))
+              }
+            }
+          (num(fx, "base"), num(fy, "exponent")) match {
+            case (Right(x), Right(y)) => Vector(JEntry.ok(JDouble(math.pow(x, y))))
+            case (Left(errs), _)      => Vector(JEntry(JNull, errs))
+            case (_, Left(errs))      => Vector(JEntry(JNull, errs))
+          }
+        }
+
+      case "recurse" =>
+        // EXTENSION (jq): bare `recurse` IS `..`; recurse(f) / recurse(f;
+        // cond) expand strictly as `., (f | select(cond) | recurse)`. The
+        // descent gate uses cond's FIRST output (documented simplification
+        // of jq's select fan-out, conformance-pinned); a depth guard turns
+        // runaway generators (`recurse(.+1)`) into an error entry rather
+        // than a hung task — same policy as the user-def call-depth guard.
+        if (args.isEmpty)
+          (doc, env) => inputFor(doc, env).flatMap { e =>
+            if (e.errors.nonEmpty) Vector(e) else JOps.recurse(e.doc).map(JEntry.ok)
+          }
+        else if (args.length <= 2) {
+          val f = compiledArgs.head
+          val condOpt = compiledArgs.lift(1)
+          val MaxDepth = 512
+          // NOTE: does NOT use inputFor — the argument is the descent
+          // generator, not the input expression
+          (doc, env) => {
+            val out = Vector.newBuilder[JEntry]
+            def go(d: JDoc, depth: Int): Unit = {
+              out += JEntry.ok(d)
+              if (depth >= MaxDepth) {
+                out += JEntry(JNull, Vector(s"recurse: depth limit $MaxDepth exceeded"))
+                return
+              }
+              f(d, env).foreach { e =>
+                if (e.errors.nonEmpty) out += e
+                else {
+                  val descend = condOpt match {
+                    case None => true
+                    case Some(fc) => fc(e.doc, env).headOption match {
+                      case Some(ce) if ce.errors.nonEmpty => out += ce; false
+                      case Some(ce)                       => JOps.truthy(ce.doc)
+                      case None                           => false
+                    }
+                  }
+                  if (descend) go(e.doc, depth + 1)
+                }
+              }
+            }
+            go(doc, 0)
+            out.result()
+          }
+        } else (_, _) => Vector(JEntry(JNull, Vector(s"recurse takes 0-2 args, got ${args.length}")))
+
       case other =>
         (_, _) => Vector(JEntry(JNull, Vector(s"unknown builtin $other")))
     }

@@ -41,7 +41,11 @@ object JqParser {
     "not", "error", "trim", "ltrim", "rtrim", "nan", "infinite",
     "isnan", "isinfinite", "tostream", "fromstream",
     "todate", "fromdate", "gmtime", "mktime",
-    "explode", "transpose", "debug")
+    "explode", "transpose", "debug",
+    "arrays", "objects", "booleans", "numbers", "strings", "nulls",
+    "values", "iterables", "scalars", "utf8bytelength", "combinations",
+    "exp", "exp2", "exp10", "log", "log2", "log10", "fabs", "trunc",
+    "recurse")
   private[jq] val allBuiltins =
     bareBuiltins ++ Set("has", "in", "map", "any", "all", "join", "del",
       "select", "test", "range", "startswith", "endswith", "ltrimstr",
@@ -49,7 +53,7 @@ object JqParser {
       "sort_by", "unique_by", "group_by", "min_by", "max_by", "getpath",
       "limit", "while", "until", "setpath", "delpaths", "sub", "gsub",
       "capture", "splits", "walk", "map_values", "match", "scan", "strftime",
-      "inside", "indices", "index", "rindex")
+      "inside", "indices", "index", "rindex", "with_entries", "pow")
 
   /** Reserved continuation words of the `if` form and the `as` binder
     * (EXTENSIONS): they stop juxtaposition/expression scans, so branch

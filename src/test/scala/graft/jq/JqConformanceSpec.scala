@@ -1036,6 +1036,65 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("\"\\(.x)\"", "{}", "ERROR: cannot index x into Object")
   }
 
+  test("type filters: select-shaped — emit the input or nothing, never errors") {
+    assert(outs("[.[] | numbers]", """[1, "a", 2.5, null, [3], {"b":4}, true]""") == Seq("[1,2.5e0]"))
+    assert(outs("[.[] | strings]", """[1,"a",null]""") == Seq("""["a"]"""))
+    assert(outs("[.[] | arrays]", """[[1],{"a":2},3]""") == Seq("[[1]]"))
+    assert(outs("[.[] | objects]", """[[1],{"a":2},3]""") == Seq("""[{"a":2}]"""))
+    assert(outs("[.[] | booleans]", """[true,false,0,"x"]""") == Seq("[true,false]"))
+    assert(outs("[.[] | nulls]", """[null,0,false]""") == Seq("[null]"))
+    assert(outs("[.[] | values]", """[null,0,false,"x"]""") == Seq("""[0,false,"x"]"""))
+    assert(outs("[.[] | iterables]", """[[1],{"a":2},3,null]""") == Seq("""[[1],{"a":2}]"""))
+    assert(outs("[.[] | scalars]", """[[1],{"a":2},3,null,"s"]""") == Seq("""[3,null,"s"]"""))
+  }
+
+  test("utf8bytelength: byte count (agrees with this dialect's string length)") {
+    check("utf8bytelength", "\"h\\u00e9llo\"", "6") // é is 2 UTF-8 bytes
+    check("utf8bytelength", "\"\"", "0")
+    check("utf8bytelength", "3", "ERROR: utf8bytelength requires a string, got Integer")
+  }
+
+  test("combinations: cartesian product of an array of arrays") {
+    assert(outs("combinations", "[[1,2],[3,4]]") ==
+      Seq("[1,3]", "[1,4]", "[2,3]", "[2,4]"))
+    check("combinations", "[]", "[]") // empty outer: one empty combination
+    assert(outs("combinations", "[[1,2],[]]") == Seq.empty) // empty inner: none
+    check("combinations", "[1]", "ERROR: combinations requires arrays, got Integer")
+  }
+
+  test("with_entries = to_entries | map(f) | from_entries") {
+    check("""with_entries(.value |= . + 1)""", """{"a":1,"b":2}""", """{"a":2,"b":3}""")
+    check("""with_entries({key: .value | tostring, value: .key})""",
+      """{"a":1}""", """{"1":"a"}""")
+  }
+
+  test("math builtins: Float results, exact cases pinned") {
+    check("exp", "0", "1e0")
+    check("log", "1", "0e0")
+    check("log2", "8", "3e0")
+    check("log2", "1024", "1e1")
+    check("log10", "1000", "3e0") // Math.log10 contract: exact for 10^n
+    check("exp2", "10", "1.024e3")
+    check("exp10", "3", "1e3")
+    check("fabs", "-3", "3e0")
+    check("trunc", "-2.7", "-2e0")
+    check("trunc", "2.7", "2e0")
+    check("pow(2, 10)", "null", "1.024e3")
+    check("log", "\"x\"", "ERROR: log requires a number, got String")
+    check("pow(1, \"x\")", "null", "ERROR: pow exponent must be a number, got String")
+  }
+
+  test("recurse: bare form is `..`; recurse(f) and recurse(f; cond) expand strictly") {
+    check("[recurse]", """{"a":[1]}""", """[{"a":[1]},[1],1]""")
+    assert(outs("[recurse]", "5") == outs("[..]", "5"))
+    check("[recurse(.[]?)]", "[[1],2]", "[[[1],2],[1],1,2]")
+    check("[recurse(. * 2, . < 20)]", "1", "[1,2,4,8,16]")
+    // runaway generator -> error entry via the depth guard, never a hang
+    val runaway = outs("recurse(.)", "1")
+    assert(runaway.last.startsWith("ERROR: recurse: depth limit"))
+    assert(runaway.init.forall(_ == "1"))
+  }
+
   test("parser: garbage never hangs, always JqParseException") {
     val rnd = new scala.util.Random(7)
     val tokens = Seq(".", "[", "]", "{", "}", "(", ")", "|", "+", "-", "*",
