@@ -720,6 +720,21 @@ object SparkEntry {
             ("t0", ".tags | .[0]", "string")), col("doc")).as("m"))
         .select(col("event_id"), col("m.c"), col("m.x1"), col("m.t0"))),
 
+    // EXTENSION: path-mode evaluation — path(f)/paths(f)/dynamic del(f)
+    // round-tripped through getpath over the 3-level nested doc
+    "jq_path_mode" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), nestedDoc.as("doc"))
+        .select(col("event_id"), Jq.multi(Seq(
+          ("pc", "path(.a.b.c) | tojson", "string"),
+          ("p1", "path(.tags.[1]) | tojson", "string"),
+          ("npaths", "[path(..)] | length", "long"),
+          ("big_xs", "[paths(numbers | . >= 25)] | length", "long"),
+          ("del_small", "del(.xs.[] | select(. < 25)) | .xs | length", "long"),
+          ("getp", "getpath(path(.a.b.c))", "long")), col("doc")).as("m"))
+        .select(col("event_id"), col("m.pc"), col("m.p1"), col("m.npaths"),
+          col("m.big_xs"), col("m.del_small"), col("m.getp"))),
+
     // recurse `..` over 3-level nesting: pre-order, every sub-value (§2.2)
     "jq_nested_recurse" -> ((s, dir) => {
       val ev = table(s, dir, "events").select(col("event_id"), nestedDoc.as("doc"))
@@ -1643,6 +1658,21 @@ object SparkEntry {
     // --- jq over nested documents ----------------------------------------
     // NESTED_DOC_SQL builds byte-identically the doc nestedDoc builds in
     // Spark; navigation oracles then use DuckDB's OWN JSON parser on it.
+
+    "jq_path_mode" -> """
+      WITH t AS (SELECT event_id, event_id % 100 AS c, user_id % 50 AS x0,
+                        (user_id % 50) * 2 AS x1 FROM events)
+      SELECT event_id,
+             '["a","b","c"]' AS pc,
+             '["tags",1]' AS p1,
+             10::BIGINT AS npaths,
+             ((CASE WHEN c >= 25 THEN 1 ELSE 0 END)
+              + (CASE WHEN x0 >= 25 THEN 1 ELSE 0 END)
+              + (CASE WHEN x1 >= 25 THEN 1 ELSE 0 END))::BIGINT AS big_xs,
+             ((CASE WHEN x0 >= 25 THEN 1 ELSE 0 END)
+              + (CASE WHEN x1 >= 25 THEN 1 ELSE 0 END))::BIGINT AS del_small,
+             c AS getp
+      FROM t""",
 
     "jq_nested_nav" -> s"""
       WITH d AS (SELECT event_id, $NestedDocSql AS doc FROM events)

@@ -451,6 +451,125 @@ object Interp {
     case _                 => None
   }
 
+  // ----------------------------------------- path-mode evaluation (path(f))
+
+  /** (current value, path so far, env) → stream of (path, value) pairs or
+    * per-output errors. */
+  private type PathPipe = (JDoc, Vector[JDoc], Env) => Vector[Either[String, (Vector[JDoc], JDoc)]]
+
+  /** Path-mode compiler (jq `path(f)`): the (path, value) stream a
+    * NAVIGATION filter denotes. Supported: identity, `.key`/`."key"`/bare
+    * idents (through objects and null — a missing key denotes a location
+    * with value null), `.[n]` (negative wraps against the actual array and
+    * the path records the ABSOLUTE index, jq's rule), `.[]`, `..`, pipes,
+    * `?`, `select(g)`, `if/then/elif/else`, `empty`. Object iteration
+    * follows canonical (key-sorted) order — same as value-mode `.[]`.
+    * Slices and computations are not locations here: they compile to a
+    * runtime "invalid path expression" error entry (jq errors likewise;
+    * slice-paths specifically are unsupported because this engine's
+    * PathSeg model is key-or-index, JDoc.scala:450). select/if gate on the
+    * condition's first/any truthy output — same documented simplification
+    * as recurse(f; cond). */
+  private def compilePath(ast: Ast): PathPipe = ast match {
+    case Identity =>
+      (cur, path, _) => Vector(Right((path, cur)))
+    case OptMark(e) =>
+      val f = compilePath(e)
+      (c, p, env) => f(c, p, env).filter(_.isRight)
+    case Pipe(l, r) =>
+      val fl = compilePath(l)
+      val fr = compilePath(r)
+      (c, p, env) => fl(c, p, env).flatMap {
+        case Right((pp, v)) => fr(v, pp, env)
+        case left           => Vector(left)
+      }
+    case IndexKey(k, opt) => pathKey(k, opt)
+    case Ident(k, opt)    => pathKey(k, opt)
+    case IndexNum(n, opt) => pathIdx(n, opt)
+    case Iterate(single :: Nil, opt) => // `.[N]` parses as a 1-item Iterate
+      val f = compilePath(single)
+      if (!opt) f else (c, p, env) => f(c, p, env).filter(_.isRight)
+    case IterValues(opt) =>
+      (cur, path, _) => cur match {
+        case JArr(items) =>
+          items.zipWithIndex.map { case (v, i) => Right((path :+ JLong(i.toLong), v)) }
+        case o: JObj =>
+          o.props.map { case (k, v) => Right((path :+ JStr(k), v)) }
+        case other =>
+          if (opt) Vector.empty
+          else Vector(Left(s"cannot iterate over ${other.typeName}"))
+      }
+    case Recurse =>
+      (cur, path, _) => {
+        val out = Vector.newBuilder[Either[String, (Vector[JDoc], JDoc)]]
+        def walk(v: JDoc, p: Vector[JDoc]): Unit = {
+          out += Right((p, v))
+          v match {
+            case JArr(items) => items.zipWithIndex.foreach { case (c, i) => walk(c, p :+ JLong(i.toLong)) }
+            case o: JObj     => o.props.foreach { case (k, c) => walk(c, p :+ JStr(k)) }
+            case _           =>
+          }
+        }
+        walk(cur, path)
+        out.result()
+      }
+    case IfElse(cond, thenB, elseB) =>
+      val fc = compile(cond)
+      val ft = compilePath(thenB)
+      val fe = elseB.map(compilePath)
+      (cur, path, env) => fc(cur, env).headOption match {
+        case Some(ce) if ce.errors.nonEmpty  => Vector(Left(ce.errors.head))
+        case Some(ce) if JOps.truthy(ce.doc) => ft(cur, path, env)
+        case Some(_) => fe match {
+          case Some(f) => f(cur, path, env)
+          case None    => Vector(Right((path, cur)))
+        }
+        case None => Vector.empty
+      }
+    case Call("select", List(cond)) =>
+      val fc = compile(cond)
+      (cur, path, env) => {
+        val outs = fc(cur, env)
+        outs.collectFirst { case e if e.errors.nonEmpty => e.errors.head } match {
+          case Some(m) => Vector(Left(m))
+          case None =>
+            if (outs.exists(e => JOps.truthy(e.doc))) Vector(Right((path, cur)))
+            else Vector.empty
+        }
+      }
+    case Call("empty", Nil) =>
+      (_, _, _) => Vector.empty
+    case other =>
+      (_, _, _) => Vector(Left(s"invalid path expression (${other.getClass.getSimpleName} does not denote document locations)"))
+  }
+
+  private def pathKey(k: String, opt: Boolean): PathPipe =
+    (cur, path, _) => cur match {
+      case o: JObj => Vector(Right((path :+ JStr(k), o.get(k).getOrElse(JNull))))
+      case JNull   => Vector(Right((path :+ JStr(k), JNull)))
+      case other =>
+        if (opt) Vector.empty
+        else Vector(Left(s"cannot index $k into ${other.typeName}"))
+    }
+
+  private def pathIdx(off: Long, opt: Boolean): PathPipe =
+    (cur, path, _) => cur match {
+      case JArr(items) =>
+        val n = items.length.toLong
+        val o = if (off < 0) off + n else off
+        if (o < 0) {
+          if (opt) Vector.empty
+          else Vector(Left(s"array index $off out of bounds"))
+        } else Vector(Right((path :+ JLong(o), if (o < n) items(o.toInt) else JNull)))
+      case JNull =>
+        if (off >= 0) Vector(Right((path :+ JLong(off), JNull)))
+        else if (opt) Vector.empty
+        else Vector(Left(s"cannot resolve negative index $off against null"))
+      case other =>
+        if (opt) Vector.empty
+        else Vector(Left(s"cannot index $off into ${other.typeName}"))
+    }
+
   private def mapOk(e: JEntry)(f: JDoc => JDoc): JEntry =
     if (e.errors.nonEmpty) e else JEntry(f(e.doc), e.errors)
 
@@ -1515,16 +1634,40 @@ object Interp {
         }
 
       case "del" =>
-        // EXTENSION: delete at a static path (companion of `=`/`|=`,
-        // the expression-level analogue of json_patch remove)
+        // EXTENSION (jq del(f)): delete the locations f denotes. Static
+        // .key/.index chains resolve at compile time; anything else goes
+        // through the path-mode evaluator and deletes in DESCENDING path
+        // order (delpaths' rule — earlier array deletions never shift the
+        // indices of later ones)
         if (args.length != 1) return wrongArity
         flattenPath(args.head) match {
-          case None =>
-            (_, _) => Vector(JEntry(JNull, Vector("del path must be a static .key/.index chain")))
           case Some(segs) =>
             (doc, env) => JOps.removePath(doc, segs) match {
               case Right(out) => Vector(JEntry.ok(out))
               case Left(msg)  => Vector(JEntry(JNull, Vector(msg)))
+            }
+          case None =>
+            val pf = compilePath(args.head)
+            (doc, env) => {
+              val results = pf(doc, Vector.empty, env)
+              results.collectFirst { case Left(m) => m } match {
+                case Some(m) => Vector(JEntry(JNull, Vector(m)))
+                case None =>
+                  val paths = results.collect { case Right((p, _)) => JArr(p) }
+                  if (paths.exists(_.items.isEmpty))
+                    Vector(JEntry(JNull, Vector("del: cannot delete the root document")))
+                  else {
+                    val ordered = paths.distinct
+                      .sortWith((a, b) => JOps.totalCmp(a, b) > 0)
+                      .map(p => runtimeSegs(p).toOption.get) // built from JStr/JLong segs
+                    var cur: Either[String, JDoc] = Right(doc)
+                    ordered.foreach { segs => cur = cur.flatMap(d => JOps.removePath(d, segs)) }
+                    cur match {
+                      case Right(out) => Vector(JEntry.ok(out))
+                      case Left(m)    => Vector(JEntry(JNull, Vector(m)))
+                    }
+                  }
+              }
             }
         }
 
@@ -1641,6 +1784,42 @@ object Interp {
               Vector(JEntry.ok(JArr(flat(items, d))))
             case (_, other) => Vector(JEntry(JNull, Vector(s"cannot flatten ${other.typeName}")))
           }
+        }
+
+      case "path" =>
+        // EXTENSION (jq path(f)): the path arrays f denotes, via the
+        // path-mode compiler — the runtime companion of paths/getpath/
+        // setpath/delpaths
+        if (args.length != 1) return wrongArity
+        val pf = compilePath(args.head)
+        (doc, env) => pf(doc, Vector.empty, env).map {
+          case Right((p, _)) => JEntry.ok(JArr(p))
+          case Left(m)       => JEntry(JNull, Vector(m))
+        }
+
+      case "paths" if args.length == 1 =>
+        // EXTENSION (jq paths(f)): pre-order subpaths (root excluded)
+        // whose VALUE satisfies f — any truthy output selects, an erroring
+        // selector surfaces as an error entry
+        val fsel = compiledArgs.head
+        (doc, env) => {
+          val out = Vector.newBuilder[JEntry]
+          def walk(d: JDoc, p: Vector[JDoc]): Unit = {
+            if (p.nonEmpty) {
+              val outs = fsel(d, env)
+              outs.collectFirst { case e if e.errors.nonEmpty => e } match {
+                case Some(e) => out += e
+                case None    => if (outs.exists(e => JOps.truthy(e.doc))) out += JEntry.ok(JArr(p))
+              }
+            }
+            d match {
+              case JArr(items) => items.zipWithIndex.foreach { case (c, i) => walk(c, p :+ JLong(i.toLong)) }
+              case o: JObj     => o.props.foreach { case (k, c) => walk(c, p :+ JStr(k)) }
+              case _           =>
+            }
+          }
+          walk(doc, Vector.empty)
+          out.result()
         }
 
       case "paths" | "leaf_paths" =>

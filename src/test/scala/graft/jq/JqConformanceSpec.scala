@@ -1095,6 +1095,30 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(runaway.init.forall(_ == "1"))
   }
 
+  test("path(f): navigation filters denote (path, value) locations") {
+    check("path(.a.b)", """{"a":{"b":1}}""", """["a","b"]""")
+    check("path(.a.b)", "{}", """["a","b"]""") // missing keys still denote locations
+    check("[path(..)]", """{"a":[1]}""", """[[],["a"],["a",0]]""")
+    check("[path(.[])]", "[5,6]", "[[0],[1]]")
+    check("path(.[-1])", "[5,6]", "[1]") // ABSOLUTE index recorded, jq's rule
+    check("path(.a.[0])", """{"a":[7]}""", """["a",0]""")
+    check("[path(.[] | select(. > 5))]", "[5,6,7]", "[[1],[2]]")
+    check("path(if .a > 0 then .b else .c end)", """{"a":1}""", """["b"]""")
+    check("path(if .a > 0 then .b else .c end)", """{"a":-1}""", """["c"]""")
+    assert(outs("path(.x?)", "5") == Seq.empty) // opt suppresses the type error
+    check("path(.x)", "5", "ERROR: cannot index x into Integer")
+    check("path(.a + 1)", "{}",
+      "ERROR: invalid path expression (Bin does not denote document locations)")
+  }
+
+  test("paths(f) filters subpaths by value; del(f) deletes dynamic locations") {
+    check("""[paths(type == "number")]""", """{"a":1,"b":[2]}""", """[["a"],["b",0]]""")
+    check("""[paths(. >= 2)]""", "[1,2,3]", "[[1],[2]]")
+    check("del(.[] | select(. == 2))", "[1,2,3,2]", "[1,3]")
+    check("del(.a.[] | select(. > 1))", """{"a":[1,2,3],"b":0}""", """{"a":[1],"b":0}""")
+    check("del(..)", "{}", "ERROR: del: cannot delete the root document")
+  }
+
   test("parser: garbage never hangs, always JqParseException") {
     val rnd = new scala.util.Random(7)
     val tokens = Seq(".", "[", "]", "{", "}", "(", ")", "|", "+", "-", "*",
