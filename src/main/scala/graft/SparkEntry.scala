@@ -540,6 +540,17 @@ object SparkEntry {
           sum(when(col("l_linestatus") === "F", col("l_quantity").cast("decimal(18,2)"))).cast("double").as("qty_f"),
           sum(when(col("l_linestatus") === "O", col("l_quantity").cast("decimal(18,2)"))).cast("double").as("qty_o"))),
 
+    // unpivot/melt: wide → long with the native Unpivot plan (an Expand
+    // node — narrow, zero shuffles, splits with the scan)
+    "rel_unpivot" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")),
+
     "rel_above_avg" -> ((s, dir) => {
       val sup = table(s, dir, "supplier")
       val stats = sup.agg(
@@ -1558,6 +1569,14 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
              min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, count(*) AS n
       FROM lineitem GROUP BY l_returnflag""",
+
+    "rel_unpivot" -> """
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
 
     "rel_pivot_manual" -> """
       SELECT l_returnflag,
