@@ -603,6 +603,17 @@ object SparkEntry {
           (col("p50_raw") >= col("min_qty") && col("p50_raw") <= col("max_qty")).as("p50_ok"))
     }),
 
+    // count-min sketch as a grouped aggregate (no driver state): the
+    // deterministic BIGINT hash family lets DuckDB replicate the whole
+    // sketch bit-for-bit, so estimates hash-compare exactly
+    "sketch_cms" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val sketch = operators.Sketches.countMin(ev, col("user_id"), depth = 4, width = 8192)
+      val queries = ev.select(col("user_id")).distinct()
+      operators.Sketches.cmsEstimate(sketch, queries, col("user_id"), depth = 4, width = 8192)
+        .select(col("key").as("user_id"), col("est"))
+    }),
+
     // binned range join: events within the hour after each error event
     // of the same user (self interval join)
     "rel_range_join" -> ((s, dir) => {
@@ -1613,6 +1624,21 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
              true AS approx_ok, true AS p50_ok
       FROM lineitem GROUP BY l_returnflag""",
+
+    "sketch_cms" -> """
+      WITH h(i, a, b) AS (VALUES
+        (0, 2654435761, 1013904223), (1, 2246822519, 374761393),
+        (2, 3266489917, 668265263), (3, 2654435789, 97)),
+      sk AS (
+        SELECT i, ((user_id % 1000003) * a + b) % 8192 AS bucket, count(*) AS cnt
+        FROM events CROSS JOIN h GROUP BY 1, 2),
+      q AS (SELECT DISTINCT user_id FROM events),
+      probes AS (
+        SELECT q.user_id, h.i, ((q.user_id % 1000003) * h.a + h.b) % 8192 AS bucket
+        FROM q CROSS JOIN h)
+      SELECT p.user_id, min(coalesce(sk.cnt, 0))::BIGINT AS est
+      FROM probes p LEFT JOIN sk ON sk.i = p.i AND sk.bucket = p.bucket
+      GROUP BY 1""",
 
     "jq_by_builtins" -> """
       WITH d AS (SELECT event_id, event_id % 5 AS a, user_id % 5 AS b FROM events)

@@ -1470,6 +1470,37 @@ object Interp {
           }
         }
 
+      case "nth" =>
+        // EXTENSION (jq nth): nth(n) is `.[n]` (dialect-consistent: missing
+        // index errors, like .[n] itself); nth(n; f) is the 0-based n-th
+        // output of f — FEWER outputs than n+1 yields EMPTY, a documented
+        // deviation from jq's accidental last-output fallback
+        // (jq defines nth($n; g) = last(limit($n+1; g)))
+        if (args.isEmpty || args.length > 2)
+          return (_, _) => Vector(JEntry(JNull, Vector(s"nth takes 1-2 args, got ${args.length}")))
+        val fn = compiledArgs.head
+        val fg = compiledArgs.lift(1)
+        (doc, env) => firstOut(fn, doc, env) match {
+          case Left(m)                       => Vector(JEntry(JNull, Vector(m)))
+          case Right(e) if e.errors.nonEmpty => Vector(JEntry(JNull, e.errors))
+          case Right(e) => e.doc match {
+            case JLong(n) => fg match {
+              case None =>
+                JOps.indexAt(doc, n) match {
+                  case Some(v) => Vector(JEntry.ok(v))
+                  case None    => Vector(JEntry(JNull, Vector(s"cannot index ${doc.typeName}")))
+                }
+              case Some(g) =>
+                if (n < 0) Vector(JEntry(JNull, Vector("nth: index must not be negative")))
+                else {
+                  val out = g(doc, env)
+                  if (n < out.length) Vector(out(n.toInt)) else Vector.empty
+                }
+            }
+            case other => Vector(JEntry(JNull, Vector(s"nth index must be a number, got ${other.typeName}")))
+          }
+        }
+
       case "range" =>
         // EXTENSION (jq range, comma-separated args — this dialect has no
         // ';' argument separator): range(n) → 0..n-1, range(a, b) → a..b-1.

@@ -53,7 +53,8 @@ object JqParser {
       "sort_by", "unique_by", "group_by", "min_by", "max_by", "getpath",
       "limit", "while", "until", "setpath", "delpaths", "sub", "gsub",
       "capture", "splits", "walk", "map_values", "match", "scan", "strftime",
-      "inside", "indices", "index", "rindex", "with_entries", "pow", "path")
+      "inside", "indices", "index", "rindex", "with_entries", "pow", "path",
+      "nth")
 
   /** Reserved continuation words of the `if` form and the `as` binder
     * (EXTENSIONS): they stop juxtaposition/expression scans, so branch

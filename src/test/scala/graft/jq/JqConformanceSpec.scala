@@ -1111,6 +1111,14 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
       "ERROR: invalid path expression (Bin does not denote document locations)")
   }
 
+  test("nth: array index form and n-th-output form") {
+    check("nth(1)", "[10,20,30]", "20")
+    check("nth(0 - 1)", "[10,20,30]", "30") // negative wraps, like .[n]
+    check("nth(1, .[] | . * 2)", "[5,6,7]", "12")
+    assert(outs("nth(9, .[])", "[5,6]") == Seq.empty) // too few outputs: EMPTY (pinned deviation)
+    check("nth(0 - 1, .[])", "[5,6]", "ERROR: nth: index must not be negative")
+  }
+
   test("paths(f) filters subpaths by value; del(f) deletes dynamic locations") {
     check("""[paths(type == "number")]""", """{"a":1,"b":[2]}""", """[["a"],["b",0]]""")
     check("""[paths(. >= 2)]""", "[1,2,3]", "[[1],[2]]")
