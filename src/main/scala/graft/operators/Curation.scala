@@ -25,13 +25,13 @@ object Curation {
     *
     * Shape at 100 TB: the benchmark side (eval suites) is tiny relative
     * to the corpus, so its distinct n-gram set is BROADCAST — the train
-    * side never shuffles its shingles; the only exchange is the final
-    * partial-aggregated (id, n_hits) count of HITS, which is bounded by
-    * the contamination volume, not the corpus. With `broadcastBench =
-    * false` (a genuinely large right side) the join becomes a shuffle
-    * keyed on the 8-byte xxhash64 of the n-gram — the exchange never
-    * carries the n-gram text as a KEY, only as a payload for the
-    * equality confirm, so hash collisions cannot create false hits. */
+    * side never shuffles its shingles; the only exchanges are the
+    * bench-side distinct and the final (id, n_hits) count of HITS, both
+    * bounded by the benchmark/contamination volume, not the corpus. With
+    * `broadcastBench = false` (a genuinely large right side) the join
+    * shuffles on (n-gram, xxhash64) — Catalyst promotes the equality
+    * confirm into the key set — and the precomputed 8-byte hash keeps
+    * per-row compare/hash work cheap inside the shuffled hash join. */
   def contaminationHits(train: DataFrame, bench: DataFrame, id: String,
                         text: Column, n: Int = 8, minOverlap: Int = 1,
                         broadcastBench: Boolean = true): DataFrame = {
