@@ -1204,6 +1204,13 @@ object SparkEntry {
       streaming.EventStreams.jqWindowedStats(
         table(s, dir, "events"), ".k", "1 hour", "10 minutes")),
 
+    // per-window count-min sketch: sketching as watermark-evicted
+    // streaming state (batch/backfill form; StreamingSpec drives the live
+    // micro-batch path and asserts bit-equality with this declaration)
+    "stream_cms" -> ((s, dir) =>
+      streaming.EventStreams.windowedCms(
+        table(s, dir, "events"), col("user_id"), "1 hour", "10 minutes")),
+
     // stream-stream interval join (batch/backfill form of the
     // watermarked streaming declaration; StreamingSpec drives the
     // MemoryStream path): purchases within 1h after a click, same user
@@ -1990,6 +1997,14 @@ object SparkEntry {
              count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2""",
+
+    "stream_cms" -> """
+      WITH h(i, a, b) AS (VALUES
+        (0, 2654435761, 1013904223), (1, 2246822519, 374761393),
+        (2, 3266489917, 668265263), (3, 2654435789, 97))
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wstart, i,
+             ((user_id % 1000003) * a + b) % 8192 AS bucket, count(*) AS cnt
+      FROM events CROSS JOIN h GROUP BY 1, 2, 3""",
 
     "stream_jq_window" -> """
       SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wstart, event_type,

@@ -70,6 +70,32 @@ object EventStreams {
         col("n"), col("sum_k"), col("max_k"))
   }
 
+  /** Per-window count-min sketch — [[graft.operators.Sketches]] run as
+    * STREAMING state: grouping by (window, row, bucket) caps each open
+    * window's state at d·w counters regardless of arrival volume (the
+    * whole point of sketching a stream — per-key windowed counts would
+    * hold one state row per distinct key), and the watermark evicts
+    * closed windows. Same declaration backfills on batch input; the
+    * deterministic hash family means the backfilled sketch and the live
+    * sketch are bit-identical, so the oracle hash-compares the full
+    * counter matrix. */
+  def windowedCms(events: DataFrame, key: Column, windowLen: String,
+                  watermarkDelay: String, depth: Int = 4, width: Int = 8192): DataFrame = {
+    import graft.operators.Sketches
+    val withTime = events.withColumn("event_time", eventTime(col("ts")))
+    val watermarked =
+      if (withTime.isStreaming) withTime.withWatermark("event_time", watermarkDelay)
+      else withTime
+    watermarked
+      .select(col("event_time"), posexplode(array((0 until depth).map(i =>
+        Sketches.cmsBucket(key, Sketches.HashA(i), Sketches.HashB(i), width)): _*))
+        .as(Seq("i", "bucket")))
+      .groupBy(window(col("event_time"), windowLen).as("w"), col("i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("wstart"), col("i"),
+        col("bucket"), col("cnt"))
+  }
+
   /** Stream-stream interval join: for each left event, the right events
     * of the same key whose event time falls in [left_t, left_t + window].
     * On streaming inputs BOTH sides carry watermarks and the range

@@ -64,6 +64,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowedCms: per-window sketch, streaming == batch bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", col("ts").cast("long"))
+      .select("ts", "user_id")
+      .limit(500)
+    val rows = batch.collect()
+
+    val stream = MemoryStream[(Long, Long)]
+    val sdf = stream.toDF().toDF("ts", "user_id")
+    val q = windowedCms(sdf, col("user_id"), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))
+      val streamed = spark.sql("SELECT * FROM cms_out").collect().map(key).toSet
+      val expected = windowedCms(batch, col("user_id"), "1 hour", "10 minutes")
+        .collect().map(key).toSet
+      assert(streamed == expected)
+      // state bound: every open window holds <= d*w counters
+      assert(expected.groupBy(_._1).forall(_._2.size <= 4 * 8192))
+    } finally q.stop()
+  }
+
   test("intervalJoin: stream-stream join with watermarks == batch result") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
