@@ -399,6 +399,19 @@ object SparkEntry {
         .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
     }),
 
+    // full outer join (completes the join-type set: inner/left/semi/anti/
+    // asof/range/salted): customers and suppliers by nation, either side
+    // may be missing
+    "rel_join_full" -> ((s, dir) => {
+      val c = table(s, dir, "customer").groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      val su = table(s, dir, "supplier").groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+      c.join(su, c("c_nationkey") === su("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+
     "rel_window_topk" -> ((s, dir) =>
       operators.Relational.topKPerGroup(
         table(s, dir, "lineitem"),
@@ -1122,6 +1135,16 @@ object SparkEntry {
         operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         operators.TextAnalysis.wordTokenCount(col("text")).as("n_words"))),
 
+    // intra-document repetition rate (Gopher/C4 quality signal): fraction
+    // of word 3-grams that repeat within the doc — narrow, zero shuffles
+    "text_rep_rate" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        greatest(size(operators.TextAnalysis.tokens(col("text"))) - 2, lit(0))
+          .cast("long").as("n3_total"),
+        size(operators.Dedup.wordShingles(col("text"), 3)).cast("long").as("n3_uniq"),
+        operators.TextAnalysis.repetitionRate(col("text"), 3).as("rep_rate"))),
+
     // PII scrub over text with deterministically planted email/IP/phone
     // (the raw corpus has none — planting makes every row exercise all
     // three patterns); narrow triple regexp_replace, zero shuffles
@@ -1440,6 +1463,13 @@ object SparkEntry {
       SELECT c_nationkey, count(*) AS n FROM customer
       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       GROUP BY c_nationkey""",
+
+    "rel_join_full" -> """
+      WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+           su AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)
+      SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+             coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      FROM c FULL OUTER JOIN su ON c_nationkey = s_nationkey""",
 
     "rel_window_topk" -> """
       SELECT l_orderkey, l_linenumber, rnk FROM (
@@ -1926,6 +1956,20 @@ object SparkEntry {
              len(string_split(text, ' '))::BIGINT AS n_tokens,
              len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_words
       FROM documents""",
+
+    "text_rep_rate" -> """
+      WITH t AS (
+        SELECT doc_id,
+               greatest(len(s) - 2, 0) AS n3_total,
+               len(list_distinct(CASE WHEN len(s) >= 3
+                 THEN [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]
+                 ELSE [] END)) AS n3_uniq
+        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+      SELECT doc_id, n3_total::BIGINT AS n3_total, n3_uniq::BIGINT AS n3_uniq,
+             CASE WHEN n3_total > 0
+                  THEN CAST(1 AS DOUBLE) - n3_uniq::DOUBLE / n3_total
+                  ELSE CAST(0 AS DOUBLE) END AS rep_rate
+      FROM t""",
 
     "text_redact" -> """
       WITH planted AS (

@@ -570,6 +570,48 @@ object Interp {
         else Vector(Left(s"cannot index $off into ${other.typeName}"))
     }
 
+  // ----------------------------------------- RFC 4648 base32 (@base32)
+
+  private val Base32Alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+  private def base32Encode(in: Array[Byte]): String = {
+    val sb = new StringBuilder((in.length + 4) / 5 * 8)
+    var i = 0
+    while (i < in.length) {
+      val n = math.min(5, in.length - i)
+      var acc = 0L
+      var j = 0
+      while (j < 5) { acc = (acc << 8) | (if (j < n) in(i + j) & 0xffL else 0L); j += 1 }
+      val outChars = (n * 8 + 4) / 5
+      j = 0
+      while (j < 8) {
+        sb += (if (j < outChars) Base32Alphabet(((acc >> (35 - 5 * j)) & 31L).toInt) else '=')
+        j += 1
+      }
+      i += 5
+    }
+    sb.toString
+  }
+
+  private def base32Decode(s: String): Either[String, Array[Byte]] = {
+    val body = s.takeWhile(_ != '=')
+    if (s.drop(body.length).exists(_ != '=')) return Left("invalid base32: data after padding")
+    val out = new java.io.ByteArrayOutputStream
+    var acc = 0L
+    var bits = 0
+    for (c <- body) {
+      val v = Base32Alphabet.indexOf(c.toUpper)
+      if (v < 0) return Left(s"invalid base32 character '$c'")
+      acc = (acc << 5) | v.toLong
+      bits += 5
+      if (bits >= 8) {
+        bits -= 8
+        out.write(((acc >> bits) & 0xffL).toInt)
+      }
+    }
+    Right(out.toByteArray)
+  }
+
   private def mapOk(e: JEntry)(f: JDoc => JDoc): JEntry =
     if (e.errors.nonEmpty) e else JEntry(f(e.doc), e.errors)
 
@@ -2428,6 +2470,16 @@ object Interp {
         case other => Left(s"@base64 requires a string, got ${other.typeName}")
       }
 
+      case "@base32" => overInput {
+        case JStr(s) => Right(JStr(base32Encode(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        case other => Left(s"@base32 requires a string, got ${other.typeName}")
+      }
+
+      case "@base32d" => overInput {
+        case JStr(s) => base32Decode(s).map(b => JStr(new String(b, java.nio.charset.StandardCharsets.UTF_8)))
+        case other => Left(s"@base32d requires a string, got ${other.typeName}")
+      }
+
       case "@base64d" => overInput {
         case JStr(s) =>
           try Right(JStr(new String(java.util.Base64.getDecoder.decode(s),
@@ -2650,6 +2702,36 @@ object Interp {
             out.result()
           }
         } else (_, _) => Vector(JEntry(JNull, Vector(s"recurse takes 0-2 args, got ${args.length}")))
+
+      case "pick" =>
+        // EXTENSION (jq 1.8 pick): the minimal document keeping only the
+        // locations f denotes — reduce path(f) as $p (null;
+        // setpath($p; $top | getpath($p))), built on the path-mode
+        // compiler (the (path, value) pairs already carry the values)
+        if (args.length != 1) return wrongArity
+        val pf = compilePath(args.head)
+        (doc, env) => {
+          val results = pf(doc, Vector.empty, env)
+          results.collectFirst { case Left(m) => m } match {
+            case Some(m) => Vector(JEntry(JNull, Vector(m)))
+            case None =>
+              var acc: JDoc = JNull
+              var err: String = null
+              results.foreach {
+                case Right((p, v)) if err == null =>
+                  runtimeSegs(JArr(p)) match {
+                    case Right(segs) => JOps.setPath(acc, segs, v) match {
+                      case Right(nd) => acc = nd
+                      case Left(m)   => err = m
+                    }
+                    case Left(m) => err = m
+                  }
+                case _ =>
+              }
+              if (err != null) Vector(JEntry(JNull, Vector(err)))
+              else Vector(JEntry.ok(acc))
+          }
+        }
 
       case other =>
         (_, _) => Vector(JEntry(JNull, Vector(s"unknown builtin $other")))

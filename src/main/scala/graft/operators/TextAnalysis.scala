@@ -92,6 +92,17 @@ object TextAnalysis {
       .withColumn("chunk_id", col("chunk_id").cast("long"))
   }
 
+  /** Gopher/C4-style intra-document repetition signal: the fraction of
+    * word n-grams that are repeats of an earlier n-gram in the same
+    * document (1 − distinct/total). High values flag boilerplate and
+    * degenerate generations. Exact integer-derived quotient over narrow
+    * codegen'd kernels — zero shuffles. */
+  def repetitionRate(text: Column, n: Int = 3): Column = {
+    val total = greatest(size(tokens(text)) - lit(n - 1), lit(0))
+    val uniq = size(Dedup.wordShingles(text, n)) // distinct by construction
+    when(total > 0, lit(1.0) - uniq.cast("double") / total).otherwise(lit(0.0))
+  }
+
   // ------------------------------------------------------------ PII scrub
 
   /** PII patterns kept to the regex subset with identical semantics in

@@ -1119,6 +1119,28 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("nth(0 - 1, .[])", "[5,6]", "ERROR: nth: index must not be negative")
   }
 
+  test("pick(f): minimal document keeping only f's locations (jq 1.8)") {
+    check("pick(.a.b)", """{"a":{"b":1,"c":2},"d":3}""", """{"a":{"b":1}}""")
+    check("pick(.xs.[1])", """{"xs":[1,2,3]}""", """{"xs":[null,2]}""") // jq pads arrays
+    check("pick(.[] | select(. > 1))", "[1,2,3]", "[null,2,3]")
+    check("pick(.missing)", """{"a":1}""", """{"missing":null}""")
+    check("pick(.a + 1)", "{}",
+      "ERROR: invalid path expression (Bin does not denote document locations)")
+  }
+
+  test("@base32/@base32d: RFC 4648 vectors round-trip") {
+    check("@base32", "\"\"", "\"\"")
+    check("@base32", "\"f\"", "\"MY======\"")
+    check("@base32", "\"fo\"", "\"MZXQ====\"")
+    check("@base32", "\"foo\"", "\"MZXW6===\"")
+    check("@base32", "\"foob\"", "\"MZXW6YQ=\"")
+    check("@base32", "\"fooba\"", "\"MZXW6YTB\"")
+    check("@base32", "\"foobar\"", "\"MZXW6YTBOI======\"")
+    check("@base32 | @base32d", "\"hello world\"", "\"hello world\"")
+    check("@base32d", "\"!!!\"", "ERROR: invalid base32 character '!'")
+    check("@base32", "3", "ERROR: @base32 requires a string, got Integer")
+  }
+
   test("paths(f) filters subpaths by value; del(f) deletes dynamic locations") {
     check("""[paths(type == "number")]""", """{"a":1,"b":[2]}""", """[["a"],["b",0]]""")
     check("""[paths(. >= 2)]""", "[1,2,3]", "[[1],[2]]")
