@@ -1214,6 +1214,16 @@ object Interp {
           case other => Vector(JEntry(JNull, Vector(s"cannot $name over ${other.typeName}")))
         }
 
+      case "any" | "all" if args.length == 2 =>
+        // EXTENSION (jq 2-arity): any(gen; cond) == [gen | cond] | any(.) —
+        // desugared so the 1-arity literal-true convention carries over
+        compile(Pipe(MkList(List(Pipe(args(0), args(1))), opt = false),
+          Call(name, List(Identity))))
+
+      case "add" if args.length == 1 =>
+        // EXTENSION (jq 1.8 add(f)): sum of f's output stream == [f] | add
+        compile(Pipe(MkList(args, opt = false), Call("add", Nil)))
+
       case "any" | "all" =>
         // only a literal `true` output counts as true
         // (reference: `boolean().unwrap_or(false)`, src/ops.rs:1658-1713)
@@ -2702,6 +2712,40 @@ object Interp {
             out.result()
           }
         } else (_, _) => Vector(JEntry(JNull, Vector(s"recurse takes 0-2 args, got ${args.length}")))
+
+      case "truncate_stream" =>
+        // EXTENSION (jq truncate_stream, ','-separated args in this
+        // dialect): drop the first n path segments from each [path, value]
+        // stream event; events whose path is not longer than n vanish
+        if (args.length != 2)
+          return (_, _) => Vector(JEntry(JNull, Vector(s"truncate_stream takes 2 args, got ${args.length}")))
+        val fn = compiledArgs.head
+        val fs = compiledArgs(1)
+        (doc, env) => firstOut(fn, doc, env) match {
+          case Left(m)                       => Vector(JEntry(JNull, Vector(m)))
+          case Right(e) if e.errors.nonEmpty => Vector(JEntry(JNull, e.errors))
+          case Right(e) => e.doc match {
+            case JLong(n) if n >= 0 =>
+              fs(doc, env).flatMap { ev =>
+                if (ev.errors.nonEmpty) Vector(ev)
+                else ev.doc match {
+                  case JArr(items) if items.nonEmpty =>
+                    items.head match {
+                      case JArr(path) =>
+                        if (path.length > n)
+                          Vector(JEntry.ok(JArr(JArr(path.drop(n.toInt)) +: items.tail)))
+                        else Vector.empty
+                      case other => Vector(JEntry(JNull,
+                        Vector(s"truncate_stream: event path must be an array, got ${other.typeName}")))
+                    }
+                  case other => Vector(JEntry(JNull,
+                    Vector(s"truncate_stream: events must be [path, value] arrays, got ${other.typeName}")))
+                }
+              }
+            case other => Vector(JEntry(JNull,
+              Vector(s"truncate_stream depth must be a non-negative number, got ${JsonText.canonical(other)}")))
+          }
+        }
 
       case "pick" =>
         // EXTENSION (jq 1.8 pick): the minimal document keeping only the

@@ -54,7 +54,7 @@ object JqParser {
       "limit", "while", "until", "setpath", "delpaths", "sub", "gsub",
       "capture", "splits", "walk", "map_values", "match", "scan", "strftime",
       "inside", "indices", "index", "rindex", "with_entries", "pow", "path",
-      "nth", "pick")
+      "nth", "pick", "truncate_stream")
 
   /** Reserved continuation words of the `if` form and the `as` binder
     * (EXTENSIONS): they stop juxtaposition/expression scans, so branch

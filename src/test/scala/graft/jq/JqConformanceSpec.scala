@@ -1119,6 +1119,20 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("nth(0 - 1, .[])", "[5,6]", "ERROR: nth: index must not be negative")
   }
 
+  test("2-arity any/all, add(f), truncate_stream") {
+    check("any(.[], . == 2)", "[1,2,3]", "true")
+    check("any(.[], . == 9)", "[1,2,3]", "false")
+    check("all(.[], . > 0)", "[1,2,3]", "true")
+    check("all(.[], . > 1)", "[1,2,3]", "false")
+    check("add(.[] | . * 2)", "[1,2,3]", "12")
+    check("[truncate_stream(1, tostream)]", """{"a":[1,2]}""",
+      """[[[0],1],[[1],2],[[1]]]""")
+    // this dialect's fromstream consumes the COLLECTED event array
+    check("[truncate_stream(1, tostream)] | fromstream", """{"a":[1,2]}""", "[1,2]")
+    check("truncate_stream(0 - 1, tostream)", "[1]",
+      "ERROR: truncate_stream depth must be a non-negative number, got -1")
+  }
+
   test("pick(f): minimal document keeping only f's locations (jq 1.8)") {
     check("pick(.a.b)", """{"a":{"b":1,"c":2},"d":3}""", """{"a":{"b":1}}""")
     check("pick(.xs.[1])", """{"xs":[1,2,3]}""", """{"xs":[null,2]}""") // jq pads arrays
