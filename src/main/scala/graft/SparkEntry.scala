@@ -1227,6 +1227,16 @@ object SparkEntry {
       streaming.EventStreams.jqWindowedStats(
         table(s, dir, "events"), ".k", "1 hour", "10 minutes")),
 
+    // stream-static enrichment: unbounded events x broadcast dimension —
+    // zero streaming state, event volume never shuffles (batch/backfill
+    // form; StreamingSpec drives the live path)
+    "stream_enrich" -> ((s, dir) =>
+      streaming.EventStreams.enrichWithDim(
+          table(s, dir, "events"),
+          table(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+          "user_id", "c_custkey")
+        .select(col("event_id"), col("user_id"), col("c_name"))),
+
     // per-window count-min sketch: sketching as watermark-evicted
     // streaming state (batch/backfill form; StreamingSpec drives the live
     // micro-batch path and asserts bit-equality with this declaration)
@@ -2041,6 +2051,10 @@ object SparkEntry {
              count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2""",
+
+    "stream_enrich" -> """
+      SELECT e.event_id, e.user_id, c.c_name
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
 
     "stream_cms" -> """
       WITH h(i, a, b) AS (VALUES

@@ -1388,6 +1388,11 @@ object Interp {
           case (doc, _) => Vector(JEntry.ok(doc))
         }
 
+      case "split" if args.length == 2 =>
+        // EXTENSION (jq split(re; flags) — ',' separates args here):
+        // regex split collected to an array, == [splits(re, flags)]
+        compile(MkList(List(Call("splits", args)), opt = false))
+
       case "split" =>
         // EXTENSION (jq split(sep)): literal-separator split — the builtin
         // spelling of the `/` string-division semantics
@@ -2024,20 +2029,42 @@ object Interp {
         // EXTENSION (jq splits): REGEX split as a stream of parts (the
         // literal-separator `split` returns an array; this is its regex
         // sibling with jq's stream shape). Trailing empty parts kept
-        // (limit -1), matching split's byte-faithful behavior.
-        if (args.length != 1) return wrongArity
+        // (limit -1), matching split's byte-faithful behavior. Optional
+        // second arg = flags ("i" case-insensitive, "x" comments), same
+        // dialect as test(re, flags).
+        if (args.isEmpty || args.length > 2) return wrongArity
         val fre = compiledArgs.head
+        val ffl = compiledArgs.lift(1)
         (doc, env) => doc match {
           case JStr(s) => firstOut(fre, doc, env) match {
             case Left(m)                       => Vector(JEntry(JNull, Vector(m)))
             case Right(e) if e.errors.nonEmpty => Vector(JEntry(JNull, e.errors))
             case Right(e) => e.doc match {
               case JStr(re) =>
-                try java.util.regex.Pattern.compile(re).split(s, -1).toVector
-                  .map(p => JEntry.ok(JStr(p)))
-                catch {
-                  case ex: java.util.regex.PatternSyntaxException =>
-                    Vector(JEntry(JNull, Vector(s"invalid regex: ${ex.getDescription}")))
+                val flagsE: Either[Vector[String], Int] = ffl match {
+                  case None => Right(0)
+                  case Some(ff) => firstOut(ff, doc, env) match {
+                    case Left(m)                        => Left(Vector(m))
+                    case Right(fe) if fe.errors.nonEmpty => Left(fe.errors)
+                    case Right(fe) => fe.doc match {
+                      case JStr(flags) =>
+                        var jf = 0
+                        if (flags.contains('i')) jf |= java.util.regex.Pattern.CASE_INSENSITIVE
+                        if (flags.contains('x')) jf |= java.util.regex.Pattern.COMMENTS
+                        Right(jf)
+                      case other => Left(Vector(s"splits flags must be a string, got ${other.typeName}"))
+                    }
+                  }
+                }
+                flagsE match {
+                  case Left(errs) => Vector(JEntry(JNull, errs))
+                  case Right(jf) =>
+                    try java.util.regex.Pattern.compile(re, jf).split(s, -1).toVector
+                      .map(p => JEntry.ok(JStr(p)))
+                    catch {
+                      case ex: java.util.regex.PatternSyntaxException =>
+                        Vector(JEntry(JNull, Vector(s"invalid regex: ${ex.getDescription}")))
+                    }
                 }
               case other => Vector(JEntry(JNull, Vector(s"splits pattern must be a string, got ${other.typeName}")))
             }

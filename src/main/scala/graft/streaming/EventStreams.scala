@@ -96,6 +96,17 @@ object EventStreams {
         col("bucket"), col("cnt"))
   }
 
+  /** Stream-static enrichment join: the unbounded event stream against a
+    * bounded dimension table. The dim side is BROADCAST — no streaming
+    * state at all (unlike stream-stream joins), each micro-batch maps
+    * through the hashed relation, and the same declaration backfills on
+    * batch input. This is the canonical "attach metadata to a 100 TB/day
+    * stream" shape: dim refreshes re-broadcast per micro-batch, event
+    * volume never shuffles. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, eventKey: String,
+                    dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   /** Stream-stream interval join: for each left event, the right events
     * of the same key whose event time falls in [left_t, left_t + window].
     * On streaming inputs BOTH sides carry watermarks and the range

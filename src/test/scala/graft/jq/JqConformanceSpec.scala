@@ -1125,6 +1125,7 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("all(.[], . > 0)", "[1,2,3]", "true")
     check("all(.[], . > 1)", "[1,2,3]", "false")
     check("add(.[] | . * 2)", "[1,2,3]", "12")
+    check("""split("\\d+", "")""", "\"a1bb22c\"", """["a","bb","c"]""")
     check("[truncate_stream(1, tostream)]", """{"a":[1,2]}""",
       """[[[0],1],[[1],2],[[1]]]""")
     // this dialect's fromstream consumes the COLLECTED event array

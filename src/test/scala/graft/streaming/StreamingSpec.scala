@@ -93,6 +93,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("enrichWithDim: stream-static broadcast join == batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "user_id")
+      .limit(300)
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    val rows = batch.collect()
+
+    val stream = MemoryStream[(Long, Long)]
+    val sdf = stream.toDF().toDF("event_id", "user_id")
+    val q = enrichWithDim(sdf, dim, "user_id", "c_custkey")
+      .select(col("event_id"), col("user_id"), col("c_name"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), Option(r.getString(2)))
+      val streamed = spark.sql("SELECT * FROM enrich_out").collect().map(key).toSet
+      val expected = enrichWithDim(batch, dim, "user_id", "c_custkey")
+        .select(col("event_id"), col("user_id"), col("c_name"))
+        .collect().map(key).toSet
+      assert(streamed == expected)
+      assert(expected.exists(_._3.isDefined), "fixture should enrich some events")
+    } finally q.stop()
+  }
+
   test("intervalJoin: stream-stream join with watermarks == batch result") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
