@@ -1164,6 +1164,54 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("del(..)", "{}", "ERROR: del: cannot delete the root document")
   }
 
+  test("property: path(..) x getpath round-trips; pick(..) is identity (random docs)") {
+    import graft.json._
+    val rnd = new scala.util.Random(0x9A7B)
+    def randomDoc(depth: Int): JDoc =
+      if (depth == 0) rnd.nextInt(5) match {
+        case 0 => JNull
+        case 1 => JBool(rnd.nextBoolean())
+        case 2 => JLong(rnd.nextLong())
+        case 3 => JDouble(rnd.nextDouble())
+        case _ => JStr(rnd.alphanumeric.take(rnd.nextInt(10)).mkString)
+      } else rnd.nextInt(6) match {
+        case 0 | 1 => JArr(Vector.fill(rnd.nextInt(4))(randomDoc(depth - 1)))
+        case 2 | 3 => JObj.fromProps(
+          Seq.fill(rnd.nextInt(4))(rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString -> randomDoc(depth - 1)))
+        case _ => randomDoc(0)
+      }
+    def one(q: String, d: JDoc): String = {
+      val out = Interp.run(q, d)
+      assert(out.length == 1 && out.head.errors.isEmpty,
+        s"query <$q> on ${JsonText.canonical(d)} gave $out")
+      JsonText.canonical(out.head.doc)
+    }
+    (1 to 300).foreach { _ =>
+      val d = randomDoc(3)
+      // every location path(..) denotes holds exactly the value .. yields
+      assert(one("[path(..) as $p | getpath($p)]", d) == one("[..]", d))
+      // picking every location rebuilds the document
+      assert(one("pick(..)", d) == JsonText.canonical(d))
+      // path count == node count
+      assert(one("[path(..)] | length", d) == one("[..] | length", d))
+    }
+  }
+
+  test("property: @base32 round-trips UTF-8 strings") {
+    import graft.json._
+    val rnd = new scala.util.Random(0xB32)
+    // BMP-only: indexing by char must never split a surrogate pair
+    val extras = "äöü€漢字-_.,;:!? "
+    (1 to 300).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(24))(
+        if (rnd.nextBoolean()) rnd.alphanumeric.head
+        else extras(rnd.nextInt(extras.length))).mkString
+      val out = Interp.run("@base32 | @base32d", JStr(s))
+      assert(out.length == 1 && out.head.errors.isEmpty)
+      assert(out.head.doc == JStr(s), s"base32 round-trip failed for <$s>")
+    }
+  }
+
   test("parser: garbage never hangs, always JqParseException") {
     val rnd = new scala.util.Random(7)
     val tokens = Seq(".", "[", "]", "{", "}", "(", ")", "|", "+", "-", "*",
