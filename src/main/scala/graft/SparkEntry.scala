@@ -770,6 +770,21 @@ object SparkEntry {
         .select(col("event_id"), col("m.pc"), col("m.p1"), col("m.npaths"),
           col("m.big_xs"), col("m.del_small"), col("m.getp"))),
 
+    // EXTENSION: dynamic-path assignment — `p |= f` / `p = e` where p is
+    // a navigation filter (select gates, iteration), via the path-mode
+    // compiler's reduce semantics
+    "jq_assign_dynamic" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), nestedDoc.as("doc"))
+        .select(col("event_id"), Jq.multi(Seq(
+          ("bump", ".xs.[] |= . + 1 | .xs | add", "long"),
+          ("zero_big", "(.xs.[] | select(. >= 25)) |= 0 | .xs | add", "long"),
+          ("set_all", ".xs.[] = 1 | .xs | add", "long"),
+          ("tagged", """(.tags.[] | select(. == "zz")) |= "x" | .tags | join("-")""", "string")),
+          col("doc")).as("m"))
+        .select(col("event_id"), col("m.bump"), col("m.zero_big"),
+          col("m.set_all"), col("m.tagged"))),
+
     // recurse `..` over 3-level nesting: pre-order, every sub-value (§2.2)
     "jq_nested_recurse" -> ((s, dir) => {
       val ev = table(s, dir, "events").select(col("event_id"), nestedDoc.as("doc"))
@@ -1750,6 +1765,15 @@ object SparkEntry {
     // --- jq over nested documents ----------------------------------------
     // NESTED_DOC_SQL builds byte-identically the doc nestedDoc builds in
     // Spark; navigation oracles then use DuckDB's OWN JSON parser on it.
+
+    "jq_assign_dynamic" -> """
+      SELECT event_id,
+             3 * x0 + 2 AS bump,
+             (CASE WHEN x0 < 25 THEN x0 ELSE 0 END
+              + CASE WHEN 2 * x0 < 25 THEN 2 * x0 ELSE 0 END) AS zero_big,
+             2::BIGINT AS set_all,
+             event_type || '-x' AS tagged
+      FROM (SELECT event_id, user_id % 50 AS x0, event_type FROM events) t""",
 
     "jq_path_mode" -> """
       WITH t AS (SELECT event_id, event_id % 100 AS c, user_id % 50 AS x0,

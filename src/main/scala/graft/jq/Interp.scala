@@ -403,10 +403,69 @@ object Interp {
       }
 
     case Assign(pathAst, valueAst, update) =>
-      // EXTENSION (jq `=` / `|=`, Ast.Assign): static-path set/update.
+      // EXTENSION (jq `=` / `|=`, Ast.Assign): set/update at the assigned
+      // locations. Static .key/.index chains resolve at compile time; any
+      // other navigation filter goes through the path-mode compiler with
+      // jq's reduce semantics — paths are denoted against the INPUT, then
+      // applied sequentially to the accumulating document:
+      //   `p = e`:  e runs against the ROOT input (one output per result
+      //             entry); every denoted location receives that value.
+      //   `p |= f`: each location is re-read from the accumulator and
+      //             replaced by f's FIRST output (the map convention).
       flattenPath(pathAst) match {
         case None =>
-          (_, _) => Vector(JEntry(JNull, Vector("assignment path must be a static .key/.index chain")))
+          val pf = compilePath(pathAst)
+          val fv = compile(valueAst)
+          def locate(doc: JDoc, env: Env): Either[String, Vector[List[JOps.PathSeg]]] = {
+            val results = pf(doc, Vector.empty, env)
+            results.collectFirst { case Left(m) => m } match {
+              case Some(m) => Left(m)
+              case None => Right(results.collect {
+                case Right((p, _)) => runtimeSegs(JArr(p)).toOption.get // JStr/JLong segs by construction
+              })
+            }
+          }
+          if (!update) {
+            (doc, env) => fv(doc, env).map { ve =>
+              if (ve.errors.nonEmpty) ve
+              else locate(doc, env) match {
+                case Left(m) => JEntry(JNull, Vector(m))
+                case Right(segsList) =>
+                  var acc: JDoc = doc
+                  var err: String = null
+                  segsList.foreach { segs =>
+                    if (err == null) JOps.setPath(acc, segs, ve.doc) match {
+                      case Right(nd) => acc = nd
+                      case Left(m)   => err = m
+                    }
+                  }
+                  if (err != null) JEntry(JNull, Vector(err))
+                  else JEntry(acc, Vector.empty, ve.meta)
+              }
+            }
+          } else {
+            (doc, env) => locate(doc, env) match {
+              case Left(m) => Vector(JEntry(JNull, Vector(m)))
+              case Right(segsList) =>
+                var acc: JDoc = doc
+                var err: String = null
+                segsList.foreach { segs =>
+                  if (err == null) JOps.getPath(acc, segs) match {
+                    case Left(m) => err = m
+                    case Right(cur) => fv(cur, env).headOption match {
+                      case None                           => err = "update produced no output"
+                      case Some(ve) if ve.errors.nonEmpty => err = ve.errors.head
+                      case Some(ve) => JOps.setPath(acc, segs, ve.doc) match {
+                        case Right(nd) => acc = nd
+                        case Left(m)   => err = m
+                      }
+                    }
+                  }
+                }
+                if (err != null) Vector(JEntry(JNull, Vector(err)))
+                else Vector(JEntry.ok(acc))
+            }
+          }
         case Some(segs) =>
           val fv = compile(valueAst)
           if (!update) {

@@ -1134,6 +1134,17 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
       "ERROR: truncate_stream depth must be a non-negative number, got -1")
   }
 
+  test("dynamic-path assignment: `p = e` / `p |= f` over navigation filters") {
+    check("(.[] | select(. > 1)) |= . * 10", "[1,2,3]", "[1,20,30]")
+    check(".xs.[] |= . + 1", """{"xs":[1,2]}""", """{"xs":[2,3]}""")
+    check(".[] = 7", "[1,2]", "[7,7]")
+    check("(.[] | select(. == 9)) |= 0", "[1,2]", "[1,2]") // no locations: unchanged
+    // `=` evaluates the RHS against the ROOT, not per location
+    check("(.[] | select(. > 0)) = length", "[5,6]", "[2,2]")
+    check("(.a + 1) = 2", "{}",
+      "ERROR: invalid path expression (Bin does not denote document locations)")
+  }
+
   test("pick(f): minimal document keeping only f's locations (jq 1.8)") {
     check("pick(.a.b)", """{"a":{"b":1,"c":2},"d":3}""", """{"a":{"b":1}}""")
     check("pick(.xs.[1])", """{"xs":[1,2,3]}""", """{"xs":[null,2]}""") // jq pads arrays
