@@ -68,6 +68,7 @@ final class JqParser(text: String) {
   import JqParser._
 
   private var pos = 0
+  private var opAssignSites = 0 // fresh binder names for `op=` desugaring
 
   private def fail(msg: String): Nothing = throw JqParseException(msg, pos)
 
@@ -379,6 +380,23 @@ final class JqParser(text: String) {
       if (peekIs("|=")) {
         expect("|=")
         lhs = Assign(lhs, parseJuxt(), update = true)
+      } else if (peekIs("+=") || peekIs("-=") || peekIs("*=") || peekIs("//=") ||
+                 peekIs("/=") || peekIs("%=")) {
+        // EXTENSION (jq update-assignment): `p op= e` desugars to
+        // `e as $v | p |= . op $v` — the RHS is evaluated against the
+        // ROOT input (jq: {"a":1,"b":2} | .a += .b → {"a":3,...}), then
+        // each denoted location updates through the bound value. The
+        // binder name is compiler-reserved (fresh per site).
+        val upd: Ast => Ast =
+          if (eat("+=")) v => Bin(BinOp.Add, Identity, v)
+          else if (eat("-=")) v => Bin(BinOp.Sub, Identity, v)
+          else if (eat("*=")) v => Bin(BinOp.Mul, Identity, v)
+          else if (eat("//=")) v => Alt(Identity, v)
+          else if (eat("/=")) v => Bin(BinOp.Div, Identity, v)
+          else { expect("%="); v => Bin(BinOp.Rem, Identity, v) }
+        val vName = s"__opassign_$opAssignSites"
+        opAssignSites += 1
+        lhs = BindAs(parseJuxt(), vName, Assign(lhs, upd(Var(vName)), update = true))
       } else if (peekIs("//")) {
         expect("//")
         lhs = Alt(lhs, parseJuxt())
@@ -485,7 +503,8 @@ final class JqParser(text: String) {
     var done = false
     while (!done) {
       skipWs()
-      if (eat("+")) l = Bin(BinOp.Add, l, parseMul())
+      if (peekIs("+=") || peekIs("-=")) done = true // update-assignment, parseStage's
+      else if (eat("+")) l = Bin(BinOp.Add, l, parseMul())
       else if (eat("-")) l = Bin(BinOp.Sub, l, parseMul())
       else done = true
     }
@@ -497,8 +516,9 @@ final class JqParser(text: String) {
     var done = false
     while (!done) {
       skipWs()
-      if (eat("*")) l = Bin(BinOp.Mul, l, parsePrimary())
-      else if (peekIs("//")) done = true // `a // b` is the alternative op, not division
+      if (peekIs("*=") || peekIs("/=") || peekIs("%=")) done = true // update-assignment
+      else if (eat("*")) l = Bin(BinOp.Mul, l, parsePrimary())
+      else if (peekIs("//")) done = true // `a // b` / `a //= b`, not division
       else if (eat("/")) l = Bin(BinOp.Div, l, parsePrimary())
       else if (eat("%")) l = Bin(BinOp.Rem, l, parsePrimary())
       else done = true

@@ -1134,6 +1134,25 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
       "ERROR: truncate_stream depth must be a non-negative number, got -1")
   }
 
+  test("update-assignment operators: += -= *= /= %= //= (RHS against the root)") {
+    check(".a += 1", """{"a":1}""", """{"a":2}""")
+    check(".a += .b", """{"a":1,"b":2}""", """{"a":3,"b":2}""") // .b of the ROOT
+    check(".[0] += length", "[1,2]", "[3,2]")
+    check(".a -= 2", """{"a":5}""", """{"a":3}""")
+    check(".a *= 3", """{"a":4}""", """{"a":12}""")
+    check(".a /= 2", """{"a":6}""", """{"a":3e0}""") // int/int division → Float
+    check(".a %= 3", """{"a":7}""", """{"a":1}""")
+    check(".a //= 9", """{"a":null}""", """{"a":9}""")
+    check(".a //= 9", """{"a":5}""", """{"a":5}""")
+    // dynamic paths compose with op=
+    check("(.[] | select(. > 1)) += 10", "[1,2,3]", "[1,12,13]")
+    // plain arithmetic still parses next to the new tokens
+    check(".a + 1", """{"a":5}""", "6")
+    check(".a - 1", """{"a":5}""", "4")
+    check(".a / 5", """{"a":10}""", "2e0")
+    check(".a % 3", """{"a":10}""", "1")
+  }
+
   test("dynamic-path assignment: `p = e` / `p |= f` over navigation filters") {
     check("(.[] | select(. > 1)) |= . * 10", "[1,2,3]", "[1,20,30]")
     check(".xs.[] |= . + 1", """{"xs":[1,2]}""", """{"xs":[2,3]}""")
