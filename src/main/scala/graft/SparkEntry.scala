@@ -493,6 +493,22 @@ object SparkEntry {
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
     }),
 
+    // the SQL surface end-to-end: the same jq_*/json_* expressions a
+    // cluster gets from --conf spark.sql.extensions=graft.GraftExtensions,
+    // driven from plain SQL text (no DataFrame code)
+    "jq_sql_api" -> ((s, dir) => {
+      Jq.register(s)
+      table(s, dir, "events").createOrReplaceTempView("sqlapi_events")
+      s.sql("""
+        SELECT event_id,
+               jq_long('.k', props) AS k,
+               jq_string('{k2: (.k * 2)} | tojson', props) AS doubled,
+               json_length(props) AS n_props,
+               json_cmp(props, props) AS self_cmp,
+               json_canonical(props) AS canon
+        FROM sqlapi_events""")
+    }),
+
     // lead/lag/ntile/percent_rank over one deterministic-order window
     // spec — a single exchange serves all four
     "rel_window_misc" -> ((s, dir) => {
@@ -1774,6 +1790,15 @@ object SparkEntry {
              2::BIGINT AS set_all,
              event_type || '-x' AS tagged
       FROM (SELECT event_id, user_id % 50 AS x0, event_type FROM events) t""",
+
+    "jq_sql_api" -> """
+      SELECT event_id, k,
+             '{"k2":' || (k * 2) || '}' AS doubled,
+             1::BIGINT AS n_props,
+             0::INT AS self_cmp,
+             '{"k":' || k || '}' AS canon
+      FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events) t""",
 
     "jq_path_mode" -> """
       WITH t AS (SELECT event_id, event_id % 100 AS c, user_id % 50 AS x0,

@@ -1781,22 +1781,24 @@ object Interp {
         }
 
       case "del" =>
-        // EXTENSION (jq del(f)): delete the locations f denotes. Static
-        // .key/.index chains resolve at compile time; anything else goes
-        // through the path-mode evaluator and deletes in DESCENDING path
-        // order (delpaths' rule — earlier array deletions never shift the
+        // EXTENSION (jq del(f) — and del(p1, p2, ...) since this dialect
+        // separates call args with ','): delete the locations the
+        // argument filters denote. A single static .key/.index chain
+        // resolves at compile time; anything else goes through the
+        // path-mode evaluator and deletes in DESCENDING path order
+        // (delpaths' rule — earlier array deletions never shift the
         // indices of later ones)
-        if (args.length != 1) return wrongArity
-        flattenPath(args.head) match {
+        if (args.isEmpty) return wrongArity
+        (if (args.length == 1) flattenPath(args.head) else None) match {
           case Some(segs) =>
             (doc, env) => JOps.removePath(doc, segs) match {
               case Right(out) => Vector(JEntry.ok(out))
               case Left(msg)  => Vector(JEntry(JNull, Vector(msg)))
             }
           case None =>
-            val pf = compilePath(args.head)
+            val pfs = args.map(compilePath)
             (doc, env) => {
-              val results = pf(doc, Vector.empty, env)
+              val results = pfs.toVector.flatMap(pf => pf(doc, Vector.empty, env))
               results.collectFirst { case Left(m) => m } match {
                 case Some(m) => Vector(JEntry(JNull, Vector(m)))
                 case None =>

@@ -1192,6 +1192,9 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("del(.[] | select(. == 2))", "[1,2,3,2]", "[1,3]")
     check("del(.a.[] | select(. > 1))", """{"a":[1,2,3],"b":0}""", """{"a":[1],"b":0}""")
     check("del(..)", "{}", "ERROR: del: cannot delete the root document")
+    // multi-path delete (jq spells it del(.a, .b) too)
+    check("del(.a, .c)", """{"a":1,"b":2,"c":3}""", """{"b":2}""")
+    check("del(.[0], .[2])", "[9,8,7,6]", "[8,6]")
   }
 
   test("property: path(..) x getpath round-trips; pick(..) is identity (random docs)") {
