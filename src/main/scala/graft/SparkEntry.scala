@@ -1098,6 +1098,14 @@ object SparkEntry {
       operators.Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
 
+    // k-NN majority-vote classification (labels from the corpus, exact
+    // cosine neighbors, deterministic tie-breaks)
+    "sim_knn_classify" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      operators.Similarity.knnClassify(
+        emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20), k = 5)
+    }),
+
     // approximate top-k with a HARD oracle (sketch_stats pattern): per
     // query, the ANN hit count against the exact top-5 is emitted as a
     // recall-ok boolean the driver hash-checks. Deterministic planes +
@@ -2000,6 +2008,26 @@ object SparkEntry {
         FROM embeddings q CROSS JOIN embeddings e
         WHERE q.vec_id < 10) t
       WHERE rnk <= 5""",
+
+    "sim_knn_classify" -> """
+      WITH nn AS (
+        SELECT qid, vec_id FROM (
+          SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                            e.vec_id) AS rnk
+          FROM embeddings q CROSS JOIN embeddings e
+          WHERE q.vec_id < 20 AND e.vec_id >= 20) t
+        WHERE rnk <= 5),
+      votes AS (
+        SELECT nn.qid, e.label, count(*) AS votes
+        FROM nn JOIN embeddings e ON nn.vec_id = e.vec_id
+        GROUP BY 1, 2)
+      SELECT qid, label AS predicted, votes FROM (
+        SELECT qid, label, votes,
+               row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS rk
+        FROM votes) v
+      WHERE rk = 1""",
 
     // --- text analysis ---------------------------------------------------
     "text_langid" -> """

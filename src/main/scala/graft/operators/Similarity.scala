@@ -48,6 +48,24 @@ object Similarity {
       .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("vec_id"))
   }
 
+  /** k-NN majority-vote classification over a labeled corpus: predict
+    * each query's label from its k nearest neighbors (exact cosine).
+    * Ties break deterministically (most votes, then smallest label) so
+    * the prediction is engine/partitioning-stable. Inherits cosineTopK's
+    * scale shape: queries broadcast, corpus never self-joined; the vote
+    * is a tiny (qid, label) aggregate bounded by |queries|·k rows. */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+                  labelCol: String = "label"): DataFrame = {
+    val nn = cosineTopK(corpus, queries, k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("votes").desc, col(labelCol).asc)
+    nn.join(corpus.select(col("vec_id"), col(labelCol)), "vec_id")
+      .groupBy(col("qid"), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("qid"), col(labelCol).as("predicted"), col("votes"))
+  }
+
   /** All corpus pairs with cosine ≥ threshold — EXACT, expressed as a
     * block-partitioned equi-join (a distributed dense GEMM tiling, not a
     * nested-loop broadcast).
