@@ -629,6 +629,38 @@ object Interp {
         else Vector(Left(s"cannot index $off into ${other.typeName}"))
     }
 
+  /** Capture-group INDEX → literal `(?<name>...)` name; scans the pattern
+    * text (Java exposes no name-by-index API), so only literal named
+    * groups surface — same rule as capture()/match(). */
+  private def regexGroupNames(re: String): Vector[Option[String]] = {
+    val out = Vector.newBuilder[Option[String]]
+    var i = 0
+    while (i < re.length) {
+      val c = re.charAt(i)
+      if (c == '\\') i += 2
+      else if (c == '[') { // character class: groups inside don't count
+        i += 1
+        if (i < re.length && re.charAt(i) == ']') i += 1
+        while (i < re.length && re.charAt(i) != ']') {
+          if (re.charAt(i) == '\\') i += 1
+          i += 1
+        }
+        i += 1
+      } else if (c == '(') {
+        if (i + 1 < re.length && re.charAt(i + 1) == '?') {
+          if (i + 3 < re.length && re.charAt(i + 2) == '<' &&
+              re.charAt(i + 3) != '=' && re.charAt(i + 3) != '!') {
+            val end = re.indexOf('>', i + 3)
+            if (end < 0) return out.result() // malformed; Pattern.compile will error
+            out += Some(re.substring(i + 3, end))
+            i = end + 1
+          } else i += 2 // (?: (?= (?! (?<= (?<! — non-capturing
+        } else { out += None; i += 1 }
+      } else i += 1
+    }
+    out.result()
+  }
+
   // ----------------------------------------- RFC 4648 base32 (@base32)
 
   private val Base32Alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
@@ -1173,36 +1205,9 @@ object Interp {
             Vector(s"match takes 1 or 2 args, got ${args.length}")))
         val fre2 = compiledArgs.head
         val fflags = if (args.length > 1) Some(compiledArgs(1)) else None
-        // capture-group INDEX → literal (?<name>...) name; scans the
-        // pattern text (Java exposes no name-by-index API)
-        def groupNames(re: String): Vector[Option[String]] = {
-          val out = Vector.newBuilder[Option[String]]
-          var i = 0
-          while (i < re.length) {
-            val c = re.charAt(i)
-            if (c == '\\') i += 2
-            else if (c == '[') { // character class: groups inside don't count
-              i += 1
-              if (i < re.length && re.charAt(i) == ']') i += 1
-              while (i < re.length && re.charAt(i) != ']') {
-                if (re.charAt(i) == '\\') i += 1
-                i += 1
-              }
-              i += 1
-            } else if (c == '(') {
-              if (i + 1 < re.length && re.charAt(i + 1) == '?') {
-                if (i + 3 < re.length && re.charAt(i + 2) == '<' &&
-                    re.charAt(i + 3) != '=' && re.charAt(i + 3) != '!') {
-                  val end = re.indexOf('>', i + 3)
-                  if (end < 0) return out.result() // malformed; Pattern.compile will error
-                  out += Some(re.substring(i + 3, end))
-                  i = end + 1
-                } else i += 2 // (?: (?= (?! (?<= (?<! — non-capturing
-              } else { out += None; i += 1 }
-            } else i += 1
-          }
-          out.result()
-        }
+        // capture-group INDEX → literal (?<name>...) name (object-level
+        // helper, shared with sub/gsub)
+        def groupNames(re: String): Vector[Option[String]] = regexGroupNames(re)
         def matchObj(s: String, m: java.util.regex.Matcher, names: Vector[Option[String]]): JDoc = {
           val caps = (1 to m.groupCount()).toVector.map { gi =>
             val nm: JDoc = names.lift(gi - 1).flatten.map(JStr(_): JDoc).getOrElse(JNull)
@@ -2030,58 +2035,103 @@ object Interp {
         }
 
       case "sub" | "gsub" =>
-        // EXTENSION (jq sub/gsub — ','-separated args): regex replace,
-        // first match / all matches. The replacement is a LITERAL string
-        // (Matcher.quoteReplacement — no capture interpolation, no Java
-        // `$1` surprises); a literal pattern resolves once at plan time
-        // like test().
-        if (args.length != 2)
-          return (_, _) => Vector(JEntry(JNull, Vector(s"$name takes 2 args, got ${args.length}")))
+        // EXTENSION (jq sub/gsub — ','-separated args, optional third
+        // flags arg like test/splits): regex replace, first match / all
+        // matches. The replacement is a jq FILTER evaluated per match
+        // against the CAPTURE OBJECT ({name: captured-or-null} for the
+        // pattern's literal (?<name>...) groups), jq's rule — so
+        // gsub("(?<h>\\d+)", "[\(.h)]") interpolates captures. FIRST
+        // replacement output per match (the map convention; jq fans out
+        // every combination — pinned simplification). A literal pattern
+        // resolves once at plan time like test().
+        if (args.length < 2 || args.length > 3)
+          return (_, _) => Vector(JEntry(JNull, Vector(s"$name takes 2-3 args, got ${args.length}")))
         val global = name == "gsub"
-        val preCompiled: Option[Either[String, java.util.regex.Pattern]] = args.head match {
-          case Lit(JStr(re)) =>
-            try Some(Right(java.util.regex.Pattern.compile(re)))
-            catch {
-              case e: java.util.regex.PatternSyntaxException =>
-                Some(Left(s"invalid regex: ${e.getDescription}"))
-            }
-          case _ => None
-        }
+        val preCompiled: Option[Either[String, (java.util.regex.Pattern, Vector[Option[String]])]] =
+          (args.head, args.lift(2)) match {
+            case (Lit(JStr(re)), None) =>
+              try Some(Right((java.util.regex.Pattern.compile(re), regexGroupNames(re))))
+              catch {
+                case e: java.util.regex.PatternSyntaxException =>
+                  Some(Left(s"invalid regex: ${e.getDescription}"))
+              }
+            case _ => None
+          }
         val fre = compiledArgs(0)
         val frep = compiledArgs(1)
+        val fflags3 = compiledArgs.lift(2)
         (doc, env) => doc match {
           case JStr(s) =>
-            val patE: Either[String, java.util.regex.Pattern] = preCompiled match {
-              case Some(x) => x
-              case None => firstOut(fre, doc, env) match {
-                case Left(m)                       => Left(m)
-                case Right(e) if e.errors.nonEmpty => Left(e.errors.mkString("; "))
-                case Right(e) => e.doc match {
-                  case JStr(r) =>
-                    try Right(java.util.regex.Pattern.compile(r))
-                    catch {
-                      case ex: java.util.regex.PatternSyntaxException =>
-                        Left(s"invalid regex: ${ex.getDescription}")
-                    }
-                  case other => Left(s"$name pattern must be a string, got ${other.typeName}")
+            val patE: Either[String, (java.util.regex.Pattern, Vector[Option[String]])] =
+              preCompiled match {
+                case Some(x) => x
+                case None => firstOut(fre, doc, env) match {
+                  case Left(m)                       => Left(m)
+                  case Right(e) if e.errors.nonEmpty => Left(e.errors.mkString("; "))
+                  case Right(e) => e.doc match {
+                    case JStr(r) =>
+                      val flagsE: Either[String, Int] = fflags3 match {
+                        case None => Right(0)
+                        case Some(ff) => firstOut(ff, doc, env) match {
+                          case Left(m)                        => Left(m)
+                          case Right(fe) if fe.errors.nonEmpty => Left(fe.errors.mkString("; "))
+                          case Right(fe) => fe.doc match {
+                            case JStr(flags) =>
+                              var jf = 0
+                              if (flags.contains('i')) jf |= java.util.regex.Pattern.CASE_INSENSITIVE
+                              if (flags.contains('x')) jf |= java.util.regex.Pattern.COMMENTS
+                              Right(jf)
+                            case other => Left(s"$name flags must be a string, got ${other.typeName}")
+                          }
+                        }
+                      }
+                      flagsE.flatMap { jf =>
+                        try Right((java.util.regex.Pattern.compile(r, jf), regexGroupNames(r)))
+                        catch {
+                          case ex: java.util.regex.PatternSyntaxException =>
+                            Left(s"invalid regex: ${ex.getDescription}")
+                        }
+                      }
+                    case other => Left(s"$name pattern must be a string, got ${other.typeName}")
+                  }
                 }
               }
-            }
             patE match {
               case Left(m) => Vector(JEntry(JNull, Vector(m)))
-              case Right(p) => firstOut(frep, doc, env) match {
-                case Left(m)                       => Vector(JEntry(JNull, Vector(m)))
-                case Right(e) if e.errors.nonEmpty => Vector(JEntry(JNull, e.errors))
-                case Right(e) => e.doc match {
-                  case JStr(rep) =>
-                    val quoted = java.util.regex.Matcher.quoteReplacement(rep)
-                    val matcher = p.matcher(s)
-                    Vector(JEntry.ok(JStr(
-                      if (global) matcher.replaceAll(quoted) else matcher.replaceFirst(quoted))))
-                  case other =>
-                    Vector(JEntry(JNull, Vector(s"$name replacement must be a string, got ${other.typeName}")))
+              case Right((p, names)) =>
+                val m = p.matcher(s)
+                val sb = new java.lang.StringBuilder
+                var last = 0
+                var search = 0
+                var stop = false
+                var err: String = null
+                while (!stop && err == null && search <= s.length && m.find(search)) {
+                  val capObj = JObj.fromProps(
+                    names.zipWithIndex.collect { case (Some(nm), idx) =>
+                      nm -> (if (m.group(idx + 1) == null) JNull: JDoc else JStr(m.group(idx + 1)))
+                    }.toList)
+                  frep(capObj, env).headOption match {
+                    case None => err = s"$name replacement produced no output"
+                    case Some(re2) if re2.errors.nonEmpty => err = re2.errors.head
+                    case Some(re2) => re2.doc match {
+                      case JStr(rep) =>
+                        sb.append(s, last, m.start()).append(rep)
+                        last = m.end()
+                        if (m.end() == m.start()) {
+                          // zero-width match: carry one char, step forward
+                          if (m.start() < s.length) { sb.append(s.charAt(m.start())); last = m.start() + 1 }
+                          search = m.end() + 1
+                        } else search = m.end()
+                        if (!global) stop = true
+                      case other => err = s"$name replacement must be a string, got ${other.typeName}"
+                    }
+                  }
                 }
-              }
+                if (err != null) Vector(JEntry(JNull, Vector(err)))
+                else {
+                  sb.append(s, last, s.length)
+                  Vector(JEntry.ok(JStr(sb.toString)))
+                }
             }
           case other => Vector(JEntry(JNull, Vector(s"cannot $name over ${other.typeName}")))
         }

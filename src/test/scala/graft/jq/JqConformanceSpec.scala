@@ -1134,6 +1134,17 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
       "ERROR: truncate_stream depth must be a non-negative number, got -1")
   }
 
+  test("sub/gsub: replacement filter runs against the capture object (jq's rule)") {
+    check("""gsub("(?<h>\\d+)", "[\(.h)]")""", "\"a1b22c\"", "\"a[1]b[22]c\"")
+    check("""sub("(?<h>\\d+)", "[\(.h)]")""", "\"a1b22c\"", "\"a[1]b22c\"")
+    check("""gsub("(?<x>a)(?<y>b)?", .x + (.y // "-"))""", "\"ab ac\"", "\"ab a-c\"")
+    check("""gsub("x", "y")""", "\"axbx\"", "\"ayby\"") // literal replacement unchanged
+    check("""gsub("", "-")""", "\"ab\"", "\"-a-b-\"") // zero-width: perl/jq splice
+    check("""gsub("a", "b", "i")""", "\"AxA\"", "\"bxb\"") // 3-arity flags
+    check("""gsub("\\d", 5)""", "\"a1\"",
+      "ERROR: gsub replacement must be a string, got Integer")
+  }
+
   test("update-assignment operators: += -= *= /= %= //= (RHS against the root)") {
     check(".a += 1", """{"a":1}""", """{"a":2}""")
     check(".a += .b", """{"a":1,"b":2}""", """{"a":3,"b":2}""") // .b of the ROOT
