@@ -1062,6 +1062,24 @@ object SparkEntry {
           Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // deterministic train/val/test split assignment — zero shuffles,
+    // retry-stable, incremental-refresh-safe (existing rows never move)
+    "pipeline_splits" -> ((s, dir) =>
+      operators.Curation.assignSplits(table(s, dir, "documents"),
+          col("doc_id"), Seq(("train", 0.9), ("val", 0.95)), last = "test")
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"))),
+
+    // sequential context-window packing: per-source running-total fill,
+    // one exchange on the partition column (never a global order)
+    "pipeline_pack" -> ((s, dir) =>
+      operators.Curation.packSequential(table(s, dir, "documents"),
+          col("source"), col("doc_id"),
+          operators.TextAnalysis.tokenCount(col("text")), binTokens = 512)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(operators.TextAnalysis.tokenCount(col("text"))).as("n_tokens"))),
+
     // domain mixing by exact per-source quota: deterministic draw ranks
     // within each source, one shuffle on the stratum
     "pipeline_mix" -> ((s, dir) =>
@@ -1611,6 +1629,30 @@ object SparkEntry {
       SELECT doc_id, lang, source FROM documents
       WHERE (((doc_id % 1000003) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0
             < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END""",
+
+    "pipeline_splits" -> """
+      WITH t AS (
+        SELECT lang,
+               CASE WHEN u < 0.9 THEN 'train'
+                    WHEN u < 0.95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT lang,
+                     (((doc_id % 1000003) * 2654435761) % 4294967296)::DOUBLE
+                       / 4294967296.0 AS u
+              FROM documents) d)
+      SELECT lang, split, count(*) AS n FROM t GROUP BY 1, 2""",
+
+    "pipeline_pack" -> """
+      WITH t AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS tok,
+               sum(len(string_split(text, ' ')))
+                 OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents)
+      SELECT source, CAST(floor((cum - tok) / 512.0) AS BIGINT) AS bin,
+             count(*) AS n_docs, sum(tok)::BIGINT AS n_tokens
+      FROM t GROUP BY 1, 2""",
 
     "pipeline_mix" -> """
       SELECT doc_id, source FROM (

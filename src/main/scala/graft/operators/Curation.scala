@@ -84,6 +84,46 @@ object Curation {
                        rates: Map[String, Double], default: Double = 0.0): DataFrame =
     df.filter(lcgUniform(key) < rateOf(stratum, rates, default))
 
+  /** Deterministic train/val/test assignment: thresholds over the same
+    * pure-function-of-key draw as [[stratifiedSample]], so every row gets
+    * exactly one split, membership survives retries/repartitioning, and
+    * adding rows never reshuffles existing assignments (the property that
+    * makes incremental corpus refreshes safe). Zero shuffles.
+    * `cuts` are cumulative upper bounds, e.g. Seq(("train", 0.9),
+    * ("val", 0.95)) with the remainder going to `last`. */
+  def assignSplits(df: DataFrame, key: Column,
+                   cuts: Seq[(String, Double)], last: String): DataFrame = {
+    require(cuts.nonEmpty && cuts.map(_._2) == cuts.map(_._2).sorted,
+      s"cuts must be ascending cumulative bounds, got $cuts")
+    val u = lcgUniform(key)
+    val expr = cuts.foldRight(lit(last): Column) { case ((name, bound), acc) =>
+      when(u < lit(bound), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Sequential context-window packing: assign each document a bin id so
+    * consecutive documents (in `order` within `part`) fill bins of
+    * ~`binTokens` tokens — the running-total fill a sequence-packing
+    * pipeline does before concatenation. bin = floor((cumsum - tokens) /
+    * binTokens): a doc starts a new bin when the budget would overflow ON
+    * AVERAGE (cheap streaming-friendly fill, not exact first-fit — a doc
+    * longer than the remainder spills into the next bin; exact first-fit
+    * is inherently sequential and does not distribute).
+    *
+    * One exchange on `part`: packing parallelizes across partitions
+    * (source/shard), never globally — a global order would serialize
+    * 100 TB through one task. */
+  def packSequential(df: DataFrame, part: Column, order: Column,
+                     tokenCount: Column, binTokens: Long): DataFrame = {
+    require(binTokens > 0, s"binTokens must be positive, got $binTokens")
+    val w = Window.partitionBy(part).orderBy(order.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(tokenCount).over(w))
+      .withColumn("bin", ((col("__cum") - tokenCount) / lit(binTokens)).cast("long"))
+      .drop("__cum")
+  }
+
   /** Domain mixing by exact per-source quota: the `quota(stratum)`
     * rows with the smallest deterministic draw win, ties broken by key.
     * One shuffle (partition by stratum) + in-partition TOP-quota.

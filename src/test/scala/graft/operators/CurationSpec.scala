@@ -101,6 +101,42 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("assignSplits: exactly one split per row, deterministic, sums preserved") {
+    val out = Curation.assignSplits(docs, col("doc_id"),
+      Seq(("train", 0.9), ("val", 0.95)), last = "test")
+    assert(out.count() == docs.count())
+    val bySplit = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit.values.sum == docs.count())
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("val", 0L))
+    val again = Curation.assignSplits(docs.repartition(9), col("doc_id"),
+        Seq(("train", 0.9), ("val", 0.95)), last = "test")
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == again)
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(docs, col("doc_id"), Seq(("a", 0.9), ("b", 0.5)), "c")
+    }
+  }
+
+  test("packSequential: bins fill in order, restart per partition") {
+    val toks = TextAnalysis.tokenCount(col("text"))
+    val out = Curation.packSequential(docs, col("source"), col("doc_id"), toks, binTokens = 512)
+      .select(col("source"), col("doc_id"), toks.as("tok"), col("bin"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._2)
+      var cum = 0L
+      ordered.foreach { case (_, _, tok, bin) =>
+        assert(bin == (cum / 512), s"bin must be floor(preceding-tokens / 512)")
+        cum += tok
+      }
+      assert(ordered.head._4 == 0L, "first doc of each partition starts bin 0")
+    }
+  }
+
   test("lcgUniform/hashUniform land in [0,1) and are key-deterministic") {
     val u = docs.select(
       Curation.lcgUniform(col("doc_id")).as("u1"),
