@@ -1043,6 +1043,34 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // CAPSTONE 2 — corpus PREPARATION: decontaminate (vs the eval split)
+    // → stratified sample by language → train/val/test assignment →
+    // per-source context-window packing → per-split corpus accounting.
+    // Every stage is one of the curation operators; the whole chain has
+    // two data-bounded exchanges (decontam hits, final agg) plus the
+    // per-source packing window — nothing corpus-sized shuffles twice.
+    // Splits draw from a SHIFTED key so sampling and splitting are
+    // independent decisions.
+    "pipeline_prepare" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(37)) === 0)
+      val train0 = docs.filter(pmod(col("doc_id"), lit(37)) =!= 0)
+      val flagged = operators.Curation.contaminationHits(
+        train0, bench, "doc_id", col("text"), n = 3, minOverlap = 2)
+      val clean = train0.join(flagged.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      val sampled = operators.Curation.stratifiedSample(
+        clean, col("lang"), col("doc_id"), Map("en" -> 0.5, "de" -> 0.25), 0.1)
+      val split = operators.Curation.assignSplits(
+        sampled, col("doc_id") + lit(777), Seq(("train", 0.9), ("val", 0.95)), "test")
+      val packed = operators.Curation.packSequential(
+        split, col("source"), col("doc_id"),
+        operators.TextAnalysis.tokenCount(col("text")), binTokens = 512)
+      packed.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(operators.TextAnalysis.tokenCount(col("text"))).as("n_tokens"),
+          count_distinct(concat(col("source"), lit("#"), col("bin"))).as("n_bins"))
+    }),
+
     // benchmark decontamination: train docs sharing >= 2 distinct 3-gram
     // shingles with the (broadcast) eval split — the eval side never
     // forces a shuffle of the corpus shingles
@@ -1612,6 +1640,44 @@ object SparkEntry {
       SELECT k.doc_id FROM kept k
       JOIN (SELECT src, min(dst) AS rep FROM reach GROUP BY src) c
         ON k.doc_id = c.src AND k.doc_id = c.rep""",
+
+    "pipeline_prepare" -> """
+      WITH sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(s) >= 3
+          THEN [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]
+          ELSE [] END) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+      tr AS (SELECT doc_id, unnest(shingles) AS sgram FROM sh WHERE doc_id % 37 <> 0),
+      ev AS (SELECT DISTINCT unnest(shingles) AS sgram FROM sh WHERE doc_id % 37 = 0),
+      flagged AS (
+        SELECT tr.doc_id FROM tr JOIN ev USING (sgram)
+        GROUP BY tr.doc_id HAVING count(DISTINCT tr.sgram) >= 2),
+      sampled AS (
+        SELECT d.* FROM documents d
+        WHERE d.doc_id % 37 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+          AND (((d.doc_id % 1000003) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0
+              < CASE d.lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END),
+      split AS (
+        SELECT *, CASE WHEN u2 < 0.9 THEN 'train'
+                       WHEN u2 < 0.95 THEN 'val'
+                       ELSE 'test' END AS split
+        FROM (SELECT *,
+                ((((doc_id + 777) % 1000003) * 2654435761) % 4294967296)::DOUBLE
+                  / 4294967296.0 AS u2
+              FROM sampled) s0),
+      packed AS (
+        SELECT split, source, tok,
+               CAST(floor((cum - tok) / 512.0) AS BIGINT) AS bin
+        FROM (SELECT split, source,
+                     len(string_split(text, ' ')) AS tok,
+                     sum(len(string_split(text, ' ')))
+                       OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+              FROM split) p)
+      SELECT split, count(*) AS n_docs, sum(tok)::BIGINT AS n_tokens,
+             count(DISTINCT source || '#' || bin) AS n_bins
+      FROM packed GROUP BY 1""",
 
     "pipeline_decontam" -> """
       WITH sh AS (
