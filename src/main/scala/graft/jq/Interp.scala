@@ -1561,12 +1561,31 @@ object Interp {
         }
 
       case "debug" =>
-        // EXTENSION (jq debug): identity passthrough. jq writes
-        // ["DEBUG:", .] to stderr; per-row stderr from executors is
-        // noise, not observability — the passthrough keeps programs
-        // using debug for tracing runnable unchanged.
+        // EXTENSION (jq debug / debug(msg)): identity passthrough. jq
+        // writes ["DEBUG:", .] (or the msg outputs) to stderr; per-row
+        // stderr from executors is noise, not observability — the
+        // passthrough keeps programs using debug for tracing runnable
+        // unchanged. debug(msg) still EVALUATES msg so its errors
+        // surface (a typo'd trace shouldn't vanish silently).
+        if (args.length > 1) return wrongArity
+        if (args.isEmpty) (doc, _) => Vector(JEntry.ok(doc))
+        else {
+          val fm = compiledArgs.head
+          (doc, env) => {
+            val msgErrs = fm(doc, env).filter(_.errors.nonEmpty)
+            if (msgErrs.nonEmpty) Vector(JEntry(JNull, msgErrs.head.errors))
+            else Vector(JEntry.ok(doc))
+          }
+        }
+
+      case "toarray" =>
+        // EXTENSION (jq 1.8 toarray): arrays pass through, everything
+        // else wraps in a singleton array
         if (args.nonEmpty) return wrongArity
-        (doc, _) => Vector(JEntry.ok(doc))
+        overInput {
+          case a: JArr => Right(a)
+          case other   => Right(JArr(Vector(other)))
+        }
 
       case "empty" =>
         // EXTENSION (jq empty): the empty stream

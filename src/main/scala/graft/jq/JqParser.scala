@@ -45,7 +45,7 @@ object JqParser {
     "arrays", "objects", "booleans", "numbers", "strings", "nulls",
     "values", "iterables", "scalars", "utf8bytelength", "combinations",
     "exp", "exp2", "exp10", "log", "log2", "log10", "fabs", "trunc",
-    "recurse")
+    "recurse", "toarray")
   private[jq] val allBuiltins =
     bareBuiltins ++ Set("has", "in", "map", "any", "all", "join", "del",
       "select", "test", "range", "startswith", "endswith", "ltrimstr",

@@ -1119,6 +1119,14 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("nth(0 - 1, .[])", "[5,6]", "ERROR: nth: index must not be negative")
   }
 
+  test("toarray and debug(msg)") {
+    check("toarray", "[1,2]", "[1,2]")
+    check("toarray", "5", "[5]")
+    check("toarray", "null", "[null]")
+    check("debug(\"tracing\")", "7", "7") // msg evaluated, output unchanged
+    check("debug(.a.b)", "7", "ERROR: cannot index a into Integer") // msg errors surface
+  }
+
   test("2-arity any/all, add(f), truncate_stream") {
     check("any(.[], . == 2)", "[1,2,3]", "true")
     check("any(.[], . == 9)", "[1,2,3]", "false")
