@@ -598,6 +598,25 @@ object Interp {
       }
     case Call("empty", Nil) =>
       (_, _, _) => Vector.empty
+    case Call("recurse", Nil) => // bare recurse IS `..`
+      compilePath(Recurse)
+    case Call("getpath", List(arg)) =>
+      // getpath(p) is a location: extend the current path by p's segments
+      // (evaluated in VALUE mode against the current value)
+      val fa = compile(arg)
+      (cur, path, env) => fa(cur, env).map {
+        case e if e.errors.nonEmpty => Left(e.errors.head)
+        case e => e.doc match {
+          case JArr(segs) if segs.forall(s => s.isInstanceOf[JStr] || s.isInstanceOf[JLong]) =>
+            val segList = segs.map {
+              case JStr(k)  => Left(k): JOps.PathSeg
+              case JLong(n) => Right(n): JOps.PathSeg
+              case _        => Left("") // unreachable by the guard
+            }.toList
+            Right((path ++ segs, JOps.getPath(cur, segList).getOrElse(JNull)))
+          case other => Left(s"getpath requires an array of strings/numbers, got ${JsonText.canonical(other)}")
+        }
+      }
     case other =>
       (_, _, _) => Vector(Left(s"invalid path expression (${other.getClass.getSimpleName} does not denote document locations)"))
   }

@@ -1106,6 +1106,9 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("path(if .a > 0 then .b else .c end)", """{"a":1}""", """["b"]""")
     check("path(if .a > 0 then .b else .c end)", """{"a":-1}""", """["c"]""")
     assert(outs("path(.x?)", "5") == Seq.empty) // opt suppresses the type error
+    assert(outs("[path(recurse)]", """{"a":1}""") == outs("[path(..)]", """{"a":1}"""))
+    check("""path(.a | getpath(["b","c"]))""", """{"a":{"b":{"c":1}}}""", """["a","b","c"]""")
+    check("""del(getpath(["a","b"]))""", """{"a":{"b":1,"c":2}}""", """{"a":{"c":2}}""")
     check("path(.x)", "5", "ERROR: cannot index x into Integer")
     check("path(.a + 1)", "{}",
       "ERROR: invalid path expression (Bin does not denote document locations)")
@@ -1117,6 +1120,26 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("nth(1, .[] | . * 2)", "[5,6,7]", "12")
     assert(outs("nth(9, .[])", "[5,6]") == Seq.empty) // too few outputs: EMPTY (pinned deviation)
     check("nth(0 - 1, .[])", "[5,6]", "ERROR: nth: index must not be negative")
+  }
+
+  test("round-5 feature interactions (pins)") {
+    // mismatched add is NULL in this dialect (reference json.rs rule), so
+    // op= inherits it — no error for try to catch
+    check("""try (.a += "x") catch .""", """{"a":1}""", """{"a":null}""")
+    // a genuinely erroring update DOES reach the handler
+    check("""try (.a |= .b.c) catch .""", """{"a":1}""",
+      "\"cannot index b into Integer\"")
+    // binder values flow into dynamic-path updates
+    check("""5 as $v | .xs.[] |= . + $v""", """{"xs":[1,2]}""", """{"xs":[6,7]}""")
+    // pick output is a normal document for further updates
+    check("pick(.a) | .a += 1", """{"a":1,"b":2}""", """{"a":2}""")
+    // path() through a user def is NOT supported (pinned limitation —
+    // the path-mode compiler sees only navigation syntax)
+    check("def nav: .a; path(nav)", """{"a":1}""",
+      "ERROR: invalid path expression (Call does not denote document locations)")
+    // with_entries composes with the capture-object gsub
+    check("""with_entries(.key |= gsub("(?<c>[aeiou])", "<\(.c)>"))""",
+      """{"abc":1}""", """{"<a>bc":1}""")
   }
 
   test("toarray and debug(msg)") {
