@@ -238,6 +238,23 @@ object SparkEntry {
           col("m.mn"), col("m.uniq_n"), col("m.rev0"), col("m.joined"),
           col("m.fl"), col("m.ab"), col("m.has4"))),
 
+    // errors-as-data through the ORACLE GATE: deterministically corrupt
+    // every 13th document (truncate the closing byte) and show the
+    // malformation arrives as a per-row error value — rows keep flowing,
+    // no task ever fails (the reference's Entry.op.errors contract,
+    // src/entry.rs:31; at 100 TB corrupt inputs are a certainty)
+    "jq_errors_as_data" -> ((s, dir) => {
+      val corrupted = when(pmod(col("event_id"), lit(13)) === 0,
+        expr("substring(props, 1, length(props) - 1)")).otherwise(col("props"))
+      table(s, dir, "events").select(
+        col("event_id"),
+        Jq.query(".k", corrupted).as("entries"))
+        .select(
+          col("event_id"),
+          size(col("entries")).cast("long").as("n_entries"),
+          (size(element_at(col("entries"), 1).getField("errors")) > 0).as("errored"))
+    }),
+
     // EXTENSION: round-5 builtin batch — type filters (select-shaped),
     // utf8bytelength, combinations, with_entries, and the math family
     // (only EXACT cases are oracled: integer powers, Math.log10's 10^n
@@ -1454,6 +1471,10 @@ object SparkEntry {
              k AS ab,
              contains(CAST(k AS VARCHAR), '4') AS has4
       FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
+
+    "jq_errors_as_data" -> """
+      SELECT event_id, 1::BIGINT AS n_entries, (event_id % 13 = 0) AS errored
+      FROM events""",
 
     "jq_misc_builtins" -> """
       SELECT event_id,
