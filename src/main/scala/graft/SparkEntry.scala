@@ -1107,6 +1107,14 @@ object SparkEntry {
           Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // deterministic training-order shuffle: sharded pseudo-random
+    // permutation (one exchange on the shard, parallel windows — never a
+    // global row_number)
+    "pipeline_shuffle" -> ((s, dir) =>
+      operators.Curation.shuffleOrder(table(s, dir, "documents"),
+          col("doc_id"), shards = 16)
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
     // deterministic train/val/test split assignment — zero shuffles,
     // retry-stable, incremental-refresh-safe (existing rows never move)
     "pipeline_splits" -> ((s, dir) =>
@@ -1716,6 +1724,14 @@ object SparkEntry {
       SELECT doc_id, lang, source FROM documents
       WHERE (((doc_id % 1000003) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0
             < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END""",
+
+    "pipeline_shuffle" -> """
+      WITH t AS (SELECT doc_id,
+                        ((doc_id % 1000003) * 2654435761) % 4294967296 AS d
+                 FROM documents)
+      SELECT doc_id, (d % 16)::INT AS shard,
+             row_number() OVER (PARTITION BY d % 16 ORDER BY d, doc_id) AS pos
+      FROM t""",
 
     "pipeline_splits" -> """
       WITH t AS (

@@ -124,6 +124,26 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Deterministic training-order shuffle: assign every row a (shard,
+    * pos) so that reading shards in order yields a pseudo-random
+    * permutation of the corpus. shard = draw mod `shards` spreads rows
+    * uniformly; pos ranks within the shard by (draw, key). One exchange
+    * on the shard id + `shards` parallel windows — a GLOBAL row_number
+    * would serialize 100 TB through one task, which is why the
+    * permutation is sharded (training readers consume shards
+    * independently anyway). Pure function of the key: the same corpus
+    * always shuffles the same way, across engines and retries. */
+  def shuffleOrder(df: DataFrame, key: Column, shards: Int = 256): DataFrame = {
+    require(shards >= 1, s"shards must be positive, got $shards")
+    val draw = pmod(pmod(key, lit(1000003L)) * lit(2654435761L), lit(4294967296L))
+    val w = Window.partitionBy(col("__shard")).orderBy(col("__draw").asc, key.asc)
+    df.withColumn("__draw", draw)
+      .withColumn("__shard", pmod(col("__draw"), lit(shards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("shard", col("__shard"))
+      .drop("__draw", "__shard")
+  }
+
   /** Domain mixing by exact per-source quota: the `quota(stratum)`
     * rows with the smallest deterministic draw win, ties broken by key.
     * One shuffle (partition by stratum) + in-partition TOP-quota.

@@ -137,6 +137,25 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("shuffleOrder: a true permutation, deterministic, shard-balanced") {
+    val out = Curation.shuffleOrder(docs, col("doc_id"), shards = 16)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == docs.count())
+    // (shard, pos) is a key: positions within a shard are 1..n gap-free
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // partitioning-invariant
+    val again = Curation.shuffleOrder(docs.repartition(7), col("doc_id"), shards = 16)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out.toSet == again)
+    // actually shuffled: shard-order differs from doc_id order
+    val firstShard = out.filter(_._2 == out.head._2).sortBy(_._3).map(_._1)
+    assert(firstShard.toSeq != firstShard.sorted.toSeq, "order should not be monotone in doc_id")
+  }
+
   test("lcgUniform/hashUniform land in [0,1) and are key-deterministic") {
     val u = docs.select(
       Curation.lcgUniform(col("doc_id")).as("u1"),
