@@ -50,7 +50,10 @@ object Bench {
         }
       name -> sec
     }
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the default-locale f-interpolator would emit "62,000" on
+    // comma-decimal locales and corrupt the JSON line.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).filter(_ >= 0).sum
     // Full per-query detail goes to a file: the harness that captures this
     // process keeps only the tail of stdout, and a 108-entry map is ~3.5 KB —

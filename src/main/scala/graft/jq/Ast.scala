@@ -73,6 +73,15 @@ object Ast {
   /** `a | b` — feed each output of a into b (reference: src/query.rs:224). */
   final case class Pipe(l: Ast, r: Ast) extends Ast
 
+  /** EXTENSION (jq `,`): the outputs of l followed by the outputs of r.
+    * Reachable only through the PARENTHESIZED form `(e1, e2, ...)` — a
+    * bare ',' separates call/constructor arguments in this dialect (the
+    * reference uses ',' where jq uses ';'), so the operator would be
+    * ambiguous anywhere else. In path mode both operands' location
+    * streams concatenate, which is what makes `(.a, .b) |= f` and
+    * `path(.a, .b)` work. */
+  final case class Comma(l: Ast, r: Ast) extends Ast
+
   /** Builtin call `name(args...)`; bare `length`/`chars`/`keys` parse as
     * zero-arg calls over `.` (reference: src/query.rs:226-242 and the
     * commented tests' intent). */

@@ -220,6 +220,17 @@ object Interp {
       val fr = compileE(r)
       (doc, env) => breakFlatMap(fl(doc, env))(fr(_, env))
 
+    case Comma(l, r) =>
+      // `(a, b)`: a's outputs then b's; a break mid-right keeps the
+      // already-emitted left outputs (same rule as breakFlatMap)
+      val fl = compile(l)
+      val fr = compile(r)
+      (doc, env) => {
+        val left = fl(doc, env)
+        try left ++ fr(doc, env)
+        catch { case b: BreakSignal => b.prependAndRethrow(left) }
+      }
+
     case Call(name, args) =>
       compileCall(name, args)
 
@@ -521,7 +532,8 @@ object Interp {
     * idents (through objects and null — a missing key denotes a location
     * with value null), `.[n]` (negative wraps against the actual array and
     * the path records the ABSOLUTE index, jq's rule), `.[]`, `..`, pipes,
-    * `?`, `select(g)`, `if/then/elif/else`, `empty`. Object iteration
+    * `(p1, p2)` comma streams, `?`, `select(g)`, `if/then/elif/else`,
+    * `empty`. Object iteration
     * follows canonical (key-sorted) order — same as value-mode `.[]`.
     * Slices and computations are not locations here: they compile to a
     * runtime "invalid path expression" error entry (jq errors likewise;
@@ -542,6 +554,12 @@ object Interp {
         case Right((pp, v)) => fr(v, pp, env)
         case left           => Vector(left)
       }
+    case Comma(l, r) =>
+      // `path(.a, .b)` / `(.a, .b) |= f`: both operands' (path, value)
+      // streams, left first — jq's comma in path mode (ADVICE r5).
+      val fl = compilePath(l)
+      val fr = compilePath(r)
+      (c, p, env) => fl(c, p, env) ++ fr(c, p, env)
     case IndexKey(k, opt) => pathKey(k, opt)
     case Ident(k, opt)    => pathKey(k, opt)
     case IndexNum(n, opt) => pathIdx(n, opt)
@@ -678,6 +696,28 @@ object Interp {
       } else i += 1
     }
     out.result()
+  }
+
+  /** jq regex-flags string → (java Pattern flags, global?). Supported:
+    * `g` (global — meaningful to sub/match; a no-op where the op is
+    * already global), `i` (case-insensitive), `x` (extended/comments).
+    * Any other letter is an ERROR entry, not a silent no-op — jq's other
+    * flags (n/s/l/m/p) change semantics we don't implement, and ignoring
+    * them would return wrong-looking answers quietly. */
+  private def regexFlags(name: String, flags: String): Either[String, (Int, Boolean)] = {
+    var jf = 0
+    var g  = false
+    var i  = 0
+    while (i < flags.length) {
+      flags.charAt(i) match {
+        case 'i' => jf |= java.util.regex.Pattern.CASE_INSENSITIVE
+        case 'x' => jf |= java.util.regex.Pattern.COMMENTS
+        case 'g' => g = true
+        case c   => return Left(s"$name: unsupported regex flag '$c' (supported: g, i, x)")
+      }
+      i += 1
+    }
+    Right((jf, g))
   }
 
   // ----------------------------------------- RFC 4648 base32 (@base32)
@@ -1246,10 +1286,11 @@ object Interp {
         }
         def runMatch(s: String, re: String, flags: String, env: Env): Vector[JEntry] =
           try {
-            var jf = 0
-            if (flags.contains('i')) jf |= java.util.regex.Pattern.CASE_INSENSITIVE
-            if (flags.contains('x')) jf |= java.util.regex.Pattern.COMMENTS
-            val global = name == "scan" || flags.contains('g')
+            val (jf, gflag) = regexFlags(name, flags) match {
+              case Left(m)  => return Vector(JEntry(JNull, Vector(m)))
+              case Right(x) => x
+            }
+            val global = name == "scan" || gflag
             val p = java.util.regex.Pattern.compile(re, jf)
             val names = groupNames(re)
             val m = p.matcher(s)
@@ -1762,15 +1803,15 @@ object Interp {
                 case Right(fe) if fe.errors.nonEmpty => Vector(JEntry(JNull, fe.errors))
                 case Right(fe) => fe.doc match {
                   case JStr(flags) =>
-                    try {
-                      var jf = 0
-                      if (flags.contains('i')) jf |= java.util.regex.Pattern.CASE_INSENSITIVE
-                      if (flags.contains('x')) jf |= java.util.regex.Pattern.COMMENTS
-                      Vector(JEntry.ok(JBool(
-                        java.util.regex.Pattern.compile(re, jf).matcher(s).find())))
-                    } catch {
-                      case e: java.util.regex.PatternSyntaxException =>
-                        Vector(JEntry(JNull, Vector(s"invalid regex: ${e.getDescription}")))
+                    regexFlags("test", flags) match {
+                      case Left(m) => Vector(JEntry(JNull, Vector(m)))
+                      case Right((jf, _)) => // 'g' is a no-op: test is a single find
+                        try Vector(JEntry.ok(JBool(
+                          java.util.regex.Pattern.compile(re, jf).matcher(s).find())))
+                        catch {
+                          case e: java.util.regex.PatternSyntaxException =>
+                            Vector(JEntry(JNull, Vector(s"invalid regex: ${e.getDescription}")))
+                        }
                     }
                   case other => Vector(JEntry(JNull,
                     Vector(s"test flags must be a string, got ${other.typeName}")))
@@ -1979,15 +2020,17 @@ object Interp {
         }
 
       case "path" =>
-        // EXTENSION (jq path(f)): the path arrays f denotes, via the
-        // path-mode compiler — the runtime companion of paths/getpath/
-        // setpath/delpaths
-        if (args.length != 1) return wrongArity
-        val pf = compilePath(args.head)
-        (doc, env) => pf(doc, Vector.empty, env).map {
+        // EXTENSION (jq path(f) — and path(p1, p2, ...) since this
+        // dialect separates call args with ',', like del): the path
+        // arrays the argument filters denote, via the path-mode
+        // compiler — the runtime companion of paths/getpath/setpath/
+        // delpaths
+        if (args.isEmpty) return wrongArity
+        val pfs = args.map(compilePath)
+        (doc, env) => pfs.toVector.flatMap(pf => pf(doc, Vector.empty, env).map {
           case Right((p, _)) => JEntry.ok(JArr(p))
           case Left(m)       => JEntry(JNull, Vector(m))
-        }
+        })
 
       case "paths" if args.length == 1 =>
         // EXTENSION (jq paths(f)): pre-order subpaths (root excluded)
@@ -2084,7 +2127,9 @@ object Interp {
         // resolves once at plan time like test().
         if (args.length < 2 || args.length > 3)
           return (_, _) => Vector(JEntry(JNull, Vector(s"$name takes 2-3 args, got ${args.length}")))
-        val global = name == "gsub"
+        // gsub is always global; sub("…"; rep; "g") ALSO goes global — jq's
+        // rule, and consistent with match/scan honoring 'g' (ADVICE r5).
+        val baseGlobal = name == "gsub"
         val preCompiled: Option[Either[String, (java.util.regex.Pattern, Vector[Option[String]])]] =
           (args.head, args.lift(2)) match {
             case (Lit(JStr(re)), None) =>
@@ -2100,31 +2145,28 @@ object Interp {
         val fflags3 = compiledArgs.lift(2)
         (doc, env) => doc match {
           case JStr(s) =>
-            val patE: Either[String, (java.util.regex.Pattern, Vector[Option[String]])] =
+            val patE: Either[String, (java.util.regex.Pattern, Vector[Option[String]], Boolean)] =
               preCompiled match {
-                case Some(x) => x
+                case Some(x) => x.map { case (p, names) => (p, names, baseGlobal) }
                 case None => firstOut(fre, doc, env) match {
                   case Left(m)                       => Left(m)
                   case Right(e) if e.errors.nonEmpty => Left(e.errors.mkString("; "))
                   case Right(e) => e.doc match {
                     case JStr(r) =>
-                      val flagsE: Either[String, Int] = fflags3 match {
-                        case None => Right(0)
+                      val flagsE: Either[String, (Int, Boolean)] = fflags3 match {
+                        case None => Right((0, false))
                         case Some(ff) => firstOut(ff, doc, env) match {
                           case Left(m)                        => Left(m)
                           case Right(fe) if fe.errors.nonEmpty => Left(fe.errors.mkString("; "))
                           case Right(fe) => fe.doc match {
-                            case JStr(flags) =>
-                              var jf = 0
-                              if (flags.contains('i')) jf |= java.util.regex.Pattern.CASE_INSENSITIVE
-                              if (flags.contains('x')) jf |= java.util.regex.Pattern.COMMENTS
-                              Right(jf)
+                            case JStr(flags) => regexFlags(name, flags)
                             case other => Left(s"$name flags must be a string, got ${other.typeName}")
                           }
                         }
                       }
-                      flagsE.flatMap { jf =>
-                        try Right((java.util.regex.Pattern.compile(r, jf), regexGroupNames(r)))
+                      flagsE.flatMap { case (jf, gflag) =>
+                        try Right((java.util.regex.Pattern.compile(r, jf), regexGroupNames(r),
+                          baseGlobal || gflag))
                         catch {
                           case ex: java.util.regex.PatternSyntaxException =>
                             Left(s"invalid regex: ${ex.getDescription}")
@@ -2136,7 +2178,7 @@ object Interp {
               }
             patE match {
               case Left(m) => Vector(JEntry(JNull, Vector(m)))
-              case Right((p, names)) =>
+              case Right((p, names, global)) =>
                 val m = p.matcher(s)
                 val sb = new java.lang.StringBuilder
                 var last = 0
@@ -2197,10 +2239,8 @@ object Interp {
                     case Right(fe) if fe.errors.nonEmpty => Left(fe.errors)
                     case Right(fe) => fe.doc match {
                       case JStr(flags) =>
-                        var jf = 0
-                        if (flags.contains('i')) jf |= java.util.regex.Pattern.CASE_INSENSITIVE
-                        if (flags.contains('x')) jf |= java.util.regex.Pattern.COMMENTS
-                        Right(jf)
+                        // 'g' is a no-op: splitting is inherently global
+                        regexFlags("splits", flags).left.map(Vector(_)).map(_._1)
                       case other => Left(Vector(s"splits flags must be a string, got ${other.typeName}"))
                     }
                   }

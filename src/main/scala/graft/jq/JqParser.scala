@@ -533,7 +533,16 @@ final class JqParser(text: String) {
     if (pos >= text.length) fail("unexpected end of query")
     val c = text.charAt(pos)
     if (c == '.') parseDotForm()
-    else if (c == '(') { expect("("); val e = parseExpr(); expect(")"); e }
+    else if (c == '(') {
+      // `(e)` — or `(e1, e2, ...)`: jq's comma operator, which this
+      // dialect admits ONLY inside parens (bare ',' separates call args)
+      expect("(")
+      var e = parseExpr()
+      skipWs()
+      while (eat(",")) { e = Comma(e, parseExpr()); skipWs() }
+      expect(")")
+      if (eatOpt()) OptMark(e) else e // `(...)?` suppresses the whole group
+    }
     else if (c == '[') parseListForm()
     else if (c == '{') parseDictForm()
     else if (c == '"') {

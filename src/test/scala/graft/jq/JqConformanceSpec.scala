@@ -676,6 +676,40 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("round", "7", "7")
   }
 
+  test("regex flags: 'g' honored by sub, unknown letters are errors (ADVICE r5)") {
+    // sub(...; "g") IS gsub — jq's rule, consistent with match/scan
+    check("""sub("o", "0", "g")""", "\"fooboo\"", "\"f00b00\"")
+    check("""sub("O", "0", "gi")""", "\"fooboo\"", "\"f00b00\"")
+    check("""sub("o", "0", "i")""", "\"fooboo\"", "\"f0oboo\"") // no g → first only
+    check("""gsub("o", "0", "g")""", "\"foo\"", "\"f00\"")      // g on gsub: no-op
+    // unsupported flag letters error instead of silently no-op'ing
+    check("""sub("o", "0", "m")""", "\"foo\"",
+      "ERROR: sub: unsupported regex flag 'm' (supported: g, i, x)")
+    check("""test("a", "q")""", "\"abc\"",
+      "ERROR: test: unsupported regex flag 'q' (supported: g, i, x)")
+    check("""[splits("o", "s")]""", "\"foo\"",
+      "ERROR: splits: unsupported regex flag 's' (supported: g, i, x)")
+    check("""[match("o", "p")]""", "\"foo\"",
+      "ERROR: match: unsupported regex flag 'p' (supported: g, i, x)")
+    check("""test("A", "ix")""", "\"abc\"", "true") // multi-letter still fine
+  }
+
+  test("parenthesized comma operator: value mode and path mode (ADVICE r5)") {
+    check("(1, 2)", "null", "1", "2")
+    check("(.a, .b)", """{"a":1,"b":2}""", "1", "2")
+    check("(.a, .b, .c)", """{"a":1,"b":2,"c":3}""", "1", "2", "3")
+    check("[(.[], 99)]", "[1,2]", "[1,2,99]")
+    // path mode: both operands' location streams, left first
+    check("[path(.a, .b)]", """{"a":1}""", """[["a"],["b"]]""")
+    check("""[path((.a, .b.c))]""", "{}", """[["a"],["b","c"]]""")
+    // multi-location assignment folds left-to-right over the accumulator
+    check("(.a, .b) = 5", """{"a":1,"b":2,"c":3}""", """{"a":5,"b":5,"c":3}""")
+    check("(.a, .b) |= . + 1", """{"a":1,"b":2}""", """{"a":2,"b":3}""")
+    check("(.a, .a) |= . + 1", """{"a":0}""", """{"a":2}""") // sequential, jq's rule
+    // `?` applies to the whole parenthesized stream
+    check("[(.a, .b)?]", "3", "[]")
+  }
+
   test("@format strings: csv/tsv/base64/uri/html/text/json (EXTENSION)") {
     check("""[1, "a,b", null, true] | @csv""", "null", "\"1,\\\"a,b\\\",,true\"")
     check("""["x\ty", 2] | @tsv""", "null", "\"x\\\\ty\\t2\"")
