@@ -1141,6 +1141,63 @@ object SparkEntry {
           Map("src0" -> 15, "src1" -> 10), default = 5)
         .select(col("doc_id"), col("source"))),
 
+    // blocklist decontamination with a Bloom prefilter: bloom-negative
+    // rows pass inside the scan's codegen stage (zero exchanges for the
+    // bulk of the corpus); only the bloom-positive sliver pays the exact
+    // anti-join — output is EXACTLY the anti-join, deterministically
+    "pipeline_bloom" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val block = docs.filter(pmod(col("doc_id"), lit(41)) === 0)
+      operators.Curation.bloomDecontaminate(docs, block, col("text"), col("text"),
+          expectedItems = 1000L, fpp = 0.03)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // exact duplicated-substring runs (Lee et al. 2022 shape): k-gram
+    // hash anchoring + gaps-and-islands run merge + byte-equality
+    // confirm — the distributed stand-in for the paper's suffix array
+    "dedup_substring" -> ((s, dir) =>
+      operators.Dedup.duplicateRuns(table(s, dir, "documents"),
+        "doc_id", col("text"), k = 40, minRunLen = 80)),
+
+    // char-trigram LM self-scoring (CCNet-style quality prior): model and
+    // scores in fixed-point micro-nats, every aggregate exact BIGINT
+    "text_ppl" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val model = operators.TextAnalysis.ngramModel(docs, col("text"), n = 3)
+      operators.TextAnalysis.ngramLogProb(docs, "doc_id", col("text"), model, n = 3)
+    }),
+
+    // link-graph authority prior: fixed-point PageRank over the
+    // supplier→part incidence graph, 3 synchronous iterations, one
+    // shuffle per iteration (contributions aggregate on dst)
+    "graph_pagerank" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val edges = li.select(col("l_suppkey").as("src"),
+        (col("l_partkey") + lit(1000000L)).as("dst")).distinct()
+      operators.Graph.pageRank(edges, iterations = 3)
+        .orderBy(col("rank").desc, col("node").asc).limit(20)
+    }),
+
+    // z-order layout: Morton-code bucketing of (partkey, suppkey) — each
+    // z-bucket covers a narrow rectangle in BOTH keys (the min/max spans
+    // below are what min-max file stats would prune on after zorderBy).
+    // Keys quantize proportionally into the 16-bit z domain (broadcast
+    // one-row max — the "range-rank first" rule from Layout.zValue2)
+    "rel_zorder" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val mx = li.agg(max(col("l_partkey")).as("mp"), max(col("l_suppkey")).as("ms"))
+      val q = li.crossJoin(broadcast(mx))
+        .withColumn("x", expr("(l_partkey * 65536) DIV (mp + 1)"))
+        .withColumn("y", expr("(l_suppkey * 65536) DIV (ms + 1)"))
+      val z = operators.Layout.zValue2(col("x"), col("y"))
+      q.select(shiftright(z, 26).as("zbucket"), col("l_partkey"), col("l_suppkey"))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+    }),
+
     "dedup_ngram_pairs" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
@@ -1764,6 +1821,91 @@ object SparkEntry {
                  ORDER BY ((doc_id % 1000003) * 2654435761) % 4294967296, doc_id) AS rk
         FROM documents) t
       WHERE rk <= CASE source WHEN 'src0' THEN 15 WHEN 'src1' THEN 10 ELSE 5 END""",
+
+    // the bloom prefilter is exact-confirmed, so the oracle is the plain
+    // anti-join the operator provably equals
+    "pipeline_bloom" -> """
+      SELECT d.doc_id, d.lang, d.source FROM documents d
+      WHERE NOT EXISTS (
+        SELECT 1 FROM documents b WHERE b.doc_id % 41 = 0 AND b.text = d.text)""",
+
+    "dedup_substring" -> """
+      WITH pos AS (
+        SELECT doc_id AS d,
+               unnest(generate_series(1, len(text) - 40 + 1))::BIGINT AS p, text
+        FROM documents WHERE len(text) >= 40),
+      g AS (SELECT d, p, substr(text, p, 40) AS gr FROM pos),
+      pairs AS (
+        SELECT a.d AS d1, b.d AS d2, a.p AS p1, b.p AS p2, a.p - b.p AS diff
+        FROM g a JOIN g b ON a.gr = b.gr AND a.d < b.d),
+      isl AS (
+        SELECT d1, d2, diff, p1,
+               p1 - row_number() OVER (PARTITION BY d1, d2, diff ORDER BY p1) AS i
+        FROM pairs),
+      runs AS (
+        SELECT d1, d2, diff, min(p1) AS s1, max(p1) AS e1
+        FROM isl GROUP BY d1, d2, diff, i)
+      SELECT d1, d2, s1 AS start1, s1 - diff AS start2,
+             CAST(e1 - s1 + 40 AS BIGINT) AS run_len
+      FROM runs WHERE e1 - s1 + 40 >= 80""",
+
+    "text_ppl" -> """
+      WITH tri AS (
+        SELECT doc_id, substr(text, i, 3) AS g
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, len(text) - 2))::BIGINT AS i
+              FROM documents WHERE len(text) >= 3)),
+      counts AS (SELECT g, count(*) AS c FROM tri GROUP BY g),
+      pre AS (SELECT substr(g, 1, 2) AS pre, sum(c) AS cp FROM counts GROUP BY 1),
+      model AS (
+        SELECT g, CAST(round(ln(c::DOUBLE / cp::DOUBLE) * 1000000.0) AS BIGINT) AS lp
+        FROM counts JOIN pre ON substr(g, 1, 2) = pre.pre)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(lp) AS BIGINT) AS logp_sum_micro
+      FROM tri JOIN model USING (g)
+      GROUP BY doc_id""",
+
+    // fixed-point PageRank, 3 unrolled synchronous iterations — integer
+    // arithmetic end-to-end so the recursion is engine-exact
+    "graph_pagerank" -> """
+      WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst FROM lineitem),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+      c1 AS (SELECT dst, sum(rank // deg) AS s
+             FROM e JOIN r0 ON e.src = r0.node JOIN deg USING (src) GROUP BY dst),
+      r1 AS (SELECT node, 150000 + (coalesce(s, 0) * 850) // 1000 AS rank
+             FROM nodes LEFT JOIN c1 ON node = c1.dst),
+      c2 AS (SELECT dst, sum(rank // deg) AS s
+             FROM e JOIN r1 ON e.src = r1.node JOIN deg USING (src) GROUP BY dst),
+      r2 AS (SELECT node, 150000 + (coalesce(s, 0) * 850) // 1000 AS rank
+             FROM nodes LEFT JOIN c2 ON node = c2.dst),
+      c3 AS (SELECT dst, sum(rank // deg) AS s
+             FROM e JOIN r2 ON e.src = r2.node JOIN deg USING (src) GROUP BY dst),
+      r3 AS (SELECT node, 150000 + (coalesce(s, 0) * 850) // 1000 AS rank
+             FROM nodes LEFT JOIN c3 ON node = c3.dst)
+      SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+      ORDER BY rank DESC, node LIMIT 20""",
+
+    // Morton-code bucket stats: identical mask-doubling bit spread
+    "rel_zorder" -> """
+      WITH mx AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem),
+      q AS (SELECT l_partkey, l_suppkey,
+                   (l_partkey * 65536) // (mp + 1) AS x,
+                   (l_suppkey * 65536) // (ms + 1) AS y
+            FROM lineitem, mx),
+      a AS (SELECT *, (x | (x << 8)) & 16711935 AS x1,
+                      (y | (y << 8)) & 16711935 AS y1 FROM q),
+      b AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+                      (y1 | (y1 << 4)) & 252645135 AS y2 FROM a),
+      c AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+                      (y2 | (y2 << 2)) & 858993459 AS y3 FROM b),
+      d AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
+                      (y3 | (y3 << 1)) & 1431655765 AS y4 FROM c)
+      SELECT (x4 | (y4 << 1)) >> 26 AS zbucket, count(*) AS n,
+             min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+             min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+      FROM d GROUP BY 1""",
 
     "rel_agg_variance" -> """
       WITH m AS (

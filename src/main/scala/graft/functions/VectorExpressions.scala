@@ -351,3 +351,57 @@ case class RollingFingerprint(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
     copy(child = newChild)
 }
+
+/** All character k-gram xxhash64s of a string, by CODEPOINT positions —
+  * out(i) = xxhash64(utf8 bytes of chars [i, i+k)), seed 42 (Spark's
+  * xxhash64() seed). The kernel behind Dedup.duplicateRuns: the array
+  * index IS the gram's start position, so `posexplode` yields
+  * (pos, hash) pairs without materializing the gram strings — 8 bytes
+  * per position instead of k. Shorter-than-k inputs yield an empty
+  * array. */
+case class CharGramHashes(child: Expression, k: Int)
+    extends UnaryExpression with NativeUnaryCodegen {
+  require(k >= 1, "gram width must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_hashes"
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numChars()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      val g = s.substring(i, i + k)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes(), 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
+    copy(child = newChild)
+}
+
+/** All character k-grams of a string as STRINGS (codepoint positions,
+  * order preserved, duplicates kept) — the tokenizer of the character
+  * n-gram language model (TextAnalysis.ngramLogProb). Same positions as
+  * [[CharGramHashes]]; used where the gram text itself is the join/group
+  * key (tiny k: the shuffle carries k chars, and partial aggregation
+  * collapses to the distinct-gram count before any exchange). */
+case class CharGrams(child: Expression, k: Int)
+    extends UnaryExpression with NativeUnaryCodegen {
+  require(k >= 1, "gram width must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_grams"
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numChars()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) { out(i) = s.substring(i, i + k); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): CharGrams =
+    copy(child = newChild)
+}

@@ -48,6 +48,49 @@ object Curation {
       .filter(col("n_hits") >= minOverlap)
   }
 
+  /** Blocklist decontamination with a Bloom-filter prefilter: rows of
+    * `corpus` whose `key` does NOT appear in `blocklist.blockKey` —
+    * exactly an anti-join, computed without ever shuffling the corpus.
+    *
+    * Shape at 100 TB: the blocklist (eval benchmarks, opt-outs, known-bad
+    * URLs) is millions of keys; the corpus is the 100 TB side. A plain
+    * anti-join shuffles both sides on the key. Here the blocklist folds
+    * into a driver-built Bloom filter (`fpp` sized; ~1.2 MB per million
+    * keys at 1%) that ships once per executor: bloom-negative rows pass
+    * WITH PROOF (no false negatives) in the same WholeStageCodegen pass
+    * as the scan — zero exchanges — and only the bloom-positive sliver
+    * (true hits + fpp of the corpus) pays an exact anti-join to drop
+    * false positives. Output is therefore EXACTLY the anti-join result,
+    * deterministically, while the shuffled volume drops from 100 TB to
+    * roughly fpp × corpus.
+    *
+    * The confirm join broadcasts the blocklist keys when they fit
+    * (Catalyst decides by size); a genuinely huge blocklist falls back
+    * to a shuffle whose left side is already prefiltered. */
+  def bloomDecontaminate(corpus: DataFrame, blocklist: DataFrame,
+                         key: Column, blockKey: Column,
+                         expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"need expectedItems>0, 0<fpp<1; got $expectedItems, $fpp")
+    val keyed = blocklist.select(blockKey.cast("string").as("__bk")).na.drop()
+    val bf = keyed.stat.bloomFilter(col("__bk"), expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    // resolve the key against the corpus ONCE (corpus and blocklist often
+    // share lineage — a raw `key` in the join condition would be ambiguous)
+    val ckd = corpus.withColumn("__ck", key.cast("string"))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hit = coalesce(ColumnBridge.column(graft.functions.BloomMightContain(
+      ColumnBridge.expression(col("__ck")), bytes)), lit(false))
+    val proven = ckd.filter(!hit) // bloom-negative: provably clean
+    val candidates = ckd.filter(hit)
+      .join(keyed, col("__ck") === col("__bk"), "left_anti") // drop false positives
+    proven.unionByName(candidates).drop("__ck")
+  }
+
   // ------------------------------------------------- deterministic selectors
 
   /** Uniform-looking value in [0,1) from a 64-bit key — production

@@ -320,6 +320,64 @@ object Dedup {
     labels
   }
 
+  // ------------------------------------------------------------ substring runs
+
+  /** Exact duplicated-substring detection (the "dedup training data by
+    * repeated substrings" operator, after Lee et al. 2022's observation
+    * that verbatim cross-document repeats of ~50+ characters are the
+    * memorization hazard): every maximal run of ≥ `minRunLen` characters
+    * shared VERBATIM between two documents, as
+    * (d1, d2, start1, start2, run_len) with 1-based starts and d1 < d2.
+    *
+    * Shape: the suffix-array of the original paper is inherently
+    * sequential; the distributed equivalent is k-gram anchoring —
+    *   1. one narrow kernel pass emits xxhash64 of every k-char gram
+    *      (the array INDEX is the position: 8 bytes/position shuffled,
+    *      never the gram text);
+    *   2. self-join on the gram hash finds all aligned position pairs;
+    *   3. consecutive positions at the same alignment (p1 - p2) merge
+    *      into maximal runs with one gaps-and-islands window;
+    *   4. runs re-join the two documents and confirm the substrings are
+    *      BYTE-EQUAL — so a hash collision can only ever DROP a run
+    *      (never emit a false one), and only when it lands inside an
+    *      otherwise-true run (p ≈ positions²/2⁶⁴).
+    * Cost is O(positions + matched pairs), not O(n²) over documents: a
+    * gram hash is shared only by true repeats (k ≥ ~30 makes chance
+    * textual collisions vanish). The skew risk is boilerplate grams
+    * shared by MANY documents (licence headers) — the same B² blow-up as
+    * LSH mega-buckets; run exact whole-doc dedup first and pick k above
+    * the boilerplate length. */
+  def duplicateRuns(docs: DataFrame, id: String, text: Column,
+                    k: Int, minRunLen: Int): DataFrame = {
+    require(k >= 1 && minRunLen >= k, s"need k>=1, minRunLen>=k; got k=$k minRunLen=$minRunLen")
+    val grams = docs.select(col(id).as("d"),
+        posexplode(ColumnBridge.column(
+          graft.functions.CharGramHashes(ColumnBridge.expression(text), k))))
+      .select(col("d"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
+    val pairs = grams.as("a").join(grams.as("b"),
+        col("a.h") === col("b.h") && col("a.d") < col("b.d"))
+      .select(col("a.d").as("d1"), col("b.d").as("d2"),
+        col("a.p").as("p1"), col("b.p").as("p2"))
+      .withColumn("diff", col("p1") - col("p2"))
+    val w = Window.partitionBy(col("d1"), col("d2"), col("diff")).orderBy(col("p1"))
+    val runs = pairs
+      .withColumn("isl", col("p1") - row_number().over(w))
+      .groupBy(col("d1"), col("d2"), col("diff"), col("isl"))
+      .agg(min(col("p1")).as("s1"), max(col("p1")).as("e1"))
+      .withColumn("run_len", col("e1") - col("s1") + lit(k.toLong))
+      .filter(col("run_len") >= minRunLen)
+      .select(col("d1"), col("d2"), col("s1").as("start1"),
+        (col("s1") - col("diff")).as("start2"), col("run_len"))
+    // byte-equality confirm: collision-proof the emitted runs (runs are
+    // few, so these joins carry the run list — never the gram stream)
+    val t1 = docs.select(col(id).as("d1"), text.as("t1"))
+    val t2 = docs.select(col(id).as("d2"), text.as("t2"))
+    runs.join(t1, "d1").join(t2, "d2")
+      .filter(col("t1").substr(col("start1"), col("run_len")) ===
+              col("t2").substr(col("start2"), col("run_len")))
+      .select(col("d1"), col("d2"), col("start1"), col("start2"), col("run_len"))
+  }
+
   // ------------------------------------------------------------ n-gram pairs
 
   /** Exact n-gram jaccard for an explicit pair list (deterministic

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators for corpus curation — link-graph authority scores are
+  * the classic document-quality prior (rank a crawl's pages/domains by
+  * the hyperlink graph before sampling training data from it).
+  *
+  * All ranks are FIXED-POINT integers (micro-units), never doubles: a
+  * float PageRank depends on the summation order of the contribution
+  * aggregate, which Spark does not promise across partitionings — the
+  * integer formulation makes every iteration a pure function of the edge
+  * list, bit-identical across engines, retries and cluster sizes.
+  */
+object Graph {
+
+  /** PageRank by synchronous power iteration, fixed-point arithmetic.
+    *
+    * `edges` is (src, dst); ranks start at `scale` micro-units per node
+    * and iterate
+    *   rank'(v) = (1-d)·scale + d · Σ_{u→v} rank(u) DIV outdeg(u)
+    * with d = dampNum/dampDen evaluated as BIGINT (·dampNum, DIV dampDen)
+    * and DIV truncating integer division. Nodes = src ∪ dst; dangling
+    * mass (nodes with no out-edges) is dropped rather than redistributed
+    * — the standard simplification when ranks are used as a relative
+    * quality prior (absolute normalization cancels in ranking).
+    *
+    * Scale shape: each iteration is ONE shuffle — contributions aggregate
+    * on dst (partial-agg'd map-side) and join back to the node list; the
+    * rank vector is (node, BIGINT), 16 bytes a node, never the edge list.
+    * Iterations are a fixed small count (authority scores converge
+    * geometrically; curation wants the ordering, not 1e-12 residuals).
+    * The edge list re-reads from its (pruned, columnar) scan each round
+    * rather than holding a 100 TB cache; persist `edges` explicitly if
+    * the source is expensive. */
+  def pageRank(edges: DataFrame, iterations: Int,
+               scale: Long = 1000000L, dampNum: Long = 850L,
+               dampDen: Long = 1000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(scale > 0 && dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      s"need scale>0 and 0 <= dampNum/dampDen <= 1; got $scale, $dampNum/$dampDen")
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val base = lit(scale * (dampDen - dampNum) / dampDen)
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks, e("src") === ranks("node"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("rank DIV deg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+      ranks = nodes
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"),
+          (base + expr(s"coalesce(s, 0L) * $dampNum DIV $dampDen")).as("rank"))
+    }
+    ranks
+  }
+
+  /** In/out degree per node — the cheap centrality for cut-offs. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}

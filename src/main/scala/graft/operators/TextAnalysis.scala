@@ -137,4 +137,57 @@ object TextAnalysis {
   def stats(text: Column): Column =
     ColumnBridge.column(graft.functions.TextStats(
       ColumnBridge.expression(text), StopwordsEn.toSet))
+
+  /** All character n-grams of `text` (codepoint positions, duplicates
+    * kept) — native one-pass kernel. */
+  def charGrams(text: Column, n: Int): Column =
+    ColumnBridge.column(graft.functions.CharGrams(ColumnBridge.expression(text), n))
+
+  import org.apache.spark.sql.DataFrame
+
+  /** Character n-gram language-model fit: the (gram, logp_micro) table of
+    * a maximum-likelihood char n-gram model trained on `corpus` —
+    * P(cₙ | c₁..cₙ₋₁) = count(gram) / count(grams sharing its (n-1)-char
+    * prefix), i.e. normalized over OBSERVED continuations (no smoothing;
+    * scoring is in-vocabulary by construction when the scored corpus is
+    * the training corpus, the CCNet-style self-scoring setup).
+    *
+    * log-probs are FIXED-POINT micro-nats (round(ln(p)·10⁶) as BIGINT):
+    * every downstream aggregate is exact integer arithmetic — the
+    * summation order Spark can't promise for doubles never shows, so
+    * scores reproduce bit-for-bit across engines, partitionings and
+    * retries. The only floating step is one ln per DISTINCT gram, a
+    * deterministic scalar of the two counts.
+    *
+    * Scale shape: gram counting is partial-agg'd (map-side combine folds
+    * each partition to its distinct grams before the exchange — the
+    * shuffle carries vocabulary, not corpus); the prefix normalizer is a
+    * second tiny aggregate over the vocabulary itself. The model table is
+    * vocabulary-sized (≤ alphabet^n rows), made for broadcast. */
+  def ngramModel(corpus: DataFrame, text: Column, n: Int = 3): DataFrame = {
+    require(n >= 2, s"conditional n-gram model needs n>=2, got $n")
+    val counts = corpus.select(explode(charGrams(text, n)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val prefix = counts.groupBy(col("g").substr(1, n - 1).as("pre"))
+      .agg(sum(col("c")).as("cp"))
+    counts.join(prefix, col("g").substr(1, n - 1) === col("pre"))
+      .select(col("g"),
+        round(log(col("c").cast("double") / col("cp").cast("double")) * 1e6)
+          .cast("long").as("logp_micro"))
+  }
+
+  /** Score documents under an [[ngramModel]]: per doc, the number of
+    * n-gram positions and the total log-probability in micro-nats
+    * (exact BIGINT sum — divide client-side for per-token perplexity).
+    * The model broadcasts (vocabulary-sized); the corpus explodes its
+    * grams and never shuffles more than (id, two BIGINTs) after the
+    * per-doc aggregate. Grams absent from the model (scoring a corpus
+    * the model never saw) are dropped from both numerator and count —
+    * surface them via `n_grams` differences if coverage matters. */
+  def ngramLogProb(docs: DataFrame, id: String, text: Column,
+                   model: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col(id), explode(charGrams(text, n)).as("g"))
+      .join(broadcast(model), "g")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"), sum(col("logp_micro")).as("logp_sum_micro"))
 }

@@ -36,6 +36,14 @@ class KernelCodegenSpec extends SparkTestBase {
       val pq = emb.select(col2(PqEncode(vec, books)).as("code"), col2(PqLut(vec, books)).as("lut"))
         .select(col2(PqAdc(expr2(col("code")), expr2(col("lut")), 4)).as("adc"))
       assert(pq.count() > 0)
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.03)
+      bf.putString("something")
+      val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+      val g = docs.select(
+        col2(CharGramHashes(expr2(col("text")), 20)).as("gh"),
+        col2(CharGrams(expr2(col("text")), 3)).as("gs"),
+        col2(BloomMightContain(expr2(col("text")), bytes)).as("bm"))
+      assert(g.where(size(col("gh")) > 0 && size(col("gs")) > 0).count() > 0)
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 

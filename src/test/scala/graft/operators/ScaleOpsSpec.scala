@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Behavior specs for the round-6 scale operators: Bloom decontamination,
+  * duplicated-substring runs, char n-gram LM scoring, fixed-point
+  * PageRank, z-order layout. */
+class ScaleOpsSpec extends SparkTestBase {
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  // ------------------------------------------------------ bloom decontam
+
+  test("bloomDecontaminate equals the exact anti-join, at any fpp") {
+    val corpus = docs
+    val block = corpus.filter(pmod(col("doc_id"), lit(41)) === 0)
+    val exact = corpus.join(block.select(col("text").as("__bt")),
+        corpus("text") === col("__bt"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    for (fpp <- Seq(0.5, 0.03)) { // 0.5: false positives guaranteed to occur
+      val got = Curation.bloomDecontaminate(corpus, block, col("text"), col("text"),
+          expectedItems = 100L, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == exact, s"fpp=$fpp must not change the output, only the prefilter rate")
+    }
+  }
+
+  test("bloomDecontaminate removes exact-duplicate texts of blocked docs too") {
+    import spark.implicits._
+    val corpus = Seq((1L, "keep me"), (2L, "blocked text"), (3L, "blocked text"))
+      .toDF("id", "text")
+    val block = Seq((9L, "blocked text")).toDF("bid", "btext")
+    val out = Curation.bloomDecontaminate(corpus, block, col("text"), col("btext"),
+        expectedItems = 10L)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L))
+  }
+
+  // ------------------------------------------------------ substring runs
+
+  test("duplicateRuns finds the maximal shared run with correct offsets") {
+    import spark.implicits._
+    // aperiodic shared block (a self-similar block like "SSS…" would
+    // GENUINELY match at every alignment — one run per diagonal)
+    val shared = ('A' to 'Z').mkString + "0123" // 30 distinct chars
+    val d = Seq(
+      (1L, "aaa" + shared + "bbbbbbbb"),
+      (2L, "ccccccc" + shared + "dd"),
+      (3L, "nothing in common here at all with the others")
+    ).toDF("doc_id", "text")
+    val runs = Dedup.duplicateRuns(d, "doc_id", col("text"), k = 10, minRunLen = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // maximal run: the full 30-char block, 1-based starts (4 in doc1, 8 in doc2)
+    assert(runs.toSeq == Seq((1L, 2L, 4L, 8L, 30L)), runs.mkString(","))
+  }
+
+  test("duplicateRuns: a period-1 block matches on every alignment diagonal") {
+    import spark.implicits._
+    val d = Seq((1L, "S" * 20 + "x"), (2L, "y" + "S" * 20)).toDF("doc_id", "text")
+    val runs = Dedup.duplicateRuns(d, "doc_id", col("text"), k = 10, minRunLen = 15)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    // diagonals with >= 15 chars of overlap between the two 20-char blocks:
+    // diff in [-5, 5] → 11 runs, the longest being the 20-char alignment
+    assert(runs.length == 11 && runs.map(_._3).max == 20L,
+      runs.sorted.mkString(","))
+  }
+
+  test("duplicateRuns: runs shorter than minRunLen are dropped; k floor holds") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "xx" + ("R" * 15) + "yyyyyyyyyyyy"),
+      (2L, "zzzz" + ("R" * 15) + "wwwwwwww")
+    ).toDF("doc_id", "text")
+    val hit = Dedup.duplicateRuns(d, "doc_id", col("text"), k = 10, minRunLen = 15).count()
+    val miss = Dedup.duplicateRuns(d, "doc_id", col("text"), k = 10, minRunLen = 16).count()
+    assert(hit == 1L && miss == 0L, s"got hit=$hit miss=$miss")
+  }
+
+  test("duplicateRuns on the fixture: every emitted run is byte-equal in both docs") {
+    val runs = Dedup.duplicateRuns(docs, "doc_id", col("text"), k = 40, minRunLen = 80)
+    val t1 = docs.select(col("doc_id").as("d1"), col("text").as("t1"))
+    val t2 = docs.select(col("doc_id").as("d2"), col("text").as("t2"))
+    val checked = runs.join(t1, "d1").join(t2, "d2")
+      .select(col("t1").substr(col("start1"), col("run_len")) ===
+              col("t2").substr(col("start2"), col("run_len")))
+      .collect().map(_.getBoolean(0))
+    assert(checked.nonEmpty, "fixture contains near-duplicate docs with long shared runs")
+    assert(checked.forall(identity))
+  }
+
+  // ------------------------------------------------------ n-gram LM
+
+  test("ngramModel log-probs: continuations of a prefix sum to ~probability 1") {
+    val model = TextAnalysis.ngramModel(docs, col("text"), n = 3)
+    val sums = model
+      .groupBy(col("g").substr(1, 2).as("pre"))
+      .agg(sum(exp(col("logp_micro").cast("double") / lit(1e6))).as("psum"))
+      .select("psum").collect().map(_.getDouble(0))
+    assert(sums.nonEmpty)
+    assert(sums.forall(s => s > 0.999 && s < 1.001),
+      s"worst prefixes: ${sums.filterNot(s => s > 0.999 && s < 1.001).take(3).mkString(",")}")
+  }
+
+  test("ngramLogProb is partitioning-invariant (exact integer scores)") {
+    val model = TextAnalysis.ngramModel(docs, col("text"), n = 3)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.ngramLogProb(d, "doc_id", col("text"), model, n = 3)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val a = run(docs)
+    val b = run(docs.repartition(13))
+    assert(a == b)
+    assert(a.values.forall(_._2 < 0L), "log-probs are negative micro-nats")
+  }
+
+  // ------------------------------------------------------ pagerank
+
+  test("pageRank: fixed-point ranks on a known graph") {
+    import spark.implicits._
+    // 1 -> 2, 1 -> 3, 2 -> 3: rank(3) > rank(2) > rank(1) after any rounds
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.pageRank(e, iterations = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    // hand-computed with scale=1e6, d=850/1000, DIV truncation:
+    // iter1: r(1)=150000, r(2)=150000+850*500000/1000=575000, r(3)=150000+850*(500000+1000000)/1000=1425000
+    // iter2: contrib(1)=150000/2=75000 to each of 2,3; contrib(2)=575000
+    //        r(1)=150000, r(2)=150000+850*75000 DIV 1000=213750, r(3)=150000+(850*(75000+575000)) DIV 1000=702500
+    assert(r == Map(1L -> 150000L, 2L -> 213750L, 3L -> 702500L), r.toString)
+  }
+
+  test("pageRank is partitioning-invariant and mass-sane on the fixture graph") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val edges = li.select(col("l_suppkey").as("src"),
+      (col("l_partkey") + lit(1000000L)).as("dst")).distinct()
+    def run(e: org.apache.spark.sql.DataFrame) =
+      Graph.pageRank(e, iterations = 3).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toMap
+    val a = run(edges)
+    val b = run(edges.repartition(17))
+    assert(a == b, "integer ranks must not depend on partitioning")
+    assert(a.values.forall(_ >= 150000L), "every node keeps the base mass")
+    // suppliers (sources, no in-edges) sit at exactly the base
+    val supp = a.keys.filter(_ < 1000000L)
+    assert(supp.nonEmpty && supp.forall(a(_) == 150000L))
+  }
+
+  // ------------------------------------------------------ z-order
+
+  test("zValue2 interleaves bits (known Morton codes)") {
+    import spark.implicits._
+    val d = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (65535L, 0L), (0L, 65535L))
+      .toDF("x", "y")
+    val got = d.select(Layout.zValue2(col("x"), col("y"))).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 1L, 2L, 3L, 0x55555555L, 0xAAAAAAAAL), got.mkString(","))
+  }
+
+  test("zorderBy: every output partition covers a narrow rectangle in both keys") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    val mx = li.agg(max("x").as("mp"), max("y").as("ms"))
+    val q = li.crossJoin(broadcast(mx))
+      .select(expr("(x * 65536) DIV (mp + 1)").as("x"), expr("(y * 65536) DIV (ms + 1)").as("y"))
+    val parts = Layout.zorderBy(q, col("x"), col("y"), partitions = 16)
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 100) // locality claim is about the populated partitions
+      .collect()
+    assert(parts.nonEmpty)
+    // a single-column sort would leave the OTHER dimension spanning the full
+    // 65536 domain in EVERY partition; z-order keeps both spans narrow in
+    // most partitions (sample-based range boundaries are not bit-aligned,
+    // so a partition straddling a high-bit flip may still span wide —
+    // that's why the strong per-bucket claim lives on the ALIGNED
+    // z-prefix buckets of the rel_zorder oracle query)
+    val narrow = parts.count(r => r.getLong(1) <= 32768L && r.getLong(2) <= 32768L)
+    assert(narrow * 4 >= parts.length * 3,
+      s"only $narrow/${parts.length} partitions are narrow: " +
+        parts.map(r => s"(x=${r.getLong(1)},y=${r.getLong(2)})").mkString(","))
+  }
+}
