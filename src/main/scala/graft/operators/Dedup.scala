@@ -354,7 +354,10 @@ object Dedup {
         posexplode(ColumnBridge.column(
           graft.functions.CharGramHashes(ColumnBridge.expression(text), k))))
       .select(col("d"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
-    val pairs = grams.as("a").join(grams.as("b"),
+    // shuffle-hash: the position stream is exploded (corpus-sized × k
+    // overlap) — broadcasting it regresses and sorting it twice for SMJ
+    // is the dominant cost; a hash join on the 8-byte key is the shape
+    val pairs = grams.as("a").hint("shuffle_hash").join(grams.as("b"),
         col("a.h") === col("b.h") && col("a.d") < col("b.d"))
       .select(col("a.d").as("d1"), col("b.d").as("d2"),
         col("a.p").as("p1"), col("b.p").as("p2"))

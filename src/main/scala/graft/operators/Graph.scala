@@ -31,9 +31,12 @@ object Graph {
     * rank vector is (node, BIGINT), 16 bytes a node, never the edge list.
     * Iterations are a fixed small count (authority scores converge
     * geometrically; curation wants the ordering, not 1e-12 residuals).
-    * The edge list re-reads from its (pruned, columnar) scan each round
-    * rather than holding a 100 TB cache; persist `edges` explicitly if
-    * the source is expensive. */
+    * Like every iterative-fixpoint operator here (see
+    * Dedup.nearDupClusters) the per-round state CHECKPOINTS eagerly:
+    * without lineage truncation round N re-executes rounds 1..N-1 and
+    * the DAG cost is quadratic in iterations. The degree-annotated edge
+    * list checkpoints once too (it is read every round; re-deriving it
+    * means re-shuffling the raw edges per iteration). */
   def pageRank(edges: DataFrame, iterations: Int,
                scale: Long = 1000000L, dampNum: Long = 850L,
                dampDen: Long = 1000L): DataFrame = {
@@ -41,21 +44,22 @@ object Graph {
     require(scale > 0 && dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"need scale>0 and 0 <= dampNum/dampDen <= 1; got $scale, $dampNum/$dampDen")
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val eDeg = e.join(outdeg, "src").localCheckpoint(true)
+    val nodes = eDeg.select(col("src").as("node"))
+      .union(eDeg.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     val base = lit(scale * (dampDen - dampNum) / dampDen)
     var ranks = nodes.withColumn("rank", lit(scale))
     for (_ <- 1 to iterations) {
-      val contribs = e
-        .join(ranks, e("src") === ranks("node"))
-        .join(outdeg, "src")
+      val contribs = eDeg
+        .join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst"), expr("rank DIV deg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
       ranks = nodes
         .join(contribs, nodes("node") === contribs("dst"), "left")
         .select(col("node"),
           (base + expr(s"coalesce(s, 0L) * $dampNum DIV $dampDen")).as("rank"))
+        .localCheckpoint(true)
     }
     ranks
   }
