@@ -31,6 +31,11 @@ object GraftExtensions {
     e.eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
   }
 
+  private def foldableInt(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: the width argument must be a literal integer")
+    e.eval(null).asInstanceOf[Number].intValue
+  }
+
   /** name → expression builder, shared by [[GraftExtensions]] and
     * [[Jq.register]]. */
   val functionBuilders: Seq[(String, Seq[Expression] => Expression)] = {
@@ -75,6 +80,18 @@ object GraftExtensions {
       "json_to_cbor" -> arity(1, "json_to_cbor")(exprs => CborEncodeExpr(exprs.head)),
       "cbor_to_json" -> arity(1, "cbor_to_json")(exprs => CborDecodeExpr(exprs.head)),
       "json_to_msgpack" -> arity(1, "json_to_msgpack")(exprs => MsgPackEncodeExpr(exprs.head)),
-      "msgpack_to_json" -> arity(1, "msgpack_to_json")(exprs => MsgPackDecodeExpr(exprs.head)))
+      "msgpack_to_json" -> arity(1, "msgpack_to_json")(exprs => MsgPackDecodeExpr(exprs.head)),
+      // text/vector kernels (round 6): the curation surface from SQL
+      "word_shingles" -> arity(2, "word_shingles")(exprs =>
+        WordShingles(exprs.head, foldableInt(exprs(1), "word_shingles"))),
+      "char_grams" -> arity(2, "char_grams")(exprs =>
+        CharGrams(exprs.head, foldableInt(exprs(1), "char_grams"))),
+      "char_gram_hashes" -> arity(2, "char_gram_hashes")(exprs =>
+        CharGramHashes(exprs.head, foldableInt(exprs(1), "char_gram_hashes"))),
+      "simhash64" -> arity(1, "simhash64")(exprs => Simhash64(exprs.head)),
+      "rolling_fingerprint" -> arity(1, "rolling_fingerprint")(exprs =>
+        RollingFingerprint(exprs.head)),
+      "vec_cosine" -> arity(2, "vec_cosine")(exprs => CosineSim(exprs.head, exprs(1))),
+      "vec_dot" -> arity(2, "vec_dot")(exprs => VecDot(exprs.head, exprs(1))))
   }
 }

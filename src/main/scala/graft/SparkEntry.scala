@@ -372,6 +372,22 @@ object SparkEntry {
           col("sum_price").cast("double").as("sum_price"))
     }),
 
+    // columnar-format interchange: parquet → ORC → read-back, with a
+    // content-sensitive aggregate (rolling fingerprints) proving the
+    // typed round-trip is lossless — the oracle computes the same
+    // aggregate straight off the parquet, so any ORC write/read
+    // corruption (encoding, nulls, unicode) breaks the hash
+    "rel_orc_roundtrip" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      docs.write.mode("overwrite").orc("/tmp/graft_orc/docs")
+      s.read.orc("/tmp/graft_orc/docs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(operators.TextAnalysis.fingerprint(col("text"))).as("sum_fp"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
     // incremental view maintenance over the upsert semantics: post-change
     // per-group aggregate from base aggregate + change deltas only (the
     // oracle recomputes the whole snapshot; the Spark side never does)
@@ -2391,6 +2407,17 @@ object SparkEntry {
                [ord(substring(text, i, 1))::BIGINT for i in range(1, strlen(text) + 1)]),
                (h, c) -> (h * 31 + c) % 1000000007) AS fp
       FROM documents""",
+
+    // the oracle reads the PARQUET directly — equality proves the Spark
+    // side's parquet → ORC → read-back round-trip preserved every value
+    "rel_orc_roundtrip" -> """
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(list_reduce(list_prepend(0::BIGINT,
+               [ord(substring(text, i, 1))::BIGINT for i in range(1, strlen(text) + 1)]),
+               (h, c) -> (h * 31 + c) % 1000000007)) AS BIGINT) AS sum_fp,
+             min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM documents GROUP BY lang""",
 
     // --- multimodal ------------------------------------------------------
     "mm_dedup" ->

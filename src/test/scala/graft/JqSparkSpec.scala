@@ -38,6 +38,25 @@ class JqSparkSpec extends SparkTestBase {
     assert(r.getLong(3) == 6) // byte length
   }
 
+  test("SQL functions: text/vector kernels registered and usable") {
+    Jq.register(spark)
+    val r = spark.sql(
+      """SELECT char_grams('abcd', 3) AS g,
+                size(char_gram_hashes('abcd', 3)) AS nh,
+                word_shingles('a b c', 2) AS ws,
+                rolling_fingerprint('ab') AS fp,
+                simhash64('x') IS NOT NULL AS sh,
+                vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+                vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cos""").head()
+    assert(r.getSeq[String](0) == Seq("abc", "bcd"))
+    assert(r.getInt(1) == 2)
+    assert(r.getSeq[String](2) == Seq("a b", "b c"))
+    assert(r.getLong(3) == (97L * 31 + 98) % 1000000007L)
+    assert(r.getBoolean(4))
+    assert(r.getDouble(5) == 11.0)
+    assert(math.abs(r.getDouble(6) - 1.0) < 1e-12)
+  }
+
   test("Variant interop: parse_json → jq pipeline") {
     val df = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_id"), parse_json(col("props")).as("vdoc"))

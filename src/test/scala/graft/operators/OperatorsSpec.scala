@@ -253,17 +253,24 @@ class OperatorsSpec extends SparkTestBase {
   }
 
   test("dedup leaves no cached blocks behind; withShingles releases its cache") {
+    // localCheckpoint blocks (nearDupClusters/pageRank lineage truncation,
+    // possibly from EARLIER tests in this JVM) release via the
+    // ContextCleaner when their RDD is GC'd — they are deliberate bounded
+    // state, not a retained cache; the no-leak contract here is about
+    // .persist()/.cache() entries, which only an explicit unpersist frees
+    def retained = spark.sparkContext.getPersistentRDDs
+      .filterNot(_._2.toString.contains("localCheckpoint"))
     Dedup.minhashNearDups(docs, "doc_id", col("text"), 3, 0.8).count()
     Dedup.simhashNearDups(docs, "doc_id", col("text"), 3, 0.8).count()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "near-dup operators must not retain block-manager entries")
+    assert(retained.isEmpty,
+      s"near-dup operators must not retain block-manager entries: $retained")
     val n = Dedup.withShingles(docs, "doc_id", col("text"), 3) { sh =>
       assert(sh.storageLevel.useMemory, "withShingles should cache inside the scope")
       sh.count()
     }
     assert(n > 0)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "withShingles must release its cache on exit")
+    assert(retained.isEmpty,
+      s"withShingles must release its cache on exit: $retained")
   }
 
   test("incrementalAgg == full recompute under replacements, group moves, inserts") {

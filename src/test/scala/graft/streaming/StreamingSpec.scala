@@ -124,6 +124,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("bloomDecontaminate on a stream: stateless filter + stream-static anti-join == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val block = docs.filter(pmod(col("doc_id"), lit(41)) === 0)
+    val rows = docs.collect()
+
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "text")
+    // the operator composes unchanged on a streaming frame: the bloom
+    // probe is a stateless codegen filter; the confirm join is
+    // stream-static (no streaming state at all)
+    val q = graft.operators.Curation.bloomDecontaminate(
+        sdf, block, col("text"), col("text"), expectedItems = 100L, fpp = 0.2)
+      .select(col("doc_id"))
+      .writeStream.format("memory").queryName("bloom_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows.map(r => (r.getLong(0), r.getString(1))).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM bloom_out").collect().map(_.getLong(0)).toSet
+      val expected = graft.operators.Curation.bloomDecontaminate(
+          docs, block, col("text"), col("text"), expectedItems = 100L, fpp = 0.2)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(streamed == expected)
+      assert(expected.nonEmpty && expected.size < rows.length,
+        "fixture should drop the blocked docs and keep the rest")
+    } finally q.stop()
+  }
+
   test("intervalJoin: stream-stream join with watermarks == batch result") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
