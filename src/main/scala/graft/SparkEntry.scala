@@ -1176,6 +1176,20 @@ object SparkEntry {
       operators.Dedup.duplicateRuns(table(s, dir, "documents"),
         "doc_id", col("text"), k = 40, minRunLen = 80)),
 
+    // incremental corpus-vs-delta dedup: a "new batch" of re-labeled
+    // copies probes the corpus's LSH bands. Oracled in the exact regime
+    // (threshold 1.0 = equal shingle sets, where banding recall is
+    // deterministically 1 — identical sets ⇒ identical signatures);
+    // the fuzzy regime is spec-pinned (ScaleOpsSpec)
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val corpus = docs.filter(size(operators.Dedup.wordShingles(col("text"), 3)) > 0)
+      val delta = corpus.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      operators.Dedup.incrementalNearDups(corpus, delta, "doc_id",
+        col("text"), n = 3, threshold = 1.0)
+    }),
+
     // char-trigram LM self-scoring (CCNet-style quality prior): model and
     // scores in fixed-point micro-nats, every aggregate exact BIGINT
     "text_ppl" -> ((s, dir) => {
@@ -1864,6 +1878,19 @@ object SparkEntry {
       SELECT d1, d2, s1 AS start1, s1 - diff AS start2,
              CAST(e1 - s1 + 40 AS BIGINT) AS run_len
       FROM runs WHERE e1 - s1 + 40 >= 80""",
+
+    // exact regime: pairs with EQUAL distinct-shingle sets (jaccard 1);
+    // DuckDB compares sorted distinct shingle lists
+    "dedup_incremental" -> """
+      WITH sh AS (
+        SELECT doc_id, list_sort(list_distinct(CASE WHEN len(s) >= 3
+          THEN [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]
+          ELSE [] END)) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+      corp AS (SELECT doc_id, g FROM sh WHERE len(g) > 0),
+      delta AS (SELECT doc_id + 100000 AS id_d, g FROM corp WHERE doc_id % 7 = 0)
+      SELECT d.id_d, c.doc_id AS id_c, CAST(1.0 AS DOUBLE) AS j
+      FROM delta d JOIN corp c ON d.g = c.g""",
 
     "text_ppl" -> """
       WITH tri AS (

@@ -184,6 +184,42 @@ object Dedup {
       .filter(col("j") >= threshold)
   }
 
+  /** Incremental (corpus-vs-delta) near-dup pairs: for each document of
+    * `delta`, its near-duplicates IN `corpus` — the refresh-time dedup
+    * that admits a new crawl batch without re-deduping the corpus.
+    * Returns (id_d, id_c, j) with exact jaccard ≥ `threshold` for pairs
+    * colliding in ≥1 LSH band (recall ≈ 1 at the banding design point;
+    * byte-identical texts have IDENTICAL signatures, so they collide in
+    * every band deterministically — the threshold=1.0 regime is exact).
+    *
+    * Shape at 100 TB: the corpus side's banded signatures are a pure
+    * function of the text, so in production they are computed ONCE and
+    * maintained incrementally alongside the corpus (this method
+    * recomputes them from the text column — a narrow kernel projection
+    * under a pruned scan); the join shuffles 16 band rows per doc on the
+    * (band, bucket) key, and only the DELTA-sized side is new work each
+    * refresh. Candidates dedupe on the narrow id pair before the verify
+    * joins re-attach shingles. */
+  def incrementalNearDups(corpus: DataFrame, delta: DataFrame, id: String,
+                          text: Column, n: Int, threshold: Double): DataFrame = {
+    def banded(docs: DataFrame, outId: String): DataFrame = {
+      val sig = docs.select(col(id).as(outId),
+        minhashSignature(wordShingles(text, n)).as("sig"))
+      sig.select(col(outId),
+        explode(transform(sequence(lit(0), lit(MinhashBands - 1)), b =>
+          struct(b.as("band"),
+            slice(col("sig"), b * MinhashRows + 1, lit(MinhashRows)).as("key")))).as("bb"))
+    }
+    val cands = banded(delta, "id_d").hint("shuffle_hash")
+      .join(banded(corpus, "id_c"), "bb")
+      .select(col("id_d"), col("id_c")).distinct()
+    val sd = delta.select(col(id).as("id_d"), wordShingles(text, n).as("sh_d"))
+    val sc = corpus.select(col(id).as("id_c"), wordShingles(text, n).as("sh_c"))
+    cands.join(sd, "id_d").join(sc, "id_c")
+      .select(col("id_d"), col("id_c"), jaccard(col("sh_d"), col("sh_c")).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
   // ------------------------------------------------------------ simhash
 
   /** 64-bit SimHash over a token array: per-token xxhash64, signed bit

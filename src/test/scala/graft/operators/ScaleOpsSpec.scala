@@ -89,6 +89,46 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(checked.forall(identity))
   }
 
+  // ------------------------------------------------------ incremental dedup
+
+  test("incrementalNearDups: delta probes the corpus, corpus pairs never emitted") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // corpus-internal dup: NOT our job
+      (3L, "completely unrelated content about something else entirely")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"), // exact copy of 1 and 2
+      (101L, "the quick brown fox jumps over the lazy dog yesterday"), // near-dup
+      (102L, "no overlap with anything in the corpus at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDups(corpus, delta, "doc_id", col("text"), 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((100L, 1L)) && out.contains((100L, 2L)), out.toString)
+    assert(out.contains((101L, 1L)), "near-dup above threshold must surface")
+    assert(!out.exists(_._1 == 102L), "unrelated delta doc matches nothing")
+    assert(out.forall(p => p._1 >= 100L && p._2 < 100L),
+      "pairs are always (delta, corpus) — never corpus-internal")
+  }
+
+  test("incrementalNearDups at threshold 1.0 == equal-shingle-set pairs (the oracle regime)") {
+    val corpus = docs.filter(size(Dedup.wordShingles(col("text"), 3)) > 0)
+    val delta = corpus.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val got = Dedup.incrementalNearDups(corpus, delta, "doc_id", col("text"), 3, 1.0)
+      .select("id_d", "id_c").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force truth: equal distinct-shingle sets
+    val sc = corpus.select(col("doc_id").as("id_c"),
+      array_sort(Dedup.wordShingles(col("text"), 3)).as("g_c"))
+    val sd = delta.select(col("doc_id").as("id_d"),
+      array_sort(Dedup.wordShingles(col("text"), 3)).as("g_d"))
+    val expected = sd.join(sc, col("g_d") === col("g_c"))
+      .select("id_d", "id_c").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "every delta doc matches at least its own source")
+  }
+
   // ------------------------------------------------------ n-gram LM
 
   test("ngramModel log-probs: continuations of a prefix sum to ~probability 1") {
