@@ -89,6 +89,7 @@ object GraftExtensions {
       "char_gram_hashes" -> arity(2, "char_gram_hashes")(exprs =>
         CharGramHashes(exprs.head, foldableInt(exprs(1), "char_gram_hashes"))),
       "simhash64" -> arity(1, "simhash64")(exprs => Simhash64(exprs.head)),
+      "char_entropy" -> arity(1, "char_entropy")(exprs => CharEntropy(exprs.head)),
       "rolling_fingerprint" -> arity(1, "rolling_fingerprint")(exprs =>
         RollingFingerprint(exprs.head)),
       "vec_cosine" -> arity(2, "vec_cosine")(exprs => CosineSim(exprs.head, exprs(1))),

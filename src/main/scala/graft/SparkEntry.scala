@@ -1190,6 +1190,17 @@ object SparkEntry {
         col("text"), n = 3, threshold = 1.0)
     }),
 
+    // character-entropy quality signal (compression proxy: boilerplate/
+    // repetition scores low, gibberish high) — one-pass kernel, zero
+    // shuffle, fixed-point micro-nat fields so the hash is exact
+    "text_entropy" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          operators.TextAnalysis.charEntropy(col("text")).as("e"))
+        .select(col("doc_id"), col("e.n_cp").as("n_cp"),
+          col("e.ent_sum_micro").as("ent_sum_micro"))),
+
     // char-trigram LM self-scoring (CCNet-style quality prior): model and
     // scores in fixed-point micro-nats, every aggregate exact BIGINT
     "text_ppl" -> ((s, dir) => {
@@ -1891,6 +1902,20 @@ object SparkEntry {
       delta AS (SELECT doc_id + 100000 AS id_d, g FROM corp WHERE doc_id % 7 = 0)
       SELECT d.id_d, c.doc_id AS id_c, CAST(1.0 AS DOUBLE) AS j
       FROM delta d JOIN corp c ON d.g = c.g""",
+
+    "text_entropy" -> """
+      WITH ch AS (
+        SELECT doc_id, unnest(generate_series(1, len(text)))::BIGINT AS i, text
+        FROM documents WHERE len(text) > 0),
+      counts AS (
+        SELECT doc_id, substring(text, i, 1) AS c, count(*) AS cnt
+        FROM ch GROUP BY doc_id, substring(text, i, 1)),
+      tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM counts GROUP BY doc_id)
+      SELECT t.doc_id, t.n AS n_cp,
+             CAST(sum(cnt * CAST(round(ln(cnt::DOUBLE / t.n::DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS ent_sum_micro
+      FROM counts JOIN tot t USING (doc_id)
+      GROUP BY t.doc_id, t.n""",
 
     "text_ppl" -> """
       WITH tri AS (

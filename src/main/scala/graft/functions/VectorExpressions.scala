@@ -405,3 +405,47 @@ case class CharGrams(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): CharGrams =
     copy(child = newChild)
 }
+
+/** Per-document character-distribution entropy accumulator — the
+  * compression-proxy quality signal (low-entropy text is boilerplate /
+  * degenerate repetition; gibberish is high): returns
+  * struct(n_cp, ent_sum_micro) where n_cp is the codepoint count and
+  * ent_sum_micro = Σ over distinct codepoints of
+  * count · round(ln(count / n_cp)·10⁶). Entropy in nats is
+  * −ent_sum_micro / 1e6 / n_cp, a client-side division — the emitted
+  * fields stay exact BIGINTs, replicable in any engine with ln():
+  * the single floating step is one ln per DISTINCT codepoint, rounded
+  * to micro-nats before the (exact, order-free) integer weighting.
+  * One pass, zero shuffle. */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with NativeUnaryCodegen {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_cp", LongType, nullable = false),
+    StructField("ent_sum_micro", LongType, nullable = false)))
+  override def prettyName: String = "char_entropy"
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val counts = new java.util.HashMap[Integer, Long]()
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var sum = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      // HALF_UP (away from zero) — the convention BOTH SQL round()s use;
+      // Math.round would round -x.5 toward +∞ and diverge from the oracle
+      val lnpMicro = java.math.BigDecimal.valueOf(Math.log(c.toDouble / n.toDouble) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      sum += c * lnpMicro
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, sum)
+  }
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}

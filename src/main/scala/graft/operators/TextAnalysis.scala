@@ -143,6 +143,14 @@ object TextAnalysis {
   def charGrams(text: Column, n: Int): Column =
     ColumnBridge.column(graft.functions.CharGrams(ColumnBridge.expression(text), n))
 
+  /** Character-distribution entropy accumulator:
+    * struct(n_cp, ent_sum_micro) with entropy = −ent_sum_micro/1e6/n_cp
+    * nats. The compression-proxy quality signal (boilerplate scores low,
+    * gibberish high) as exact BIGINT fields — one-pass kernel, zero
+    * shuffle, engine-replicable (see functions.CharEntropy). */
+  def charEntropy(text: Column): Column =
+    ColumnBridge.column(graft.functions.CharEntropy(ColumnBridge.expression(text)))
+
   import org.apache.spark.sql.DataFrame
 
   /** Character n-gram language-model fit: the (gram, logp_micro) table of

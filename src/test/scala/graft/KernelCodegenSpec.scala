@@ -42,8 +42,10 @@ class KernelCodegenSpec extends SparkTestBase {
       val g = docs.select(
         col2(CharGramHashes(expr2(col("text")), 20)).as("gh"),
         col2(CharGrams(expr2(col("text")), 3)).as("gs"),
-        col2(BloomMightContain(expr2(col("text")), bytes)).as("bm"))
-      assert(g.where(size(col("gh")) > 0 && size(col("gs")) > 0).count() > 0)
+        col2(BloomMightContain(expr2(col("text")), bytes)).as("bm"),
+        col2(CharEntropy(expr2(col("text")))).as("ce"))
+      assert(g.where(size(col("gh")) > 0 && size(col("gs")) > 0 &&
+        col("ce.n_cp") > 0).count() > 0)
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 

@@ -153,6 +153,19 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(a.values.forall(_._2 < 0L), "log-probs are negative micro-nats")
   }
 
+  test("charEntropy: uniform text maximal, constant text zero, exact fields") {
+    import spark.implicits._
+    val d = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aabb")).toDF("id", "text")
+    val r = d.select(col("id"), TextAnalysis.charEntropy(col("text")).as("e"))
+      .select(col("id"), col("e.n_cp"), col("e.ent_sum_micro"))
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == (4L, 0L))                     // ln(1) = 0: zero entropy
+    assert(r(2L) == (4L, 4L * -1386294L))         // 4 chars at p=1/4: ln(.25)·1e6 ≈ -1386294
+    assert(r(3L) == (4L, 4L * -693147L))          // p=1/2: ln(.5)·1e6 ≈ -693147
+    // entropy in nats = -sum/1e6/n: uniform 4-char alphabet = ln(4)
+    assert(math.abs(-r(2L)._2 / 1e6 / 4 - math.log(4)) < 1e-5)
+  }
+
   // ------------------------------------------------------ pagerank
 
   test("pageRank: fixed-point ranks on a known graph") {
