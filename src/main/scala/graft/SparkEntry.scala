@@ -372,6 +372,17 @@ object SparkEntry {
           col("sum_price").cast("double").as("sum_price"))
     }),
 
+    // time-series resample + gap fill: hourly grid per event type with
+    // zero-filled counts and last-observation-carried-forward values —
+    // one keyed aggregate + one per-key fill window; the grid size is
+    // keys × span, independent of input volume
+    "rel_resample" -> ((s, dir) =>
+      operators.Relational.resampleLocf(table(s, dir, "events"),
+          col("event_type"), expr("ts DIV 1000"), col("value"),
+          stepMicros = 3600L * 1000000L)
+        .select(col("k").as("event_type"), col("b").as("hour_bucket"),
+          col("n"), col("v_filled"))),
+
     // columnar-format interchange: parquet → ORC → read-back, with a
     // content-sensitive aggregate (rolling fingerprints) proving the
     // typed round-trip is lossless — the oracle computes the same
@@ -2459,6 +2470,27 @@ object SparkEntry {
                [ord(substring(text, i, 1))::BIGINT for i in range(1, strlen(text) + 1)]),
                (h, c) -> (h * 31 + c) % 1000000007) AS fp
       FROM documents""",
+
+    // same µs truncation as Spark's ts DIV 1000 (DuckDB stores µs);
+    // LOCF via last_value IGNORE NULLS over the gap-filled grid
+    "rel_resample" -> """
+      WITH rows_ AS (
+        SELECT event_type AS k, epoch_us(ts) AS t, value AS v,
+               epoch_us(ts) // 3600000000 AS b
+        FROM events),
+      agg AS (SELECT k, b, count(*) AS n FROM rows_ GROUP BY k, b),
+      lastv AS (
+        SELECT k, b, v AS lv FROM (
+          SELECT k, b, v,
+                 row_number() OVER (PARTITION BY k, b ORDER BY t DESC, v DESC) AS rn
+          FROM rows_) WHERE rn = 1),
+      span AS (SELECT k, min(b) AS b0, max(b) AS b1 FROM rows_ GROUP BY k),
+      grid AS (SELECT k, unnest(generate_series(b0, b1)) AS b FROM span)
+      SELECT g.k AS event_type, g.b AS hour_bucket,
+             CAST(coalesce(n, 0) AS BIGINT) AS n,
+             last_value(lv IGNORE NULLS) OVER (PARTITION BY g.k ORDER BY g.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      FROM grid g LEFT JOIN agg USING (k, b) LEFT JOIN lastv USING (k, b)""",
 
     // the oracle reads the PARQUET directly — equality proves the Spark
     // side's parquet → ORC → read-back round-trip preserved every value

@@ -215,4 +215,43 @@ object Relational {
         payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
     carried.filter(col("__is_left") === 1).drop("__is_left")
   }
+
+  /** Time-series resample with gap fill: bucket each row to a
+    * `stepMicros` grid per `key`, emit EVERY bucket from the key's first
+    * to its last (missing buckets included with n = 0), and
+    * carry the last observed `value` forward (LOCF) across gaps.
+    * Output: (k, b, n, v_filled) — bucket index b = t DIV step.
+    *
+    * Determinism: "last observation" inside a bucket is ordered by
+    * (t, value) so equal-timestamp rows resolve identically everywhere;
+    * v_filled copies an input value verbatim (no arithmetic), so doubles
+    * survive the cross-engine hash.
+    *
+    * Scale shape: one shuffle on the key for the per-bucket aggregate +
+    * one per-key window for the fill. The grid explodes from a per-key
+    * (min, max) span — rows ≈ keys × buckets-in-span, independent of
+    * input volume. A key's span must fit a task (same contract as any
+    * per-key window); resample 100 TB of events by (entity, hour), not
+    * by a single global series. */
+  def resampleLocf(df: DataFrame, key: Column, tsMicros: Column,
+                   value: Column, stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, s"stepMicros must be positive, got $stepMicros")
+    val rows = df.select(key.as("k"), tsMicros.as("t"), value.as("v"))
+      .withColumn("b", expr(s"t DIV ${stepMicros}L"))
+    val perBucket = rows.groupBy(col("k"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val wLast = Window.partitionBy(col("k"), col("b"))
+      .orderBy(col("t").desc, col("v").desc)
+    val lastInBucket = rows.withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1).select(col("k"), col("b"), col("v").as("lv"))
+    val grid = rows.groupBy(col("k"))
+      .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+      .select(col("k"), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val wFill = Window.partitionBy(col("k")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perBucket, Seq("k", "b"), "left")
+      .join(lastInBucket, Seq("k", "b"), "left")
+      .select(col("k"), col("b"), coalesce(col("n"), lit(0L)).as("n"),
+        last(col("lv"), ignoreNulls = true).over(wFill).as("v_filled"))
+  }
 }

@@ -197,6 +197,33 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(supp.nonEmpty && supp.forall(a(_) == 150000L))
   }
 
+  // ------------------------------------------------------ resample
+
+  test("resampleLocf: gaps zero-filled, values carried forward, buckets exact") {
+    import spark.implicits._
+    // key A: events in buckets 0 and 3 (gap at 1, 2); key B: single bucket
+    val d = Seq(
+      ("A", 100L, 1.5), ("A", 200L, 2.5), // bucket 0 (step 1000): last = 2.5
+      ("A", 3100L, 9.0),                  // bucket 3
+      ("B", 5500L, 7.0)                   // bucket 5
+    ).toDF("k0", "t0", "v0")
+    val out = Relational.resampleLocf(d, col("k0"), col("t0"), col("v0"), 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(out.toSeq == Seq(
+      ("A", 0L, 2L, 2.5), ("A", 1L, 0L, 2.5), ("A", 2L, 0L, 2.5), ("A", 3L, 1L, 9.0),
+      ("B", 5L, 1L, 7.0)), out.mkString(","))
+  }
+
+  test("resampleLocf: equal-timestamp ties resolve by value, deterministically") {
+    import spark.implicits._
+    val d = Seq(("A", 100L, 1.0), ("A", 100L, 4.0), ("A", 100L, 2.0)).toDF("k0", "t0", "v0")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Relational.resampleLocf(df, col("k0"), col("t0"), col("v0"), 1000L)
+        .collect().map(r => r.getDouble(3)).toSeq
+    assert(run(d) == Seq(4.0) && run(d.repartition(5)) == Seq(4.0))
+  }
+
   // ------------------------------------------------------ z-order
 
   test("zValue2 interleaves bits (known Morton codes)") {
