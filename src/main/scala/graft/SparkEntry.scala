@@ -955,6 +955,20 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term").asc)
         .limit(20)),
 
+    // inverted-index build: per-term posting list (distinct docs, sorted)
+    // — one explode + one partial-agg'd exchange on the term; posting
+    // lists serialize to strings for the cross-engine hash. At 100 TB
+    // postings for mega-terms are the skew (cap or tier them); df and
+    // the list come out of the same aggregate
+    "text_postings" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(operators.TextAnalysis.tokens(col("text")))).as("term"))
+        .filter(length(col("term")) >= 5) // keeps the fixture vocabulary bounded
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          array_join(sort_array(collect_set(col("doc_id"))), ",").as("postings"))),
+
     // BM25-style relevance scoring (round 5): tf from one token explode,
     // corpus stats (N, avg length, per-term df) broadcast as a one-row
     // frame, per-term contributions added in WRITTEN order. The idf is
@@ -2628,6 +2642,15 @@ object SparkEntry {
       SELECT term, count(*) AS n
       FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
       GROUP BY term ORDER BY n DESC, term ASC LIMIT 20""",
+
+    "text_postings" -> """
+      WITH t AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+      FROM t WHERE length(term) >= 5
+      GROUP BY term""",
 
     "jq_dates" -> """
       WITH d AS (SELECT event_id,
