@@ -1182,6 +1182,42 @@ object SparkEntry {
           Map("src0" -> 15, "src1" -> 10), default = 5)
         .select(col("doc_id"), col("source"))),
 
+    // CAPSTONE 3 — hybrid retrieval with reciprocal-rank fusion: a
+    // semantic ranking (exact cosine top-20) and a lexical ranking
+    // (distinct-token overlap top-20) fuse by RRF with FIXED-POINT
+    // integer contributions (10⁶ DIV (60 + rank)) — ranks are exact
+    // ints, so the fused scores hash-match across engines where a
+    // float 1/(60+r) sum could not. Top-10 per query, deterministic
+    // tiebreak.
+    "pipeline_rrf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val docs = table(s, dir, "documents")
+      val cosRanks = operators.Similarity.cosineTopK(
+        emb, emb.filter(col("vec_id") < 10), k = 20)
+      val toks = docs.select(col("doc_id"),
+        explode(array_distinct(operators.TextAnalysis.tokens(col("text")))).as("t"))
+      val qtoks = toks.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("t"))
+      val wLex = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+        .orderBy(col("c").desc, col("doc_id").asc)
+      val lexRanks = qtoks.join(toks, "t")
+        .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("c"))
+        .withColumn("rnk", row_number().over(wLex)).filter(col("rnk") <= 20)
+      val contrib = cosRanks
+        .select(col("qid"), col("vec_id").as("id"),
+          expr("1000000L DIV (60 + rnk)").as("s"))
+        .unionByName(lexRanks
+          .select(col("qid"), col("doc_id").as("id"),
+            expr("1000000L DIV (60 + rnk)").as("s")))
+      val wF = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+        .orderBy(col("rrf_micro").desc, col("id").asc)
+      contrib.groupBy(col("qid"), col("id"))
+        .agg(sum(col("s")).as("rrf_micro"))
+        .withColumn("rnk", row_number().over(wF).cast("bigint"))
+        .filter(col("rnk") <= 10)
+        .select(col("qid"), col("rnk"), col("id").as("doc_id"), col("rrf_micro"))
+    }),
+
     // blocklist decontamination with a Bloom prefilter: bloom-negative
     // rows pass inside the scan's codegen stage (zero exchanges for the
     // bulk of the corpus); only the bloom-positive sliver pays the exact
@@ -1887,6 +1923,38 @@ object SparkEntry {
                  ORDER BY ((doc_id % 1000003) * 2654435761) % 4294967296, doc_id) AS rk
         FROM documents) t
       WHERE rk <= CASE source WHEN 'src0' THEN 15 WHEN 'src1' THEN 10 ELSE 5 END""",
+
+    // both rankings and the fused score are exact integers end-to-end
+    "pipeline_rrf" -> """
+      WITH cos AS (
+        SELECT qid, id, r FROM (
+          SELECT q.vec_id AS qid, e.vec_id AS id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                            e.vec_id) AS r
+          FROM embeddings q CROSS JOIN embeddings e
+          WHERE q.vec_id < 10) t WHERE r <= 20),
+      tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      ov AS (
+        SELECT qt.doc_id AS qid, dt.doc_id AS id, count(*) AS c
+        FROM tok qt JOIN tok dt USING (t) WHERE qt.doc_id < 10
+        GROUP BY qt.doc_id, dt.doc_id),
+      lex AS (
+        SELECT qid, id, r FROM (
+          SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS r
+          FROM ov) t WHERE r <= 20),
+      contrib AS (
+        SELECT qid, id, 1000000 // (60 + r) AS s FROM cos
+        UNION ALL
+        SELECT qid, id, 1000000 // (60 + r) AS s FROM lex),
+      fused AS (
+        SELECT qid, id, CAST(sum(s) AS BIGINT) AS rrf_micro
+        FROM contrib GROUP BY qid, id)
+      SELECT qid, rnk, id AS doc_id, rrf_micro FROM (
+        SELECT qid, id, rrf_micro,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY rrf_micro DESC, id) AS rnk
+        FROM fused) t WHERE rnk <= 10""",
 
     // the bloom prefilter is exact-confirmed, so the oracle is the plain
     // anti-join the operator provably equals
