@@ -384,12 +384,24 @@ object Dedup {
     * LSH mega-buckets; run exact whole-doc dedup first and pick k above
     * the boilerplate length. */
   def duplicateRuns(docs: DataFrame, id: String, text: Column,
-                    k: Int, minRunLen: Int): DataFrame = {
+                    k: Int, minRunLen: Int, maxPositionsPerGram: Int = 0): DataFrame = {
     require(k >= 1 && minRunLen >= k, s"need k>=1, minRunLen>=k; got k=$k minRunLen=$minRunLen")
-    val grams = docs.select(col(id).as("d"),
+    val grams0 = docs.select(col(id).as("d"),
         posexplode(ColumnBridge.column(
           graft.functions.CharGramHashes(ColumnBridge.expression(text), k))))
       .select(col("d"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
+    // mega-gram cap (0 = off): a gram occurring at B positions corpus-wide
+    // joins into B² pairs — licence headers / boilerplate shared by many
+    // documents are quadratic AND low-signal, the same B² valve as LSH
+    // mega-buckets (lshCandidates.maxBucketSize). Dropping a capped gram
+    // can only SPLIT or SHORTEN reported runs through boilerplate, never
+    // invent one; one partial-agg'd count on the join key pays for it.
+    val grams =
+      if (maxPositionsPerGram <= 0) grams0
+      else grams0.join(
+        grams0.groupBy(col("h")).count()
+          .filter(col("count") <= maxPositionsPerGram).select(col("h")),
+        "h")
     // shuffle-hash: the position stream is exploded (corpus-sized × k
     // overlap) — broadcasting it regresses and sorting it twice for SMJ
     // is the dominant cost; a hash join on the 8-byte key is the shape

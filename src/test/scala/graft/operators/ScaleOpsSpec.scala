@@ -77,6 +77,24 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(hit == 1L && miss == 0L, s"got hit=$hit miss=$miss")
   }
 
+  test("duplicateRuns: mega-gram cap drops boilerplate runs, keeps rare ones") {
+    import spark.implicits._
+    val boiler = ('A' to 'Z').mkString            // shared by ALL docs
+    val rare = "0123456789!@#$%^&*()_+-=[]{}|;:"  // shared by docs 1,2 only
+    val d = Seq(
+      (1L, boiler + "xx" + rare), (2L, boiler + "yyyy" + rare),
+      (3L, boiler + "zz"), (4L, boiler + "ww"), (5L, boiler + "vv")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.duplicateRuns(d, "doc_id", col("text"), 10, 20)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 10, s"all C(5,2) boilerplate pairs: $uncapped")
+    // boilerplate 10-grams occur at >= 5 positions corpus-wide; rare at 2
+    val capped = Dedup.duplicateRuns(d, "doc_id", col("text"), 10, 20,
+      maxPositionsPerGram = 4)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), s"only the rare-block pair survives: $capped")
+  }
+
   test("duplicateRuns on the fixture: every emitted run is byte-equal in both docs") {
     val runs = Dedup.duplicateRuns(docs, "doc_id", col("text"), k = 40, minRunLen = 80)
     val t1 = docs.select(col("doc_id").as("d1"), col("text").as("t1"))
@@ -225,6 +243,35 @@ class ScaleOpsSpec extends SparkTestBase {
   }
 
   // ------------------------------------------------------ z-order
+
+  test("property: CharGramHashes(i) == xxhash64 of CharGrams(i); zValue2 deinterleaves") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val texts = Seq.tabulate(50)(i =>
+      (i.toLong, rng.alphanumeric.take(5 + rng.nextInt(60)).mkString + "é汉" * rng.nextInt(3)))
+    val d = texts.toDF("id", "text")
+    val bad = d.select(
+        TextAnalysis.charGrams(col("text"), 7).as("gs"),
+        org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.CharGramHashes(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), 7)).as("hs"))
+      .select(explode(arrays_zip(col("gs"), col("hs"))).as("z"))
+      .filter(xxhash64(col("z.gs")) =!= col("z.hs"))
+      .count()
+    assert(bad == 0L, "position-aligned gram hashes must equal xxhash64 of the gram text")
+    // z-order: extracting even/odd bits recovers the quantized inputs
+    val pts = Seq.tabulate(200)(_ => (rng.nextInt(65536).toLong, rng.nextInt(65536).toLong))
+    val pz = pts.toDF("x", "y").select(col("x"), col("y"),
+      Layout.zValue2(col("x"), col("y")).as("z")).collect()
+    pz.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var rx = 0L; var ry = 0L
+      for (i <- 0 until 16) {
+        rx |= ((z >> (2 * i)) & 1L) << i
+        ry |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(rx == x && ry == y, s"deinterleave($z) gave ($rx,$ry), want ($x,$y)")
+    }
+  }
 
   test("zValue2 interleaves bits (known Morton codes)") {
     import spark.implicits._
