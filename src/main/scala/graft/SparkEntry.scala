@@ -477,6 +477,37 @@ object SparkEntry {
         .limit(100)
         .select(col("o_orderkey"), col("o_totalprice"))),
 
+    // RANGE-frame window (vs the ROWS frames elsewhere): trailing 7-day
+    // per-supplier shipment volume — the frame is VALUE-keyed (all rows
+    // within 6 days), so ties and gaps are handled by definition rather
+    // than row position; DECIMAL sum keeps it order-exact
+    "rel_window_range" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").withColumn("ship_day",
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey")).orderBy(col("ship_day"))
+        .rangeBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+      li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("ship_day").cast("long").as("ship_day"),
+        sum(col("l_quantity").cast("decimal(18,2)")).over(w)
+          .cast("double").as("qty_7d"))
+    }),
+
+    // equi-depth histogram via ntile: decile boundaries of the price
+    // distribution. A single global sort is fine for a histogram FRAME
+    // (output is 10 rows); at 100 TB the same question is answered by
+    // approx_percentile (sketch_stats) — this is the exact small-side
+    // companion
+    "rel_ntile" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("bucket", ntile(10).over(w).cast("bigint"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    }),
+
     "rel_distinct" -> ((s, dir) =>
       table(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()),
 
@@ -1773,6 +1804,23 @@ object SparkEntry {
     "rel_sort_limit" -> """
       SELECT o_orderkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "rel_window_range" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_day,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_7d
+      FROM lineitem""",
+
+    "rel_ntile" -> """
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM (SELECT o_totalprice,
+                   CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+            FROM orders) t
+      GROUP BY bucket""",
 
     "rel_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
