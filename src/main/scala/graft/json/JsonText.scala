@@ -114,6 +114,14 @@ object JsonText {
         if (isFloat) JDouble(java.lang.Double.parseDouble(s))
         else JLong(java.lang.Long.parseLong(s))
       } catch {
+        case _: NumberFormatException if !isFloat =>
+          // DOCUMENTED NARROWING vs the reference: its integers are i128
+          // (json.rs:234); this engine's are 64-bit (Spark LongType).
+          // An integer past ±2^63-1 degrades to double (jq's behavior)
+          // instead of erroring the whole document — at corpus scale a
+          // 20-digit id in one record must not kill the batch.
+          try JDouble(java.lang.Double.parseDouble(s))
+          catch { case _: NumberFormatException => fail(s"invalid number $s") }
         case _: NumberFormatException => fail(s"invalid number $s")
       }
     }
