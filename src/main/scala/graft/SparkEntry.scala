@@ -1294,12 +1294,12 @@ object SparkEntry {
           col("e.ent_sum_micro").as("ent_sum_micro"))),
 
     // char-trigram LM self-scoring (CCNet-style quality prior): model and
-    // scores in fixed-point micro-nats, every aggregate exact BIGINT
-    "text_ppl" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-      val model = operators.TextAnalysis.ngramModel(docs, col("text"), n = 3)
-      operators.TextAnalysis.ngramLogProb(docs, "doc_id", col("text"), model, n = 3)
-    }),
+    // scores in fixed-point micro-nats, every aggregate exact BIGINT;
+    // the fused single-gram-pass form (the two-step fit/score API exists
+    // for scoring a different corpus)
+    "text_ppl" -> ((s, dir) =>
+      operators.TextAnalysis.ngramScoreSelf(
+        table(s, dir, "documents"), "doc_id", col("text"), n = 3)),
 
     // link-graph authority prior: fixed-point PageRank over the
     // supplier→part incidence graph, 3 synchronous iterations, one
