@@ -1337,6 +1337,11 @@ object SparkEntry {
       operators.Dedup.pairwiseJaccard(docs, "doc_id", col("text"), n = 3, pairs = pairs)
     }),
 
+    // int8 quantization accounting (vector-store compression): the
+    // code's exact integer invariants + the scale, zero shuffle
+    "sim_quantize" -> ((s, dir) =>
+      operators.Similarity.int8QuantStats(table(s, dir, "embeddings"))),
+
     // exact threshold-range pairs: block-partitioned equi-join (see
     // Similarity.cosineNearDupPairs for why LSH cannot be recall-exact at
     // a 0.45 threshold — the shape here is a distributed GEMM tiling)
@@ -2495,6 +2500,25 @@ object SparkEntry {
       "SELECT DISTINCT vec_id AS qid, true AS recall_ok, true AS self_ok FROM embeddings WHERE vec_id < 10",
 
     // --- similarity search ----------------------------------------------
+    "sim_quantize" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      m AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM e),
+      q AS (
+        SELECT vec_id, scale,
+               CASE WHEN scale > 0
+                 THEN list_transform(v, x -> CAST(round(x / scale) AS BIGINT))
+                 ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qs
+        FROM m)
+      SELECT vec_id, scale,
+             CAST(list_sum(qs) AS BIGINT) AS q_sum,
+             CAST(list_sum(list_transform(qs, x -> x * x)) AS BIGINT) AS q_norm2
+      FROM q""",
+
     "sim_topk" -> """
       SELECT qid, rnk, vec_id FROM (
         SELECT q.vec_id AS qid, e.vec_id AS vec_id,

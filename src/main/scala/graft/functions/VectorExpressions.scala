@@ -449,3 +449,41 @@ case class CharEntropy(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): CharEntropy =
     copy(child = newChild)
 }
+
+/** Symmetric int8 quantization summary of an ARRAY<DOUBLE> vector — the
+  * vector-store compression step (scale = max|v|/127, qᵢ =
+  * round-half-away(vᵢ/scale)) reduced to its EXACT integer invariants:
+  * struct(scale, q_sum, q_norm2) with q_sum = Σqᵢ and q_norm2 = Σqᵢ² as
+  * BIGINTs. The rounding is HALF_UP (away from zero), matching SQL
+  * round() in any engine, so the integer fields reproduce bit-for-bit;
+  * a zero vector quantizes to scale 0 with all-zero codes. One pass,
+  * zero shuffle. */
+case class Int8QuantStats(child: Expression)
+    extends UnaryExpression with NativeUnaryCodegen {
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q_sum", LongType, nullable = false),
+    StructField("q_norm2", LongType, nullable = false)))
+  override def prettyName: String = "int8_quant_stats"
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) { val x = Math.abs(a.getDouble(i)); if (x > mx) mx = x; i += 1 }
+    val scale = mx / 127.0
+    var qs = 0L; var qn = 0L
+    if (scale > 0.0) {
+      i = 0
+      while (i < n) {
+        val q = java.math.BigDecimal.valueOf(a.getDouble(i) / scale)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        qs += q; qn += q * q
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(scale, qs, qn)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantStats =
+    copy(child = newChild)
+}

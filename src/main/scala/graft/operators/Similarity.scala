@@ -23,6 +23,17 @@ object Similarity {
   /** Embedding cast to double for stable accumulation. */
   private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Symmetric int8 quantization summary per vector (vector-store
+    * compression accounting): (vec_id, scale, q_sum, q_norm2) with the
+    * integer invariants of the quantized code exact — see
+    * functions.Int8QuantStats. Zero shuffle. */
+  def int8QuantStats(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"),
+        ColumnBridge.column(graft.functions.Int8QuantStats(
+          ColumnBridge.expression(dvec(col("embedding"))))).as("q"))
+      .select(col("vec_id"), col("q.scale").as("scale"),
+        col("q.q_sum").as("q_sum"), col("q.q_norm2").as("q_norm2"))
+
   /** Left-to-right double dot product — native one-pass kernel
     * (graft.functions.VecDot; the aggregate/zip_with formulation is
     * interpreted per element and was ~10× slower on the pair queries). */

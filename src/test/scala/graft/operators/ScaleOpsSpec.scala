@@ -215,6 +215,27 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(supp.nonEmpty && supp.forall(a(_) == 150000L))
   }
 
+  // ------------------------------------------------------ int8 quantization
+
+  test("int8QuantStats: exact invariants on known vectors") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq(127.0f, -127.0f, 0.0f)),   // scale 1: codes 127,-127,0
+      (2L, Seq(0.0f, 0.0f)),              // zero vector: scale 0, zero codes
+      (3L, Seq(1.0f, 0.5f))               // scale 1/127: codes 127, 64 (0.5·127=63.5 → 64)
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.int8QuantStats(d)
+      .collect().map(x => (x.getLong(0), (x.getDouble(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((1.0, 0L, 2L * 127 * 127)))
+    assert(r(2L) == ((0.0, 0L, 0L)))
+    assert(r(3L)._2 == 127L + 64L && r(3L)._3 == 127L * 127 + 64L * 64)
+    // max quantized magnitude is 127 by construction: q_norm2 <= n·127²
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val viol = Similarity.int8QuantStats(emb)
+      .filter(col("q_norm2") > lit(64L * 127 * 127)).count()
+    assert(viol == 0L)
+  }
+
   // ------------------------------------------------------ resample
 
   test("resampleLocf: gaps zero-filled, values carried forward, buckets exact") {
