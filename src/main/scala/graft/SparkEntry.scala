@@ -1268,6 +1268,13 @@ object SparkEntry {
       operators.Dedup.duplicateRuns(table(s, dir, "documents"),
         "doc_id", col("text"), k = 40, minRunLen = 80)),
 
+    // intra-document repeats: ≥20-char substrings occurring twice in the
+    // SAME document — the self-repetition/boilerplate half of the
+    // substring-dedup story
+    "dedup_substring_self" -> ((s, dir) =>
+      operators.Dedup.selfRepeatRuns(table(s, dir, "documents"),
+        "doc_id", col("text"), k = 20, minRunLen = 20)),
+
     // incremental corpus-vs-delta dedup: a "new batch" of re-labeled
     // copies probes the corpus's LSH bands. Oracled in the exact regime
     // (threshold 1.0 = equal shingle sets, where banding recall is
@@ -2035,6 +2042,26 @@ object SparkEntry {
       SELECT d1, d2, s1 AS start1, s1 - diff AS start2,
              CAST(e1 - s1 + 40 AS BIGINT) AS run_len
       FROM runs WHERE e1 - s1 + 40 >= 80""",
+
+    "dedup_substring_self" -> """
+      WITH pos AS (
+        SELECT doc_id AS d,
+               unnest(generate_series(1, len(text) - 20 + 1))::BIGINT AS p, text
+        FROM documents WHERE len(text) >= 20),
+      g AS (SELECT d, p, substr(text, p, 20) AS gr FROM pos),
+      pairs AS (
+        SELECT a.d, a.p AS p1, b.p AS p2, a.p - b.p AS diff
+        FROM g a JOIN g b ON a.gr = b.gr AND a.d = b.d AND a.p > b.p),
+      isl AS (
+        SELECT d, diff, p1,
+               p1 - row_number() OVER (PARTITION BY d, diff ORDER BY p1) AS i
+        FROM pairs),
+      runs AS (
+        SELECT d, diff, min(p1) AS s1, max(p1) AS e1
+        FROM isl GROUP BY d, diff, i)
+      SELECT d, s1 AS start1, s1 - diff AS start2,
+             CAST(e1 - s1 + 20 AS BIGINT) AS run_len
+      FROM runs WHERE e1 - s1 + 20 >= 20""",
 
     // exact regime: pairs with EQUAL distinct-shingle sets (jaccard 1);
     // DuckDB compares sorted distinct shingle lists

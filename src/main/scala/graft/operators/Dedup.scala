@@ -184,6 +184,42 @@ object Dedup {
       .filter(col("j") >= threshold)
   }
 
+  /** Intra-document repeats — the other half of the Lee et al. dedup
+    * (self-repetition is the boilerplate/degenerate-generation signal):
+    * maximal runs of ≥ `minRunLen` chars occurring at TWO positions of
+    * the SAME document, as (d, start1, start2, run_len) with
+    * start1 > start2 (the later occurrence first). Same k-gram anchor /
+    * island-merge / byte-confirm shape as [[duplicateRuns]] with the
+    * join pinned to (same doc, p1 > p2); a periodic region of period q
+    * reports one run per admissible offset multiple, which is the
+    * faithful set-of-alignments answer. */
+  def selfRepeatRuns(docs: DataFrame, id: String, text: Column,
+                     k: Int, minRunLen: Int): DataFrame = {
+    require(k >= 1 && minRunLen >= k, s"need k>=1, minRunLen>=k; got k=$k minRunLen=$minRunLen")
+    val grams = docs.select(col(id).as("d"),
+        posexplode(ColumnBridge.column(
+          graft.functions.CharGramHashes(ColumnBridge.expression(text), k))))
+      .select(col("d"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
+    val pairs = grams.as("a").hint("shuffle_hash").join(grams.as("b"),
+        col("a.h") === col("b.h") && col("a.d") === col("b.d") && col("a.p") > col("b.p"))
+      .select(col("a.d").as("d"), col("a.p").as("p1"), col("b.p").as("p2"))
+      .withColumn("diff", col("p1") - col("p2"))
+    val w = Window.partitionBy(col("d"), col("diff")).orderBy(col("p1"))
+    val runs = pairs
+      .withColumn("isl", col("p1") - row_number().over(w))
+      .groupBy(col("d"), col("diff"), col("isl"))
+      .agg(min(col("p1")).as("s1"), max(col("p1")).as("e1"))
+      .withColumn("run_len", col("e1") - col("s1") + lit(k.toLong))
+      .filter(col("run_len") >= minRunLen)
+      .select(col("d"), col("s1").as("start1"),
+        (col("s1") - col("diff")).as("start2"), col("run_len"))
+    val t = docs.select(col(id).as("d"), text.as("t"))
+    runs.join(t, "d")
+      .filter(col("t").substr(col("start1"), col("run_len")) ===
+              col("t").substr(col("start2"), col("run_len")))
+      .select(col("d"), col("start1"), col("start2"), col("run_len"))
+  }
+
   /** Incremental (corpus-vs-delta) near-dup pairs: for each document of
     * `delta`, its near-duplicates IN `corpus` — the refresh-time dedup
     * that admits a new crawl batch without re-deduping the corpus.

@@ -95,6 +95,18 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(capped == Set((1L, 2L)), s"only the rare-block pair survives: $capped")
   }
 
+  test("selfRepeatRuns: finds the doubled block within one document") {
+    import spark.implicits._
+    val block = ('a' to 'z').mkString // aperiodic 26-char block
+    val d = Seq(
+      (1L, "xx" + block + "yy" + block + "zz"), // block at 3 and at 31
+      (2L, "no repeats in this one at all ok")
+    ).toDF("doc_id", "text")
+    val runs = Dedup.selfRepeatRuns(d, "doc_id", col("text"), k = 10, minRunLen = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(runs.toSeq == Seq((1L, 31L, 3L, 26L)), runs.mkString(","))
+  }
+
   test("duplicateRuns on the fixture: every emitted run is byte-equal in both docs") {
     val runs = Dedup.duplicateRuns(docs, "doc_id", col("text"), k = 40, minRunLen = 80)
     val t1 = docs.select(col("doc_id").as("d1"), col("text").as("t1"))
