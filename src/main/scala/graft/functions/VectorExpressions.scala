@@ -465,12 +465,20 @@ case class Int8QuantStats(child: Expression)
     StructField("q_sum", LongType, nullable = false),
     StructField("q_norm2", LongType, nullable = false)))
   override def prettyName: String = "int8_quant_stats"
+  override def nullable: Boolean = true
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
     var mx = 0.0
     var i = 0
-    while (i < n) { val x = Math.abs(a.getDouble(i)); if (x > mx) mx = x; i += 1 }
+    while (i < n) {
+      val x = a.getDouble(i)
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+        return null // non-finite vector → SQL NULL, never a task throw
+      val ax = Math.abs(x)
+      if (ax > mx) mx = ax
+      i += 1
+    }
     val scale = mx / 127.0
     var qs = 0L; var qn = 0L
     if (scale > 0.0) {

@@ -241,6 +241,9 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(r(1L) == ((1.0, 0L, 2L * 127 * 127)))
     assert(r(2L) == ((0.0, 0L, 0L)))
     assert(r(3L)._2 == 127L + 64L && r(3L)._3 == 127L * 127 + 64L * 64)
+    // non-finite vectors yield SQL NULL, never a task throw
+    val nan = Seq((9L, Seq(Float.NaN, 1.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.int8QuantStats(nan).filter(col("scale").isNull).count() == 1L)
     // max quantized magnitude is 127 by construction: q_norm2 <= n·127²
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val viol = Similarity.int8QuantStats(emb)
