@@ -172,6 +172,15 @@ class ScaleOpsSpec extends SparkTestBase {
       s"worst prefixes: ${sums.filterNot(s => s > 0.999 && s < 1.001).take(3).mkString(",")}")
   }
 
+  test("ngramScoreSelf == two-step fit + score (the fused path changes cost, not results)") {
+    val model = TextAnalysis.ngramModel(docs, col("text"), n = 3)
+    val twoStep = TextAnalysis.ngramLogProb(docs, "doc_id", col("text"), model, n = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val fused = TextAnalysis.ngramScoreSelf(docs, "doc_id", col("text"), n = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(fused == twoStep)
+  }
+
   test("ngramLogProb is partitioning-invariant (exact integer scores)") {
     val model = TextAnalysis.ngramModel(docs, col("text"), n = 3)
     def run(d: org.apache.spark.sql.DataFrame) =
