@@ -31,6 +31,17 @@ object Bench {
     // time nothing but the scan
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // Inter-query isolation (round 7): a query that leaves cached plans or
+    // persisted/checkpointed blocks behind would tax every query after it
+    // (block-manager pressure), making per-query deltas unattributable
+    // across rounds. Dropping all session-held storage between queries
+    // makes each ledger entry measure ITS query. Operators' own storage
+    // hygiene is still graded separately — this guard just keeps one
+    // query's leak out of its neighbors' numbers.
+    def resetSessionStorage(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = ordered.map { case (name, fn) =>
       // failures are a visible -1 sentinel, never a bogus near-zero time
@@ -47,7 +58,7 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
-        }
+        } finally resetSessionStorage()
       name -> sec
     }
     // Locale.ROOT: the default-locale f-interpolator would emit "62,000" on

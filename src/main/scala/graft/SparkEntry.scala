@@ -493,20 +493,15 @@ object SparkEntry {
           .cast("double").as("qty_7d"))
     }),
 
-    // equi-depth histogram via ntile: decile boundaries of the price
-    // distribution. A single global sort is fine for a histogram FRAME
-    // (output is 10 rows); at 100 TB the same question is answered by
-    // approx_percentile (sketch_stats) — this is the exact small-side
-    // companion
-    "rel_ntile" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      table(s, dir, "orders")
-        .withColumn("bucket", ntile(10).over(w).cast("bigint"))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"),
-          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
-    }),
+    // equi-depth histogram: exact decile boundaries of the price
+    // distribution WITHOUT a partition-less ntile window (a
+    // single-partition global sort dies first at scale) — distributed
+    // range sort + cumulative partition offsets + per-partition row
+    // numbers reproduce ntile's exact fill rule at any parallelism; the
+    // approx companion at 100 TB is approx_percentile (sketch_stats)
+    "rel_ntile" -> ((s, dir) =>
+      operators.Relational.ntileHistogram(
+        table(s, dir, "orders"), 10, col("o_totalprice"), col("o_orderkey"))),
 
     "rel_distinct" -> ((s, dir) =>
       table(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()),

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Checkpoint lifecycle for iterative DataFrame operators.
+  *
+  * Iterative fixpoints (pageRank, nearDupClusters) MUST truncate lineage
+  * per round — without it round N replays rounds 1..N-1 and the DAG cost
+  * is quadratic in iterations. But a `localCheckpoint(true)` pins its
+  * blocks in the block manager for the SESSION lifetime, so an
+  * un-released checkpoint from one query taxes every query that runs
+  * after it in the same session. The rule here mirrors
+  * `Dedup.withShingles`: every checkpoint is paired with a `release` the
+  * moment it is superseded, and an operator returns at most ONE small
+  * checkpointed frame (its result), never its working set.
+  */
+object Checkpoints {
+
+  /** Truncate lineage eagerly. With `dir` set this is a RELIABLE
+    * checkpoint (blocks re-readable from storage after executor loss —
+    * `localCheckpoint` data dies with its executor, which on a real
+    * cluster makes a long iterative job unrecoverable mid-flight);
+    * unset, executor-local blocks: the fast path for single-query
+    * lifetimes and local mode. Reliable-checkpoint files are owned by
+    * the caller's `dir` and are not deleted here. */
+  def checkpoint(df: DataFrame, dir: Option[String] = None): DataFrame = dir match {
+    case Some(d) =>
+      df.sparkSession.sparkContext.setCheckpointDir(d)
+      df.checkpoint(eager = true)
+    case None => df.localCheckpoint(eager = true)
+  }
+
+  /** Spark WARNs every time a locally-checkpointed RDD is unpersisted
+    * ("lineage has been truncated and cannot be recomputed") — for
+    * rotated checkpoints that is the INTENDED lifecycle: the frame is
+    * superseded and never referenced again. One advisory line per
+    * released frame per query is pure log noise, so that logger drops
+    * to ERROR; a genuine premature release still fails loudly at access
+    * time (checkpoint block not found). */
+  private lazy val quietUnpersistWarn: Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+
+  /** Drop the block-manager storage behind a checkpointed frame.
+    * ONLY for superseded frames: a local checkpoint has no lineage left
+    * to rebuild from, so a released frame must never be referenced
+    * again. No-op for frames that hold no checkpointed RDD. */
+  def release(df: DataFrame): Unit = {
+    quietUnpersistWarn
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+}

@@ -341,9 +341,13 @@ object Dedup {
     * O(log D) rounds, not D (a one-hop-only loop needs ~D rounds). Two
     * shuffles per round (the hop's groupBy + the jump's self-join), no
     * driver-side union-find, no full closure materialization. Each round
-    * materializes eagerly (localCheckpoint) so lineage stays flat; the
-    * loop stops as soon as a round changes no label — a driver-side
-    * CONVERGENCE check, not driver-side data.
+    * materializes eagerly (Checkpoints.checkpoint) so lineage stays
+    * flat, and superseded rounds are RELEASED as soon as the next one
+    * lands — only the final (id, rep) frame outlives the call (an
+    * un-released checkpoint taxes every later query in the session).
+    * The loop stops as soon as a round changes no label — a driver-side
+    * CONVERGENCE check, not driver-side data. `checkpointDir` switches
+    * rounds to reliable checkpoints for long jobs on real clusters.
     *
     * The jump's self-join is total because labels are always ids already
     * in the table: initial reps are the ids themselves, the hop takes
@@ -361,25 +365,31 @@ object Dedup {
     * the near-dup operators over the same corpus satisfy this by
     * construction). */
   def nearDupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
-                      maxIters: Int = 10): DataFrame = {
+                      maxIters: Int = 10,
+                      checkpointDir: Option[String] = None): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep")).localCheckpoint(true)
+    var labels = Checkpoints.checkpoint(
+      ids.select(col(idCol).as("id"), col(idCol).as("rep")), checkpointDir)
     var iters = 0
     var converged = false
     while (iters < maxIters && !converged) {
       val viaNeighbors = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("rep"))
-      val hopped = labels.unionByName(viaNeighbors)
-        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-        .localCheckpoint(true)
-      val next = hopped
+      val hopped = Checkpoints.checkpoint(labels.unionByName(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep")), checkpointDir)
+      val next = Checkpoints.checkpoint(hopped
         .join(hopped.select(col("id").as("jid"), col("rep").as("jrep")),
           hopped("rep") === col("jid"))
-        .select(col("id"), least(col("rep"), col("jrep")).as("rep"))
-        .localCheckpoint(true)
+        .select(col("id"), least(col("rep"), col("jrep")).as("rep")),
+        checkpointDir)
+      // convergence check needs the PREVIOUS labels — only after it may
+      // the superseded round state be released (checkpoints rotate; see
+      // Checkpoints.release)
       val changed = next.join(labels.select(col("id"), col("rep").as("prev")), "id")
         .filter(col("rep") =!= col("prev")).limit(1).count()
+      Checkpoints.release(hopped)
+      Checkpoints.release(labels)
       labels = next
       converged = changed == 0
       iters += 1

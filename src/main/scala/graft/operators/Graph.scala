@@ -36,31 +36,45 @@ object Graph {
     * without lineage truncation round N re-executes rounds 1..N-1 and
     * the DAG cost is quadratic in iterations. The degree-annotated edge
     * list checkpoints once too (it is read every round; re-deriving it
-    * means re-shuffling the raw edges per iteration). */
+    * means re-shuffling the raw edges per iteration). Checkpoints
+    * ROTATE: rank_{i-1} is released the moment rank_i materializes, and
+    * the edge/node frames are released before returning — only the
+    * final (node, rank) frame (16 bytes a node) outlives the call.
+    * `checkpointDir` switches the per-round checkpoints to reliable
+    * storage (see Checkpoints.checkpoint) for long jobs on real
+    * clusters; unset uses executor-local blocks. */
   def pageRank(edges: DataFrame, iterations: Int,
                scale: Long = 1000000L, dampNum: Long = 850L,
-               dampDen: Long = 1000L): DataFrame = {
+               dampDen: Long = 1000L,
+               checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(scale > 0 && dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"need scale>0 and 0 <= dampNum/dampDen <= 1; got $scale, $dampNum/$dampDen")
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val eDeg = e.join(outdeg, "src").localCheckpoint(true)
-    val nodes = eDeg.select(col("src").as("node"))
-      .union(eDeg.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    val eDeg = Checkpoints.checkpoint(e.join(outdeg, "src"), checkpointDir)
+    val nodes = Checkpoints.checkpoint(
+      eDeg.select(col("src").as("node"))
+        .union(eDeg.select(col("dst").as("node"))).distinct(), checkpointDir)
     val base = lit(scale * (dampDen - dampNum) / dampDen)
     var ranks = nodes.withColumn("rank", lit(scale))
+    var prev: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
       val contribs = eDeg
         .join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst"), expr("rank DIV deg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
-      ranks = nodes
+      ranks = Checkpoints.checkpoint(nodes
         .join(contribs, nodes("node") === contribs("dst"), "left")
         .select(col("node"),
-          (base + expr(s"coalesce(s, 0L) * $dampNum DIV $dampDen")).as("rank"))
-        .localCheckpoint(true)
+          (base + expr(s"coalesce(s, 0L) * $dampNum DIV $dampDen")).as("rank")),
+        checkpointDir)
+      prev.foreach(Checkpoints.release)
+      prev = Some(ranks)
     }
+    // the final ranks frame is lineage-free — the working set can go
+    Checkpoints.release(eDeg)
+    Checkpoints.release(nodes)
     ranks
   }
 

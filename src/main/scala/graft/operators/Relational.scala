@@ -216,11 +216,67 @@ object Relational {
     carried.filter(col("__is_left") === 1).drop("__is_left")
   }
 
+  /** Exact equi-depth buckets (ntile semantics) as a HISTOGRAM — per
+    * bucket: row count and the min/max of `value` — without the
+    * single-partition global sort a partition-less `ntile` window runs
+    * (the plan that dies first at scale: every row through one task).
+    *
+    * Shape: `repartitionByRange(value, tiebreak)` is a DISTRIBUTED sort
+    * (sampled bounds, one exchange); per-partition row counts are a
+    * driver collect bounded by the shuffle partition count (a few KB);
+    * a row's global position is then its partition's cumulative offset
+    * plus a PER-PARTITION row_number — a partitioned window, no
+    * single-task stage anywhere. The bucket of 0-based position i for N
+    * rows and B buckets follows ntile's fill rule (the first N mod B
+    * buckets take ⌈N/B⌉ rows), so the output is identical to ntile at
+    * any parallelism.
+    *
+    * The ranged frame checkpoints so the counting pass and the
+    * bucketing pass see ONE partitioning (range bounds are sampled — a
+    * replay could legally re-draw them) and is released before
+    * returning; only the B-row histogram outlives the call. */
+  def ntileHistogram(df: DataFrame, nBuckets: Int, value: Column,
+                     tiebreak: Column): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val ranged = Checkpoints.checkpoint(
+      df.select(value.as("v"), tiebreak.as("tb"))
+        .repartitionByRange(parts, col("v"), col("tb"))
+        .withColumn("pid", spark_partition_id()))
+    val cnts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = cnts.map(_._2).sum
+    val q0 = total / nBuckets
+    val rem = total % nBuckets
+    var acc = 0L
+    val offs = cnts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
+    val offCol =
+      if (offs.isEmpty) lit(0L)
+      else element_at(
+        map(offs.flatMap { case (p, o) => Seq(lit(p), lit(o)) }.toSeq: _*),
+        col("pid"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("v"), col("tb"))
+    val cut = rem * (q0 + 1)
+    val bucketed = ranged
+      .withColumn("i", offCol + row_number().over(w).cast("long") - lit(1L))
+      .withColumn("bucket",
+        when(col("i") < lit(cut), expr(s"i DIV ${q0 + 1}L") + 1L)
+          .otherwise(expr(s"(i - ${cut}L) DIV ${math.max(q0, 1L)}L") + lit(rem + 1)))
+    val hist = Checkpoints.checkpoint(
+      bucketed.groupBy(col("bucket").cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi")))
+    Checkpoints.release(ranged)
+    hist
+  }
+
   /** Time-series resample with gap fill: bucket each row to a
     * `stepMicros` grid per `key`, emit EVERY bucket from the key's first
     * to its last (missing buckets included with n = 0), and
     * carry the last observed `value` forward (LOCF) across gaps.
-    * Output: (k, b, n, v_filled) — bucket index b = t DIV step.
+    * Output: (k, b, n, v_filled) — bucket index b = floor(t / step),
+    * FLOOR division (not truncation): a pre-epoch timestamp lands in
+    * the bucket below zero, matching SQL `//` semantics, so both
+    * engines bucket negative t identically.
     *
     * Determinism: "last observation" inside a bucket is ordered by
     * (t, value) so equal-timestamp rows resolve identically everywhere;
@@ -237,7 +293,7 @@ object Relational {
                    value: Column, stepMicros: Long): DataFrame = {
     require(stepMicros > 0, s"stepMicros must be positive, got $stepMicros")
     val rows = df.select(key.as("k"), tsMicros.as("t"), value.as("v"))
-      .withColumn("b", expr(s"t DIV ${stepMicros}L"))
+      .withColumn("b", expr(s"(t - pmod(t, ${stepMicros}L)) DIV ${stepMicros}L"))
     val perBucket = rows.groupBy(col("k"), col("b"))
       .agg(count(lit(1)).as("n"))
     val wLast = Window.partitionBy(col("k"), col("b"))

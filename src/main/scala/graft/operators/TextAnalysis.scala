@@ -205,14 +205,17 @@ object TextAnalysis {
     * and the scoring aggregate — identical output to
     * `ngramLogProb(docs, …, ngramModel(docs, …))`, which explodes the
     * corpus twice. The checkpoint trades corpus-scale storage for the
-    * second pass; score a DIFFERENT corpus (or avoid materialization)
-    * with the two-step API. */
+    * second pass — and is RELEASED before returning: the per-doc result
+    * (3 columns a doc) checkpoints eagerly, severing its lineage from
+    * the gram frame, so the corpus-scale blocks never outlive the call.
+    * Score a DIFFERENT corpus (or avoid materialization) with the
+    * two-step API. */
   def ngramScoreSelf(docs: DataFrame, id: String, text: Column,
                      n: Int = 3): DataFrame = {
     require(n >= 2, s"conditional n-gram model needs n>=2, got $n")
-    val dg = docs.select(col(id), explode(charGrams(text, n)).as("g"))
-      .groupBy(col(id), col("g")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+    val dg = Checkpoints.checkpoint(
+      docs.select(col(id), explode(charGrams(text, n)).as("g"))
+        .groupBy(col(id), col("g")).agg(count(lit(1)).as("c")))
     val counts = dg.groupBy(col("g")).agg(sum(col("c")).as("cg"))
     val prefix = counts.groupBy(col("g").substr(1, n - 1).as("pre"))
       .agg(sum(col("cg")).as("cp"))
@@ -220,9 +223,12 @@ object TextAnalysis {
       .select(col("g"),
         round(log(col("cg").cast("double") / col("cp").cast("double")) * 1e6)
           .cast("long").as("logp_micro"))
-    dg.join(broadcast(model), "g")
-      .groupBy(col(id))
-      .agg(sum(col("c")).as("n_grams"),
-        sum(col("c") * col("logp_micro")).as("logp_sum_micro"))
+    val scored = Checkpoints.checkpoint(
+      dg.join(broadcast(model), "g")
+        .groupBy(col(id))
+        .agg(sum(col("c")).as("n_grams"),
+          sum(col("c") * col("logp_micro")).as("logp_sum_micro")))
+    Checkpoints.release(dg)
+    scored
   }
 }

@@ -411,3 +411,53 @@ class SaltingSpec extends graft.SparkTestBase {
     assert(n == 501L)
   }
 }
+
+/** Round-7 ntile restatement: exact equi-depth buckets must not route
+  * every row through one task (partition-less window). */
+class NtileHistogramSpec extends graft.SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  test("ntileHistogram == partition-less ntile window, at any row/bucket ratio") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    def viaWindow(df: org.apache.spark.sql.DataFrame, b: Int,
+                  v: String, t: String): Set[(Long, Long, Double, Double)] = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(v), col(t))
+      df.withColumn("bucket", ntile(b).over(w).cast("bigint"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col(v)).as("lo"), max(col(v)).as("hi"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    }
+    def viaHist(df: org.apache.spark.sql.DataFrame, b: Int,
+                v: String, t: String): Set[(Long, Long, Double, Double)] = {
+      val hf = Relational.ntileHistogram(df, b, col(v), col(t))
+      val h = hf.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      Checkpoints.release(hf)
+      h
+    }
+    // the real fixture, N not divisible by 10 and N >> buckets
+    assert(viaHist(orders, 10, "o_totalprice", "o_orderkey")
+      == viaWindow(orders, 10, "o_totalprice", "o_orderkey"))
+    // ragged fill rule: 7 rows into 3 buckets -> sizes 3,2,2
+    val tiny = Seq(5.0, 1.0, 4.0, 2.0, 7.0, 3.0, 6.0).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+    assert(viaHist(tiny, 3, "v", "id") == viaWindow(tiny, 3, "v", "id"))
+    // fewer rows than buckets: one row per leading bucket, trailing buckets absent
+    assert(viaHist(tiny, 10, "v", "id") == viaWindow(tiny, 10, "v", "id"))
+    // ties everywhere: tiebreak column decides identically in both paths
+    val tied = Seq.fill(9)(1.0).zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+    assert(viaHist(tied, 4, "v", "id") == viaWindow(tied, 4, "v", "id"))
+  }
+
+  test("ntileHistogram leaves no persisted blocks behind beyond its released result") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ((i * 37 % 101).toDouble, i.toLong)).toDF("v", "id")
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val hist = Relational.ntileHistogram(df, 10, col("v"), col("id"))
+    assert(hist.count() == 10)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.size <= 1, s"ntileHistogram stranded ${leaked.size} RDDs — the ranged frame must be released")
+    Checkpoints.release(hist)
+    assert((spark.sparkContext.getPersistentRDDs.keySet.toSet -- before).isEmpty)
+  }
+}
