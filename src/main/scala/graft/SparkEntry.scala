@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** Per-process unique ORC sink for rel_orc_roundtrip: concurrent
+    * bench/verify runs on one host must not race on a shared path.
+    * Removed on JVM exit; within the process `overwrite` keeps one copy. */
+  private lazy val orcSinkDir: String = {
+    val d = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_orc_${java.lang.ProcessHandle.current().pid()}")
+    sys.addShutdownHook(org.apache.commons.io.FileUtils.deleteQuietly(d))
+    d.getAbsolutePath
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
     // default; read as LONG nanos and convert where a query needs time.
@@ -387,12 +397,15 @@ object SparkEntry {
     // content-sensitive aggregate (rolling fingerprints) proving the
     // typed round-trip is lossless — the oracle computes the same
     // aggregate straight off the parquet, so any ORC write/read
-    // corruption (encoding, nulls, unicode) breaks the hash
+    // corruption (encoding, nulls, unicode) breaks the hash. The sink
+    // is a PER-PROCESS unique dir (round-6 ADVICE: concurrent bench /
+    // verify runs on one host raced on a shared /tmp path); overwrite
+    // keeps one copy within the process, the JVM exit hook removes it
     "rel_orc_roundtrip" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
-      docs.write.mode("overwrite").orc("/tmp/graft_orc/docs")
-      s.read.orc("/tmp/graft_orc/docs")
+      docs.write.mode("overwrite").orc(orcSinkDir)
+      s.read.orc(orcSinkDir)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
           sum(operators.TextAnalysis.fingerprint(col("text"))).as("sum_fp"),
@@ -784,8 +797,16 @@ object SparkEntry {
           Jq.multi(Seq(
             ("subbed", """.text | gsub("[aeiou]", "_")""", "string"),
             ("sub1", """.text | sub("e", "3")""", "string"),
-            ("rt", ".text | chars | implode", "string")), col("doc")).as("m"))
-        .select(col("doc_id"), col("m.subbed"), col("m.sub1"), col("m.rt"))),
+            ("rt", ".text | chars | implode", "string"),
+            // `s` flag (DOTALL): the .* must cross the injected newline,
+            // so the answer is row-dependent (does the text contain 'a')
+            ("ds", """.text + "\nEND" | test("a.*END", "s")""", "bool"),
+            // `m` flag (MULTILINE): words to lines, count lines starting
+            // with a letter — ^ must anchor at every line break
+            ("ml", """.text | split(" ") | join("\n") | [match("^[A-Za-z]", "gm")] | length""", "long")),
+            col("doc")).as("m"))
+        .select(col("doc_id"), col("m.subbed"), col("m.sub1"), col("m.rt"),
+          col("m.ds"), col("m.ml"))),
 
     // limit/while/until loops + runtime-path setpath/delpaths (round 3)
     "jq_paths_update" -> ((s, dir) =>
@@ -1340,9 +1361,20 @@ object SparkEntry {
     }),
 
     // int8 quantization accounting (vector-store compression): the
-    // code's exact integer invariants + the scale, zero shuffle
-    "sim_quantize" -> ((s, dir) =>
-      operators.Similarity.int8QuantStats(table(s, dir, "embeddings"))),
+    // code's exact integer invariants + the scale, zero shuffle. Two
+    // SYNTHETIC edge rows ride along so the oracle pins the kernel's
+    // documented contract (round-6 ADVICE) instead of relying on the
+    // fixture avoiding it: empty vector → (0.0, 0, 0); non-finite
+    // element → NULL stats
+    "sim_quantize" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Seq(
+        (-1L, Array.empty[Float]),
+        (-2L, Array(1.0f, Float.NaN))).toDF("vec_id", "embedding")
+      operators.Similarity.int8QuantStats(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+          .unionByName(edges))
+    }),
 
     // exact threshold-range pairs: block-partitioned equi-join (see
     // Similarity.cosineNearDupPairs for why LSH cannot be recall-exact at
@@ -1497,15 +1529,25 @@ object SparkEntry {
         .select(col("media_id"))
     }),
 
+    // REAL image decode: one JDK-encoded PNG per document (dims derived
+    // from n_chars, constant gray = doc_id mod 256), read back through
+    // javax.imageio — the oracle predicts the decoded width/height and
+    // the luma-feature gray level analytically, so any encode/decode or
+    // pixel-path defect breaks the hash. Audio/video stay stubbed
+    // (documented; no codecs in this environment).
     "mm_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val media = operators.Multimodal.fromText(
-        table(s, dir, "documents"), "doc_id", "text", "image")
+      val media = operators.Multimodal.pngMedia(
+        table(s, dir, "documents"), "doc_id",
+        lit(16) + col("n_chars") % 64, lit(16) + (col("n_chars") * 7) % 48)
       operators.Multimodal.decode(media).toDF()
-        .select(col("media_id"), col("n_bytes"),
+        .select(col("media_id"),
           col("width").cast("bigint").as("width"),
           col("height").cast("bigint").as("height"),
-          col("n_frames").cast("bigint").as("n_frames"))
+          col("n_frames").cast("bigint").as("n_frames"),
+          // features hold mean luma in [0,1]; ×255 recovers the exact
+          // constant fill (float error ≪ 0.5, so round is exact)
+          round(element_at(col("features"), 1) * 255).cast("bigint").as("luma_q"))
     }),
 
     // frame sampling over decoded video records: every 7th frame index,
@@ -2279,7 +2321,9 @@ object SparkEntry {
       SELECT doc_id,
              regexp_replace(text, '[aeiou]', '_', 'g') AS subbed,
              regexp_replace(text, 'e', '3') AS sub1,
-             text AS rt
+             text AS rt,
+             regexp_matches(text || chr(10) || 'END', '(?s)a.*END') AS ds,
+             len(regexp_extract_all(replace(text, ' ', chr(10)), '(?m)^[A-Za-z]')) AS ml
       FROM documents""",
 
     "jq_paths_update" -> """
@@ -2522,23 +2566,34 @@ object SparkEntry {
       "SELECT DISTINCT vec_id AS qid, true AS recall_ok, true AS self_ok FROM embeddings WHERE vec_id < 10",
 
     // --- similarity search ----------------------------------------------
+    // mirrors the Int8QuantStats kernel's documented edge contract
+    // (round-6 ADVICE): empty vector → (0.0, 0, 0); any non-finite
+    // element → the whole row's stats are NULL — the oracle PINS the
+    // edges instead of relying on the fixture avoiding them
     "sim_quantize" -> """
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
+        FROM embeddings
+        UNION ALL SELECT -1, CAST([] AS DOUBLE[])
+        UNION ALL SELECT -2, [CAST(1.0 AS DOUBLE), CAST('nan' AS DOUBLE)]),
       m AS (
-        SELECT vec_id, v,
-               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        SELECT vec_id, v, len(v) AS n,
+               coalesce(list_aggregate(list_transform(v, x -> isfinite(x)), 'bool_and'), true) AS fin,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS raw_scale
         FROM e),
       q AS (
-        SELECT vec_id, scale,
-               CASE WHEN scale > 0
-                 THEN list_transform(v, x -> CAST(round(x / scale) AS BIGINT))
-                 ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qs
+        SELECT vec_id, n, fin,
+               CASE WHEN n = 0 THEN 0.0 WHEN NOT fin THEN NULL ELSE raw_scale END AS scale,
+               CASE WHEN n = 0 OR NOT fin THEN NULL
+                    WHEN raw_scale > 0
+                      THEN list_transform(v, x -> CAST(round(x / raw_scale) AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qs
         FROM m)
       SELECT vec_id, scale,
-             CAST(list_sum(qs) AS BIGINT) AS q_sum,
-             CAST(list_sum(list_transform(qs, x -> x * x)) AS BIGINT) AS q_norm2
+             CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(list_sum(qs) AS BIGINT) END AS q_sum,
+             CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(list_sum(list_transform(qs, x -> x * x)) AS BIGINT) END AS q_norm2
       FROM q""",
 
     "sim_topk" -> """
@@ -2684,10 +2739,11 @@ object SparkEntry {
       "SELECT min(doc_id) AS media_id FROM documents GROUP BY text",
 
     "mm_decode" -> """
-      SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
-             16 + strlen(text) % 64 AS width,
-             16 + (strlen(text) * 7) % 48 AS height,
-             1::BIGINT AS n_frames
+      SELECT doc_id AS media_id,
+             16 + n_chars % 64 AS width,
+             16 + (n_chars * 7) % 48 AS height,
+             1::BIGINT AS n_frames,
+             doc_id % 256 AS luma_q
       FROM documents""",
 
     "mm_frames" -> """

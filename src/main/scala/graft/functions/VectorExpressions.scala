@@ -352,6 +352,26 @@ case class RollingFingerprint(child: Expression)
     copy(child = newChild)
 }
 
+/** Shared one-pass codepoint walk for the k-gram kernels. */
+private[functions] object GramKernels {
+  /** Byte offset of each codepoint start, plus a terminal entry holding
+    * the total byte count — offs(i+k)-offs(i) is gram i's byte length.
+    * Same walk numChars uses, so positions agree with it exactly. */
+  def codepointOffsets(s: UTF8String, n: Int): Array[Int] = {
+    val nb = s.numBytes()
+    val out = new Array[Int](n + 1)
+    var j = 0
+    var b = 0
+    while (b < nb && j < n) {
+      out(j) = b
+      b += UTF8String.numBytesForFirstByte(s.getByte(b))
+      j += 1
+    }
+    out(n) = nb
+    out
+  }
+}
+
 /** All character k-gram xxhash64s of a string, by CODEPOINT positions —
   * out(i) = xxhash64(utf8 bytes of chars [i, i+k)), seed 42 (Spark's
   * xxhash64() seed). The kernel behind Dedup.duplicateRuns: the array
@@ -368,12 +388,16 @@ case class CharGramHashes(child: Expression, k: Int)
     val s = input.asInstanceOf[UTF8String]
     val n = s.numChars()
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    // Byte offset of every codepoint start in ONE forward walk —
+    // UTF8String.substring(i, i+k) rescans from byte 0 per call, making
+    // the kernel O(n²) on long/multibyte docs (round-6 ADVICE); with
+    // the offset table each gram hashes its byte range directly, O(n·k).
+    val offs = GramKernels.codepointOffsets(s, n)
     val out = new Array[Long](n - k + 1)
     var i = 0
     while (i <= n - k) {
-      val g = s.substring(i, i + k)
-      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes(), 42L)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset + offs(i), offs(i + k) - offs(i), 42L)
       i += 1
     }
     new GenericArrayData(out)
@@ -397,9 +421,19 @@ case class CharGrams(child: Expression, k: Int)
     val s = input.asInstanceOf[UTF8String]
     val n = s.numChars()
     if (n < k) return new GenericArrayData(Array.empty[Any])
+    // One offset walk + one byte copy; each gram then WRAPS its range of
+    // the private copy (fromBytes does not copy) — O(n·k), not the O(n²)
+    // of per-position substring (round-6 ADVICE). The copy is required:
+    // the input may point into a reusable row buffer, so views over it
+    // must not outlive eval.
+    val offs = GramKernels.codepointOffsets(s, n)
+    val bytes = s.getBytes
     val out = new Array[Any](n - k + 1)
     var i = 0
-    while (i <= n - k) { out(i) = s.substring(i, i + k); i += 1 }
+    while (i <= n - k) {
+      out(i) = UTF8String.fromBytes(bytes, offs(i), offs(i + k) - offs(i))
+      i += 1
+    }
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(newChild: Expression): CharGrams =

@@ -700,10 +700,15 @@ object Interp {
 
   /** jq regex-flags string → (java Pattern flags, global?). Supported:
     * `g` (global — meaningful to sub/match; a no-op where the op is
-    * already global), `i` (case-insensitive), `x` (extended/comments).
-    * Any other letter is an ERROR entry, not a silent no-op — jq's other
-    * flags (n/s/l/m/p) change semantics we don't implement, and ignoring
-    * them would return wrong-looking answers quietly. */
+    * already global), `i` (case-insensitive), `x` (extended/comments),
+    * `s` (single-line: `.` matches newline → Pattern.DOTALL), `m`
+    * (multi-line: `^`/`$` match at line breaks → Pattern.MULTILINE;
+    * NOTE jq/Oniguruma's `m` historically means DOTALL — this dialect
+    * follows the flag LETTERS' conventional PCRE meanings, documented
+    * here because the two disagree). Any other letter is an ERROR
+    * entry, not a silent no-op — jq's remaining flags (n/l/p) change
+    * semantics we don't implement, and ignoring them would return
+    * wrong-looking answers quietly. */
   private def regexFlags(name: String, flags: String): Either[String, (Int, Boolean)] = {
     var jf = 0
     var g  = false
@@ -712,8 +717,10 @@ object Interp {
       flags.charAt(i) match {
         case 'i' => jf |= java.util.regex.Pattern.CASE_INSENSITIVE
         case 'x' => jf |= java.util.regex.Pattern.COMMENTS
+        case 's' => jf |= java.util.regex.Pattern.DOTALL
+        case 'm' => jf |= java.util.regex.Pattern.MULTILINE
         case 'g' => g = true
-        case c   => return Left(s"$name: unsupported regex flag '$c' (supported: g, i, x)")
+        case c   => return Left(s"$name: unsupported regex flag '$c' (supported: g, i, x, s, m)")
       }
       i += 1
     }
@@ -1389,7 +1396,7 @@ object Interp {
           Right(JStr(d match {
             case JNull => "null"
             case _: JBool => "boolean"
-            case _: JLong | _: JDouble => "number"
+            case _: JLong | _: JBigInt | _: JDouble => "number"
             case _: JStr => "string"
             case _: JArr => "array"
             case _: JObj => "object"

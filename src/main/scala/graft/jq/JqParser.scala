@@ -322,12 +322,27 @@ final class JqParser(text: String) {
   // juxtaposed path segment accumulated since the last EXPLICIT pipe, so
   // `.a.b = 1` assigns into the root while `.a | .b = 1` assigns inside
   // the piped value (jq's own precedence).
-  def parseExpr(): Ast = {
+  def parseExpr(): Ast = parseExpr(commaOk = false)
+
+  /** `commaOk` admits jq's comma OPERATOR at stage level — commas bind
+    * TIGHTER than pipes (jq: `a | b, c` is `a | (b, c)`), so each pipe
+    * stage is a comma chain. Only parenthesized groups set it (bare ','
+    * separates call args in this dialect); the flag propagates through
+    * binder/def tails so `(.x as $v | $v, 1)` keeps the jq grouping. */
+  private def parseExpr(commaOk: Boolean): Ast = {
     // `def ...;` at an expression start scopes over the REST of the
     // expression (jq's rule — mid-program defs, not just a prologue)
     val defs0 = parseDefs()
-    if (defs0.nonEmpty) return Defs(defs0, parseExpr())
-    var lhs = parseStage()
+    if (defs0.nonEmpty) return Defs(defs0, parseExpr(commaOk))
+    def stage(): Ast = {
+      var e = parseStage()
+      if (commaOk) {
+        skipWs()
+        while (eat(",")) { e = Comma(e, parseStage()); skipWs() }
+      }
+      e
+    }
+    var lhs = stage()
     // `src as $x | body` (EXTENSION, jq binder): body is the REST of the
     // pipeline, so chained binders nest right-associatively
     skipWs()
@@ -335,7 +350,7 @@ final class JqParser(text: String) {
       val name = parseVarName()
       skipWs()
       if (!eat("|")) fail("expected '|' after as $" + name)
-      return BindAs(lhs, name, parseExpr())
+      return BindAs(lhs, name, parseExpr(commaOk))
     }
     var done = false
     while (!done) {
@@ -345,14 +360,14 @@ final class JqParser(text: String) {
         // defs after a pipe scope over the rest of the pipeline:
         // `.[] | def d: 3; . + d` (right-associative, like binders)
         val midDefs = parseDefs()
-        if (midDefs.nonEmpty) return Pipe(lhs, Defs(midDefs, parseExpr()))
-        val rhs = parseStage()
+        if (midDefs.nonEmpty) return Pipe(lhs, Defs(midDefs, parseExpr(commaOk)))
+        val rhs = stage()
         skipWs()
         if (eatWord("as")) {
           val name = parseVarName()
           skipWs()
           if (!eat("|")) fail("expected '|' after as $" + name)
-          return Pipe(lhs, BindAs(rhs, name, parseExpr()))
+          return Pipe(lhs, BindAs(rhs, name, parseExpr(commaOk)))
         }
         lhs = Pipe(lhs, rhs)
       } else done = true
@@ -535,11 +550,12 @@ final class JqParser(text: String) {
     if (c == '.') parseDotForm()
     else if (c == '(') {
       // `(e)` — or `(e1, e2, ...)`: jq's comma operator, which this
-      // dialect admits ONLY inside parens (bare ',' separates call args)
+      // dialect admits ONLY inside parens (bare ',' separates call
+      // args). Commas bind tighter than pipes, jq-style: `(a | b, c)`
+      // is `a | (b, c)` — parseExpr(commaOk) puts the comma chain at
+      // pipe-STAGE level, not around the whole pipe chain.
       expect("(")
-      var e = parseExpr()
-      skipWs()
-      while (eat(",")) { e = Comma(e, parseExpr()); skipWs() }
+      val e = parseExpr(commaOk = true)
       expect(")")
       if (eatOpt()) OptMark(e) else e // `(...)?` suppresses the whole group
     }

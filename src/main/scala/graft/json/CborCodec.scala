@@ -56,6 +56,15 @@ object CborCodec {
     case JLong(v)     =>
       if (v >= 0) writeTypeLen(out, 0, v)
       else writeTypeLen(out, 1, -(v + 1)) // major 1 encodes -1-n
+    case JBigInt(v)   =>
+      // RFC 8949 §3.4.3 bignum: tag 2 (positive) / 3 (negative, -1-n),
+      // content = big-endian magnitude byte string
+      val (tag, mag) = if (v.signum >= 0) (2L, v) else (3L, -(v + 1))
+      writeTypeLen(out, 6, tag)
+      val raw = mag.toByteArray
+      val bytes = { val t = raw.dropWhile(_ == 0); if (t.isEmpty) Array(0.toByte) else t }
+      writeTypeLen(out, 2, bytes.length.toLong)
+      out.write(bytes)
     case JDouble(v)   => out.writeByte(0xFB); out.writeLong(java.lang.Double.doubleToLongBits(v))
     case JStr(s)      =>
       val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -133,10 +142,14 @@ object CborCodec {
       val major = ib >>> 5
       val info = ib & 0x1F
       major match {
-        case 0 => JLong(arg(info))
+        case 0 =>
+          // u64 beyond 2^63-1 widens exactly instead of rejecting
+          if (info == 27) JInt.of(BigInt(java.lang.Long.toUnsignedString(uN(8))))
+          else JLong(arg(info))
         case 1 =>
-          // arg caps at 2^63-1, so -1-n covers the full Long.MinValue range
-          JLong(-arg(info) - 1)
+          // -1-n covers the full u64 domain via the same exact widening
+          if (info == 27) JInt.of(-BigInt(java.lang.Long.toUnsignedString(uN(8))) - 1)
+          else JLong(-arg(info) - 1)
         case 2 => fail("byte strings have no document representation")
         case 3 =>
           val len = arg(info)
@@ -164,7 +177,20 @@ object CborCodec {
             i += 1
           }
           JObj.fromProps(props.result()) // sorted, last-wins — the JObj invariant
-        case 6 => fail("tags not supported")
+        case 6 =>
+          // bignum tags only (RFC 8949 §3.4.3) — the inverse of encode;
+          // all other tags remain unsupported
+          arg(info) match {
+            case tag @ (2L | 3L) =>
+              val ib2 = u8()
+              if ((ib2 >>> 5) != 2) fail("bignum content must be a byte string")
+              val len = arg(ib2 & 0x1F)
+              if (len > 64 || pos + len > bytes.length) fail("bignum length out of range")
+              val mag = BigInt(1, bytes.slice(pos, pos + len.toInt))
+              pos += len.toInt
+              JInt.of(if (tag == 2L) mag else -mag - 1)
+            case t => fail(s"tag $t not supported")
+          }
         case 7 => info match {
           case 20 => JBool(false)
           case 21 => JBool(true)

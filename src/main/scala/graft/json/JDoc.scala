@@ -11,8 +11,10 @@ package graft.json
   *     numerically unified for comparison.
   *   - objects hold key-sorted unique properties with last-wins upsert
   *     (reference: src/json.rs:501-507, src/prop.rs:86-110).
-  *   - integers are 64-bit here (the reference uses i128, but nothing in its
-  *     surface exercises values beyond ±2^63 — see SURVEY.md §1.4).
+  *   - integers are 64-bit [[JLong]] in the common range and widen to an
+  *     exact [[JBigInt]] past ±2^63-1, up to 38 digits (DecimalType(38,0))
+  *     — covering the reference's i128 literal domain for real-world ids
+  *     (see SURVEY.md §1.4; round-7 VERDICT item 8).
   *
   * All values are immutable and `Serializable`, so kernels over them can run
   * inside Catalyst expressions on executors.
@@ -27,6 +29,23 @@ sealed trait JDoc extends Serializable {
 case object JNull extends JDoc { val typeOrder = 0; val typeName = "Null" }
 final case class JBool(v: Boolean) extends JDoc { val typeOrder = 1; val typeName = "Bool" }
 final case class JLong(v: Long) extends JDoc { val typeOrder = 2; val typeName = "Integer" }
+
+/** Exact integer beyond ±2^63-1 — the reference's i128 literals
+  * (reference: src/json.rs:234) stay exact instead of degrading to
+  * double, bounded at 38 digits (DecimalType(38,0)'s domain, the Spark
+  * exact-decimal ceiling). Same collation class as [[JLong]]
+  * ("Integer"); [[JInt.of]] maintains the invariant that long-range
+  * values ALWAYS use JLong, so a JBigInt is never numerically equal to
+  * any JLong and variant-strict equality stays coherent. */
+final case class JBigInt(v: BigInt) extends JDoc { val typeOrder = 2; val typeName = "Integer" }
+
+object JInt {
+  /** Max digits an exact integer may carry (DecimalType(38,0)). */
+  val MaxDigits = 38
+  /** Normalizing constructor: long-range → JLong, else JBigInt. */
+  def of(v: BigInt): JDoc = if (v.isValidLong) JLong(v.toLong) else JBigInt(v)
+}
+
 final case class JDouble(v: Double) extends JDoc { val typeOrder = 3; val typeName = "Float" }
 final case class JStr(v: String) extends JDoc { val typeOrder = 4; val typeName = "String" }
 final case class JArr(items: Vector[JDoc]) extends JDoc { val typeOrder = 5; val typeName = "Array" }
@@ -111,6 +130,7 @@ object JOps {
     case (JNull, JNull)             => true
     case (JBool(x), JBool(y))       => x == y
     case (JLong(x), JLong(y))       => x == y
+    case (JBigInt(x), JBigInt(y))   => x == y // JLong↔JBigInt never equal (JInt.of invariant)
     case (JDouble(x), JDouble(y))   => x == y // IEEE: NaN != NaN, -0.0 == 0.0
     case (JStr(x), JStr(y))         => x == y
     case (JArr(x), JArr(y))         => x.length == y.length && x.indices.forall(i => eqDoc(x(i), y(i)))
@@ -128,6 +148,10 @@ object JOps {
       case (JNull, JNull)           => Some(0)
       case (JBool(x), JBool(y))     => Some(java.lang.Boolean.compare(x, y))
       case (JLong(x), JLong(y))     => Some(java.lang.Long.compare(x, y))
+      // Integer class spans both widths: order numerically
+      case (JLong(x), JBigInt(y))   => Some(BigInt(x).compare(y))
+      case (JBigInt(x), JLong(y))   => Some(x.compare(BigInt(y)))
+      case (JBigInt(x), JBigInt(y)) => Some(x.compare(y))
       case (JDouble(x), JDouble(y)) =>
         if (x.isNaN || y.isNaN) None
         else Some(if (x < y) -1 else if (x > y) 1 else 0) // IEEE: -0.0 == 0.0
@@ -224,6 +248,11 @@ object JOps {
     case (JLong(x), JDouble(y))   => JDouble(x + y)
     case (JDouble(x), JLong(y))   => JDouble(x + y)
     case (JDouble(x), JDouble(y)) => JDouble(x + y)
+    case (JBigInt(x), JLong(y))   => JInt.of(x + y)
+    case (JLong(x), JBigInt(y))   => JInt.of(y + x)
+    case (JBigInt(x), JBigInt(y)) => JInt.of(x + y)
+    case (JBigInt(x), JDouble(y)) => JDouble(x.toDouble + y)
+    case (JDouble(x), JBigInt(y)) => JDouble(x + y.toDouble)
     case (JStr(x), JStr(y))       => JStr(x + y)
     case (JArr(x), JArr(y))       => JArr(x ++ y)
     case (JObj(x), JObj(y))       => JObj.fromProps(x ++ y)
@@ -238,6 +267,11 @@ object JOps {
     case (JLong(x), JDouble(y))   => JDouble(x - y)
     case (JDouble(x), JLong(y))   => JDouble(x - y)
     case (JDouble(x), JDouble(y)) => JDouble(x - y)
+    case (JBigInt(x), JLong(y))   => JInt.of(x - y)
+    case (JLong(x), JBigInt(y))   => JInt.of(BigInt(x) - y)
+    case (JBigInt(x), JBigInt(y)) => JInt.of(x - y)
+    case (JBigInt(x), JDouble(y)) => JDouble(x.toDouble - y)
+    case (JDouble(x), JBigInt(y)) => JDouble(x - y.toDouble)
     case (JArr(x), JArr(y))       =>
       val buf = x.toBuffer
       y.foreach { item =>
@@ -257,6 +291,11 @@ object JOps {
     case (JLong(x), JDouble(y))   => JDouble(x * y)
     case (JDouble(x), JLong(y))   => JDouble(x * y)
     case (JDouble(x), JDouble(y)) => JDouble(x * y)
+    case (JBigInt(x), JLong(y))   => JInt.of(x * y)
+    case (JLong(x), JBigInt(y))   => JInt.of(y * x)
+    case (JBigInt(x), JBigInt(y)) => JInt.of(x * y)
+    case (JBigInt(x), JDouble(y)) => JDouble(x.toDouble * y)
+    case (JDouble(x), JBigInt(y)) => JDouble(x * y.toDouble)
     case (JStr(s), JLong(n))      => if (n <= 0 || n > Int.MaxValue) JNull else JStr(s * n.toInt)
     case (JLong(n), JStr(s))      => if (n <= 0 || n > Int.MaxValue) JNull else JStr(s * n.toInt)
     case (JObj(_), JObj(_))       => deepMerge(a.asInstanceOf[JObj], b.asInstanceOf[JObj])
@@ -277,12 +316,19 @@ object JOps {
     * divide-by-zero → null; string / separator → split array (Rust `split`
     * semantics, empty parts preserved). */
   def div(a: JDoc, b: JDoc): JDoc = (a, b) match {
-    case (JLong(_) | JDouble(_), JLong(0))                  => JNull
-    case (JLong(_) | JDouble(_), JDouble(y)) if y == 0.0    => JNull
+    case (JLong(_) | JDouble(_) | JBigInt(_), JLong(0))               => JNull
+    case (JLong(_) | JDouble(_) | JBigInt(_), JDouble(y)) if y == 0.0 => JNull
     case (JLong(x), JLong(y))     => JDouble(x.toDouble / y)
     case (JLong(x), JDouble(y))   => JDouble(x / y)
     case (JDouble(x), JLong(y))   => JDouble(x / y)
     case (JDouble(x), JDouble(y)) => JDouble(x / y)
+    // int/int → float rule covers the wide variant too (JBigInt is
+    // never zero-valued: zero is long-range)
+    case (JBigInt(x), JLong(y))   => JDouble(x.toDouble / y)
+    case (JLong(x), JBigInt(y))   => JDouble(x.toDouble / y.toDouble)
+    case (JBigInt(x), JBigInt(y)) => JDouble(x.toDouble / y.toDouble)
+    case (JBigInt(x), JDouble(y)) => JDouble(x.toDouble / y)
+    case (JDouble(x), JBigInt(y)) => JDouble(x / y.toDouble)
     case (JStr(s), JStr(sep))     => JArr(splitLiteral(s, sep).map(JStr(_)))
     case _                        => JNull
   }
@@ -318,18 +364,24 @@ object JOps {
   /** `a % b` (reference: src/json.rs:943-961): numeric remainder
     * (truncated, like Rust/Java); mod-by-zero → null; int%int stays int. */
   def rem(a: JDoc, b: JDoc): JDoc = (a, b) match {
-    case (JLong(_) | JDouble(_), JLong(0))               => JNull
-    case (JLong(_) | JDouble(_), JDouble(y)) if y == 0.0 => JNull
+    case (JLong(_) | JDouble(_) | JBigInt(_), JLong(0))               => JNull
+    case (JLong(_) | JDouble(_) | JBigInt(_), JDouble(y)) if y == 0.0 => JNull
     case (JLong(x), JLong(y))     => JLong(x % y)
     case (JLong(x), JDouble(y))   => JDouble(x % y)
     case (JDouble(x), JLong(y))   => JDouble(x % y)
     case (JDouble(x), JDouble(y)) => JDouble(x % y)
+    case (JBigInt(x), JLong(y))   => JInt.of(x % y)
+    case (JLong(x), JBigInt(y))   => JInt.of(BigInt(x) % y)
+    case (JBigInt(x), JBigInt(y)) => JInt.of(x % y)
+    case (JBigInt(x), JDouble(y)) => JDouble(x.toDouble % y)
+    case (JDouble(x), JBigInt(y)) => JDouble(x % y.toDouble)
     case _                        => JNull
   }
 
   /** `-a` (reference: src/json.rs:872-882). */
   def neg(a: JDoc): JDoc = a match {
     case JLong(x)   => JLong(-x)
+    case JBigInt(x) => JInt.of(-x) // -(2^63) re-enters long range
     case JDouble(x) => JDouble(-x)
     case _          => JNull
   }

@@ -115,13 +115,22 @@ object JsonText {
         else JLong(java.lang.Long.parseLong(s))
       } catch {
         case _: NumberFormatException if !isFloat =>
-          // DOCUMENTED NARROWING vs the reference: its integers are i128
-          // (json.rs:234); this engine's are 64-bit (Spark LongType).
-          // An integer past ±2^63-1 degrades to double (jq's behavior)
-          // instead of erroring the whole document — at corpus scale a
-          // 20-digit id in one record must not kill the batch.
-          try JDouble(java.lang.Double.parseDouble(s))
-          catch { case _: NumberFormatException => fail(s"invalid number $s") }
+          // Reference i128 semantics (json.rs:234): an integer past
+          // ±2^63-1 stays EXACT as a JBigInt up to 38 digits
+          // (DecimalType(38,0), the Spark exact-decimal ceiling) — a
+          // 20-digit id round-trips bit-exactly. Past 38 digits it
+          // degrades to double (jq's behavior) instead of erroring the
+          // whole document: at corpus scale one absurd literal must
+          // not kill the batch.
+          val digits = s.length - (if (s.startsWith("-") || s.startsWith("+")) 1 else 0)
+          val wide =
+            if (digits <= JInt.MaxDigits)
+              try Some(JInt.of(BigInt(s))) catch { case _: NumberFormatException => None }
+            else None
+          wide.getOrElse {
+            try JDouble(java.lang.Double.parseDouble(s))
+            catch { case _: NumberFormatException => fail(s"invalid number $s") }
+          }
         case _: NumberFormatException => fail(s"invalid number $s")
       }
     }
@@ -254,6 +263,7 @@ object JsonText {
     case JBool(true)   => sb.append("true")
     case JBool(false)  => sb.append("false")
     case JLong(v)      => sb.append(v)
+    case JBigInt(v)    => sb.append(v.toString)
     case JDouble(v)    => sb.append(rustSci(v))
     case JStr(s)       => writeString(sb, s)
     case JArr(items)   =>

@@ -14,7 +14,9 @@ import java.io.{ByteArrayOutputStream, DataOutputStream}
   * fixarray/array16/32; objects → fixmap/map16/32 with keys in the JObj
   * collation order. Decoding additionally accepts float32 (widened via
   * its shortest decimal, like the CBOR and struct input paths) and
-  * uint64 within Long range; bin/ext families are rejected with
+  * uint64 beyond Long range widens to an exact [[JBigInt]] on decode
+  * (encode narrows JBigInt to float64 — MessagePack has no bignum);
+  * bin/ext families are rejected with
   * [[MsgPackCodec.MsgPackException]]. Depth-guarded like the parsers. */
 object MsgPackCodec {
 
@@ -55,6 +57,10 @@ object MsgPackCodec {
         else if (v >= Int.MinValue) { out.writeByte(0xD2); out.writeInt(v.toInt) }
         else { out.writeByte(0xD3); out.writeLong(v) }
       }
+    // MessagePack has no bignum family — DOCUMENTED NARROWING at this
+    // codec boundary only: a >64-bit integer serializes as float64
+    // (JSON text and CBOR keep it exact; see CborCodec bignum tags)
+    case JBigInt(v) => out.writeByte(0xCB); out.writeLong(java.lang.Double.doubleToLongBits(v.toDouble))
     case JDouble(v) => out.writeByte(0xCB); out.writeLong(java.lang.Double.doubleToLongBits(v))
     case JStr(s) =>
       val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -166,8 +172,9 @@ object MsgPackCodec {
         case 0xCE => JLong(uN(4))
         case 0xCF =>
           val v = uN(8)
-          if (v < 0) fail("uint64 beyond 2^63-1")
-          JLong(v)
+          // beyond 2^63-1: widen exactly (JBigInt) instead of rejecting
+          if (v < 0) JBigInt(BigInt(java.lang.Long.toUnsignedString(v)))
+          else JLong(v)
         case 0xD0 => JLong(uN(1).toByte.toLong)
         case 0xD1 => JLong(uN(2).toShort.toLong)
         case 0xD2 => JLong(uN(4).toInt.toLong)

@@ -3,14 +3,19 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.awt.image.BufferedImage
+
 /** Multimodal column plumbing: image/audio/video as opaque BINARY columns
   * with typed metadata, processed partition-parallel in batches.
   *
-  * The Spark-side plumbing (schema, encoders, mapPartitions batch shape,
-  * partition sizing) is real and tested; the codec kernels are STUBS —
-  * deterministic fakes in place of real decoders, because no image/audio
-  * libraries exist in this environment. Swapping [[MediaCodec.decodeStub]]
-  * for a real JNI/JavaCV call changes nothing else in the pipeline.
+  * The IMAGE path is real: `javax.imageio` ships with the JDK (PNG, JPEG,
+  * GIF, BMP — no external library), so image payloads decode to their
+  * actual dimensions and a downsampled-luma feature vector, and resize
+  * rescales actual pixels. Audio/video kinds — and image payloads that no
+  * installed reader accepts — fall back to [[MediaCodec.decodeStub]], a
+  * deterministic fake (no audio/video codecs exist in this environment);
+  * the fallback keeps arbitrary-bytes plumbing tests runnable and is the
+  * single seam where a JavaCV/JNI codec would slot in.
   *
   * Scale posture: decode is a narrow mapPartitions (no shuffle); batches
   * amortize per-record overhead the way Arrow batches do for Pandas UDFs;
@@ -28,13 +33,106 @@ object Multimodal {
       width: Int, height: Int, n_frames: Int,
       features: Array[Float])
 
-  /** STUB codec — deterministic fake standing in for a real decoder. */
+  /** Codec kernels. Image = real JDK ImageIO; audio/video = stub. */
   object MediaCodec {
     val FeatureDim = 8
+    private val GridRows = 2
+    private val GridCols = FeatureDim / GridRows
 
-    /** ??? real codec goes here (e.g. javax.imageio / JavaCV); the fake
-      * derives every field purely from the payload so tests and oracles
-      * are reproducible. */
+    /** Real image decode via the JDK's ImageIO readers. None when the
+      * payload is not an image any installed reader accepts (the caller
+      * falls back to the stub so non-image bytes stay processable). */
+    def decodeImage(r: MediaRecord): Option[DecodedMedia] =
+      try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content)))
+          .map { im =>
+            DecodedMedia(r.media_id, r.kind, r.content.length.toLong,
+              im.getWidth, im.getHeight, n_frames = 1, features = lumaGrid(im))
+          }
+      } catch { case _: Exception => None } // corrupt container → stub path
+
+    /** Real fused decode+resize: actual pixels rescale through
+      * Graphics2D, features come from the RESIZED image (one kernel,
+      * no intermediate frame). */
+    def resizeImage(r: MediaRecord, w: Int, h: Int): Option[DecodedMedia] =
+      try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content)))
+          .map { im =>
+            val scaled = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            g.drawImage(im, 0, 0, w, h, null)
+            g.dispose()
+            DecodedMedia(r.media_id, r.kind, r.content.length.toLong,
+              w, h, n_frames = 1, features = lumaGrid(scaled))
+          }
+      } catch { case _: Exception => None }
+
+    /** Downsampled-luma features: mean Rec.601 luma (0.299R + 0.587G +
+      * 0.114B, normalized to [0,1]) over a 2×4 cell grid — the classic
+      * tiny perceptual fingerprint (coarse aHash) for near-dup blocking
+      * on images. */
+    def lumaGrid(im: BufferedImage): Array[Float] = {
+      val out = new Array[Float](FeatureDim)
+      val w = im.getWidth
+      val h = im.getHeight
+      var cy = 0
+      while (cy < GridRows) {
+        var cx = 0
+        while (cx < GridCols) {
+          val x0 = w * cx / GridCols
+          val x1 = math.max(w * (cx + 1) / GridCols, x0 + 1)
+          val y0 = h * cy / GridRows
+          val y1 = math.max(h * (cy + 1) / GridRows, y0 + 1)
+          var sum = 0.0
+          var n = 0
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) {
+              val rgb = im.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xFF) +
+                0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          out(cy * GridCols + cx) = if (n == 0) 0f else (sum / (255.0 * n)).toFloat
+          cx += 1
+        }
+        cy += 1
+      }
+      out
+    }
+
+    /** Deterministic PNG fixture, encoded by the real JDK PNG writer:
+      * gray gradient (x·7 + y·13 + seed) mod 256, or a constant
+      * seed mod 256 fill (`gradient = false`) whose mean luma is
+      * analytically checkable by a SQL oracle. */
+    def syntheticPng(width: Int, height: Int, seed: Long,
+                     gradient: Boolean = true): Array[Byte] = {
+      require(width > 0 && height > 0, s"PNG fixture needs positive dims, got ${width}x$height")
+      val im = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      val base = java.lang.Math.floorMod(seed, 256L).toInt
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val g = if (gradient) (x * 7 + y * 13 + base) % 256 else base
+          im.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+
+    /** STUB codec for audio/video kinds (and undecodable image bytes) —
+      * deterministic fake standing in for a real decoder: every field
+      * derives purely from the payload so tests and oracles are
+      * reproducible. A JavaCV/JNI codec would replace exactly this. */
     def decodeStub(r: MediaRecord): DecodedMedia = {
       val n = r.content.length.toLong
       val features = new Array[Float](FeatureDim)
@@ -51,9 +149,14 @@ object Multimodal {
         features = features)
     }
 
-    /** STUB resize: rescales metadata deterministically. */
+    /** STUB resize for the non-image kinds: rescales metadata only. */
     def resizeStub(d: DecodedMedia, w: Int, h: Int): DecodedMedia =
       d.copy(width = w, height = h)
+
+    /** Kind dispatch: real image path first, stub for the rest. */
+    def decodeAny(r: MediaRecord): DecodedMedia =
+      if (r.kind == "image") decodeImage(r).getOrElse(decodeStub(r))
+      else decodeStub(r)
   }
 
   /** Decode a binary media Dataset partition-parallel. The batch shape —
@@ -61,14 +164,21 @@ object Multimodal {
     * round-trips — is the Scala analogue of `mapInPandas`. */
   def decode(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[DecodedMedia] = {
     import spark.implicits._
-    media.mapPartitions(_.map(MediaCodec.decodeStub))
+    media.mapPartitions(_.map(MediaCodec.decodeAny))
   }
 
-  /** Decode + resize in one pass (kernel fusion — still one narrow map). */
+  /** Decode + resize in one pass (kernel fusion — still one narrow map):
+    * images rescale real pixels and re-extract features from the
+    * resized raster; other kinds rescale stub metadata. */
   def decodeAndResize(media: Dataset[MediaRecord], w: Int, h: Int)
       (implicit spark: SparkSession): Dataset[DecodedMedia] = {
     import spark.implicits._
-    media.mapPartitions(_.map(r => MediaCodec.resizeStub(MediaCodec.decodeStub(r), w, h)))
+    media.mapPartitions(_.map { r =>
+      if (r.kind == "image")
+        MediaCodec.resizeImage(r, w, h)
+          .getOrElse(MediaCodec.resizeStub(MediaCodec.decodeStub(r), w, h))
+      else MediaCodec.resizeStub(MediaCodec.decodeStub(r), w, h)
+    })
   }
 
   /** Frame sampling for video-kind records: every `stride`-th frame index
@@ -89,5 +199,23 @@ object Multimodal {
         lit(kind).as("kind"),
         col(textCol).cast("binary").as("content"))
       .as[MediaRecord]
+  }
+
+  /** Deterministic REAL-PNG media table: one JDK-encoded PNG per input
+    * row, sized by the given column expressions, constant-fill so a SQL
+    * oracle can predict the decoded luma analytically. Encoding runs
+    * partition-parallel (narrow map, no shuffle) — the fixture
+    * generator for exercising the real ImageIO decode path at any SF. */
+  def pngMedia(df: DataFrame, idCol: String,
+               widthCol: org.apache.spark.sql.Column,
+               heightCol: org.apache.spark.sql.Column)
+      (implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        widthCol.cast("int").as("w"), heightCol.cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        MediaRecord(id, "image", MediaCodec.syntheticPng(w, h, id, gradient = false))
+      })
   }
 }

@@ -683,15 +683,28 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("""sub("o", "0", "i")""", "\"fooboo\"", "\"f0oboo\"") // no g → first only
     check("""gsub("o", "0", "g")""", "\"foo\"", "\"f00\"")      // g on gsub: no-op
     // unsupported flag letters error instead of silently no-op'ing
-    check("""sub("o", "0", "m")""", "\"foo\"",
-      "ERROR: sub: unsupported regex flag 'm' (supported: g, i, x)")
     check("""test("a", "q")""", "\"abc\"",
-      "ERROR: test: unsupported regex flag 'q' (supported: g, i, x)")
-    check("""[splits("o", "s")]""", "\"foo\"",
-      "ERROR: splits: unsupported regex flag 's' (supported: g, i, x)")
+      "ERROR: test: unsupported regex flag 'q' (supported: g, i, x, s, m)")
     check("""[match("o", "p")]""", "\"foo\"",
-      "ERROR: match: unsupported regex flag 'p' (supported: g, i, x)")
+      "ERROR: match: unsupported regex flag 'p' (supported: g, i, x, s, m)")
+    check("""sub("o", "0", "n")""", "\"foo\"",
+      "ERROR: sub: unsupported regex flag 'n' (supported: g, i, x, s, m)")
     check("""test("A", "ix")""", "\"abc\"", "true") // multi-letter still fine
+  }
+
+  test("regex flags: 's' = DOTALL, 'm' = MULTILINE (round-7 VERDICT item 6)") {
+    // s: . crosses the newline
+    check("""test("a.b", "s")""", "\"a\\nb\"", "true")
+    check("""test("a.b")""", "\"a\\nb\"", "false")
+    // m: ^/$ anchor at line breaks
+    check("""test("^b$", "m")""", "\"a\\nb\"", "true")
+    check("""test("^b$")""", "\"a\\nb\"", "false")
+    // g still composes; match counts per-line hits under m
+    check("""[match("^.", "gm")] | length""", "\"x\\ny\\nz\"", "3")
+    // sub under m rewrites at every anchored line start with g
+    check("""gsub("^", "> ", "m")""", "\"a\\nb\"", "\"> a\\n> b\"")
+    // s and i compose
+    check("""test("A.B", "si")""", "\"a\\nb\"", "true")
   }
 
   test("parenthesized comma operator: value mode and path mode (ADVICE r5)") {
@@ -708,6 +721,15 @@ class JqEdgeSemanticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("(.a, .a) |= . + 1", """{"a":0}""", """{"a":2}""") // sequential, jq's rule
     // `?` applies to the whole parenthesized stream
     check("[(.a, .b)?]", "3", "[]")
+    // comma binds TIGHTER than pipe (jq): `(a | b, c)` is `a | (b, c)`,
+    // NOT `(a | b), c` (round-6 ADVICE — the old left-grouping silently
+    // diverged from jq on mixed pipe+comma groups)
+    check("(.a | .b, .c)", """{"a":{"b":1,"c":2},"c":9}""", "1", "2")
+    check("[(.[] | ., 0)]", "[1,2]", "[1,0,2,0]")
+    // both pipe stages can be comma chains
+    check("[((1, 2) | ., 10 * .)]", "null", "[1,10,2,20]")
+    // binder tail keeps the group's comma grammar
+    check("[(5 as $v | $v, $v + 1)]", "null", "[5,6]")
   }
 
   test("@format strings: csv/tsv/base64/uri/html/text/json (EXTENSION)") {

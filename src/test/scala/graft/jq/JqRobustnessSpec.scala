@@ -73,9 +73,29 @@ class JqRobustnessSpec extends AnyFunSuite {
     val ok = "[" * 100 + "1" + "]" * 100
     val out = Interp.run("..", JsonText.parse(ok))
     assert(out.length == 101) // 100 arrays + the scalar
-    // number edge: 2^63 overflows long → parsed as double, arithmetic survives
+    // number edge: 2^63 overflows long → EXACT JBigInt (reference i128
+    // parity, round-7): arithmetic and round-trip stay digit-exact
     val big = Interp.run(". + 1", JsonText.parse("9223372036854775808"))
     assert(big.head.errors.isEmpty)
+    assert(JsonText.canonical(big.head.doc) == "9223372036854775809")
+    // the VERDICT's canonical case: a u64-max+1 id round-trips exactly
+    assert(JsonText.canonical(JsonText.parse("""{"id": 18446744073709551616}"""))
+      == """{"id":18446744073709551616}""")
+    // exact through navigation; equality is variant-strict but exact
+    assert(JsonText.canonical(Interp.run(".id", JsonText.parse(
+      """{"id": 18446744073709551616}""")).head.doc) == "18446744073709551616")
+    // subtraction re-enters long range exactly (data-side values; jq
+    // PROGRAM literals still parse via JqParser and are not widened)
+    assert(JsonText.canonical(Interp.run(".a - .b", JsonText.parse(
+      """{"a": 18446744073709551616, "b": 18446744073709551615}""")).head.doc) == "1")
+    // 38 digits is the exactness ceiling (DecimalType(38,0)); 39 degrades
+    // to double as before — one absurd literal must not kill a batch
+    val d38 = "9" * 38
+    assert(JsonText.canonical(JsonText.parse(d38)) == d38)
+    assert(JsonText.parse("1" + "0" * 38).isInstanceOf[graft.json.JDouble])
+    // collation: integer class orders numerically across widths
+    assert(JsonText.canonical(Interp.run(".a < .b", JsonText.parse(
+      """{"a": 5, "b": 18446744073709551616}""")).head.doc) == "true")
     // unpaired escape survives as error entry or parse error, never a throw
     try {
       val r = Interp.run("length", JsonText.parse("\"\\ud800\""))

@@ -57,14 +57,33 @@ class CborCodecSpec extends AnyFunSuite {
     assert(CborCodec.decode(unhex("f97c00")) == JDouble(Double.PositiveInfinity))
   }
 
+  test("bignums: u64 beyond Long widens exactly; RFC 8949 tag 2/3 round-trips") {
+    // major-0 u64 max (RFC appendix A: 1bffffffffffffffff = 18446744073709551615)
+    assert(CborCodec.decode(unhex("1bffffffffffffffff"))
+      == JBigInt(BigInt("18446744073709551615")))
+    // major-1 beyond Long.MinValue: -18446744073709551616
+    assert(CborCodec.decode(unhex("3bffffffffffffffff"))
+      == JBigInt(BigInt("-18446744073709551616")))
+    // RFC appendix A: c249010000000000000000 = tag 2, 2^64
+    assert(CborCodec.decode(unhex("c249010000000000000000"))
+      == JBigInt(BigInt("18446744073709551616")))
+    // encode→decode round-trip through the tag path, both signs
+    for (s <- Seq("18446744073709551616", "-99999999999999999999999999999999999999")) {
+      val d = JBigInt(BigInt(s))
+      assert(CborCodec.decode(CborCodec.encode(d)) == d, s)
+    }
+    // a tag-2 payload whose magnitude fits a long normalizes to JLong
+    // (JInt.of invariant holds even for non-canonical wire forms)
+    assert(CborCodec.decode(unhex("c2420100")) == JLong(256L))
+  }
+
   test("rejects what the document model cannot hold, with positions") {
     def rejects(h: String, frag: String): Unit = {
       val e = intercept[CborCodec.CborException](CborCodec.decode(unhex(h)))
       assert(e.getMessage.contains(frag), s"for $h got: ${e.getMessage}")
     }
-    rejects("1bffffffffffffffff", "2^63")      // u64 beyond Long
     rejects("40", "byte strings")               // major 2
-    rejects("c074323031332d30332d32315432303a30343a30305a", "tags")
+    rejects("c074323031332d30332d32315432303a30343a30305a", "tag 0")
     rejects("9f01ff", "indefinite")             // indefinite array
     rejects("f7", "undefined")
     rejects("a1010a", "map key")                // integer map key

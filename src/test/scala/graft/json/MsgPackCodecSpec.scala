@@ -63,6 +63,9 @@ class MsgPackCodecSpec extends AnyFunSuite {
   test("decodes float32 via shortest decimal and uint64 in Long range") {
     assert(MsgPackCodec.decode(unhex("ca3dcccccd")) == JDouble(0.1)) // 0.1f widens cleanly
     assert(MsgPackCodec.decode(unhex("cf7fffffffffffffff")) == JLong(Long.MaxValue))
+    // beyond Long: exact widening, not rejection (round-7 i128 parity)
+    assert(MsgPackCodec.decode(unhex("cfffffffffffffffff"))
+      == JBigInt(BigInt("18446744073709551615")))
   }
 
   test("rejects foreign shapes with positions") {
@@ -72,7 +75,6 @@ class MsgPackCodecSpec extends AnyFunSuite {
     }
     rejects("c403010203", "bin")            // bin8
     rejects("d40105", "ext")                // fixext1
-    rejects("cfffffffffffffffff", "2^63")   // uint64 overflow
     rejects("c1", "reserved")
     rejects("81010a", "map key")            // int map key
     rejects("9301", "unexpected end")       // truncated array

@@ -348,6 +348,39 @@ class OperatorsSpec extends SparkTestBase {
     val perId = frames.groupBy("media_id").count().collect()
     assert(perId.forall(_.getLong(1) >= 1))
   }
+
+  test("real image decode: PNG roundtrip recovers exact dims and luma through ImageIO") {
+    import spark.implicits._
+    import Multimodal._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // kernel level: constant-fill PNG → every luma cell is exactly g/255
+    val g = 77
+    val const = MediaCodec.decodeImage(
+      MediaRecord(g.toLong, "image", MediaCodec.syntheticPng(40, 24, g.toLong, gradient = false))).get
+    assert(const.width == 40 && const.height == 24)
+    assert(const.features.length == MediaCodec.FeatureDim)
+    assert(const.features.forall(f => math.round(f * 255) == g))
+    // gradient fill: pattern brightens with x (mod wraps), so the grid is
+    // NOT constant and left/right cells differ for a wrap-free tile
+    val grad = MediaCodec.decodeImage(
+      MediaRecord(1L, "image", MediaCodec.syntheticPng(32, 16, 0L))).get
+    assert(grad.features.distinct.length > 1, "gradient image must not produce a flat feature grid")
+    // real fused resize: constant image stays constant at the new dims
+    val rs = MediaCodec.resizeImage(
+      MediaRecord(g.toLong, "image", MediaCodec.syntheticPng(40, 24, g.toLong, gradient = false)),
+      224, 224).get
+    assert(rs.width == 224 && rs.height == 224)
+    assert(rs.features.forall(f => math.round(f * 255) == g))
+    // non-image bytes under the image kind fall back to the stub (the
+    // plumbing stays total over arbitrary payloads)
+    val junk = MediaCodec.decodeAny(MediaRecord(9L, "image", "not a png".getBytes))
+    assert(junk.width == 16 + ("not a png".length % 64))
+    // distributed: pngMedia → decode roundtrips dims for every row
+    val df = Seq((3L, 20, 30), (4L, 64, 16)).toDF("id", "w", "h")
+    val out = decode(pngMedia(df, "id", col("w"), col("h")))
+      .collect().map(d => (d.media_id, d.width, d.height)).toSet
+    assert(out == Set((3L, 20, 30), (4L, 64, 16)))
+  }
 }
 
 class AsofJoinSpec extends graft.SparkTestBase {
