@@ -23,6 +23,23 @@ object SparkEntry {
     d.getAbsolutePath
   }
 
+  /** Fixed literal centroids for dedup_semantic (8 × dim-64): spread
+    * patterns standing in for offline/sample-trained k-means (SemDeDup
+    * trains centroids out-of-band too). Kept SQL-expressible so the
+    * DuckDB oracle re-derives the IDENTICAL assignment from the same
+    * literals — Double.toString round-trips exactly through DuckDB's
+    * decimal parser. */
+  private val SemCentroids: Seq[Seq[Double]] = Seq(
+    Seq.tabulate(64)(i => if (i % 2 == 0) 1.0 else 0.0),
+    Seq.tabulate(64)(i => if (i % 2 == 1) 1.0 else 0.0),
+    Seq.tabulate(64)(i => if (i % 4 < 2) 1.0 else -1.0),
+    Seq.tabulate(64)(i => if (i < 32) 1.0 else -1.0),
+    Seq.tabulate(64)(i => math.sin(i + 1.0)),
+    Seq.tabulate(64)(i => math.cos(i + 1.0)),
+    Seq.tabulate(64)(i => if (i % 3 == 0) 1.0 else -0.5),
+    Seq.tabulate(64)(i => 1.0 - i / 32.0),
+  )
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
     // default; read as LONG nanos and convert where a query needs time.
@@ -1382,6 +1399,16 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       operators.Similarity.cosineNearDupPairs(table(s, dir, "embeddings"), 0.45)),
 
+    // SemDeDup (Abbas et al. 2023): cluster-scoped embedding dedup —
+    // nearest-centroid assignment (literal centroids, zero-exchange
+    // projection), pairs only WITHIN a cluster (C balanced tasks, the
+    // subquadratic shape all-pairs dedup_embedding cannot have), keep
+    // the smallest id of any ≥-threshold pair; micro-quantized integer
+    // similarities make assignment + drops engine-exact
+    "dedup_semantic" -> ((s, dir) =>
+      operators.Similarity.semanticDedup(
+        table(s, dir, "embeddings"), SemCentroids, thresholdMicro = 450000L)),
+
     // subquadratic SRP-LSH near-dup path (high-similarity regime): the
     // corpus is doubled with byte-identical copies; identical vectors hash
     // to identical buckets in every table, so recall on the duplicated
@@ -2552,6 +2579,29 @@ object SparkEntry {
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+
+    // same centroid literals as the Spark side (SemCentroids is the one
+    // source of truth; the SQL is assembled from it), same micro-quantized
+    // integer argmax + threshold — an independent derivation of the full
+    // assign→pair→keep pipeline
+    "dedup_semantic" -> {
+      def lst(c: Seq[Double]) = c.mkString("[", ", ", "]")
+      val sims = SemCentroids
+        .map(c => s"CAST(round(1e6 * list_cosine_similarity(v, ${lst(c)})) AS BIGINT)")
+        .mkString("[", ", ", "]")
+      s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      a AS (
+        SELECT vec_id, v, CAST(list_position(sims, list_max(sims)) AS BIGINT) AS cluster
+        FROM (SELECT vec_id, v, $sims AS sims FROM e)),
+      d AS (
+        SELECT DISTINCT y.vec_id
+        FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        WHERE CAST(round(1e6 * list_cosine_similarity(x.v, y.v)) AS BIGINT) >= 450000)
+      SELECT vec_id, cluster FROM a WHERE vec_id NOT IN (SELECT vec_id FROM d)"""
+    },
 
     "dedup_embedding_lsh" ->
       "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings",

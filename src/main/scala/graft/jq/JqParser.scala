@@ -159,8 +159,17 @@ final class JqParser(text: String) {
     val s = text.substring(start, p)
     pos = p
     if (!isFloat) {
+      // same widening ladder as JsonText.parseNum: long → exact JBigInt
+      // (≤ 38 digits, the DecimalType(38,0) ceiling) → double
       try Some(JLong(java.lang.Long.parseLong(s)))
-      catch { case _: NumberFormatException => Some(JDouble(java.lang.Double.parseDouble(s))) }
+      catch {
+        case _: NumberFormatException =>
+          val digits = s.length - (if (s.charAt(0) == '+' || s.charAt(0) == '-') 1 else 0)
+          if (digits <= graft.json.JInt.MaxDigits)
+            try Some(graft.json.JInt.of(BigInt(s)))
+            catch { case _: NumberFormatException => Some(JDouble(java.lang.Double.parseDouble(s))) }
+          else Some(JDouble(java.lang.Double.parseDouble(s)))
+      }
     } else Some(JDouble(java.lang.Double.parseDouble(s)))
   }
 

@@ -93,6 +93,50 @@ object Similarity {
     * no BroadcastNestedLoopJoin, no CartesianProduct, no driver-side
     * anything. For the high-similarity regime (true near-duplicates,
     * cosine ≥ ~0.9) use [[nearDupPairsLSH]], which IS subquadratic. */
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest centroid by
+    * cosine, enumerate pairs ONLY within a cluster, and drop the higher
+    * id of any pair at or above the threshold — keep-min, the
+    * deterministic greedy rule. Returns the KEPT rows as
+    * (vec_id, cluster).
+    *
+    * Scale shape: the clusters bound the quadratic term — cross-cluster
+    * pairs are never formed, so the self-join shuffles on the cluster id
+    * into C balanced tasks of B_c² comparisons (pick C ~ corpus/√target
+    * so B_c² fits a task; a mega-cluster is the same skew valve as LSH's
+    * maxBucketSize). Centroids are PLAN LITERALS (trained offline or on
+    * a sample, exactly as the paper does with off-the-shelf k-means):
+    * assignment is a zero-exchange projection and the corpus is never
+    * shuffled to build an index.
+    *
+    * Determinism: similarities quantize to micro units
+    * (round(cos·10⁶) as BIGINT) BEFORE both the argmax and the
+    * threshold compare, so assignment and the drop set are exact
+    * integer decisions reproducible across engines, partitionings and
+    * retries — a raw double argmax could flip on 1-ulp evaluation-order
+    * differences. Ties: first max wins (array_position), smallest id
+    * kept. Zero vectors (cosine NaN) are a precondition violation —
+    * embed-before-dedup pipelines never emit them. */
+  def semanticDedup(vectors: DataFrame, centroids: Seq[Seq[Double]],
+                    thresholdMicro: Long): DataFrame = {
+    require(centroids.nonEmpty, "semanticDedup needs at least one centroid")
+    val v = vectors.select(col("vec_id"), dvec(col("embedding")).as("v"))
+    val simq = centroids.map(c =>
+      round(cosine(col("v"), array(c.map(lit(_)): _*)) * 1e6).cast("long"))
+    val assigned = v
+      .withColumn("sims", array(simq: _*))
+      .withColumn("cluster", expr("array_position(sims, array_max(sims))").cast("bigint"))
+      .select(col("vec_id"), col("v"), col("cluster"))
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val dropped = a.join(b, Seq("cluster")) // equi-join on cluster: C balanced tasks
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("va"), col("vb")) * 1e6).cast("long") >= lit(thresholdMicro))
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+  }
+
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double, blocks: Int = 32): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._

@@ -84,10 +84,12 @@ class JqRobustnessSpec extends AnyFunSuite {
     // exact through navigation; equality is variant-strict but exact
     assert(JsonText.canonical(Interp.run(".id", JsonText.parse(
       """{"id": 18446744073709551616}""")).head.doc) == "18446744073709551616")
-    // subtraction re-enters long range exactly (data-side values; jq
-    // PROGRAM literals still parse via JqParser and are not widened)
+    // subtraction re-enters long range exactly, data-side values and
+    // jq PROGRAM literals alike (JqParser widens with the same ladder)
     assert(JsonText.canonical(Interp.run(".a - .b", JsonText.parse(
       """{"a": 18446744073709551616, "b": 18446744073709551615}""")).head.doc) == "1")
+    assert(JsonText.canonical(Interp.run(". - 18446744073709551615",
+      JsonText.parse("18446744073709551616")).head.doc) == "1")
     // 38 digits is the exactness ceiling (DecimalType(38,0)); 39 degrades
     // to double as before — one absurd literal must not kill a batch
     val d38 = "9" * 38

@@ -349,6 +349,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(perId.forall(_.getLong(1) >= 1))
   }
 
+  test("semanticDedup: cluster-scoped keep-min, no cross-cluster drops") {
+    import spark.implicits._
+    // two orthogonal centroid directions; vectors 1,2,3 near +x (1≈2≈3),
+    // vectors 10,11 near +y (10≈11), vector 20 alone near +y but far
+    val rows = Seq(
+      (1L, Array(1.0f, 0.00f)), (2L, Array(0.99f, 0.01f)), (3L, Array(0.98f, 0.02f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.01f, 0.99f)),
+      (20L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val kept = Similarity.semanticDedup(rows, cents, thresholdMicro = 995000L)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // cluster 1: 1,2,3 all pairwise ≥ .995 → keep 1; cluster 2: 10≈11 →
+    // keep 10; 20 is in cluster 2 but below threshold vs both → kept
+    assert(kept.toSeq == Seq((1L, 1L), (10L, 2L), (20L, 2L)))
+    // a cross-cluster near-identical pair must NOT be dropped: 2 vs a
+    // y-cluster copy of it would never meet (different clusters)
+    val rows2 = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val kept2 = Similarity.semanticDedup(rows2, cents, thresholdMicro = 0L)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept2.toSeq == Seq(1L, 2L), "orthogonal vectors in different clusters both survive")
+  }
+
   test("real image decode: PNG roundtrip recovers exact dims and luma through ImageIO") {
     import spark.implicits._
     import Multimodal._
