@@ -16,9 +16,12 @@ object SparkEntry {
   /** Per-process unique ORC sink for rel_orc_roundtrip: concurrent
     * bench/verify runs on one host must not race on a shared path.
     * Removed on JVM exit; within the process `overwrite` keeps one copy. */
-  private lazy val orcSinkDir: String = {
+  private lazy val orcSinkDir: String = sinkDir("orc")
+  private lazy val csvSinkDir: String = sinkDir("csv")
+
+  private def sinkDir(kind: String): String = {
     val d = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_orc_${java.lang.ProcessHandle.current().pid()}")
+      s"graft_${kind}_${java.lang.ProcessHandle.current().pid()}")
     sys.addShutdownHook(org.apache.commons.io.FileUtils.deleteQuietly(d))
     d.getAbsolutePath
   }
@@ -427,6 +430,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
           sum(operators.TextAnalysis.fingerprint(col("text"))).as("sum_fp"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
+    // text-format interchange: parquet → CSV (RFC 4180 ""-escaping,
+    // multiLine read) → read-back with the same content-sensitive
+    // fingerprint aggregate as the ORC roundtrip — quoting, embedded
+    // quotes/commas/newlines and unicode all have to survive the text
+    // round trip for the hash to match. Trim options OFF on write:
+    // Spark's defaults would silently strip leading/trailing spaces
+    "rel_csv_roundtrip" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      docs.write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(csvSinkDir)
+      s.read.schema("doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT")
+        .option("header", "true").option("escape", "\"")
+        .option("multiLine", "true")
+        .csv(csvSinkDir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(operators.TextAnalysis.fingerprint(col("text"))).as("sum_fp"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
+    // one-scan table profiler: per-column nulls/ndv/min/max — the
+    // data-quality reconnaissance pass; k distinct aggregates plan as
+    // ONE Expand scan, output is k rows
+    "rel_profile" -> ((s, dir) =>
+      operators.Relational.profile(table(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_orderkey", "l_suppkey"))),
+
+    // asymmetric containment on the adjacent-pairs list: the
+    // doc-inside-doc signal Jaccard misses (see pairwiseContainment)
+    "dedup_containment" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      operators.Dedup.pairwiseContainment(docs, "doc_id", col("text"), n = 3, pairs = pairs)
     }),
 
     // incremental view maintenance over the upsert semantics: post-change
@@ -2573,6 +2615,53 @@ object SparkEntry {
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              len(list_intersect(a.shingles, b.shingles))::DOUBLE
                / len(list_distinct(a.shingles || b.shingles)) AS j
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
+
+    // the oracle never touches the CSV: it recomputes the aggregate from
+    // the parquet (same derivation as rel_orc_roundtrip), so any
+    // write/read corruption breaks the hash
+    "rel_csv_roundtrip" -> """
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(list_reduce(list_prepend(0::BIGINT,
+               [ord(substring(text, i, 1))::BIGINT for i in range(1, strlen(text) + 1)]),
+               (h, c) -> (h * 31 + c) % 1000000007)) AS BIGINT) AS sum_fp,
+             min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM documents GROUP BY lang""",
+
+    "rel_profile" -> """
+      SELECT 'l_returnflag' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(l_returnflag) AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_distinct,
+             CAST(min(l_returnflag) AS VARCHAR) AS min_str,
+             CAST(max(l_returnflag) AS VARCHAR) AS max_str FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(l_linestatus) AS BIGINT),
+             CAST(count(DISTINCT l_linestatus) AS BIGINT),
+             CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'l_orderkey', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(l_orderkey) AS BIGINT),
+             CAST(count(DISTINCT l_orderkey) AS BIGINT),
+             CAST(min(l_orderkey) AS VARCHAR), CAST(max(l_orderkey) AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(l_suppkey) AS BIGINT),
+             CAST(count(DISTINCT l_suppkey) AS BIGINT),
+             CAST(min(l_suppkey) AS VARCHAR), CAST(max(l_suppkey) AS VARCHAR) FROM lineitem""",
+
+    "dedup_containment" -> """
+      WITH sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(s) >= 3
+          THEN [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]
+          ELSE [] END) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN len(a.shingles) > 0
+               THEN len(list_intersect(a.shingles, b.shingles))::DOUBLE / len(a.shingles) END AS c_ab,
+             CASE WHEN len(b.shingles) > 0
+               THEN len(list_intersect(a.shingles, b.shingles))::DOUBLE / len(b.shingles) END AS c_ba
       FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
 
     "dedup_embedding" -> """

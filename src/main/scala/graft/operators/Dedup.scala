@@ -487,4 +487,26 @@ object Dedup {
     pairs.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("j"))
   }
+
+  /** Asymmetric shingle CONTAINMENT over a pairs list:
+    * c(a→b) = |A∩B| / |A| and c(b→a) = |A∩B| / |B| — the
+    * doc-inside-doc signal Jaccard misses: a short document quoted
+    * verbatim inside a long one has Jaccard ≈ |A|/|B| (small) but
+    * containment c(a→b) = 1. The training-data use is exactly that
+    * asymmetry — drop the CONTAINED side, keep the superset document.
+    * Empty shingle sets (docs shorter than n words) yield NULL, never a
+    * division error. Same scale shape as [[pairwiseJaccard]]: the pair
+    * list drives two hash joins; shingles attach per side, nothing
+    * corpus-sized self-joins. */
+  def pairwiseContainment(docs: DataFrame, id: String, text: Column, n: Int,
+                          pairs: DataFrame): DataFrame = {
+    val shingled = docs.select(col(id), wordShingles(text, n).as("sh"))
+    val sa = shingled.select(col(id).as("id_a"), col("sh").as("sh_a"))
+    val sb = shingled.select(col(id).as("id_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        when(size(col("sh_a")) > 0, inter / size(col("sh_a"))).as("c_ab"),
+        when(size(col("sh_b")) > 0, inter / size(col("sh_b"))).as("c_ba"))
+  }
 }

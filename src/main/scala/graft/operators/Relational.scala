@@ -216,6 +216,34 @@ object Relational {
     carried.filter(col("__is_left") === 1).drop("__is_left")
   }
 
+  /** One-scan table profiler — the data-quality reconnaissance every
+    * curation pipeline starts with: per column, row count, null count,
+    * EXACT distinct count, and min/max rendered as strings. All k
+    * columns profile in ONE scan: Catalyst plans the k distinct
+    * aggregates as a single Expand (k+1 projections) + two-stage
+    * partial aggregate, so the input is read once at any k; output is
+    * k tiny rows. Stick to string/integer columns when hash-comparing
+    * across engines — float min/max STRING rendering is
+    * engine-specific. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__ndv_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val entries = array(cols.map(c => struct(
+      lit(c).as("col_name"),
+      col("__n").as("n_rows"),
+      (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+      col(s"__ndv_$c").as("n_distinct"),
+      col(s"__min_$c").as("min_str"),
+      col(s"__max_$c").as("max_str"))): _*)
+    wide.select(explode(entries).as("p")).select(col("p.*"))
+  }
+
   /** Exact equi-depth buckets (ntile semantics) as a HISTOGRAM — per
     * bucket: row count and the min/max of `value` — without the
     * single-partition global sort a partition-less `ntile` window runs

@@ -349,6 +349,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(perId.forall(_.getLong(1) >= 1))
   }
 
+  test("profile: nulls/ndv/min/max per column in one scan; containment catches doc-in-doc") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("a"), Option(1L)), (Option("b"), Option(1L)),
+      (Option.empty[String], Option(3L)), (Option("a"), Option.empty[Long]))
+      .toDF("s", "k")
+    val p = Relational.profile(df, Seq("s", "k"))
+      .collect().map(r => r.getString(0) -> (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("s") == ("s", 4L, 1L, 2L, "a", "b"))
+    assert(p("k") == ("k", 4L, 1L, 2L, "1", "3"))
+    // the k distinct aggregates must still be ONE scan: a single Expand
+    val plan = Relational.profile(df, Seq("s", "k")).queryExecution.executedPlan.toString
+    assert(plan.split("Expand").length - 1 <= 1, s"profile should plan one Expand, got:\n$plan")
+    // containment: short doc fully inside a long one — c_ab = 1, Jaccard small
+    val docs = Seq(
+      (1L, "one two three four"),
+      (2L, "zero one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val c = Dedup.pairwiseContainment(docs, "doc_id", col("text"), 3, pairs)
+      .collect().head
+    assert(c.getDouble(2) == 1.0, "contained doc must score c_ab = 1")
+    assert(c.getDouble(3) < 0.5, "the superset side scores |A∩B|/|B| < 0.5")
+    // empty shingle side (doc shorter than n words) yields NULL, not an error
+    val short = Seq((1L, "hi"), (2L, "one two three four")).toDF("doc_id", "text")
+    val c2 = Dedup.pairwiseContainment(short, "doc_id", col("text"), 3, pairs).collect().head
+    assert(c2.isNullAt(2))
+  }
+
   test("semanticDedup: cluster-scoped keep-min, no cross-cluster drops") {
     import spark.implicits._
     // two orthogonal centroid directions; vectors 1,2,3 near +x (1≈2≈3),
