@@ -460,8 +460,8 @@ object SparkEntry {
     // data-quality reconnaissance pass; k distinct aggregates plan as
     // ONE Expand scan, output is k rows
     "rel_profile" -> ((s, dir) =>
-      operators.Relational.profile(table(s, dir, "lineitem"),
-        Seq("l_returnflag", "l_linestatus", "l_orderkey", "l_suppkey"))),
+      operators.Relational.profile(table(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_orderkey", "o_custkey"))),
 
     // asymmetric containment on the adjacent-pairs list: the
     // doc-inside-doc signal Jaccard misses (see pairwiseContainment)
@@ -2630,26 +2630,26 @@ object SparkEntry {
       FROM documents GROUP BY lang""",
 
     "rel_profile" -> """
-      SELECT 'l_returnflag' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(count(*) - count(l_returnflag) AS BIGINT) AS n_nulls,
-             CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_distinct,
-             CAST(min(l_returnflag) AS VARCHAR) AS min_str,
-             CAST(max(l_returnflag) AS VARCHAR) AS max_str FROM lineitem
+      SELECT 'o_orderstatus' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(o_orderstatus) AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+             CAST(min(o_orderstatus) AS VARCHAR) AS min_str,
+             CAST(max(o_orderstatus) AS VARCHAR) AS max_str FROM orders
       UNION ALL
-      SELECT 'l_linestatus', CAST(count(*) AS BIGINT),
-             CAST(count(*) - count(l_linestatus) AS BIGINT),
-             CAST(count(DISTINCT l_linestatus) AS BIGINT),
-             CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR) FROM lineitem
+      SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(o_orderpriority) AS BIGINT),
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+             CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders
       UNION ALL
-      SELECT 'l_orderkey', CAST(count(*) AS BIGINT),
-             CAST(count(*) - count(l_orderkey) AS BIGINT),
-             CAST(count(DISTINCT l_orderkey) AS BIGINT),
-             CAST(min(l_orderkey) AS VARCHAR), CAST(max(l_orderkey) AS VARCHAR) FROM lineitem
+      SELECT 'o_orderkey', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(o_orderkey) AS BIGINT),
+             CAST(count(DISTINCT o_orderkey) AS BIGINT),
+             CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR) FROM orders
       UNION ALL
-      SELECT 'l_suppkey', CAST(count(*) AS BIGINT),
-             CAST(count(*) - count(l_suppkey) AS BIGINT),
-             CAST(count(DISTINCT l_suppkey) AS BIGINT),
-             CAST(min(l_suppkey) AS VARCHAR), CAST(max(l_suppkey) AS VARCHAR) FROM lineitem""",
+      SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(o_custkey) AS BIGINT),
+             CAST(count(DISTINCT o_custkey) AS BIGINT),
+             CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders""",
 
     "dedup_containment" -> """
       WITH sh AS (

@@ -380,7 +380,7 @@ object JOps {
 
   /** `-a` (reference: src/json.rs:872-882). */
   def neg(a: JDoc): JDoc = a match {
-    case JLong(x)   => JLong(-x)
+    case JLong(x)   => if (x == Long.MinValue) JBigInt(-BigInt(x)) else JLong(-x)
     case JBigInt(x) => JInt.of(-x) // -(2^63) re-enters long range
     case JDouble(x) => JDouble(-x)
     case _          => JNull

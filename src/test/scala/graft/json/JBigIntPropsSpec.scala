@@ -1,0 +1,86 @@
+package graft.json
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property pins for the exact wide-integer path (round-7 i128 parity):
+  * JBigInt must behave as the mathematical integers wherever the
+  * 38-digit exactness window holds — arithmetic against a BigInt model,
+  * total numeric order across the two Integer widths, byte-exact text
+  * round-trips, and lossless CBOR bignum round-trips. */
+class JBigIntPropsSpec extends AnyFunSuite {
+
+  private def forAllN[A](gen: Gen[A], n: Int = 300)(f: A => Unit): Unit = {
+    val seed0 = org.scalacheck.rng.Seed(0xb16b00b5L)
+    Iterator.iterate(seed0)(_.next).take(n).foreach { seed =>
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+    }
+  }
+
+  /** Integers spanning both widths: long-range and 64–120 bit. */
+  private val genInt: Gen[BigInt] = Gen.oneOf(
+    Gen.choose(Long.MinValue, Long.MaxValue).map(BigInt(_)),
+    for {
+      bits <- Gen.choose(64, 120)
+      bytes <- Gen.listOfN(bits / 8 + 1, Gen.choose(0, 255))
+      neg <- Gen.oneOf(true, false)
+    } yield {
+      val m = bytes.foldLeft(BigInt(0))((a, b) => (a << 8) | b) % (BigInt(10).pow(36))
+      if (neg) -m else m
+    })
+
+  private def num(v: BigInt): JDoc = JInt.of(v)
+  private def asBig(d: JDoc): Option[BigInt] = d match {
+    case JLong(v)   => Some(BigInt(v))
+    case JBigInt(v) => Some(v)
+    case _          => None
+  }
+
+  test("property: +, -, * and % against the BigInt model across widths") {
+    forAllN(Gen.zip(genInt, genInt)) { case (a, b) =>
+      // the narrow JLong⊗JLong case keeps its PRE-EXISTING wrapping
+      // 64-bit semantics (pinned below); the exact BigInt model applies
+      // whenever either operand is wide
+      val wide = !a.isValidLong || !b.isValidLong
+      if (wide) {
+        assert(asBig(JOps.add(num(a), num(b))).contains(a + b), s"$a + $b")
+        assert(asBig(JOps.sub(num(a), num(b))).contains(a - b), s"$a - $b")
+        assert(asBig(JOps.mul(num(a), num(b))).contains(a * b), s"$a * $b")
+        if (b != 0) assert(asBig(JOps.rem(num(a), num(b))).contains(a % b), s"$a % $b")
+        else assert(JOps.rem(num(a), num(b)) == JNull)
+      } else {
+        assert(JOps.add(num(a), num(b)) == JLong(a.toLong + b.toLong))
+        assert(JOps.sub(num(a), num(b)) == JLong(a.toLong - b.toLong))
+        assert(JOps.mul(num(a), num(b)) == JLong(a.toLong * b.toLong))
+      }
+      assert(asBig(JOps.neg(num(a))).contains(-a), s"-$a")
+    }
+  }
+
+  test("property: numeric total order across widths matches BigInt compare") {
+    forAllN(Gen.zip(genInt, genInt)) { case (a, b) =>
+      val got = JOps.cmp(num(a), num(b)).map(Integer.signum)
+      assert(got.contains(a.compare(b).sign), s"cmp($a, $b)")
+      assert(JOps.eqDoc(num(a), num(b)) == (a == b), s"eq($a, $b)")
+    }
+  }
+
+  test("property: text and CBOR round-trips are byte/value exact") {
+    forAllN(genInt) { a =>
+      val d = num(a)
+      assert(JsonText.parse(a.toString) == d, s"parse($a)")
+      assert(JsonText.canonical(d) == a.toString, s"canonical($a)")
+      assert(CborCodec.decode(CborCodec.encode(d)) == d, s"cbor($a)")
+      assert(JsonText.parse(JsonText.canonical(d)) == d, s"roundtrip($a)")
+    }
+  }
+
+  test("JInt.of normalizes the boundary: ±2^63 land on the right variants") {
+    assert(JInt.of(BigInt(Long.MaxValue)) == JLong(Long.MaxValue))
+    assert(JInt.of(BigInt(Long.MinValue)) == JLong(Long.MinValue))
+    assert(JInt.of(BigInt(Long.MaxValue) + 1) == JBigInt(BigInt(Long.MaxValue) + 1))
+    assert(JInt.of(BigInt(Long.MinValue) - 1) == JBigInt(BigInt(Long.MinValue) - 1))
+    // neg of the wide value just past the boundary re-enters long range
+    assert(JOps.neg(JBigInt(BigInt(Long.MinValue).abs)) == JLong(Long.MinValue))
+  }
+}
