@@ -471,6 +471,12 @@ object SparkEntry {
       operators.Dedup.pairwiseContainment(docs, "doc_id", col("text"), n = 3, pairs = pairs)
     }),
 
+    // corpus-wide segment boilerplate removal (RefinedWeb line-dedup
+    // restated over 5-word windows): per-doc counts + kept fingerprint
+    "dedup_paragraph" -> ((s, dir) =>
+      operators.Dedup.segmentBoilerplate(
+        table(s, dir, "documents"), "doc_id", col("text"), segWords = 5, minDocs = 3)),
+
     // incremental view maintenance over the upsert semantics: post-change
     // per-group aggregate from base aggregate + change deltas only (the
     // oracle recomputes the whole snapshot; the Spark side never does)
@@ -1288,6 +1294,12 @@ object SparkEntry {
           Map("src0" -> 15, "src1" -> 10), default = 5)
         .select(col("doc_id"), col("source"))),
 
+    // temperature-scaled source mixing (α = 1/2 so ⌊√n⌋ keeps the whole
+    // budget split in exact integers — no cross-engine pow() drift)
+    "curation_temperature" -> ((s, dir) =>
+      operators.Curation.temperatureMix(
+        table(s, dir, "documents"), "source", "doc_id", budget = 200L)),
+
     // CAPSTONE 3 — hybrid retrieval with reciprocal-rank fusion: a
     // semantic ranking (exact cosine top-20) and a lexical ranking
     // (distinct-token overlap top-20) fuse by RRF with FIXED-POINT
@@ -1585,6 +1597,14 @@ object SparkEntry {
       table(s, dir, "documents").select(
         col("doc_id"),
         operators.TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // model-based quality filtering: hashed linear classifier with
+    // formula-derived integer weights (engine-exact, no weight table)
+    "text_quality_model" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), operators.TextAnalysis.qualityModel(col("text")).as("qm"))
+        .select(col("doc_id"), col("qm.n_tokens").as("n_tokens"),
+          col("qm.score").as("qm_score"), (col("qm.score") > 0).as("keep"))),
 
     // --- multimodal plumbing (stub codec, real batch shape) -------------
     // layer composition: exact dedup over OPAQUE BINARY media payloads —
@@ -2089,6 +2109,25 @@ object SparkEntry {
                  ORDER BY ((doc_id % 1000003) * 2654435761) % 4294967296, doc_id) AS rk
         FROM documents) t
       WHERE rk <= CASE source WHEN 'src0' THEN 15 WHEN 'src1' THEN 10 ELSE 5 END""",
+
+    // ⌊√n⌋ weights (IEEE sqrt is correctly rounded in every engine) keep
+    // the whole budget split in exact integer arithmetic
+    "curation_temperature" -> """
+      WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        FROM documents GROUP BY source),
+      t AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM c),
+      tg AS (SELECT source, n_docs, CAST((w * 200) // w_total AS BIGINT) AS target_n FROM c, t),
+      r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents)
+      SELECT tg.source, tg.n_docs, tg.target_n,
+             CAST(count(r.doc_id) AS BIGINT) AS kept_n,
+             CAST(coalesce(sum(r.doc_id), 0) AS BIGINT) AS kept_key_sum
+      FROM tg LEFT JOIN r ON r.source = tg.source AND r.rn <= tg.target_n
+      GROUP BY tg.source, tg.n_docs, tg.target_n""",
 
     // both rankings and the fused score are exact integers end-to-end
     "pipeline_rrf" -> """
@@ -2664,6 +2703,30 @@ object SparkEntry {
                THEN len(list_intersect(a.shingles, b.shingles))::DOUBLE / len(b.shingles) END AS c_ba
       FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
 
+    // same 5-word non-overlapping windows, same 31-polynomial fingerprint,
+    // same position-weighted kept sum — all exact integers
+    "dedup_paragraph" -> """
+      WITH segs AS (
+        SELECT doc_id, seg, CAST(pos AS BIGINT) AS pos
+        FROM (SELECT doc_id,
+                [{'pos': i, 'seg': array_to_string(ws[(i*5+1):(i*5+5)], ' ')}
+                   for i in range(0, CAST(ceil(len(ws) / 5.0) AS BIGINT))] AS sl
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)) t,
+             LATERAL (SELECT unnest(sl, recursive := true)) u(pos, seg)),
+      df AS (
+        SELECT seg, count(DISTINCT doc_id) AS seg_df FROM segs GROUP BY seg),
+      fp AS (
+        SELECT doc_id, pos, s.seg, seg_df,
+               list_reduce(list_prepend(0::BIGINT,
+                 [ord(substring(s.seg, i, 1))::BIGINT for i in range(1, strlen(s.seg) + 1)]),
+                 (h, c) -> (h * 31 + c) % 1000000007) AS segfp
+        FROM segs s JOIN df ON df.seg = s.seg)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_segs,
+             CAST(sum(CASE WHEN seg_df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+             CAST(sum(CASE WHEN seg_df >= 3 THEN 0 ELSE (pos + 1) * segfp END) AS BIGINT) AS kept_fp
+      FROM fp GROUP BY doc_id""",
+
     "dedup_embedding" -> """
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -2840,6 +2903,20 @@ object SparkEntry {
                [ord(substring(text, i, 1))::BIGINT for i in range(1, strlen(text) + 1)]),
                (h, c) -> (h * 31 + c) % 1000000007) AS fp
       FROM documents""",
+
+    // same token hash as the Spark kernel: 31-polynomial over codepoints
+    // mod 1e9+7, bucketed to 256, integer weight formula — bit-exact
+    "text_quality_model" -> """
+      WITH scored AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(list_sum([
+                 ((1 + (list_reduce(list_prepend(0::BIGINT,
+                     [ord(substring(w, i, 1))::BIGINT for i in range(1, strlen(w) + 1)]),
+                   (h, c) -> (h * 31 + c) % 1000000007) % 256)) * 2654435761) % 1000003 - 501001
+                 for w in string_split(text, ' ')]) AS BIGINT) AS qm_score
+        FROM documents)
+      SELECT doc_id, n_tokens, qm_score, qm_score > 0 AS keep FROM scored""",
 
     // same µs truncation as Spark's ts DIV 1000 (DuckDB stores µs);
     // LOCF via last_value IGNORE NULLS over the gap-filled grid

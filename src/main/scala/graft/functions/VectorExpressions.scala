@@ -529,3 +529,45 @@ case class Int8QuantStats(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Int8QuantStats =
     copy(child = newChild)
 }
+
+/** Hashed linear quality classifier — the model-based filtering step of a
+  * training-data pipeline (a fastText-style bag-of-tokens linear model, as
+  * used for quality classification in GPT-3/LLaMA-class corpus curation).
+  * One pass over the text: each space-delimited token is rolled into the
+  * same 31-polynomial codepoint hash as [[RollingFingerprint]] (mod 1e9+7),
+  * bucketed into `dims` hash buckets, and scored with a deterministic
+  * integer weight w(b) = ((b+1)·2654435761) mod 1000003 − 501001 — a
+  * formula-derived stand-in for trained weights, so any engine reproduces
+  * the score bit-for-bit with no weight table to ship. Returns
+  * STRUCT<n_tokens, score>; `score > 0` is the keep decision. Integer
+  * arithmetic end to end: no floating point, no cross-engine drift, and
+  * the kernel is a narrow zero-shuffle projection that scales linearly. */
+case class QualityModelScore(child: Expression, dims: Int)
+    extends UnaryExpression with NativeUnaryCodegen {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("score", LongType, nullable = false)))
+  override def prettyName: String = "quality_model_score"
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var nTok = 0L
+    var sum = 0L
+    var h = 0L
+    var i = 0
+    def close(): Unit = {
+      val b = h % dims
+      sum += ((b + 1L) * 2654435761L) % 1000003L - 501001L
+      nTok += 1L
+      h = 0L
+    }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp == ' ') close() else h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    close() // split semantics: n_tokens = spaces + 1, empties included
+    org.apache.spark.sql.catalyst.InternalRow(nTok, sum)
+  }
+  override protected def withNewChildInternal(newChild: Expression): QualityModelScore =
+    copy(child = newChild)
+}

@@ -204,4 +204,44 @@ object Curation {
       .filter(col("__rk") <= rateOf(stratum, quotas.map { case (k, v) => k -> v.toDouble }, default.toDouble))
       .drop("__rk")
   }
+
+  /** Temperature-scaled source mixing: per-source budgets proportional to
+    * n_s^α with α = 1/2 — the multilingual/domain re-balancing rule
+    * (XLM-R-style temperature sampling) that upweights small sources
+    * without letting a mega-source dominate. α is fixed at 1/2 because
+    * IEEE `sqrt` is correctly rounded in every engine, so
+    * w_s = ⌊√n_s⌋ is EXACT integer weight — from there the whole budget
+    * split (target_s = ⌊budget·w_s / Σw⌋) is integer arithmetic with no
+    * cross-engine drift, unlike a general pow(n, α) of libm doubles.
+    *
+    * The per-source aggregate is tiny (one row per source), so Σw is a
+    * broadcast 1-row frame; the only corpus-scale work is one
+    * window rank per source (hash exchange on source) to take the
+    * `target_s` lowest-keyed docs deterministically. Returns one row per
+    * source: count, target, kept count, and the exact kept-key sum as a
+    * reproducibility fingerprint. */
+  def temperatureMix(df: DataFrame, source: String, key: String,
+                     budget: Long): DataFrame = {
+    val counts = df.groupBy(col(source)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val total = counts.agg(sum(col("w")).as("w_total"))
+    val targets = counts.crossJoin(broadcast(total))
+      .withColumn("wb", col("w") * lit(budget))
+      // exact integer floor-div: (x - x mod y) is a multiple of y, so the
+      // double quotient is exact for any magnitude either engine allows
+      .withColumn("target_n",
+        ((col("wb") - pmod(col("wb"), col("w_total"))) / col("w_total")).cast("long"))
+      .select(col(source), col("n_docs"), col("target_n"))
+    val rk = Window.partitionBy(col(source)).orderBy(col(key).asc)
+    val kept = df.select(col(source), col(key))
+      .withColumn("rn", row_number().over(rk).cast("long"))
+      .join(broadcast(targets.select(col(source), col("target_n").as("__t"))), source)
+      .filter(col("rn") <= col("__t"))
+      .groupBy(col(source))
+      .agg(count(lit(1)).as("kept_n"), sum(col(key)).as("kept_key_sum"))
+    targets.join(kept, Seq(source), "left")
+      .select(col(source), col("n_docs"), col("target_n"),
+        coalesce(col("kept_n"), lit(0L)).as("kept_n"),
+        coalesce(col("kept_key_sum"), lit(0L)).as("kept_key_sum"))
+  }
 }

@@ -498,6 +498,42 @@ object Dedup {
     * division error. Same scale shape as [[pairwiseJaccard]]: the pair
     * list drives two hash joins; shingles attach per side, nothing
     * corpus-sized self-joins. */
+  /** Segment-level boilerplate removal — the corpus-wide "line dedup" pass
+    * of a web-scale curation pipeline (RefinedWeb/CCNet remove lines that
+    * recur across many pages: headers, footers, cookie banners), restated
+    * over fixed-width word windows since the corpus has no line structure.
+    *
+    * The text is cut into non-overlapping `segWords`-word segments by a
+    * NARROW transform+slice (no shuffle, no UDF); a segment is boilerplate
+    * when it appears in ≥ `minDocs` distinct documents. Two hash exchanges
+    * total — (doc,segment) distinct + segment document-frequency — then a
+    * shuffle join back and a per-doc re-aggregate; every stage is keyed on
+    * the segment, so the plan scales by partitioning alone and AQE handles
+    * a skewed mega-segment. Output per doc: segment count, boilerplate
+    * count, and an order-sensitive position-weighted fingerprint
+    * Σ (pos+1)·fp(seg) over the KEPT segments (exact integer — any engine
+    * and any partitioning reproduces it bit-for-bit). */
+  def segmentBoilerplate(docs: DataFrame, id: String, text: Column,
+                         segWords: Int = 5, minDocs: Int = 3): DataFrame = {
+    val words = split(text, " ")
+    val nSegs = ceil(size(words).cast("double") / segWords).cast("int")
+    val segs = transform(sequence(lit(0), nSegs - 1),
+      i => concat_ws(" ", slice(words, i * segWords + 1, lit(segWords))))
+    val exploded = docs
+      .select(col(id), posexplode(segs).as(Seq("pos", "seg")))
+    val segDf = exploded.select(col(id), col("seg")).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("seg_df"))
+    exploded
+      .join(segDf, "seg")
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("seg_df") >= minDocs, 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(col("seg_df") >= minDocs, 0L)
+          .otherwise((col("pos") + 1) * graft.operators.TextAnalysis.fingerprint(col("seg"))))
+          .as("kept_fp"))
+  }
+
   def pairwiseContainment(docs: DataFrame, id: String, text: Column, n: Int,
                           pairs: DataFrame): DataFrame = {
     val shingled = docs.select(col(id), wordShingles(text, n).as("sh"))

@@ -231,4 +231,13 @@ object TextAnalysis {
     Checkpoints.release(dg)
     scored
   }
+
+  /** Model-based quality filtering: a hashed bag-of-tokens linear
+    * classifier (fastText-style — the quality-classifier gate of a
+    * GPT-3/LLaMA-class curation pipeline), with formula-derived integer
+    * weights so the score is engine-exact and no weight table ships with
+    * the plan. Returns STRUCT<n_tokens, score>; keep = score > 0. One
+    * narrow codegen'd kernel pass — zero shuffles at any corpus size. */
+  def qualityModel(text: Column, dims: Int = 256): Column =
+    ColumnBridge.column(graft.functions.QualityModelScore(ColumnBridge.expression(text), dims))
 }
