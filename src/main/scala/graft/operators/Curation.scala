@@ -222,8 +222,13 @@ object Curation {
     * reproducibility fingerprint. */
   def temperatureMix(df: DataFrame, source: String, key: String,
                      budget: Long): DataFrame = {
-    val counts = df.groupBy(col(source)).agg(count(lit(1)).as("n_docs"))
-      .withColumn("w", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    // one row per source — checkpointing this tiny frame stops Spark
+    // re-running the corpus-scale count for each of its three consumers
+    // (Σw, the rank gate, the final join): exactly 2 corpus passes total
+    // (count + rank), at any scale
+    val counts = Checkpoints.checkpoint(
+      df.groupBy(col(source)).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", floor(sqrt(col("n_docs").cast("double"))).cast("long")))
     val total = counts.agg(sum(col("w")).as("w_total"))
     val targets = counts.crossJoin(broadcast(total))
       .withColumn("wb", col("w") * lit(budget))
@@ -239,9 +244,12 @@ object Curation {
       .filter(col("rn") <= col("__t"))
       .groupBy(col(source))
       .agg(count(lit(1)).as("kept_n"), sum(col(key)).as("kept_key_sum"))
-    targets.join(kept, Seq(source), "left")
-      .select(col(source), col("n_docs"), col("target_n"),
-        coalesce(col("kept_n"), lit(0L)).as("kept_n"),
-        coalesce(col("kept_key_sum"), lit(0L)).as("kept_key_sum"))
+    val out = Checkpoints.checkpoint(
+      targets.join(kept, Seq(source), "left")
+        .select(col(source), col("n_docs"), col("target_n"),
+          coalesce(col("kept_n"), lit(0L)).as("kept_n"),
+          coalesce(col("kept_key_sum"), lit(0L)).as("kept_key_sum")))
+    Checkpoints.release(counts)
+    out
   }
 }

@@ -521,15 +521,21 @@ object Dedup {
       i => concat_ws(" ", slice(words, i * segWords + 1, lit(segWords))))
     val exploded = docs
       .select(col(id), posexplode(segs).as(Seq("pos", "seg")))
-    val segDf = exploded.select(col(id), col("seg")).distinct()
+    // join back ONLY the boilerplate subset: segments recurring across
+    // ≥ minDocs docs are rare by definition (that's what makes them
+    // boilerplate), so this side stays broadcastable even when the full
+    // distinct-segment table is corpus-sized
+    val boiler = exploded.select(col(id), col("seg")).distinct()
       .groupBy(col("seg")).agg(count(lit(1)).as("seg_df"))
+      .filter(col("seg_df") >= minDocs)
+      .select(col("seg"), lit(true).as("is_boiler"))
     exploded
-      .join(segDf, "seg")
+      .join(boiler, Seq("seg"), "left")
       .groupBy(col(id))
       .agg(
         count(lit(1)).as("n_segs"),
-        sum(when(col("seg_df") >= minDocs, 1L).otherwise(0L)).as("n_boiler"),
-        sum(when(col("seg_df") >= minDocs, 0L)
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(col("is_boiler"), 0L)
           .otherwise((col("pos") + 1) * graft.operators.TextAnalysis.fingerprint(col("seg"))))
           .as("kept_fp"))
   }
