@@ -1700,7 +1700,22 @@ object SparkEntry {
       streaming.EventStreams.sessionizeBatch(
         table(s, dir, "events")
           .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L))),
-        gapNanos = 1800L * 1000 * 1000 * 1000))
+        gapNanos = 1800L * 1000 * 1000 * 1000)),
+
+    // streaming MinHash-LSH near-dup: the SAME stateful declaration that
+    // tails a live stream (per-(band,bucket) exemplar state, horizon
+    // eviction — StreamingSpec drives the MemoryStream path), run here in
+    // its batch/backfill form. Event time is synthesized from doc_id (the
+    // documents table has no timestamp); the emitted pair set is
+    // arrival-order independent, so the oracle is the brute-force exact
+    // Jaccard pair list.
+    "stream_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      streaming.NearDupStream.nearDupPairs(
+        table(s, dir, "documents")
+          .withColumn("ts", lit(1700000000L * 1000000000L) + col("doc_id") * lit(1000000000L)),
+        "doc_id", "ts", col("text"), n = 3, threshold = 0.75)
+    })
   )
 
   /** DuckDB-equivalent SQL per query (runs on views named after the parquet
@@ -3016,6 +3031,22 @@ object SparkEntry {
       FROM g GROUP BY user_id, session_seq""",
 
     "stream_dedup" -> "SELECT DISTINCT props FROM events",
+
+    // brute-force exact-Jaccard pairs: the streaming LSH path emits a pair
+    // when the later doc arrives, so the backfilled SET equals this list
+    // (banding misses at j >= 0.75 have probability (1-0.75^2)^16 ~ 2e-6)
+    "stream_neardup" -> """
+      WITH sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(s) >= 3
+          THEN [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]
+          ELSE [] END) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+      SELECT id_a, id_b, j FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(a.shingles || b.shingles)) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+      WHERE j >= 0.75""",
 
     "jq_labelbreak" -> """
       WITH d AS (SELECT event_id, event_id % 100 AS k FROM events)

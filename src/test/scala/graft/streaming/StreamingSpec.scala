@@ -323,6 +323,75 @@ class StreamingSpec extends SparkTestBase {
         s"timeout flush should emit user 1's open session exactly once, got $flushed")
     } finally q.stop()
   }
+  test("nearDupPairs: streaming LSH near-dup across micro-batches == batch backfill") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val base = 1700000000L * 1000000000L
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("ts", lit(base) + col("doc_id") * lit(1000000000L))
+      .select("doc_id", "ts", "text")
+    val expected = NearDupStream.nearDupPairs(
+        docs, "doc_id", "ts", col("text"), n = 3, threshold = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "fixture should contain near-dup pairs at j >= 0.75")
+
+    val rows = docs.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val stream = MemoryStream[(Long, Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "ts", "text")
+    val q = NearDupStream.nearDupPairs(sdf, "doc_id", "ts", col("text"),
+        n = 3, threshold = 0.75)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+      // streaming emits once per colliding band; the idempotent-sink
+      // contract dedups on the pair key — mirrored here by the Set
+      val streamed = spark.sql("SELECT * FROM neardup_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
+  test("nearDupPairs: exemplars past the horizon are evicted, inside it they pair") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val t0 = 1700000000L * 1000000000L
+    def t(sec: Long) = t0 + sec * 1000000000L
+    val textX = "alpha beta gamma delta epsilon zeta eta theta"
+    val textY = "one two three four five six seven eight nine"
+    val stream = MemoryStream[(Long, Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "ts", "text")
+    val q = NearDupStream.nearDupPairs(sdf, "doc_id", "ts", col("text"),
+        n = 3, threshold = 0.75, watermarkDelay = "0 seconds",
+        horizonMicros = 60L * 1000000L)
+      .writeStream.format("memory").queryName("neardup_evict_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, t(0), textX))
+      q.processAllAvailable()
+      // unrelated doc 2h later advances the watermark far past the horizon
+      stream.addData((3L, t(7200), "wholly unrelated filler words go here now"))
+      q.processAllAvailable()
+      // doc 1's exemplar is expired -> no pair despite identical text;
+      // docs 4/5 arrive together inside the horizon -> pair emitted
+      stream.addData((2L, t(7201), textX), (4L, t(7202), textY), (5L, t(7203), textY))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM neardup_evict_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == Set((4L, 5L, 1.0)),
+        s"expected only the in-horizon pair (4,5), got $streamed")
+    } finally q.stop()
+  }
+
   test("event-time sessionization flushes when the WATERMARK passes the gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
