@@ -1543,6 +1543,26 @@ object SparkEntry {
         .join(selfHit, "qid")
     }),
 
+    // IVF-PQ composed ANN (the billion-vector production index): coarse
+    // cells bound WHICH codes a query scans, PQ bounds WHAT a scan reads;
+    // exact re-rank of the ADC candidates, recall contract as data like
+    // sim_ivf/sim_pq. Measured recall@5 with sampled centroids+codebooks:
+    // 3-5/5 at sf0.001..0.1 — the ≥2 cut keeps margin 1 below the
+    // observed minimum.
+    "sim_ivfpq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val ivfpq = operators.Similarity.ivfPqTopK(emb, qs, k = 5)
+      val exact = operators.Similarity.cosineTopK(emb, qs, k = 5)
+      val selfHit = ivfpq.filter(col("rnk") === 1)
+        .select(col("qid"), (col("vec_id") === col("qid")).as("self_ok"))
+      exact.join(ivfpq.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
+          Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) >= 2).as("recall_ok"))
+        .join(selfHit, "qid")
+    }),
+
     // --- text analysis ---------------------------------------------------
     "text_langid" -> ((s, dir) =>
       table(s, dir, "documents").select(
@@ -1597,6 +1617,30 @@ object SparkEntry {
       table(s, dir, "documents").select(
         col("doc_id"),
         operators.TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // Gopher heuristic rules (Rae et al. 2021, App. A) — the published
+    // filter set, one narrow zero-shuffle projection; every ratio is an
+    // exact integer quotient, re-derived independently by the oracle
+    "text_gopher" -> ((s, dir) =>
+      // `keep` applies the published thresholds (uniformly false here:
+      // the synthetic vocabulary has one required stopword — a real
+      // corpus splits); `keep_tuned` is the retuned gate that splits the
+      // fixture, so the oracle hash pins a VARYING gate decision too
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.TextAnalysis.gopherSignals(col("text")).as("g"),
+          operators.TextAnalysis.gopherSignals(col("text"),
+            minWords = 30L, minStopHits = 1L).as("gt"))
+        .select(col("doc_id"),
+          col("g.n_words").as("n_words"),
+          col("g.mean_word_len").as("mean_word_len"),
+          col("g.symbol_ratio").as("symbol_ratio"),
+          col("g.bullet_ratio").as("bullet_ratio"),
+          col("g.ellipsis_ratio").as("ellipsis_ratio"),
+          col("g.alpha_ratio").as("alpha_ratio"),
+          col("g.n_stop_hits").as("n_stop_hits"),
+          col("g.keep").as("keep"),
+          col("gt.keep").as("keep_tuned"))),
 
     // model-based quality filtering: hashed linear classifier with
     // formula-derived integer weights (engine-exact, no weight table)
@@ -2782,6 +2826,9 @@ object SparkEntry {
     "sim_pq" ->
       "SELECT DISTINCT vec_id AS qid, true AS recall_ok, true AS self_ok FROM embeddings WHERE vec_id < 10",
 
+    "sim_ivfpq" ->
+      "SELECT DISTINCT vec_id AS qid, true AS recall_ok, true AS self_ok FROM embeddings WHERE vec_id < 10",
+
     // --- similarity search ----------------------------------------------
     // mirrors the Int8QuantStats kernel's documented edge contract
     // (round-6 ADVICE): empty vector → (0.0, 0, 0); any non-finite
@@ -2918,6 +2965,62 @@ object SparkEntry {
                [ord(substring(text, i, 1))::BIGINT for i in range(1, strlen(text) + 1)]),
                (h, c) -> (h * 31 + c) % 1000000007) AS fp
       FROM documents""",
+
+    // independent re-derivation of the Gopher rule signals: same word /
+    // line decomposition (regex whitespace split, blank lines dropped),
+    // exact integer quotients cast to DOUBLE
+    "text_gopher" -> """
+      WITH d AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS words,
+               list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               len(words)::BIGINT AS n_words,
+               len(lines)::BIGINT AS n_lines,
+               coalesce(list_sum(list_transform(words, w -> length(w))), 0)::BIGINT AS sum_len,
+               len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha,
+               (list_contains(list_transform(words, w -> lower(w)), 'the')::BIGINT
+                + list_contains(list_transform(words, w -> lower(w)), 'be')::BIGINT
+                + list_contains(list_transform(words, w -> lower(w)), 'to')::BIGINT
+                + list_contains(list_transform(words, w -> lower(w)), 'of')::BIGINT
+                + list_contains(list_transform(words, w -> lower(w)), 'and')::BIGINT
+                + list_contains(list_transform(words, w -> lower(w)), 'that')::BIGINT
+                + list_contains(list_transform(words, w -> lower(w)), 'have')::BIGINT
+                + list_contains(list_transform(words, w -> lower(w)), 'with')::BIGINT) AS n_stop_hits,
+               (length(text) - length(replace(text, '#', '')))::BIGINT
+                 + (length(text) - length(replace(text, chr(8230), '')))::BIGINT
+                 + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym,
+               len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+                 OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), chr(8226))))::BIGINT AS n_bullet,
+               len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+                 OR ends_with(rtrim(l), chr(8230))))::BIGINT AS n_ellend
+        FROM d)
+      SELECT doc_id, n_words,
+             CASE WHEN n_words = 0 THEN NULL ELSE sum_len::DOUBLE / n_words END AS mean_word_len,
+             CASE WHEN n_words = 0 THEN NULL ELSE n_sym::DOUBLE / n_words END AS symbol_ratio,
+             CASE WHEN n_lines = 0 THEN NULL ELSE n_bullet::DOUBLE / n_lines END AS bullet_ratio,
+             CASE WHEN n_lines = 0 THEN NULL ELSE n_ellend::DOUBLE / n_lines END AS ellipsis_ratio,
+             CASE WHEN n_words = 0 THEN NULL ELSE n_alpha::DOUBLE / n_words END AS alpha_ratio,
+             n_stop_hits,
+             CASE WHEN n_words = 0 THEN false ELSE
+               n_words >= 50 AND n_words <= 100000
+               AND sum_len::DOUBLE / n_words >= 3.0 AND sum_len::DOUBLE / n_words <= 10.0
+               AND n_sym::DOUBLE / n_words <= 0.1
+               AND n_bullet::DOUBLE / n_lines <= 0.9
+               AND n_ellend::DOUBLE / n_lines <= 0.3
+               AND n_alpha::DOUBLE / n_words >= 0.8
+               AND n_stop_hits >= 2 END AS keep,
+             CASE WHEN n_words = 0 THEN false ELSE
+               n_words >= 30 AND n_words <= 100000
+               AND sum_len::DOUBLE / n_words >= 3.0 AND sum_len::DOUBLE / n_words <= 10.0
+               AND n_sym::DOUBLE / n_words <= 0.1
+               AND n_bullet::DOUBLE / n_lines <= 0.9
+               AND n_ellend::DOUBLE / n_lines <= 0.3
+               AND n_alpha::DOUBLE / n_words >= 0.8
+               AND n_stop_hits >= 1 END AS keep_tuned
+      FROM m""",
 
     // same token hash as the Spark kernel: 31-polynomial over codepoints
     // mod 1e9+7, bucketed to 256, integer weight formula — bit-exact

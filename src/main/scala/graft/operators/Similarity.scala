@@ -333,6 +333,83 @@ object Similarity {
       .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("vec_id"))
   }
 
+  /** IVF-PQ approximate top-k — the composed index every billion-vector
+    * deployment actually runs (Jégou et al. 2011; FAISS `IVFx,PQy`):
+    * IVF coarse cells bound WHICH codes a query scans (~corpus × P/C),
+    * PQ codes bound WHAT a scan reads per vector (M bytes, not dim
+    * floats). Candidates = ADC scores over codes in the P probed cells
+    * only; the approximate top `rerank·k` re-rank EXACTLY, so the output
+    * is an exact cosine ordering of an approximate candidate set and
+    * recall is the only approximation (emitted as data by the oracle
+    * query, like sim_ivf / sim_pq).
+    *
+    * Same plan discipline as the parents: centroids AND codebooks are
+    * plan literals (O(C·dim + M·ksub·dim/M) bytes), assignment + encoding
+    * is one narrow projection — the corpus never shuffles to be indexed —
+    * and the only exchanges are the two bounded top-k windows. Codes
+    * encode the normalized VECTOR (not the cell residual): residual
+    * encoding would tighten quantization error but needs P per-cell LUTs
+    * per query; the scan shape — the thing that matters at 100 TB — is
+    * identical, and the exact re-rank absorbs the difference. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                cells: Int = 16, probes: Int = 4,
+                m: Int = 8, ksub: Int = 32, rerank: Int = 10): DataFrame = {
+    import graft.functions.{PqAdc, PqEncode, PqLut}
+    val sampled: Array[Array[Double]] = corpus
+      .orderBy(col("vec_id")).limit(math.max(cells, ksub))
+      .select(dvec(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sampled.nonEmpty,
+      "ivfPqTopK: corpus is empty — no vectors to sample centroids from")
+    val cents = sampled.take(cells)
+    val sample = sampled.take(ksub)
+    val dim = sample(0).length
+    val sub = dim / m
+    require(m * sub == dim, s"dim $dim must divide into $m subspaces")
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+      sample.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        val inv = if (n > 0) 1.0 / n else 0.0
+        Array.tabulate(sub)(j => v(mi * sub + j) * inv)
+      }
+    }
+    def centLit(c: Array[Double]): Column = array(c.map(lit(_)): _*)
+    def simsTo(v: Column): Column = array(cents.map(c => cosine(v, centLit(c))): _*)
+    def bestCell(v: Column): Column = array_position(simsTo(v), array_max(simsTo(v)))
+    def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      ColumnBridge.column(e)
+
+    // one narrow indexing projection: coarse cell + PQ code per vector
+    val codes = corpus.select(col("vec_id"), dvec(col("embedding")).as("v"))
+      .select(col("vec_id"), bestCell(col("v")).as("cell"),
+        colOf(PqEncode(ColumnBridge.expression(col("v")), books)).as("code"))
+    val qv = queries.select(col("vec_id").as("qid"), dvec(col("embedding")).as("qv"))
+    val qprobe = qv
+      .select(col("qid"), posexplode(simsTo(col("qv"))).as(Seq("cidx", "csim")))
+      .select(col("qid"), (col("cidx").cast("bigint") + 1L).as("cell"), col("csim"))
+    val w0 = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell").asc)
+    val probed = qprobe.withColumn("crnk", row_number().over(w0))
+      .filter(col("crnk") <= probes).select(col("qid"), col("cell"))
+    val qlut = queries.select(col("vec_id").as("qid"),
+      colOf(PqLut(ColumnBridge.expression(dvec(col("embedding"))), books)).as("lut"))
+    // the scan: codes in probed cells only, scored via the broadcast LUT
+    val scored = codes.join(broadcast(probed), "cell")
+      .join(broadcast(qlut), "qid")
+      .select(col("qid"), col("vec_id"),
+        colOf(PqAdc(ColumnBridge.expression(col("code")),
+          ColumnBridge.expression(col("lut")), sample.length)).as("ascore"))
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id").asc)
+    val cands = scored.withColumn("arnk", row_number().over(w1))
+      .filter(col("arnk") <= rerank * k).select(col("qid"), col("vec_id"))
+    val exact = cands
+      .join(corpus.select(col("vec_id"), dvec(col("embedding")).as("v")), "vec_id")
+      .join(broadcast(qv), "qid")
+      .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("vec_id"))
+  }
+
   // ------------------------------------------------------- LSH (scale path)
 
   /** Sign-random-projection layout: L independent hash tables of H

@@ -240,4 +240,75 @@ object TextAnalysis {
     * narrow codegen'd kernel pass — zero shuffles at any corpus size. */
   def qualityModel(text: Column, dims: Int = 256): Column =
     ColumnBridge.column(graft.functions.QualityModelScore(ColumnBridge.expression(text), dims))
+
+  /** The required-stopword set of the Gopher rules (Rae et al. 2021,
+    * App. A): a document must contain ≥ 2 of these as whitespace tokens. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-quality rules (Rae et al. 2021, Appendix A) as one
+    * STRUCT column — the published heuristic filter set used by
+    * Gopher/MassiveText-class curation, next to the ratio scorer
+    * ([[qualityScore]]) and the model gate ([[qualityModel]]).
+    *
+    * Signals (all exact integer quotients → engine-reproducible):
+    * word count, mean word length, symbol-to-word ratio (`#` and
+    * ellipsis), fraction of lines starting with a bullet, fraction of
+    * lines ending in an ellipsis, fraction of words with ≥ 1 alphabetic
+    * character, and required-stopword hits. `keep` applies the published
+    * thresholds (50 ≤ words ≤ 100k, 3 ≤ mean len ≤ 10, symbols ≤ 0.1,
+    * bullets ≤ 0.9, ellipses ≤ 0.3, alpha ≥ 0.8, stop hits ≥ 2).
+    *
+    * Declarative higher-order functions over one `split` — a narrow
+    * zero-shuffle projection; every signal derives from the `words` /
+    * `lines` arrays without re-scanning the text per column.
+    *
+    * `minWords`/`minStopHits` default to the published thresholds;
+    * domain-specific corpora (code, tables, short-form) legitimately
+    * retune them — the synthetic fixture's vocabulary, for instance,
+    * contains only one of the required stopwords. */
+  def gopherSignals(text: Column, minWords: Long = 50L,
+                    minStopHits: Long = 2L): Column = {
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val nWords = size(words).cast("long")
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val nAlpha = aggregate(words, lit(0L),
+      (acc, w) => acc + when(w.rlike("[A-Za-z]"), 1L).otherwise(0L))
+    val lcWords = transform(words, lower(_))
+    val stopHits = GopherStopwords
+      .map(s => array_contains(lcWords, s).cast("long"))
+      .reduce(_ + _)
+    val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    // '...' is 3 chars, so the length delta is 3 per occurrence — floor
+    // the quotient in INTEGER arithmetic (Column./ would promote to
+    // double)
+    val nEll = (length(text) - length(regexp_replace(text, "…", ""))).cast("long") +
+      floor((length(text) - length(regexp_replace(text, "\\.\\.\\.", "")))
+        .cast("double") / 3.0).cast("long")
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines).cast("long")
+    val nBullet = aggregate(lines, lit(0L), (acc, l) =>
+      acc + when(ltrim(l).substr(lit(1), lit(1)).isin("•", "-", "*"), 1L).otherwise(0L))
+    val nEllEnd = aggregate(lines, lit(0L), (acc, l) =>
+      acc + when(rtrim(l).endsWith("...") || rtrim(l).endsWith("…"), 1L).otherwise(0L))
+    // ANSI mode (Spark 4 default) errors on /0 — empty docs carry NULL
+    // ratios explicitly (mirrored by CASE WHEN in the oracle)
+    def over(num: Column, den: Column): Column =
+      when(den > 0L, num.cast("double") / den)
+    val meanLen = over(sumLen, nWords)
+    val symRatio = over(nHash + nEll, nWords)
+    val bulletRatio = over(nBullet, nLines)
+    val ellRatio = over(nEllEnd, nLines)
+    val alphaRatio = over(nAlpha, nWords)
+    val keep = when(nWords === 0L, lit(false)).otherwise(
+      nWords >= minWords && nWords <= 100000L &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symRatio <= 0.1 && bulletRatio <= 0.9 && ellRatio <= 0.3 &&
+        alphaRatio >= 0.8 && stopHits >= minStopHits)
+    struct(
+      nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
+      ellRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_ratio"),
+      stopHits.as("n_stop_hits"), keep.as("keep"))
+  }
 }

@@ -110,6 +110,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(mean >= 0.4, s"mean recall@5 too low: $mean")
   }
 
+  test("IVF-PQ: probed-cell code scan + exact re-rank, self found, exchanges stay query-keyed") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, 5)
+    val rows = ivfpq.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // identical vector → identical coarse cell (always probed first) and
+    // max ADC score against its own code → admitted → exact re-rank top-1
+    rows.filter(_._2 == 1L).foreach { case (q, _, id) => assert(q == id, s"query $q top-1 was $id") }
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val approx = rows.map(t => (t._1, t._3)).groupBy(_._1)
+    val recalls = exact.keys.toSeq.map { q =>
+      val e = exact(q).map(_._2).toSet
+      val a = approx.getOrElse(q, Array.empty).map(_._2).toSet
+      (e intersect a).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean recall@5 too low: $mean")
+    // indexing (cell + code) is a narrow projection over plan-literal
+    // centroids/codebooks — every exchange must key on the query side
+    val plan = ivfpq.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val keys = "Exchange hashpartitioning\\((\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(_.startsWith("qid")),
+      s"every exchange must key on qid (query side), got $keys in:\n$plan")
+  }
+
   test("IVF with k-means refinement keeps the recall contract") {
     // refined centroids are FP-order-dependent (documented), so the
     // assertion uses the wide ≥0.5 mean-recall margin, not equality

@@ -44,6 +44,58 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows(2)._1 === 1L)
   }
 
+  test("gopherSignals: hand-computed signals and thresholds on crafted docs") {
+    import spark.implicits._
+    val fifty = (1 to 50).map(i => "the quick brown fox".split(" ")(i % 4)).mkString(" ")
+    val cases = Seq(
+      // 50 alpha words incl. stopword 'the' repeatedly — but only ONE
+      // distinct required stopword → keep = false on the ≥2 rule
+      fifty,
+      // bullets + ellipses dominate the lines
+      "- one two three\n- four five six\nseven eight nine...",
+      // symbol-heavy: hashes and ellipses counted per word
+      "## tag ## done... and … more",
+      "",
+      "   \n  ")
+    val got = cases.toDF("text")
+      .select(TextAnalysis.gopherSignals(col("text")).as("g"))
+      .select(col("g.n_words"), col("g.mean_word_len"), col("g.symbol_ratio"),
+        col("g.bullet_ratio"), col("g.ellipsis_ratio"), col("g.alpha_ratio"),
+        col("g.n_stop_hits"), col("g.keep"))
+      .collect()
+    val r0 = got(0)
+    assert(r0.getLong(0) === 50L)
+    assert(r0.getLong(6) === 1L) // only 'the' from the required set
+    assert(!r0.getBoolean(7), "one required stopword must fail the >=2 rule")
+    val r1 = got(1)
+    assert(r1.getLong(0) === 11L) // the bullet dashes are tokens too
+    assert(r1.getDouble(3) === 2.0 / 3.0) // 2 of 3 lines bulleted
+    assert(r1.getDouble(4) === 1.0 / 3.0) // 1 of 3 lines ends in ...
+    assert(!r1.getBoolean(7))
+    val r2 = got(2)
+    assert(r2.getLong(0) === 7L) // '…' stands alone as a token
+    // 4 '#' + 1 '...' + 1 '…' = 6 symbols over 7 words
+    assert(r2.getDouble(2) === 6.0 / 7.0)
+    assert(!r2.getBoolean(7))
+    // empty / whitespace-only docs: 0 words, ratios NULL, keep = false
+    Seq(got(3), got(4)).foreach { r =>
+      assert(r.getLong(0) === 0L)
+      assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+      assert(!r.getBoolean(7))
+    }
+    // published thresholds: the synthetic vocabulary has only ONE of the
+    // required stopwords, so everything fails the >=2 rule (signals still
+    // vary and are oracle-hashed); a retuned gate splits the corpus
+    val strict = docs.select(TextAnalysis.gopherSignals(col("text")).as("g"))
+      .filter(col("g.keep")).count()
+    assert(strict === 0L)
+    val keeps = docs.select(
+        TextAnalysis.gopherSignals(col("text"), minWords = 30L, minStopHits = 1L).as("g"))
+      .groupBy(col("g.keep")).count().collect().map(r => (r.getBoolean(0), r.getLong(1))).toMap
+    assert(keeps.keySet === Set(true, false),
+      s"retuned gate should split the fixture, got $keeps")
+  }
+
   // -------------------------------------------- segment boilerplate
 
   test("segmentBoilerplate marks cross-doc segments and fingerprints the rest") {
