@@ -1300,6 +1300,15 @@ object SparkEntry {
       operators.Curation.temperatureMix(
         table(s, dir, "documents"), "source", "doc_id", budget = 200L)),
 
+    // DSIR importance resampling: hashed uni+bigram features, add-one
+    // smoothed target/raw log-ratios in micro-nat fixed point — the
+    // oracle re-derives the whole model (hash, counts, weights, scores)
+    // independently; target = the English subset
+    "curation_dsir" -> ((s, dir) =>
+      operators.Curation.dsirWeights(
+        table(s, dir, "documents"), "doc_id", col("text"),
+        col("lang") === "en")),
+
     // CAPSTONE 3 — hybrid retrieval with reciprocal-rank fusion: a
     // semantic ranking (exact cosine top-20) and a lexical ranking
     // (distinct-token overlap top-20) fuse by RRF with FIXED-POINT
@@ -2187,6 +2196,43 @@ object SparkEntry {
              CAST(coalesce(sum(r.doc_id), 0) AS BIGINT) AS kept_key_sum
       FROM tg LEFT JOIN r ON r.source = tg.source AND r.rn <= tg.target_n
       GROUP BY tg.source, tg.n_docs, tg.target_n""",
+
+    // full independent DSIR re-derivation: same rolling-hash buckets,
+    // add-one smoothing, single-log IEEE chain, micro-nat round
+    "curation_dsir" -> """
+      WITH sp AS (
+        SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS s
+        FROM documents),
+      uni AS (SELECT doc_id, tgt, unnest(s) AS g FROM sp),
+      bi AS (
+        SELECT doc_id, tgt, s[i] || ' ' || s[i + 1] AS g
+        FROM (SELECT doc_id, tgt, s,
+                     unnest(generate_series(1, len(s) - 1))::BIGINT AS i
+              FROM sp WHERE len(s) >= 2)),
+      gr AS (
+        SELECT doc_id, tgt,
+               list_reduce(list_prepend(0::BIGINT,
+                 [ord(substring(g, i, 1))::BIGINT for i in range(1, strlen(g) + 1)]),
+                 (h, c) -> (h * 31 + c) % 1000000007) % 1024 AS b
+        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+      cb AS (
+        SELECT b, CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+               CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS n_r
+        FROM gr GROUP BY b),
+      tot AS (
+        SELECT CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS nt_tot,
+               CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS nr_tot
+        FROM gr),
+      model AS (
+        SELECT b, CAST(round(ln(
+                 ((n_t + 1)::DOUBLE * (nr_tot + 1024)::DOUBLE) /
+                 ((n_r + 1)::DOUBLE * (nt_tot + 1024)::DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
+        FROM cb, tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(w_micro) AS BIGINT) AS score_micro,
+             sum(w_micro) > 0 AS keep
+      FROM gr JOIN model USING (b)
+      GROUP BY doc_id""",
 
     // both rankings and the fused score are exact integers end-to-end
     "pipeline_rrf" -> """

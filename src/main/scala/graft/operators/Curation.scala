@@ -252,4 +252,63 @@ object Curation {
     Checkpoints.release(counts)
     out
   }
+
+  // ------------------------------------------------- importance resampling
+
+  /** DSIR-style data selection with importance resampling (Xie et al.
+    * 2023): score every document by how much more likely its hashed
+    * n-gram features are under the TARGET distribution (the rows where
+    * `isTarget` holds — the trusted high-quality corpus) than under the
+    * RAW distribution (the complement — the corpus being selected from;
+    * DSIR estimates the two from separate corpora, so the flag
+    * partitions the input). Features are word unigrams + bigrams
+    * hashed into `buckets` buckets ([[TextAnalysis.fingerprint]] — the
+    * cross-engine rolling hash); both distributions are estimated with
+    * add-one smoothing, and per-bucket log ratios quantize to micro-nat
+    * BIGINTs (the [[TextAnalysis.ngramScoreSelf]] fixed-point trick) so
+    * scores are engine-exact and partitioning-invariant. `keep` =
+    * importance > 1 (score_micro > 0) — the deterministic counterpart
+    * of DSIR's Gumbel resampling draw.
+    *
+    * Shape at 100 TB: ONE gram pass over the corpus — the per-(doc,
+    * bucket) count frame is checkpointed and feeds the bucket counts,
+    * the grand totals AND the scoring join; the model is ≤ `buckets`
+    * rows (broadcast), the totals one row. Output: (id, n_grams,
+    * score_micro, keep). */
+  def dsirWeights(docs: DataFrame, id: String, text: Column, isTarget: Column,
+                  buckets: Int = 1024): DataFrame = {
+    val toks = split(text, " ")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val grams = concat(toks, bigrams)
+    val gr = docs.select(col(id), isTarget.as("tgt"), explode(grams).as("g"))
+      .withColumn("b", TextAnalysis.fingerprint(col("g")) % buckets.toLong)
+    // one corpus gram pass: per-(doc, bucket) counts serve all three
+    // consumers (bucket counts, totals, scoring join)
+    val gb = Checkpoints.checkpoint(
+      gr.groupBy(col(id), col("tgt"), col("b")).agg(count(lit(1)).as("c")))
+    val cb = gb.groupBy(col("b")).agg(
+      sum(when(col("tgt"), col("c")).otherwise(0L)).as("n_t"),
+      sum(when(!col("tgt"), col("c")).otherwise(0L)).as("n_r"))
+    val tot = gb.agg(
+      sum(when(col("tgt"), col("c")).otherwise(0L)).as("nt_tot"),
+      sum(when(!col("tgt"), col("c")).otherwise(0L)).as("nr_tot"))
+    val bl = lit(buckets.toLong)
+    // single-log form with a fixed evaluation order — both engines
+    // compute the identical IEEE double chain before the micro-nat round
+    val model = cb.crossJoin(broadcast(tot)).select(col("b"),
+      round(log(((col("n_t") + 1L).cast("double") * (col("nr_tot") + bl).cast("double")) /
+          ((col("n_r") + 1L).cast("double") * (col("nt_tot") + bl).cast("double"))) * 1e6)
+        .cast("long").as("w_micro"))
+    val out = Checkpoints.checkpoint(
+      gb.join(broadcast(model), "b")
+        .groupBy(col(id))
+        .agg(sum(col("c")).as("n_grams"),
+          sum(col("c") * col("w_micro")).as("score_micro"))
+        .withColumn("keep", col("score_micro") > 0L))
+    Checkpoints.release(gb)
+    out
+  }
 }

@@ -156,6 +156,36 @@ class CurationSpec extends SparkTestBase {
     assert(firstShard.toSeq != firstShard.sorted.toSeq, "order should not be monotone in doc_id")
   }
 
+  test("dsirWeights: target-like docs score positive, off-target negative, invariant to partitioning") {
+    import spark.implicits._
+    // target vocabulary {alpha beta gamma}, off-target {spam junk ads};
+    // 'shared' appears everywhere so its weight carries little signal
+    val fixture = Seq(
+      (1L, true, "alpha beta gamma alpha beta shared"),
+      (2L, true, "beta gamma alpha gamma shared shared"),
+      (3L, false, "spam junk ads spam junk shared"),
+      (4L, false, "junk ads spam ads shared shared"),
+      (5L, false, "alpha beta gamma beta shared alpha") // target-LIKE but raw-only
+    ).toDF("doc_id", "tgt", "text")
+    val out = Curation.dsirWeights(fixture, "doc_id", col("text"), col("tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // 6 tokens + 5 bigrams per doc
+    out.values.foreach { case (n, _, _) => assert(n === 11L) }
+    // docs built from the target vocabulary score positive (importance>1)
+    // REGARDLESS of their own flag — doc 5 is the DSIR point: raw-only
+    // but target-distributed, so resampling pulls it in
+    Seq(1L, 2L, 5L).foreach(id => assert(out(id)._2 > 0L && out(id)._3, s"doc $id: ${out(id)}"))
+    Seq(3L, 4L).foreach(id => assert(out(id)._2 < 0L && !out(id)._3, s"doc $id: ${out(id)}"))
+    // exact integers → identical under any partitioning
+    val re = Curation.dsirWeights(fixture.repartition(7), "doc_id", col("text"), col("tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(re === out)
+    // corpus run: model stays bounded and both decisions appear
+    val keeps = Curation.dsirWeights(docs, "doc_id", col("text"), col("lang") === "en")
+      .groupBy(col("keep")).count().collect().map(r => (r.getBoolean(0), r.getLong(1))).toMap
+    assert(keeps.keySet === Set(true, false), s"expected a split, got $keeps")
+  }
+
   test("lcgUniform/hashUniform land in [0,1) and are key-deterministic") {
     val u = docs.select(
       Curation.lcgUniform(col("doc_id")).as("u1"),
