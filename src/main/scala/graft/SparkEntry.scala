@@ -1488,6 +1488,15 @@ object SparkEntry {
       operators.Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
 
+    // hard-negative mining (DPR/Contriever): strongest non-positive
+    // neighbors per query — self excluded, near-dups (cosine >= 0.9)
+    // excluded as unlabeled positives; exact filtered ranking, ids only
+    "sim_hard_negatives" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      operators.Similarity.hardNegatives(
+        emb, emb.filter(col("vec_id") < 10), k = 5, posThreshold = 0.9)
+    }),
+
     // k-NN majority-vote classification (labels from the corpus, exact
     // cosine neighbors, deterministic tie-breaks)
     "sim_knn_classify" -> ((s, dir) => {
@@ -2914,6 +2923,17 @@ object SparkEntry {
                           e.vec_id) AS rnk
         FROM embeddings q CROSS JOIN embeddings e
         WHERE q.vec_id < 10) t
+      WHERE rnk <= 5""",
+
+    "sim_hard_negatives" -> """
+      SELECT qid, rnk, vec_id FROM (
+        SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                          e.vec_id) AS rnk
+        FROM embeddings q CROSS JOIN embeddings e
+        WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+          AND list_cosine_similarity(q.embedding, e.embedding) < 0.9) t
       WHERE rnk <= 5""",
 
     "sim_knn_classify" -> """

@@ -59,6 +59,31 @@ object Similarity {
       .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("vec_id"))
   }
 
+  /** Hard-negative mining for contrastive training (DPR/Contriever
+    * recipe): for each query, the k MOST similar corpus vectors that are
+    * not positives — not the query row itself, and not a near-duplicate
+    * (cosine ≥ `posThreshold`, the standard false-negative guard: the
+    * strongest "negatives" of an uncurated corpus are usually unlabeled
+    * POSITIVES, and training on them poisons the objective). Output is
+    * ids-only (qid, rnk, vec_id), ranked by similarity desc with id
+    * tiebreak — the exact ranking of the filtered candidate set.
+    *
+    * Inherits [[cosineTopK]]'s 100 TB shape: queries broadcast, the
+    * corpus streams through one narrow scoring scan (never self-joined),
+    * and the only exchange carries (qid, vec_id, sim) triples into the
+    * per-query top-k window. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    posThreshold: Double): DataFrame = {
+    val e = corpus.select(col("vec_id"), dvec(col("embedding")).as("v"))
+    val q = queries.select(col("vec_id").as("qid"), dvec(col("embedding")).as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+      .filter(col("vec_id") =!= col("qid") && col("sim") < posThreshold)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("vec_id"))
+  }
+
   /** k-NN majority-vote classification over a labeled corpus: predict
     * each query's label from its k nearest neighbors (exact cosine).
     * Ties break deterministically (most votes, then smallest label) so

@@ -110,6 +110,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(mean >= 0.4, s"mean recall@5 too low: $mean")
   }
 
+  test("hardNegatives: self and near-positives excluded, exact rank of the rest") {
+    import spark.implicits._
+    // cos(q, dup)=1 and cos(q, near)≈0.994 are positives (≥0.9) → excluded;
+    // the three true negatives rank 0.707 > 0 > -1
+    val fixture = Seq(
+      (0L, Array(1f, 0f)),     // the query
+      (1L, Array(2f, 0f)),     // scaled duplicate
+      (2L, Array(0.9f, 0.1f)), // near-duplicate
+      (3L, Array(0.5f, 0.5f)),
+      (4L, Array(0f, 1f)),
+      (5L, Array(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(
+        fixture, fixture.filter(col("vec_id") === 0L), k = 5, posThreshold = 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 3L), (2L, 4L), (3L, 5L)))
+  }
+
   test("IVF-PQ: probed-cell code scan + exact re-rank, self found, exchanges stay query-keyed") {
     val queries = emb.filter(col("vec_id") < 20)
     val ivfpq = Similarity.ivfPqTopK(emb, queries, 5)
