@@ -1660,6 +1660,29 @@ object SparkEntry {
           col("g.keep").as("keep"),
           col("gt.keep").as("keep_tuned"))),
 
+    // distributed BPE vocabulary learning (Sennrich et al. 2016): one
+    // corpus pass folds to a (word, freq) vocab, then every merge is
+    // vocabulary-bounded — the learned merge table, deterministic
+    // tie-breaks, all-integer/string output
+    "text_bpe_learn" -> ((s, dir) =>
+      operators.TextAnalysis.bpeLearn(
+        table(s, dir, "documents"), col("text"), merges = 8)),
+
+    // tokenizer ENCODE with the merges learned from the same corpus:
+    // the apply side is a zero-shuffle chain of plan-literal replaces
+    // (left-to-right non-overlapping = BPE apply order)
+    "text_bpe_encode" -> ((s, dir) => {
+      val learned = operators.TextAnalysis.bpeLearn(
+          table(s, dir, "documents"), col("text"), merges = 8)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.TextAnalysis.bpeEncode(col("text"), learned).as("e"))
+        .select(col("doc_id"), col("e.n_tokens").as("n_tokens"),
+          col("e.tokens").as("tokens"))
+    }),
+
     // model-based quality filtering: hashed linear classifier with
     // formula-derived integer weights (engine-exact, no weight table)
     "text_quality_model" -> ((s, dir) =>
@@ -1699,6 +1722,30 @@ object SparkEntry {
           // features hold mean luma in [0,1]; ×255 recovers the exact
           // constant fill (float error ≪ 0.5, so round is exact)
           round(element_at(col("features"), 1) * 255).cast("bigint").as("luma_q"))
+    }),
+
+    // REAL audio decode: one JDK-encoded 16-bit PCM mono WAV per document
+    // (rate 8000/12000/16000 by doc_id mod 3, 400 + n_chars mod 256
+    // samples, waveform ((i·31 + id·17) mod 2001) − 1000), read back
+    // through javax.sound.sampled — the oracle re-derives the sample
+    // rate, frame count, and per-segment mean-|amplitude| features
+    // analytically (exact integer sums, one correctly-rounded float
+    // divide), so a container or PCM parsing defect breaks the hash.
+    // Video stays stubbed (the JDK has no video codec; documented).
+    "mm_audio" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = operators.Multimodal.wavMedia(
+        table(s, dir, "documents"), "doc_id",
+        lit(8000) + (col("doc_id") % 3) * 4000,
+        lit(400) + col("n_chars") % 256)
+      operators.Multimodal.decode(media).toDF()
+        .select(col("media_id"),
+          col("width").cast("bigint").as("sample_rate"),
+          col("height").cast("bigint").as("channels"),
+          col("n_frames").cast("bigint").as("n_samples"),
+          element_at(col("features"), 1).cast("double").as("f1"),
+          element_at(col("features"), 4).cast("double").as("f4"),
+          element_at(col("features"), 8).cast("double").as("f8"))
     }),
 
     // frame sampling over decoded video records: every 7th frame index,
@@ -1780,9 +1827,68 @@ object SparkEntry {
     })
   )
 
+  /** Shared CTE chain for the BPE oracles: the (word, freq) vocabulary,
+    * its char-tokenized form v0, then per merge i the pair-count argmax
+    * b_i (count desc, lexicographic pair tie-break — binary collation on
+    * the [a-z0-9] alphabet, identical in both engines) and the rewritten
+    * vocabulary v_i via left-to-right non-overlapping `replace`.
+    * MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    * reference, making the un-materialized chain exponential in the
+    * merge count. */
+  private def bpeOracleCtes(n: Int): String = {
+    val head = """WITH words AS MATERIALIZED (
+        SELECT w, count(*) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents)
+        GROUP BY w),
+      v0 AS MATERIALIZED (
+        SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS toks, cnt
+        FROM words)"""
+    val iters = (1 to n).map { i =>
+      s"""b$i AS MATERIALIZED (
+        SELECT u.l AS l, u.r AS r, sum(cnt) AS pc FROM (
+          SELECT cnt, unnest([{'l': a[i], 'r': a[i+1]} for i in generate_series(1, len(a)-1)]) AS u
+          FROM (SELECT string_split(trim(toks), ' ') AS a, cnt FROM v${i - 1})
+        ) GROUP BY 1, 2 ORDER BY pc DESC, l, r LIMIT 1),
+      v$i AS MATERIALIZED (
+        SELECT replace(toks, (SELECT ' '||l||' '||r||' ' FROM b$i),
+                             (SELECT ' '||l||r||' ' FROM b$i)) AS toks, cnt
+        FROM v${i - 1})"""
+    }
+    (head +: iters).mkString(",\n      ")
+  }
+
+  /** The learn oracle: one row per merge from the b_i argmax CTEs. */
+  private def bpeLearnOracle(n: Int): String =
+    bpeOracleCtes(n) + "\n      " + (1 to n).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, pc AS pair_count FROM b$i"
+    }.mkString("\n      UNION ALL ")
+
+  /** The encode oracle: per-document char tokenization with `|` word
+    * sentinels, then the same n merges applied as a replace chain driven
+    * by scalar subqueries over the learned b_i pairs. */
+  private def bpeEncodeOracle(n: Int): String = {
+    val enc0 = """enc0 AS MATERIALIZED (
+        SELECT doc_id, ' ' || array_to_string(
+          [array_to_string(regexp_extract_all(w, '.'), ' ')
+           for w in regexp_extract_all(lower(text), '[a-z0-9]+')], ' | ') || ' ' AS toks
+        FROM documents)"""
+    val encs = (1 to n).map { i =>
+      s"""enc$i AS MATERIALIZED (
+        SELECT doc_id, replace(toks, (SELECT ' '||l||' '||r||' ' FROM b$i),
+                                     (SELECT ' '||l||r||' ' FROM b$i)) AS toks FROM enc${i - 1})"""
+    }
+    bpeOracleCtes(n) + ",\n      " + (enc0 +: encs).mkString(",\n      ") + s"""
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(trim(toks), ' '), t -> t != '|')) AS BIGINT) AS n_tokens,
+        array_to_string(list_filter(string_split(trim(toks), ' '), t -> t != '|'), ' ') AS tokens
+      FROM enc$n"""
+  }
+
   /** DuckDB-equivalent SQL per query (runs on views named after the parquet
     * tables). Aliases match the Spark side exactly. */
   def oracleSql: Map[String, String] = Map(
+    "text_bpe_learn" -> bpeLearnOracle(8),
+    "text_bpe_encode" -> bpeEncodeOracle(8),
     "jq_identity" -> """
       SELECT event_id, '{"k":' || CAST(json_extract(props, '$.k') AS BIGINT) || '}' AS doc
       FROM events""",
@@ -3151,6 +3257,33 @@ object SparkEntry {
              ((1 + strlen(text) % 30) - 1) // 7 + 1 AS n_sampled,
              (((1 + strlen(text) % 30) - 1) // 7) * 7 AS max_idx
       FROM documents""",
+
+    // analytic re-derivation of the decoded WAV: the waveform formula
+    // replayed over generate_series, segment k = ⌊i·8/n⌋, exact integer
+    // sums, then the SAME double divide + float32 round-trip as the
+    // decoder (both engines correctly round, so the doubles are
+    // bit-identical)
+    "mm_audio" -> """
+      WITH params AS (
+        SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sr, 400 + (n_chars % 256) AS n
+        FROM documents),
+      samp AS (
+        SELECT doc_id, n, (i * 8) // n AS k,
+               abs(((i * 31 + doc_id * 17) % 2001) - 1000) AS a
+        FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM params)),
+      seg AS (
+        SELECT doc_id, any_value(n) AS n,
+               CAST(CAST(sum(CASE WHEN k = 0 THEN a END) AS DOUBLE)
+                 / (32768.0 * count(CASE WHEN k = 0 THEN a END)) AS FLOAT)::DOUBLE AS f1,
+               CAST(CAST(sum(CASE WHEN k = 3 THEN a END) AS DOUBLE)
+                 / (32768.0 * count(CASE WHEN k = 3 THEN a END)) AS FLOAT)::DOUBLE AS f4,
+               CAST(CAST(sum(CASE WHEN k = 7 THEN a END) AS DOUBLE)
+                 / (32768.0 * count(CASE WHEN k = 7 THEN a END)) AS FLOAT)::DOUBLE AS f8
+        FROM samp GROUP BY doc_id)
+      SELECT p.doc_id AS media_id, CAST(p.sr AS BIGINT) AS sample_rate,
+             1::BIGINT AS channels, CAST(p.n AS BIGINT) AS n_samples,
+             s.f1, s.f4, s.f8
+      FROM params p JOIN seg s ON p.doc_id = s.doc_id""",
 
     // --- streaming surface ----------------------------------------------
     "stream_window" -> """

@@ -8,14 +8,18 @@ import java.awt.image.BufferedImage
 /** Multimodal column plumbing: image/audio/video as opaque BINARY columns
   * with typed metadata, processed partition-parallel in batches.
   *
-  * The IMAGE path is real: `javax.imageio` ships with the JDK (PNG, JPEG,
-  * GIF, BMP — no external library), so image payloads decode to their
-  * actual dimensions and a downsampled-luma feature vector, and resize
-  * rescales actual pixels. Audio/video kinds — and image payloads that no
-  * installed reader accepts — fall back to [[MediaCodec.decodeStub]], a
-  * deterministic fake (no audio/video codecs exist in this environment);
-  * the fallback keeps arbitrary-bytes plumbing tests runnable and is the
-  * single seam where a JavaCV/JNI codec would slot in.
+  * The IMAGE and AUDIO paths are real: `javax.imageio` ships with the JDK
+  * (PNG, JPEG, GIF, BMP — no external library), so image payloads decode
+  * to their actual dimensions and a downsampled-luma feature vector, and
+  * resize rescales actual pixels; `javax.sound.sampled` likewise ships
+  * with the JDK (WAV/AIFF/AU container + PCM parsing, no audio hardware
+  * touched), so audio payloads decode to their actual sample rate,
+  * channel count, frame count, and per-segment amplitude features. The
+  * VIDEO kind — and payloads no installed reader accepts — falls back to
+  * [[MediaCodec.decodeStub]], a deterministic fake (no video codec exists
+  * in the JDK); the fallback keeps arbitrary-bytes plumbing tests
+  * runnable and is the single seam where a JavaCV/JNI codec would slot
+  * in.
   *
   * Scale posture: decode is a narrow mapPartitions (no shuffle); batches
   * amortize per-record overhead the way Arrow batches do for Pandas UDFs;
@@ -129,7 +133,78 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** STUB codec for audio/video kinds (and undecodable image bytes) —
+    /** Real audio decode via the JDK's `javax.sound.sampled` WAV/AIFF/AU
+      * readers (pure container+PCM parsing — no audio hardware touched).
+      * width carries the sample rate, height the channel count, n_frames
+      * the PCM frame count. Features are per-segment mean |amplitude| of
+      * the FIRST channel normalized to [0,1]: frame i belongs to segment
+      * ⌊i·FeatureDim/n⌋, amplitudes accumulate as EXACT Long sums, and
+      * the one float step per segment is a single correctly-rounded
+      * divide — so an oracle re-deriving the sums in SQL reproduces the
+      * float bit-for-bit. None for payloads no installed reader accepts
+      * (caller falls back to the stub). Supports the 16-bit signed PCM
+      * that WAV fixtures here use; other sample widths fall to the stub
+      * rather than decode approximately. */
+    def decodeAudio(r: MediaRecord): Option[DecodedMedia] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val data = ais.readAllBytes()
+          val frameSize = fmt.getFrameSize
+          val n = data.length / frameSize
+          val big = fmt.isBigEndian
+          val sums = new Array[Long](FeatureDim)
+          val cnts = new Array[Long](FeatureDim)
+          var i = 0
+          while (i < n) {
+            val off = i * frameSize // first channel leads the frame
+            val lo = data(off + (if (big) 1 else 0)) & 0xFF
+            val hi = data(off + (if (big) 0 else 1))
+            val s = ((hi << 8) | lo).toShort.toLong
+            val k = (i.toLong * FeatureDim / n).toInt
+            sums(k) += math.abs(s)
+            cnts(k) += 1
+            i += 1
+          }
+          val features = Array.tabulate(FeatureDim) { k =>
+            if (cnts(k) == 0) 0f else (sums(k) / (32768.0 * cnts(k))).toFloat
+          }
+          Some(DecodedMedia(r.media_id, r.kind, r.content.length.toLong,
+            width = fmt.getSampleRate.toInt, height = fmt.getChannels,
+            n_frames = n, features = features))
+        }
+      } catch { case _: Exception => None }
+
+    /** Deterministic 16-bit PCM mono WAV fixture, encoded by the real
+      * JDK WAV writer: sample i = ((i·31 + seed·17) mod 2001) − 1000, an
+      * integer-valued waveform whose decoded per-segment statistics a
+      * SQL oracle recomputes analytically from (seed, n) alone. */
+    def syntheticWav(sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+      require(sampleRate > 0 && nSamples > 0,
+        s"WAV fixture needs positive rate/samples, got $sampleRate/$nSamples")
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false) // signed PCM, little-endian
+      val bytes = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val s = (java.lang.Math.floorMod(i.toLong * 31 + seed * 17, 2001L) - 1000L).toInt
+        bytes(2 * i) = (s & 0xFF).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** STUB codec for the video kind (and undecodable image/audio bytes) —
       * deterministic fake standing in for a real decoder: every field
       * derives purely from the payload so tests and oracles are
       * reproducible. A JavaCV/JNI codec would replace exactly this. */
@@ -153,9 +228,11 @@ object Multimodal {
     def resizeStub(d: DecodedMedia, w: Int, h: Int): DecodedMedia =
       d.copy(width = w, height = h)
 
-    /** Kind dispatch: real image path first, stub for the rest. */
+    /** Kind dispatch: real image and audio paths first, stub for video
+      * and anything the JDK readers reject. */
     def decodeAny(r: MediaRecord): DecodedMedia =
       if (r.kind == "image") decodeImage(r).getOrElse(decodeStub(r))
+      else if (r.kind == "audio") decodeAudio(r).getOrElse(decodeStub(r))
       else decodeStub(r)
   }
 
@@ -199,6 +276,24 @@ object Multimodal {
         lit(kind).as("kind"),
         col(textCol).cast("binary").as("content"))
       .as[MediaRecord]
+  }
+
+  /** Deterministic REAL-WAV media table: one JDK-encoded 16-bit PCM mono
+    * WAV per input row (rate/length from the given column expressions,
+    * waveform seeded by the id), encoded partition-parallel — the
+    * fixture generator for exercising the real `javax.sound.sampled`
+    * decode path at any SF. */
+  def wavMedia(df: DataFrame, idCol: String,
+               rateCol: org.apache.spark.sql.Column,
+               samplesCol: org.apache.spark.sql.Column)
+      (implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        rateCol.cast("int").as("sr"), samplesCol.cast("int").as("n"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, sr, n) =>
+        MediaRecord(id, "audio", MediaCodec.syntheticWav(sr, n, id))
+      })
   }
 
   /** Deterministic REAL-PNG media table: one JDK-encoded PNG per input

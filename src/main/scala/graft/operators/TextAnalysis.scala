@@ -232,6 +232,97 @@ object TextAnalysis {
     scored
   }
 
+  /** Distributed BPE vocabulary learning (Sennrich et al. 2016) — the
+    * tokenizer-training step of an LLM data pipeline, at corpus scale.
+    *
+    * The classic trick makes it distributable: after ONE corpus-scale
+    * pass folds the corpus into a (word, frequency) vocabulary, every
+    * merge iteration runs over the VOCABULARY (bounded by distinct
+    * words, not corpus bytes) — adjacent-pair counts weighted by word
+    * frequency, so 100 TB of text and a 100 MB word list cost the same
+    * per merge. Each iteration is: one vocabulary-bounded partial-agg'd
+    * exchange (pair counts), a ONE-ROW driver argmax (the winning pair —
+    * bounded like the Lloyd/IVF centroid collects), and a zero-shuffle
+    * plan-literal `replace` that rewrites the token strings. The
+    * vocabulary frame checkpoints and ROTATES per merge (rank_{i-1}
+    * pattern from [[Graph.pageRank]]), so only bounded state outlives
+    * the call.
+    *
+    * Token strings are space-joined with sentinel spaces (" a b ") —
+    * `replace(" l r " → " lr ")` is exactly BPE's left-to-right
+    * non-overlapping merge application, and the surrounding spaces make
+    * token boundaries unambiguous. The argmax tie-break (count desc,
+    * then lexicographic pair) is binary-collation stable, so the learned
+    * merge table is deterministic and engine-exact: every output cell is
+    * a string or BIGINT — no floats anywhere.
+    *
+    * Returns the merge table: (merge_rank, lhs, rhs, pair_count), one
+    * row per learned merge (fewer if the vocabulary exhausts first). */
+  def bpeLearn(corpus: DataFrame, text: Column, merges: Int,
+               checkpointDir: Option[String] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val words = corpus.select(explode(wordTokens(text)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var vocab = Checkpoints.checkpoint(
+      words.select(
+        concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" ")).as("toks"),
+        col("cnt")),
+      checkpointDir)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (i <- 1 to merges if !exhausted) {
+      val a = split(trim(col("toks")), " ")
+      val best = vocab
+        .filter(size(a) >= 2)
+        .select(col("cnt"), explode(arrays_zip(
+          slice(a, lit(1), size(a) - 1).as("l"),
+          slice(a, lit(2), size(a) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val l = best(0).getString(0)
+        val r = best(0).getString(1)
+        val pc = best(0).getLong(2)
+        learned += ((i.toLong, l, r, pc))
+        val next = Checkpoints.checkpoint(
+          vocab.select(
+            replace(col("toks"), lit(s" $l $r "), lit(s" $l$r ")).as("toks"),
+            col("cnt")),
+          checkpointDir)
+        Checkpoints.release(vocab)
+        vocab = next
+      }
+    }
+    Checkpoints.release(vocab)
+    learned.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** Apply a learned BPE merge list to documents (the tokenizer-ENCODE
+    * side of [[bpeLearn]]): per document, the token count and the final
+    * space-joined token string. Word boundaries are held by a `|`
+    * sentinel no merge can touch (merges only ever contain word
+    * characters), so merges never cross words — BPE's rule. The whole
+    * encode is a zero-shuffle chain of plan-literal `replace` kernels
+    * (one per merge, each left-to-right non-overlapping = BPE apply
+    * order): encoding splits with the scan, so tokenizing 100 TB is
+    * pure map-side work. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val toks0 = concat(lit(" "),
+      array_join(transform(wordTokens(text),
+        w => array_join(split(w, ""), " ")), " | "),
+      lit(" "))
+    val toks = merges.foldLeft(toks0) { case (c, (l, r)) =>
+      replace(c, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    val tokArr = filter(split(trim(toks), " "), t => t =!= "|")
+    struct(size(tokArr).cast("long").as("n_tokens"),
+      array_join(tokArr, " ").as("tokens"))
+  }
+
   /** Model-based quality filtering: a hashed bag-of-tokens linear
     * classifier (fastText-style — the quality-classifier gate of a
     * GPT-3/LLaMA-class curation pipeline), with formula-derived integer

@@ -74,6 +74,16 @@ class CheckpointHygieneSpec extends SparkTestBase {
     }
   }
 
+  test("bpeLearn rotates its vocabulary checkpoints and strands nothing") {
+    val docs = Seq("low low low lower newest newest widest").toDF("text")
+    val before = persistedNow
+    val merges = TextAnalysis.bpeLearn(docs, col("text"), merges = 4)
+    assert(merges.count() == 4)
+    // result is a driver-side literal frame — NOTHING should stay persisted
+    assert((persistedNow -- before).isEmpty,
+      s"bpeLearn stranded ${(persistedNow -- before).size} persisted RDDs — rotation broken")
+  }
+
   test("nearDupClusters with a reliable checkpoint dir converges identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
     try {

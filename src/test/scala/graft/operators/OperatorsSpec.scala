@@ -476,6 +476,35 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(d => (d.media_id, d.width, d.height)).toSet
     assert(out == Set((3L, 20, 30), (4L, 64, 16)))
   }
+
+  test("real audio decode: WAV roundtrip recovers rate/frames and exact segment features") {
+    import spark.implicits._
+    import Multimodal._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val (id, sr, n) = (5L, 12000, 500)
+    val d = MediaCodec.decodeAudio(
+      MediaRecord(id, "audio", MediaCodec.syntheticWav(sr, n, id))).get
+    assert(d.width == sr && d.height == 1 && d.n_frames == n)
+    // independent re-derivation of every segment feature from the
+    // waveform formula — exact Long sums, one float divide per segment
+    val sums = new Array[Long](MediaCodec.FeatureDim)
+    val cnts = new Array[Long](MediaCodec.FeatureDim)
+    for (i <- 0 until n) {
+      val s = java.lang.Math.floorMod(i.toLong * 31 + id * 17, 2001L) - 1000L
+      val k = (i.toLong * MediaCodec.FeatureDim / n).toInt
+      sums(k) += math.abs(s); cnts(k) += 1
+    }
+    val expect = Array.tabulate(MediaCodec.FeatureDim)(k => (sums(k) / (32768.0 * cnts(k))).toFloat)
+    assert(d.features.toSeq === expect.toSeq)
+    // non-audio bytes under the audio kind fall back to the stub
+    val junk = MediaCodec.decodeAny(MediaRecord(9L, "audio", "not a wav".getBytes))
+    assert(junk.width == 16 + ("not a wav".length % 64))
+    // distributed: wavMedia → decode roundtrips rate/frames per row
+    val df = Seq((6L, 8000, 400), (7L, 16000, 640)).toDF("id", "sr", "n")
+    val got = decode(wavMedia(df, "id", col("sr"), col("n")))
+      .collect().map(d => (d.media_id, d.width, d.n_frames)).toSet
+    assert(got == Set((6L, 8000, 400), (7L, 16000, 640)))
+  }
 }
 
 class AsofJoinSpec extends graft.SparkTestBase {

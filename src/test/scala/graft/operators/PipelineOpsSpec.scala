@@ -148,4 +148,54 @@ class PipelineOpsSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  // ------------------------------------------------------------- BPE
+
+  /** The Sennrich et al. (2016) worked example, frequencies included —
+    * merges hand-derived (no end-of-word marker in this variant):
+    * pair counts iter 1: (e,s)=9 ties (s,t)=9 → lexicographic (e,s);
+    * then (es,t)=9; then (l,o)=7 ties (o,w) → (l,o); (lo,w)=7;
+    * finally (e,w)=6 ties (n,e),(w,est) → (e,w). */
+  private val sennrichCorpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+    Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+
+  test("bpeLearn: hand-derived merges and both tie-break legs on the Sennrich fixture") {
+    import spark.implicits._
+    val corpus = sennrichCorpus.grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    val got = TextAnalysis.bpeLearn(corpus, col("text"), merges = 5)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, "e", "s", 9L), (2L, "es", "t", 9L), (3L, "l", "o", 7L),
+      (4L, "lo", "w", 7L), (5L, "e", "w", 6L)))
+  }
+
+  test("bpeLearn stops when the vocabulary exhausts (every word one token)") {
+    import spark.implicits._
+    val corpus = Seq("ab ab cd").toDF("text")
+    // merges available: (a,b)x2 then (c,d)x1 — then nothing left
+    val got = TextAnalysis.bpeLearn(corpus, col("text"), merges = 10)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, "a", "b", 2L), (2L, "c", "d", 1L)))
+  }
+
+  test("bpeEncode applies merges left-to-right without crossing word boundaries") {
+    import spark.implicits._
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("e", "w"))
+    val got = Seq("low lower newest widest").toDF("text")
+      .select(TextAnalysis.bpeEncode(col("text"), merges).as("e"))
+      .select(col("e.n_tokens"), col("e.tokens")).collect()(0)
+    assert(got.getLong(0) === 11L)
+    assert(got.getString(1) === "low low e r n ew est w i d est")
+  }
+
+  test("bpeEncode greedy left-to-right on overlapping pair runs") {
+    import spark.implicits._
+    // "aaa" with merge (a,a): left-to-right gives [aa, a], not [a, aa]
+    val got = Seq("aaa").toDF("text")
+      .select(TextAnalysis.bpeEncode(col("text"), Seq(("a", "a"))).as("e"))
+      .select(col("e.tokens")).collect()(0).getString(0)
+    assert(got === "aa a")
+  }
 }
