@@ -1824,7 +1824,61 @@ object SparkEntry {
         table(s, dir, "documents")
           .withColumn("ts", lit(1700000000L * 1000000000L) + col("doc_id") * lit(1000000000L)),
         "doc_id", "ts", col("text"), n = 3, threshold = 0.75)
-    })
+    }),
+
+    // edit-distance near-dup under blocking-key candidates (record-linkage
+    // shape): first-token + length-band blocks, exact Levenshtein verify
+    "dedup_edit" -> ((s, dir) =>
+      operators.Dedup.editDistancePairs(
+        table(s, dir, "documents"), "doc_id", col("text"), minSim = 0.8)),
+
+    // SCD type-2 dimension build: per-customer order-priority history as
+    // validity intervals (collapse equal runs, close with lead)
+    "rel_scd2" -> ((s, dir) =>
+      operators.Relational.scd2(table(s, dir, "orders"),
+          col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+        .select(col("k").as("o_custkey"), col("a").as("priority"),
+          col("valid_from"), col("valid_to"), col("version"), col("is_current"))),
+
+    // 2-D Pareto frontier (max price, min date) — distributed sorted scan
+    // vs the oracle's O(n²) dominance anti-join
+    "rel_skyline" -> ((s, dir) =>
+      operators.Relational.skyline2d(table(s, dir, "orders"),
+          col("o_totalprice"), col("o_orderdate"))
+        .select(col("x").as("o_totalprice"), col("y").as("o_orderdate"))),
+
+    // robust per-group stats: clamp to exact [p5, p95] then average
+    "rel_winsorize" -> ((s, dir) =>
+      operators.Relational.winsorize(table(s, dir, "customer"),
+          col("c_nationkey"), col("c_acctbal"))
+        .withColumnRenamed("g", "c_nationkey")),
+
+    // data-constrained epoch planner: proportional token allocation as
+    // capped repeat epochs, all DECIMAL(38,0) integer arithmetic
+    "curation_epochs" -> ((s, dir) =>
+      operators.Curation.epochPlan(table(s, dir, "documents"),
+        col("source"), col("n_chars"), budget = 2000000L, maxEpochs = 3)),
+
+    // MMR diversified top-k re-rank (λ=0.7, micro-int greedy trace)
+    "sim_mmr" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      operators.Similarity.mmrSelect(emb, emb.filter(col("vec_id") < 4),
+        k = 3, cands = 8, lambdaPermille = 700)
+    }),
+
+    // Rademacher random projection to 8 exact-integer components
+    "sim_rp" -> ((s, dir) =>
+      operators.Similarity.randomProjection(table(s, dir, "embeddings"), outDim = 8)),
+
+    // positional-postings phrase query: consecutive-term equi-join
+    "text_phrase" -> ((s, dir) =>
+      operators.TextAnalysis.phraseSearch(
+        table(s, dir, "documents"), "doc_id", col("text"), "table hash")),
+
+    // Zipf slope of the term distribution, micro-nat least squares
+    "text_zipf" -> ((s, dir) =>
+      operators.TextAnalysis.zipfSlope(
+        table(s, dir, "documents"), col("text"), topV = 200))
   )
 
   /** Shared CTE chain for the BPE oracles: the (word, freq) vocabulary,
@@ -3431,6 +3485,182 @@ object SparkEntry {
              sec AS rt,
              sec AS gm,
              strftime(t, '%Y/%j %H:%M') AS fmt
-      FROM d"""
+      FROM d""",
+
+    // blocking key + exact Levenshtein verify; the (1.0 - 0.8) length
+    // pre-filter bound is written as the SAME double subtraction the
+    // Spark side evaluates, so the boundary compare is bit-identical
+    "dedup_edit" -> """
+      WITH k AS (SELECT doc_id, text,
+          string_split(text, ' ')[1] || '|' ||
+            CAST(length(text) // 64 AS VARCHAR) AS blk
+        FROM documents)
+      SELECT id_a, id_b, lev, sim FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+               1.0 - levenshtein(a.text, b.text) /
+                 CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) AS sim
+        FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE CAST(abs(length(a.text) - length(b.text)) AS DOUBLE)
+              <= (CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE))
+                 * greatest(length(a.text), length(b.text))) t
+      WHERE sim >= 0.8""",
+
+    "rel_scd2" -> """
+      WITH c AS (
+        SELECT o_custkey AS k, o_orderdate AS t, o_orderpriority AS a,
+               lag(o_orderpriority) OVER w AS prev,
+               row_number() OVER w AS rn
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderpriority)),
+      ch AS (SELECT k, t, a FROM c WHERE rn = 1 OR prev IS DISTINCT FROM a)
+      SELECT k AS o_custkey, a AS priority, t AS valid_from,
+             lead(t) OVER w2 AS valid_to,
+             CAST(row_number() OVER w2 AS BIGINT) AS version,
+             lead(t) OVER w2 IS NULL AS is_current
+      FROM ch WINDOW w2 AS (PARTITION BY k ORDER BY t, a)""",
+
+    "rel_skyline" -> """
+      SELECT o_totalprice, o_orderdate FROM orders a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders b
+        WHERE b.o_totalprice >= a.o_totalprice AND b.o_orderdate <= a.o_orderdate
+          AND (b.o_totalprice > a.o_totalprice OR b.o_orderdate < a.o_orderdate))""",
+
+    "rel_winsorize" -> """
+      WITH b AS (
+        SELECT c_nationkey AS g, count(*) AS n,
+               quantile_cont(CAST(c_acctbal AS DOUBLE), 0.05) AS lo,
+               quantile_cont(CAST(c_acctbal AS DOUBLE), 0.95) AS hi
+        FROM customer GROUP BY 1)
+      SELECT g AS c_nationkey, n, round(lo, 6) AS p_lo, round(hi, 6) AS p_hi,
+             round(avg(greatest(least(CAST(c.c_acctbal AS DOUBLE), b.hi), b.lo)), 6)
+               AS winsor_mean,
+             CAST(sum(CASE WHEN CAST(c.c_acctbal AS DOUBLE) < b.lo THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clip_lo,
+             CAST(sum(CASE WHEN CAST(c.c_acctbal AS DOUBLE) > b.hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clip_hi
+      FROM customer c JOIN b ON c.c_nationkey = b.g
+      GROUP BY g, n, lo, hi""",
+
+    "curation_epochs" -> """
+      WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY 1),
+      t AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS tok_total FROM s),
+      a AS (SELECT source, n_tokens,
+              CAST((CAST(2000000 AS HUGEINT) * n_tokens) // tok_total AS BIGINT)
+                AS alloc
+            FROM s CROSS JOIN t)
+      SELECT source, n_tokens, alloc,
+             least(alloc // n_tokens, 3) AS epochs_full,
+             CASE WHEN alloc // n_tokens < 3 THEN alloc % n_tokens ELSE 0 END
+               AS partial_tokens,
+             least(alloc // n_tokens, 3) * n_tokens +
+               CASE WHEN alloc // n_tokens < 3 THEN alloc % n_tokens ELSE 0 END
+               AS served_tokens,
+             alloc - (least(alloc // n_tokens, 3) * n_tokens +
+               CASE WHEN alloc // n_tokens < 3 THEN alloc % n_tokens ELSE 0 END)
+               AS unused_tokens
+      FROM a""",
+
+    // unrolled k=3 greedy MMR trace in micro-int space — identical
+    // integer argmax decisions to the Spark plan loop
+    "sim_mmr" -> """
+      WITH q AS (SELECT vec_id AS qid,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                 FROM embeddings WHERE vec_id < 4),
+      e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      cand AS (
+        SELECT qid, vec_id, rel FROM (
+          SELECT q.qid, e.vec_id,
+                 CAST(round(list_cosine_similarity(q.qv, e.v) * 1e6) AS BIGINT) AS rel
+          FROM q CROSS JOIN e) t
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) <= 8),
+      ps AS (
+        SELECT a.qid, a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(round(list_cosine_similarity(ea.v, eb.v) * 1e6) AS BIGINT) AS s
+        FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id),
+      s1 AS (SELECT qid, vec_id FROM cand
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) = 1),
+      p2 AS (SELECT c.qid, c.vec_id, c.rel, max(ps.s) AS pen
+             FROM cand c
+             JOIN ps ON ps.qid = c.qid AND ps.id_a = c.vec_id
+             JOIN s1 ON s1.qid = ps.qid AND s1.vec_id = ps.id_b
+             WHERE NOT EXISTS (SELECT 1 FROM s1 x
+                               WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+             GROUP BY 1, 2, 3),
+      s2 AS (SELECT qid, vec_id FROM p2
+             QUALIFY row_number() OVER (PARTITION BY qid
+               ORDER BY 700 * rel - 300 * pen DESC, vec_id) = 1),
+      sel12 AS (SELECT qid, vec_id FROM s1 UNION ALL SELECT qid, vec_id FROM s2),
+      p3 AS (SELECT c.qid, c.vec_id, c.rel, max(ps.s) AS pen
+             FROM cand c
+             JOIN ps ON ps.qid = c.qid AND ps.id_a = c.vec_id
+             JOIN sel12 ON sel12.qid = ps.qid AND sel12.vec_id = ps.id_b
+             WHERE NOT EXISTS (SELECT 1 FROM sel12 x
+                               WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+             GROUP BY 1, 2, 3),
+      s3 AS (SELECT qid, vec_id FROM p3
+             QUALIFY row_number() OVER (PARTITION BY qid
+               ORDER BY 700 * rel - 300 * pen DESC, vec_id) = 1)
+      SELECT qid, vec_id, CAST(1 AS BIGINT) AS sel_rank FROM s1
+      UNION ALL SELECT qid, vec_id, CAST(2 AS BIGINT) FROM s2
+      UNION ALL SELECT qid, vec_id, CAST(3 AS BIGINT) FROM s3""",
+
+    // the ±1 matrix is the same closed-form LCG bit; every component is
+    // an exact BIGINT so the row hashes bit-identically
+    "sim_rp" -> """
+      WITH p AS (
+        SELECT vec_id,
+               [CAST(list_sum(list_transform(range(0, len(embedding)),
+                  j -> (1 - 2 * (((i * 1103515245 + j * 12345) >> 16) & 1)) *
+                       CAST(round(CAST(embedding[j + 1] AS DOUBLE) * 1000) AS BIGINT)))
+                 AS BIGINT)
+                for i in range(0, 8)] AS proj
+        FROM embeddings)
+      SELECT vec_id, proj,
+             CAST(list_sum(list_transform(proj, x -> x * x)) AS BIGINT) AS norm2
+      FROM p""",
+
+    "text_phrase" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+      m AS (SELECT doc_id,
+              CAST(len([i for i in range(1, len(s))
+                        if s[i] = 'table' AND s[i + 1] = 'hash']) AS BIGINT)
+                AS n_matches
+            FROM t)
+      SELECT doc_id, n_matches FROM m WHERE n_matches > 0""",
+
+    // micro-nat least squares over HUGEINT normal-equation sums — the
+    // same integer sums as the Spark DECIMAL(38,0) aggregation, with the
+    // final divisions mirrored operation-for-operation in DOUBLE
+    "text_zipf" -> """
+      WITH f AS (
+        SELECT tok, count(*) AS f FROM (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        WHERE length(tok) > 0
+        GROUP BY tok ORDER BY f DESC, tok LIMIT 200),
+      r AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM f),
+      p AS (SELECT CAST(round(ln(r) * 1e6) AS BIGINT) AS x,
+                   CAST(round(ln(f) * 1e6) AS BIGINT) AS y
+            FROM r),
+      a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                   sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+            FROM p)
+      SELECT CAST(n AS BIGINT) AS n_terms,
+             round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                   CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+             round((CAST(sy AS DOUBLE) -
+                    CAST(n * sxy - sx * sy AS DOUBLE) /
+                      CAST(n * sxx - sx * sx AS DOUBLE) *
+                      CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+      FROM a"""
   )
 }

@@ -311,4 +311,49 @@ object Curation {
     Checkpoints.release(gb)
     out
   }
+
+  // ------------------------------------------------- epoch budgeting
+
+  /** Data-constrained epoch planner: split a total token `budget` across
+    * sources proportionally to their token mass, then express each
+    * source's allocation as repeat epochs over its data, capped at
+    * `maxEpochs` (repeating a source beyond a few epochs stops helping —
+    * the data-constrained-scaling rule of thumb). Per source:
+    * allocation ⌊budget·tokens_s / Σtokens⌋, full epochs alloc DIV
+    * tokens_s (capped), the residual partial-epoch tokens when under the
+    * cap, tokens actually served and the budget left unserved by the cap.
+    * Unused budget is REPORTED, not redistributed — the planner is one
+    * deterministic pass; feeding `unused` back is the caller's loop.
+    *
+    * Everything is DECIMAL(38,0) integer arithmetic — budget·tokens_s
+    * overflows BIGINT at real corpus scale (1e14 budget × 1e14 tokens),
+    * and exact integers are what make the plan reproducible across
+    * engines. Scale shape: one partial-agg'd count pass over the corpus;
+    * the plan itself is |sources| rows joined against a broadcast 1-row
+    * total. */
+  def epochPlan(df: DataFrame, source: Column, tokens: Column,
+                budget: Long, maxEpochs: Int = 4): DataFrame = {
+    require(budget >= 0 && maxEpochs >= 1,
+      s"need budget>=0, maxEpochs>=1; got $budget, $maxEpochs")
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val perSource = df.groupBy(source.as("source"))
+      .agg(sum(tokens).as("n_tokens"))
+    val total = perSource.agg(sum(col("n_tokens")).as("tok_total"))
+    perSource.crossJoin(broadcast(total))
+      .withColumn("__bt", d(lit(budget)) * d(col("n_tokens")))
+      // exact floor-div on decimals: subtract the remainder first
+      .withColumn("alloc",
+        ((col("__bt") - pmod(col("__bt"), d(col("tok_total")))) / d(col("tok_total")))
+          .cast("decimal(38,0)").cast("long"))
+      .withColumn("epochs_full",
+        least(expr("alloc DIV n_tokens"), lit(maxEpochs.toLong)))
+      .withColumn("partial_tokens",
+        when(expr("alloc DIV n_tokens") < maxEpochs.toLong,
+          col("alloc") % col("n_tokens")).otherwise(0L))
+      .withColumn("served_tokens",
+        col("epochs_full") * col("n_tokens") + col("partial_tokens"))
+      .withColumn("unused_tokens", col("alloc") - col("served_tokens"))
+      .select(col("source"), col("n_tokens"), col("alloc"), col("epochs_full"),
+        col("partial_tokens"), col("served_tokens"), col("unused_tokens"))
+  }
 }

@@ -551,4 +551,43 @@ object Dedup {
         when(size(col("sh_a")) > 0, inter / size(col("sh_a"))).as("c_ab"),
         when(size(col("sh_b")) > 0, inter / size(col("sh_b"))).as("c_ba"))
   }
+
+  /** Edit-distance near-dup pairs under BLOCKING-KEY candidate
+    * generation — the record-linkage shape (sorted-neighborhood /
+    * standard blocking): candidates are pairs agreeing on a cheap
+    * deterministic key (first `blockTokens` tokens + a length band),
+    * then VERIFIED with exact Levenshtein; emit pairs with normalized
+    * edit similarity 1 − lev/max(len) ≥ `minSim`. Complements the
+    * set-based verifiers (Jaccard/containment): edit distance sees
+    * ORDER, so reshuffled near-identical token soup that fools a bag
+    * model scores low here.
+    *
+    * Scale shape: the self-join shuffles on the block key — never
+    * all-pairs; block width is capped by construction (the length band
+    * divides every prefix bucket), and the length pre-filter
+    * |len_a − len_b| ≤ (1−minSim)·max(len) prunes before the O(L²)
+    * verify, which is the standard Levenshtein bound (distance ≥ length
+    * difference). At 100 TB the verify cost is O(candidates)·O(L²) —
+    * pick the block key so candidates/block fit a task, exactly the
+    * LSH mega-bucket discipline. */
+  def editDistancePairs(docs: DataFrame, id: String, text: Column,
+                        minSim: Double, blockTokens: Int = 1,
+                        lenBand: Int = 64): DataFrame = {
+    require(minSim > 0 && minSim <= 1, s"minSim in (0,1], got $minSim")
+    val keyed = docs.select(col(id), text.as("t"))
+      .withColumn("__blk", concat_ws("|",
+        concat_ws(" ", slice(split(col("t"), " "), 1, blockTokens)),
+        floor(length(col("t")) / lit(lenBand)).cast("long").cast("string")))
+    val a = keyed.select(col("__blk"), col(id).as("id_a"), col("t").as("t_a"))
+    val b = keyed.select(col("__blk"), col(id).as("id_b"), col("t").as("t_b"))
+    val maxLen = greatest(length(col("t_a")), length(col("t_b")))
+    a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("t_a")) - length(col("t_b"))).cast("double")
+        <= (lit(1.0) - minSim) * maxLen)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("t_a"), col("t_b")).cast("long").as("lev"),
+        (lit(1.0) - levenshtein(col("t_a"), col("t_b")) / maxLen.cast("double"))
+          .as("sim"))
+      .filter(col("sim") >= minSim)
+  }
 }

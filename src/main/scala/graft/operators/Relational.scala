@@ -338,4 +338,127 @@ object Relational {
       .select(col("k"), col("b"), coalesce(col("n"), lit(0L)).as("n"),
         last(col("lv"), ignoreNulls = true).over(wFill).as("v_filled"))
   }
+
+  /** Slowly-changing-dimension type 2 from a change log: collapse
+    * consecutive equal attribute values per key (ordered by `ts`, ties
+    * broken by the attribute value so replayed logs resolve identically),
+    * emitting one validity interval per run — `valid_from` its first
+    * event, `valid_to` the next run's start (null = current row), plus
+    * `version` (1-based) and `is_current`.
+    *
+    * Scale shape: one shuffle on the key; change-point detection (lag),
+    * interval close (lead) and versioning (row_number) all share the one
+    * per-key sort. The dimension-build idiom for incremental warehouses:
+    * the output joins back to facts as a point-in-time (as-of) dimension. */
+  def scd2(df: DataFrame, key: Column, ts: Column, attr: Column): DataFrame = {
+    val wSeq = Window.partitionBy(col("k")).orderBy(col("t"), col("a"))
+    val changes = df.select(key.as("k"), ts.as("t"), attr.as("a"))
+      .withColumn("__prev", lag(col("a"), 1).over(wSeq))
+      .withColumn("__rn", row_number().over(wSeq))
+      // first row per key (prev null, attr possibly null too) is always a run start
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col("a")))
+    val wRun = Window.partitionBy(col("k")).orderBy(col("t"), col("a"))
+    changes.select(col("k"), col("a"),
+        col("t").as("valid_from"),
+        lead(col("t"), 1).over(wRun).as("valid_to"),
+        row_number().over(wRun).cast("bigint").as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** 2-D skyline (Pareto frontier): rows not dominated under
+    * (maximize `x`, minimize `y`) — a dominates b iff a.x ≥ b.x, a.y ≤ b.y
+    * and at least one is strict. Duplicated (x, y) points survive
+    * together (neither strictly dominates). A row survives iff
+    *   min(y | x' > x)  >  y        (no strictly-better row above)
+    *   ∧ y = min(y | x' = x)        (best in its own x column).
+    *
+    * The naive formulation is the O(n²) anti-join (the oracle keeps it);
+    * here the sorted linear scan runs DISTRIBUTED, mirroring
+    * ntileHistogram's pattern: range-repartition on x ALONE (equal x
+    * never splits across partitions, so partition order IS strict x
+    * order), per-partition y-minima, and a driver collect of one value
+    * per partition whose prefix-min seeds each partition with the
+    * dominator minimum from all higher-x partitions — no single-task
+    * global sort anywhere. The ranged frame checkpoints so the minima
+    * pass and the filter pass see one sampled partitioning; released
+    * before return, only the (typically tiny) frontier survives. */
+  def skyline2d(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val ranged = Checkpoints.checkpoint(
+      df.select(x.as("x"), y.as("y"))
+        .repartitionByRange(parts, col("x").desc)
+        .withColumn("pid", spark_partition_id()))
+    val yType = ranged.schema("y").dataType
+    val mins = ranged.groupBy(col("pid")).agg(min(col("y")).as("my"))
+      .collect().map(r => (r.getInt(0), r.get(1))).sortBy(_._1)
+    // seed[pid] = min y over partitions pid' < pid — all strictly larger x
+    val seeds = mins.scanLeft((Int.MinValue, null: Any)) { case ((_, acc), (pid, my)) =>
+      // collected externals (Long/Double/BigDecimal/String/Timestamp) are
+      // all Comparable; nulls never reach here (min() skips them)
+      val nxt =
+        if (acc == null || my == null) if (acc == null) my else acc
+        else if (my.asInstanceOf[Comparable[Any]].compareTo(acc) < 0) my else acc
+      (pid, nxt)
+    }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toArray
+    val seedCol =
+      if (seeds.isEmpty) lit(null).cast(yType)
+      else element_at(
+        map(seeds.flatMap { case (p, b) =>
+          Seq(lit(p), (if (b == null) lit(null) else lit(b)).cast(yType))
+        }.toSeq: _*), col("pid"))
+    // within a partition: under (x desc, y asc) ordering the FIRST row of
+    // an x-group sees exactly the strictly-greater-x rows as its window
+    // prefix; min over that prefix, broadcast group-wide, is the local
+    // strict-dominator minimum. least() skips nulls, so boundary
+    // partitions (no seed / empty prefix) fall through correctly.
+    val wScan = Window.partitionBy(col("pid")).orderBy(col("x").desc, col("y"))
+    val wGroup = Window.partitionBy(col("pid"), col("x"))
+    val frontier = ranged
+      .withColumn("__seed", seedCol)
+      .withColumn("__prefMin",
+        min(col("y")).over(wScan.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__gRank", row_number().over(
+        Window.partitionBy(col("pid"), col("x")).orderBy(col("y"))))
+      .withColumn("__aboveLocal", when(col("__gRank") === 1, col("__prefMin")))
+      .withColumn("__above",
+        least(min(col("__aboveLocal")).over(wGroup), col("__seed")))
+      .withColumn("__gMin", min(col("y")).over(wGroup))
+      .filter((col("__above").isNull || col("__above") > col("y")) &&
+        col("y") === col("__gMin"))
+      .select(col("x"), col("y"))
+    val out = Checkpoints.checkpoint(frontier)
+    Checkpoints.release(ranged)
+    out
+  }
+
+  /** Winsorized per-group statistics: clamp `value` to its group's exact
+    * [pLo, pHi] interpolated percentiles, then report n, the clamp
+    * bounds, the winsorized mean and how many rows were clipped at each
+    * tail. The robust-stats companion to `profile` — outlier-insensitive
+    * location estimates for quality-score / length distributions where a
+    * handful of garbage rows would drag a plain mean.
+    *
+    * Scale shape: `percentile` is Spark's exact single-pass aggregate
+    * (per-group sorted digest, partial-merged map-side), then the clamp
+    * is a broadcast-joined second pass — two scans, one shuffle each, no
+    * window. Outputs round to 6 decimals so the cross-engine hash is
+    * stable over the interpolation arithmetic. */
+  def winsorize(df: DataFrame, group: Column, value: Column,
+                pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, s"need 0<=pLo<pHi<=1, got $pLo,$pHi")
+    val rows = df.select(group.as("g"), value.cast("double").as("v"))
+    val bounds = rows.groupBy(col("g")).agg(
+      expr(s"percentile(v, $pLo)").as("lo"),
+      expr(s"percentile(v, $pHi)").as("hi"),
+      count(lit(1)).as("n"))
+    rows.join(broadcast(bounds), Seq("g"))
+      .groupBy(col("g"))
+      .agg(first(col("n")).as("n"),
+        round(first(col("lo")), 6).as("p_lo"),
+        round(first(col("hi")), 6).as("p_hi"),
+        round(avg(greatest(least(col("v"), col("hi")), col("lo"))), 6)
+          .as("winsor_mean"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"))
+  }
 }

@@ -495,4 +495,113 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("vec_id"))
   }
+
+  // ------------------------------------------------------- MMR re-rank
+
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein
+    * 1998): per query, greedily select k of the `cands` most-relevant
+    * corpus vectors maximizing
+    *   λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s)
+    * — the retrieval-diversity selector (dedup-at-serve-time for RAG
+    * contexts; near-identical passages add no information, so the
+    * redundancy penalty buys coverage).
+    *
+    * Determinism: similarities quantize to MICRO units (round(cos·10⁶)
+    * BIGINT) before any compare, λ is per-mille, the objective is pure
+    * integer arithmetic (ties → smallest vec_id) — the greedy trace is
+    * bit-identical across engines and partitionings.
+    *
+    * Scale shape: candidate generation inherits [[cosineTopK]]'s shape
+    * (queries broadcast, corpus never self-joined); everything after
+    * operates on |queries|·cands rows — the candidate pair matrix
+    * (|q|·cands²) and k−1 windowed argmax passes over it are
+    * negligible next to the corpus scan, and the k-step loop composes
+    * PLAN stages (no driver data motion, k is a small constant). */
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, k: Int,
+                cands: Int = 8, lambdaPermille: Int = 700): DataFrame = {
+    require(k >= 1 && cands >= k, s"need 1 <= k <= cands, got k=$k cands=$cands")
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000,
+      s"lambdaPermille in [0,1000], got $lambdaPermille")
+    val lam = lambdaPermille.toLong
+    val e = corpus.select(col("vec_id"), dvec(col("embedding")).as("v"))
+    val q = queries.select(col("vec_id").as("qid"), dvec(col("embedding")).as("qv"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("vec_id").asc)
+    // candidate set: top-`cands` by relevance, micro-quantized
+    val cand = Checkpoints.checkpoint(e.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("v"), col("qv")) * 1e6).cast("long").as("rel"))
+      .withColumn("__r", row_number().over(wTop)).filter(col("__r") <= cands)
+      .drop("__r"))
+    // candidate-candidate similarity matrix (|q|·cands² tiny rows)
+    val cv = cand.join(e, "vec_id")
+    val ca = cv.select(col("qid"), col("vec_id").as("id_a"), col("v").as("va"))
+    val cb = cv.select(col("qid"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val pairSim = Checkpoints.checkpoint(ca.join(cb, "qid")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("qid"), col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")) * 1e6).cast("long").as("s")))
+    // greedy: step 1 takes the most relevant; each later step re-scores
+    // the remainder against the selected set and takes the argmax
+    val wRel = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("vec_id").asc)
+    var selected = cand.withColumn("__r", row_number().over(wRel))
+      .filter(col("__r") === 1)
+      .select(col("qid"), col("vec_id"), lit(1L).as("sel_rank"))
+    var all = selected
+    for (step <- 2 to k) {
+      val remaining = cand.join(all.select(col("qid"), col("vec_id")),
+        Seq("qid", "vec_id"), "left_anti")
+      val penalty = remaining
+        .join(pairSim.withColumnRenamed("id_a", "vec_id"), Seq("qid", "vec_id"))
+        .join(all.select(col("qid"), col("vec_id").as("id_b")), Seq("qid", "id_b"))
+        .groupBy(col("qid"), col("vec_id"), col("rel"))
+        .agg(max(col("s")).as("pen"))
+      val wMmr = Window.partitionBy(col("qid"))
+        .orderBy((lit(lam) * col("rel") - lit(1000L - lam) * col("pen")).desc,
+          col("vec_id").asc)
+      val next = penalty.withColumn("__r", row_number().over(wMmr))
+        .filter(col("__r") === 1)
+        .select(col("qid"), col("vec_id"), lit(step.toLong).as("sel_rank"))
+      all = all.unionByName(next)
+    }
+    val out = Checkpoints.checkpoint(all)
+    Checkpoints.release(cand)
+    Checkpoints.release(pairSim)
+    out
+  }
+
+  // ------------------------------------------- random projection (JL)
+
+  /** Rademacher random projection to `outDim` integer components — the
+    * Johnson–Lindenstrauss dimensionality reduction with a CLOSED-FORM
+    * ±1 matrix: sign(i,j) = 1 − 2·((i·1103515245 + j·12345) div 2¹⁶ mod 2)
+    * (an LCG bit — high-order, so adjacent (i,j) decorrelate), and the
+    * input quantized to milli-units first, making each component an EXACT
+    * integer Σⱼ sign(i,j)·round(1000·xⱼ) — bit-reproducible on any
+    * engine with 64-bit integers, no stored projection matrix, no
+    * broadcast: the matrix is arithmetic in the plan itself.
+    *
+    * Output: (vec_id, proj ARRAY<LONG>[outDim], norm2 Σproj² — the JL
+    * contract check: E[‖proj‖²] = outDim·‖q‖², so downstream distance
+    * estimates rescale by 1/outDim). Zero shuffle, one narrow pass;
+    * 100 TB cost is the scan itself. */
+  def randomProjection(vectors: DataFrame, outDim: Int = 8): DataFrame = {
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    val v = dvec(col("embedding"))
+    val qv = transform(v, x => round(x * 1000).cast("long"))
+    // high LCG bit via arithmetic shift — NOT the parity of the product
+    // (low bits of an LCG alternate); shiftright = floor-div for the
+    // positive operand range here, identical to SQL >> in both engines
+    val sgn = (i: Column, j: Column) =>
+      lit(1L) - lit(2L) * shiftright(i * 1103515245L + j * 12345L, 16)
+        .bitwiseAND(lit(1L))
+    val proj = when(size(qv) > 0,
+      transform(sequence(lit(0L), lit(outDim - 1L)), i =>
+        aggregate(
+          zip_with(qv, sequence(lit(0L), size(qv).cast("long") - 1L),
+            (x, j) => sgn(i, j) * x),
+          lit(0L), (acc, t) => acc + t)))
+      .otherwise(array_repeat(lit(0L), outDim))
+    vectors.select(col("vec_id"), proj.as("proj"))
+      .withColumn("norm2", aggregate(col("proj"), lit(0L), (a, p) => a + p * p))
+  }
 }

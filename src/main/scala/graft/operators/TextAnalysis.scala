@@ -402,4 +402,79 @@ object TextAnalysis {
       ellRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_ratio"),
       stopHits.as("n_stop_hits"), keep.as("keep"))
   }
+
+  // ------------------------------------------------------ phrase search
+
+  /** Exact phrase search over POSITIONAL postings — the IR operator the
+    * flat `postings` table can't answer (it has term frequencies, not
+    * adjacency). Each phrase term becomes a postings stream
+    * (doc, position); consecutive terms equi-join on
+    * (doc, pos_k = pos_1 + k), which is how a positional inverted index
+    * executes phrase queries. Output: (doc, n_matches) per document with
+    * ≥ 1 occurrence, match positions counted exactly (overlaps included).
+    *
+    * Scale shape: one posexplode pass builds the streams; the term
+    * filters cut each stream to that term's document frequency BEFORE
+    * any join (rare terms → tiny streams — the selectivity inverted
+    * indexes exist for), and the n−1 joins share the doc-keyed shuffle.
+    * No window, no distinct. */
+  def phraseSearch(docs: org.apache.spark.sql.DataFrame, id: String,
+                   text: Column, phrase: String): org.apache.spark.sql.DataFrame = {
+    val terms = phrase.split(" ").toSeq
+    require(terms.nonEmpty && terms.forall(_.nonEmpty), s"bad phrase '$phrase'")
+    val positions = docs.select(col(id),
+      posexplode(split(text, " ")).as(Seq("pos", "tok")))
+    val streams = terms.zipWithIndex.map { case (t, k) =>
+      positions.filter(col("tok") === t)
+        .select(col(id), (col("pos") - k).as("p0"))
+    }
+    val matches = streams.reduce((l, r) => l.join(r, Seq(id, "p0")))
+    matches.groupBy(col(id)).agg(count(lit(1)).as("n_matches"))
+  }
+
+  // ------------------------------------------------------ Zipf diagnostics
+
+  /** Zipf's-law slope of the corpus term distribution: least-squares fit
+    * of ln(freq) against ln(rank) over the top `topV` terms — the
+    * one-number corpus health check (natural text ≈ −1; boilerplate
+    * floods and template spam bend it). Returns one row:
+    * (n_terms, slope, intercept) with the fit in MICRO units end-to-end:
+    * ln values round to micro-nats (BIGINT), the normal-equation sums
+    * run exact in DECIMAL(38,0), and only the final two divisions touch
+    * doubles (rounded to 6dp) — cross-engine reproducible, no FP
+    * accumulation order anywhere.
+    *
+    * Scale shape: term counting is the partial-agg'd explode pass; the
+    * top-V cut is a count-ordered take (TakeOrderedAndProject — no full
+    * vocabulary sort), and the fit itself aggregates topV rows. The only
+    * partition-less stage operates on ≤ topV rows by construction —
+    * bounded by a constant, not by data. */
+  def zipfSlope(docs: org.apache.spark.sql.DataFrame, text: Column,
+                topV: Int = 500): org.apache.spark.sql.DataFrame = {
+    require(topV >= 2, s"topV must be >= 2, got $topV")
+    val freqs = docs.select(explode(split(text, " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok").asc).limit(topV)
+    // partition-less by design: the frame is ≤ topV rows (post-LIMIT)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f").desc, col("tok").asc)
+    val pts = freqs.withColumn("r", row_number().over(wRank).cast("long"))
+      .select(
+        round(log(col("r").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("f").cast("double")) * 1e6).cast("long").as("y"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    pts.agg(count(lit(1)).as("n"), sum(d(col("x"))).as("sx"),
+        sum(d(col("y"))).as("sy"), sum(d(col("x")) * d(col("y"))).as("sxy"),
+        sum(d(col("x")) * d(col("x"))).as("sxx"))
+      .select(col("n").as("n_terms"),
+        round((d(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (d(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round((col("sy").cast("double") -
+          (d(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (d(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double") *
+            col("sx").cast("double")) / col("n").cast("double"), 6)
+          .as("intercept"))
+  }
 }
