@@ -44,11 +44,29 @@ object SparkEntry {
   )
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-    // default; read as LONG nanos and convert where a query needs time.
+    // The events.ts physical type has varied across testdata generations:
+    // TIMESTAMP(NANOS) (read as LONG nanos via nanosAsLong) and
+    // TIMESTAMP(MICROS). Every operator downstream expects exact BIGINT
+    // epoch-nanoseconds, so normalize here at the scan boundary — a µs
+    // timestamp becomes unix_micros*1000 (lossless; the reverse of
+    // EventStreams.eventTime). inferTimestampNTZ is disabled so a
+    // naive-µs file loads as TimestampType holding the value as a UTC
+    // instant, matching DuckDB's epoch_us() reading of the same file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
   }
+
+  /** If `df` has a timestamp-typed `ts` column, rewrite it in place to
+    * BIGINT epoch-nanos (the shape the whole engine computes in). */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampType ||
+          f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+      case _ => df
+    }
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): jq-extract
     * the metric from the JSON props of the event stream, then aggregate
@@ -1867,8 +1885,15 @@ object SparkEntry {
     }),
 
     // Rademacher random projection to 8 exact-integer components
+    // proj is serialized to a canonical CSV string: the driver's pandas
+    // compare sorts every output column, and a raw array column is
+    // unsortable there (unhashable ndarray) — exact BIGINT components
+    // stringify identically in both engines, so nothing is lost
     "sim_rp" -> ((s, dir) =>
-      operators.Similarity.randomProjection(table(s, dir, "embeddings"), outDim = 8)),
+      operators.Similarity.randomProjection(table(s, dir, "embeddings"), outDim = 8)
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("proj"), _.cast("string"))).as("proj_s"),
+          col("norm2"))),
 
     // positional-postings phrase query: consecutive-term equi-join
     "text_phrase" -> ((s, dir) =>
@@ -1914,7 +1939,7 @@ object SparkEntry {
   /** The learn oracle: one row per merge from the b_i argmax CTEs. */
   private def bpeLearnOracle(n: Int): String =
     bpeOracleCtes(n) + "\n      " + (1 to n).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, pc AS pair_count FROM b$i"
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, CAST(pc AS BIGINT) AS pair_count FROM b$i"
     }.mkString("\n      UNION ALL ")
 
   /** The encode oracle: per-document char tokenization with `|` word
@@ -3622,7 +3647,7 @@ object SparkEntry {
                  AS BIGINT)
                 for i in range(0, 8)] AS proj
         FROM embeddings)
-      SELECT vec_id, proj,
+      SELECT vec_id, array_to_string(proj, ',') AS proj_s,
              CAST(list_sum(list_transform(proj, x -> x * x)) AS BIGINT) AS norm2
       FROM p""",
 

@@ -15,7 +15,7 @@ class StreamingSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
 
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = graft.SparkEntry.table(spark, sfDir, "events")
       .withColumn("ts", col("ts").cast("long"))
       .select("ts", "event_type", "value")
       .limit(500)
@@ -41,7 +41,7 @@ class StreamingSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
 
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = graft.SparkEntry.table(spark, sfDir, "events")
       .withColumn("ts", col("ts").cast("long"))
       .select("ts", "event_type", "props")
       .limit(500)
@@ -68,7 +68,7 @@ class StreamingSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
 
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = graft.SparkEntry.table(spark, sfDir, "events")
       .withColumn("ts", col("ts").cast("long"))
       .select("ts", "user_id")
       .limit(500)
@@ -97,7 +97,7 @@ class StreamingSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
 
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = graft.SparkEntry.table(spark, sfDir, "events")
       .select("event_id", "user_id")
       .limit(300)
     val dim = spark.read.parquet(s"$sfDir/customer.parquet")
@@ -160,7 +160,7 @@ class StreamingSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
 
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.SparkEntry.table(spark, sfDir, "events")
       .withColumn("ts", col("ts").cast("long"))
       .select("ts", "user_id", "event_id", "event_type")
       .limit(800)
@@ -222,7 +222,7 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
 
     // batch path of the same declaration = plain dropDuplicates backfill
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = graft.SparkEntry.table(spark, sfDir, "events")
       .withColumn("ts", col("ts").cast("long"))
       .select("ts", "props").limit(400)
     val expected = batch.collect().map(_.getString(1)).distinct.toSeq
@@ -241,7 +241,7 @@ class StreamingSpec extends SparkTestBase {
     import spark.implicits._
 
     val gap = 1800L * 1000 * 1000 * 1000
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = graft.SparkEntry.table(spark, sfDir, "events")
       .select(col("user_id"), col("ts").cast("long").as("ts"))
       .as[SessionEvent]
 
@@ -259,7 +259,7 @@ class StreamingSpec extends SparkTestBase {
       val streamed = spark.sql("SELECT user_id, session_start, duration_ns, n_events FROM sess_out")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       val batchAll = sessionizeBatch(
-        spark.read.parquet(s"$sfDir/events.parquet").withColumn("ts", col("ts").cast("long")), gap)
+        graft.SparkEntry.table(spark, sfDir, "events").withColumn("ts", col("ts").cast("long")), gap)
         .select("user_id", "session_start", "duration_ns", "n_events")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(streamed.nonEmpty, "expected some closed sessions")
