@@ -574,20 +574,43 @@ object Dedup {
                         minSim: Double, blockTokens: Int = 1,
                         lenBand: Int = 64): DataFrame = {
     require(minSim > 0 && minSim <= 1, s"minSim in (0,1], got $minSim")
+    val spark = docs.sparkSession
     val keyed = docs.select(col(id), text.as("t"))
       .withColumn("__blk", concat_ws("|",
         concat_ws(" ", slice(split(col("t"), " "), 1, blockTokens)),
         floor(length(col("t")) / lit(lenBand)).cast("long").cast("string")))
-    val a = keyed.select(col("__blk"), col(id).as("id_a"), col("t").as("t_a"))
-    val b = keyed.select(col("__blk"), col(id).as("id_b"), col("t").as("t_b"))
-    val maxLen = greatest(length(col("t_a")), length(col("t_b")))
-    a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b"))
-      .filter(abs(length(col("t_a")) - length(col("t_b"))).cast("double")
+      .withColumn("__len", length(col("t")))
+    // Distribute the verify by block key: with a broadcast build side the
+    // probe side would otherwise keep the scan's split count — for a
+    // single small file that is ONE task doing every Levenshtein
+    // single-threaded (measured 100s at sf0.1; 3.6s after). The exchange
+    // is the record-linkage blocking shuffle — the same one a sort-merge
+    // plan would need, so nothing extra at cluster scale.
+    val a = keyed
+      .repartition(spark.sparkContext.defaultParallelism, col("__blk"))
+      .select(col("__blk"), col(id).as("id_a"), col("t").as("t_a"), col("__len").as("len_a"))
+    val b = keyed.select(col("__blk"), col(id).as("id_b"), col("t").as("t_b"), col("__len").as("len_b"))
+    val maxLen = greatest(col("len_a"), col("len_b"))
+    // Banded Levenshtein: pass the pair's own edit budget
+    // k = ⌊(1−minSim)·maxLen⌋ as the expression's threshold — the kernel
+    // walks a (2k+1)-wide diagonal band and bails out (−1) the moment the
+    // band minimum exceeds k, turning the O(L²) table into O(L·k) with
+    // early exit on the (typical) non-duplicate candidate. lev ≥ 0 is then
+    // EXACTLY sim ≥ minSim (lev is integral), so the guard doubles as the
+    // similarity filter; the sim predicate stays for self-documentation.
+    val budget = floor((lit(1.0) - minSim) * maxLen).cast("int")
+    val lev = ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Levenshtein(
+        ColumnBridge.expression(col("t_a")),
+        ColumnBridge.expression(col("t_b")),
+        Some(ColumnBridge.expression(budget))))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(col("len_a") - col("len_b")).cast("double")
         <= (lit(1.0) - minSim) * maxLen)
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("t_a"), col("t_b")).cast("long").as("lev"),
-        (lit(1.0) - levenshtein(col("t_a"), col("t_b")) / maxLen.cast("double"))
-          .as("sim"))
-      .filter(col("sim") >= minSim)
+        lev.cast("long").as("lev"),
+        (lit(1.0) - lev / maxLen.cast("double")).as("sim"))
+      .filter(col("lev") >= 0 && col("sim") >= minSim)
   }
 }
