@@ -67,13 +67,17 @@ object Bench {
     def fmt(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
+    val nOk = results.size - nFailed
     // Full per-query detail goes to a file: the harness that captures this
     // process keeps only the tail of stdout, and a 108-entry map is ~3.5 KB —
     // a single line that long gets head-truncated into unparseable JSON.
     val detail = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
+    // n_queries counts only the queries inside the total; failures are
+    // separate so total/n_queries stay mutually consistent
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,"queries":$detail,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detailJson) finally w.close()
@@ -82,7 +86,7 @@ object Bench {
     // "queries" holds the slowest entries that fit; the rest are summarized.
     val budget = 1500
     val bySlowest = results.filter(_._2 >= 0).sortBy(-_._2) ++ results.filter(_._2 < 0)
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail_file":"BENCH_DETAIL.json","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,"sf":"$sfDir","detail_file":"BENCH_DETAIL.json","queries":{"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + 60 // reserve for closing braces + omitted field
     for ((k, v) <- bySlowest) {

@@ -1766,6 +1766,22 @@ object SparkEntry {
           element_at(col("features"), 8).cast("double").as("f8"))
     }),
 
+    // perceptual-hash image near-dup: real JDK PNG encode (gray GRADIENT
+    // rasters, dims/seed per doc) → real ImageIO decode → 64-bit dHash in
+    // four 16-bit bands → pigeonhole-exact band blocking → Hamming ≤ 3
+    // verify. The oracle replays the whole pixel path analytically
+    // (nearest-pixel 9×8 grid over the closed-form gradient), so an
+    // encode, decode, sampling, or banding defect breaks the hash.
+    "mm_phash_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = operators.Multimodal.pngMedia(
+        table(s, dir, "documents"), "doc_id",
+        lit(16) + col("n_chars") % 64, lit(16) + (col("n_chars") * 7) % 48,
+        gradient = true)
+      val hashes = operators.Multimodal.imageDhash(media)
+      operators.Multimodal.dhashNearDups(hashes, "media_id", maxDist = 3)
+    }),
+
     // frame sampling over decoded video records: every 7th frame index,
     // then per-media sampled-count and max index (deterministic through
     // the stub codec, so the explode arithmetic is driver-checked)
@@ -3330,6 +3346,49 @@ object SparkEntry {
              1::BIGINT AS n_frames,
              doc_id % 256 AS luma_q
       FROM documents""",
+
+    // the dHash pixel path replayed in closed form: gradient pixel
+    // (px·7 + py·13 + base) mod 256, grid px = ⌊gx·w/9⌋, py = ⌊gy·h/8⌋
+    // (gray pixels make Rec.601 luma = the gray level exactly), dHash bit
+    // = right-neighbor-brighter, 16-bit bands, pigeonhole candidates,
+    // Hamming ≤ 3 verify
+    "mm_phash_dedup" -> """
+      WITH p AS (
+        SELECT doc_id, 16 + n_chars % 64 AS w, 16 + (n_chars * 7) % 48 AS h,
+               doc_id % 256 AS base
+        FROM documents),
+      cells AS (
+        SELECT doc_id, gy, gx,
+               ((gx * w // 9) * 7 + (gy * h // 8) * 13 + base) % 256 AS l,
+               (((gx + 1) * w // 9) * 7 + (gy * h // 8) * 13 + base) % 256 AS lr
+        FROM p
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gy)
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gx)),
+      bits AS (
+        SELECT doc_id, gy * 8 + gx AS bit, CASE WHEN lr > l THEN 1 ELSE 0 END AS b
+        FROM cells),
+      hh AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN bit // 16 = 0 THEN b * (1 << (bit % 16)) ELSE 0 END) AS BIGINT) AS b0,
+          CAST(sum(CASE WHEN bit // 16 = 1 THEN b * (1 << (bit % 16)) ELSE 0 END) AS BIGINT) AS b1,
+          CAST(sum(CASE WHEN bit // 16 = 2 THEN b * (1 << (bit % 16)) ELSE 0 END) AS BIGINT) AS b2,
+          CAST(sum(CASE WHEN bit // 16 = 3 THEN b * (1 << (bit % 16)) ELSE 0 END) AS BIGINT) AS b3
+        FROM bits GROUP BY doc_id),
+      hb AS (
+        SELECT doc_id, band_idx, val FROM (
+          SELECT doc_id, 0 AS band_idx, b0 AS val FROM hh UNION ALL
+          SELECT doc_id, 1, b1 FROM hh UNION ALL
+          SELECT doc_id, 2, b2 FROM hh UNION ALL
+          SELECT doc_id, 3, b3 FROM hh)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM hb x JOIN hb y
+          ON x.band_idx = y.band_idx AND x.val = y.val AND x.doc_id < y.doc_id)
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1)) +
+                  bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) AS BIGINT) AS hamming
+      FROM cand JOIN hh a ON cand.id_a = a.doc_id JOIN hh c ON cand.id_b = c.doc_id
+      WHERE hamming <= 3""",
 
     "mm_frames" -> """
       SELECT doc_id AS media_id,

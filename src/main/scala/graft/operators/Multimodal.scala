@@ -109,6 +109,45 @@ object Multimodal {
       out
     }
 
+    /** 64-bit difference hash (dHash) of a decoded raster, returned as
+      * FOUR 16-bit bands (low band first) — the banded form is what the
+      * near-dup join keys on, and staying in 16-bit pieces sidesteps
+      * signed-overflow asymmetries between engines for bit 63.
+      *
+      * Classic dHash (Krawetz): sample a 9×8 luma grid, bit (gy,gx) =
+      * "right neighbor brighter". The grid is NEAREST-PIXEL indexed
+      * (px = ⌊gx·w/9⌋, py = ⌊gy·h/8⌋) rather than area-resampled, so the
+      * hash of a synthetic fixture is pure integer arithmetic an oracle
+      * can replicate; for real photos nearest-pixel is a standard dHash
+      * variant (resampling choice only shifts which near-dups collide). */
+    def dhashBands(im: BufferedImage): Array[Int] = {
+      val w = im.getWidth
+      val h = im.getHeight
+      // luma(px, py) quantized to the integer 0..255 Rec.601 sum used
+      // everywhere else in this file
+      def luma(gx: Int, gy: Int): Int = {
+        val px = math.min(gx * w / 9, w - 1)
+        val py = math.min(gy * h / 8, h - 1)
+        val rgb = im.getRGB(px, py)
+        ((299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+          114 * (rgb & 0xFF)) / 1000)
+      }
+      val bands = new Array[Int](4)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (luma(gx + 1, gy) > luma(gx, gy)) {
+            val bit = gy * 8 + gx
+            bands(bit >> 4) |= 1 << (bit & 15)
+          }
+          gx += 1
+        }
+        gy += 1
+      }
+      bands
+    }
+
     /** Deterministic PNG fixture, encoded by the real JDK PNG writer:
       * gray gradient (x·7 + y·13 + seed) mod 256, or a constant
       * seed mod 256 fill (`gradient = false`) whose mean luma is
@@ -267,6 +306,64 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
   }
 
+  /** Perceptual hash of every image-kind record: real ImageIO decode →
+    * dHash, emitted as (media_id, b0..b3) 16-bit bands. Records no reader
+    * accepts yield NULL bands (they cannot be perceptually compared).
+    * Narrow mapPartitions — no shuffle, payloads never leave their
+    * partition. */
+  def imageDhash(media: Dataset[MediaRecord])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val bands =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content)))
+          .map(MediaCodec.dhashBands)
+        catch { case _: Exception => None }
+      (r.media_id, bands.map(_(0)), bands.map(_(1)), bands.map(_(2)), bands.map(_(3)))
+    }).toDF("media_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Image near-dup pairs by banded dHash: candidates share at least one
+    * EXACT 16-bit band, then verified with the full 64-bit Hamming
+    * distance ≤ `maxDist`.
+    *
+    * With 4 bands, any pair at Hamming distance ≤ 3 differs in at most 3
+    * bands and so AGREES on at least one — for `maxDist < 4` the banding
+    * is pigeonhole-EXACT candidate generation, not an LSH probability.
+    * Scale shape is the SimHash discipline: explode ×4, shuffle on
+    * (band_idx, band_value), per-bucket self-join, distinct pair set —
+    * never all-pairs. A degenerate band value (e.g. flat images hashing
+    * to band 0) widens one bucket; cap it the way
+    * [[Dedup.minhashNearDups]] caps mega-buckets if a real corpus hits
+    * it. */
+  def dhashNearDups(hashes: DataFrame, idCol: String, maxDist: Int)
+      (implicit spark: SparkSession): DataFrame = {
+    require(maxDist >= 0 && maxDist < 4,
+      s"banded exactness holds for maxDist < 4 (bands=4), got $maxDist")
+    val withId = hashes.select(col(idCol).as("id"),
+      col("b0"), col("b1"), col("b2"), col("b3"))
+      .filter(col("b0").isNotNull)
+    val banded = withId.select(col("id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band_idx", "band_val")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val ha = withId.select(col("id").as("id_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val hb = withId.select(col("id").as("id_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    val ham = bit_count(col("a0").bitwiseXOR(col("c0"))) +
+      bit_count(col("a1").bitwiseXOR(col("c1"))) +
+      bit_count(col("a2").bitwiseXOR(col("c2"))) +
+      bit_count(col("a3").bitwiseXOR(col("c3")))
+    cand.join(ha, "id_a").join(hb, "id_b")
+      .select(col("id_a"), col("id_b"), ham.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Wrap any (id, string) DataFrame as a media table — used by tests and
     * the verification query to synthesize binary payloads. */
   def fromText(df: DataFrame, idCol: String, textCol: String, kind: String)
@@ -303,14 +400,15 @@ object Multimodal {
     * generator for exercising the real ImageIO decode path at any SF. */
   def pngMedia(df: DataFrame, idCol: String,
                widthCol: org.apache.spark.sql.Column,
-               heightCol: org.apache.spark.sql.Column)
+               heightCol: org.apache.spark.sql.Column,
+               gradient: Boolean = false)
       (implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"),
         widthCol.cast("int").as("w"), heightCol.cast("int").as("h"))
       .as[(Long, Int, Int)]
       .mapPartitions(_.map { case (id, w, h) =>
-        MediaRecord(id, "image", MediaCodec.syntheticPng(w, h, id, gradient = false))
+        MediaRecord(id, "image", MediaCodec.syntheticPng(w, h, id, gradient = gradient))
       })
   }
 }

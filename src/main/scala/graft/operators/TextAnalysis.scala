@@ -456,8 +456,11 @@ object TextAnalysis {
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("tok").asc).limit(topV)
-    // partition-less by design: the frame is ≤ topV rows (post-LIMIT)
+    // single-partition by design — the frame is ≤ topV rows (post-LIMIT),
+    // bounded by a constant. partitionBy(lit) declares that intent so the
+    // plan carries no unbounded partition-less WindowExec.
     val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
       .orderBy(col("f").desc, col("tok").asc)
     val pts = freqs.withColumn("r", row_number().over(wRank).cast("long"))
       .select(

@@ -477,6 +477,45 @@ class OperatorsSpec extends SparkTestBase {
     assert(out == Set((3L, 20, 30), (4L, 64, 16)))
   }
 
+  test("dHash: closed-form gradient hash, identical images pair at 0, banding is pigeonhole-exact") {
+    import spark.implicits._
+    import Multimodal._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // kernel vs closed form: gray gradient pixel (px·7+py·13+base) mod 256
+    // has luma == gray level, so the expected bands are pure arithmetic
+    def expectedBands(w: Int, h: Int, base: Int): Array[Int] = {
+      def l(gx: Int, gy: Int) = ((gx * w / 9) * 7 + (gy * h / 8) * 13 + base) % 256
+      val bands = new Array[Int](4)
+      for (gy <- 0 until 8; gx <- 0 until 8 if l(gx + 1, gy) > l(gx, gy)) {
+        val bit = gy * 8 + gx
+        bands(bit >> 4) |= 1 << (bit & 15)
+      }
+      bands
+    }
+    val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      MediaCodec.syntheticPng(37, 21, 5L)))
+    assert(MediaCodec.dhashBands(im).toSeq == expectedBands(37, 21, 5).toSeq)
+    // identical rasters (seed differs by 256 → same base) pair at hamming 0;
+    // the undecodable payload is dropped, not crashed on
+    val media = Seq(
+      MediaRecord(1L, "image", MediaCodec.syntheticPng(40, 24, 7L)),
+      MediaRecord(2L, "image", MediaCodec.syntheticPng(40, 24, 7L + 256L)),
+      MediaRecord(3L, "image", "junk bytes".getBytes)).toDS()
+    val pairs = dhashNearDups(imageDhash(media), "media_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 0L)))
+    // pigeonhole exactness on hand-built bands: one band flipped by one
+    // bit (hamming 1) MUST surface; four bands each off by one bit
+    // (hamming 4) must not — and cannot sneak in via a shared band
+    val hs = Seq(
+      (10L, 1, 2, 3, 4), (11L, 1, 2, 3, 5), // hamming 1 (band 3: 4^5=1 bit)
+      (20L, 8, 8, 8, 8), (21L, 9, 9, 9, 9)  // hamming 4, no band agrees
+    ).toDF("media_id", "b0", "b1", "b2", "b3")
+    val got = dhashNearDups(hs, "media_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 11L, 1L)))
+  }
+
   test("real audio decode: WAV roundtrip recovers rate/frames and exact segment features") {
     import spark.implicits._
     import Multimodal._
