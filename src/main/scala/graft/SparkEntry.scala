@@ -54,7 +54,19 @@ object SparkEntry {
     // instant, matching DuckDB's epoch_us() reading of the same file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+    val df = normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+    // The bench tables are single-row-group parquet files, so the scan is
+    // ONE task regardless of core count — every downstream kernel
+    // (jq/dedup/text) would run single-threaded. When the scan yields
+    // fewer splits than the session's parallelism, add one explicit
+    // exchange to spread the work; filters and column pruning still reach
+    // the scan (Catalyst pushes both through Repartition, verified via
+    // .explain: PushedFilters stays populated). On a real multi-TB layout
+    // the scan splits exceed parallelism and this is a no-op — the
+    // repartition exists exactly when file granularity, not data volume,
+    // is the parallelism limit.
+    val par = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
 
   /** If `df` has a timestamp-typed `ts` column, rewrite it in place to

@@ -339,9 +339,16 @@ object Multimodal {
       (implicit spark: SparkSession): DataFrame = {
     require(maxDist >= 0 && maxDist < 4,
       s"banded exactness holds for maxDist < 4 (bands=4), got $maxDist")
-    val withId = hashes.select(col(idCol).as("id"),
-      col("b0"), col("b1"), col("b2"), col("b3"))
-      .filter(col("b0").isNotNull)
+    // The hash frame feeds THREE plan arms (banding + both verify
+    // sides); without materialization each arm would re-run the upstream
+    // decode+hash — for real media that is the whole codec cost ×3.
+    // The frame is bounded tiny state (one row of five ints per image),
+    // the same return-one-small-checkpointed-frame contract the
+    // iterative operators follow (see Checkpoints scaladoc).
+    val withId = Checkpoints.checkpoint(
+      hashes.select(col(idCol).as("id"),
+        col("b0"), col("b1"), col("b2"), col("b3"))
+        .filter(col("b0").isNotNull))
     val banded = withId.select(col("id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("band_idx", "band_val")))
