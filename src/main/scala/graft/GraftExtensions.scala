@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
+    // jq index paths over typed struct/map columns compile to native
+    // Catalyst field accesses (nested-schema pruning + codegen); see
+    // graft.plans.JqPathCompile for the equivalence argument.
+    e.injectOptimizerRule(_ => graft.plans.JqPathCompile)
   }
 }
 

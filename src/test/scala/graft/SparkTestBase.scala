@@ -15,6 +15,10 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+    // run EVERY suite with the production session extensions installed —
+    // the JqPathCompile rewrite must stay interpreter-equivalent, and the
+    // whole spec surface is the regression net for that
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 
   def sfDir = "/root/testdata/sf0.001"
