@@ -1017,6 +1017,30 @@ object SparkEntry {
           Jq.long(".k", parse_json(col("props"))).as("k"),
           Jq.long(".a.b.c", parse_json(col("doc"))).as("c"))),
 
+    // jq over a TYPED (struct) carrier, aggregated — the whole query runs
+    // through the JqPathCompile optimizer rule: the index paths become
+    // native GetStructField accesses inside whole-stage codegen, so the
+    // plan is a plain scan → agg with no interpreter node (the rule's
+    // equivalence contract is what this row hash-gates; plan-shape
+    // evidence lives in JqPathCompileSpec)
+    "jq_typed_path" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val d = struct(
+        struct(col("l_quantity").as("qty"), col("l_discount").as("disc")).as("m"),
+        col("l_returnflag").as("flag"))
+      li.select(d.as("d"))
+        .select(Jq.string(".flag", col("d")).as("flag"),
+          Jq.double(".m.qty", col("d")).as("qty"),
+          Jq.double(".m.disc", col("d")).as("disc"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          operators.Relational.dsum(col("qty")).as("sq"),
+          operators.Relational.dsum(col("disc")).as("sd"))
+        .select(col("flag"), col("n"),
+          col("sq").cast("double").as("sum_qty"),
+          col("sd").cast("double").as("sum_disc"))
+    }),
+
     // walk builtin + user-def recursive closure (round-5 specialization
     // cells: `uw(f)` inside uw's own body) + a mid-pipeline def — all
     // three of round 5's jq-language additions in one hash-gated row
@@ -2866,6 +2890,12 @@ object SparkEntry {
              CAST(json_extract(e.props, '$$.k') AS BIGINT) AS k,
              CAST(json_extract(d.doc, '$$.a.b.c') AS BIGINT) AS c
       FROM events e JOIN d ON e.event_id = d.event_id""",
+
+    "jq_typed_path" -> """
+      SELECT l_returnflag AS flag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+      FROM lineitem GROUP BY 1""",
 
     "jq_walk" -> """
       WITH d AS (SELECT event_id, event_id % 100 + 1 AS c, event_type AS t,
