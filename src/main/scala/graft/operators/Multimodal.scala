@@ -39,6 +39,11 @@ object Multimodal {
 
   /** Codec kernels. Image = real JDK ImageIO; audio/video = stub. */
   object MediaCodec {
+    // ImageIO defaults to a FILE-backed stream cache: under partition
+    // parallelism every decode/encode contends on temp-dir I/O (measured
+    // 3× slowdown at 32 tasks). All payloads here are in-memory byte
+    // arrays — the memory cache is strictly better.
+    javax.imageio.ImageIO.setUseCache(false)
     val FeatureDim = 8
     private val GridRows = 2
     private val GridCols = FeatureDim / GridRows

@@ -191,6 +191,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == truth, s"blocked missed ${truth -- got}, invented ${got -- truth}")
   }
 
+  test("editDistancePairs: banded threshold == unbanded Levenshtein at the sim boundary") {
+    import spark.implicits._
+    // same first token + same length band -> all candidates; lengths 20
+    // so the edit budget at minSim=0.8 is exactly floor(0.2*20)=4
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc dddd1"), // reference
+      (2L, "aaaa bbbb cccc dddd2"), // lev 1  -> sim 0.95  keep
+      (3L, "aaaa bbbb cccc qqqq4"), // lev 5 from every keeper -> sim 0.75 drop (band bails out)
+      (4L, "aaaa bbbb cccc ddxx5"), // lev 3  -> sim 0.85  keep
+      (5L, "aaaa yyyy zzzz wwww6")  // lev 13 -> far; early bail-out path
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", col("text"), minSim = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // unbanded truth over the same candidates
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("ta"))
+    val b = docs.select(col("doc_id").as("id_b"), col("text").as("tb"))
+    val truth = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+        greatest(length(col("ta")), length(col("tb"))).cast("double").as("ml"))
+      .filter(lit(1.0) - col("lev") / col("ml") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == truth, s"banded $got != unbanded $truth")
+    assert(got.map(t => (t._1, t._2)) == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // the reported lev for kept pairs is the EXACT distance, not a bound
+    assert(got.forall { case (_, _, lev) => lev >= 0 && lev <= 4 })
+  }
+
   test("SRP-LSH near-dup: recall is exactly 1 for byte-identical vectors") {
     val copies = emb.withColumn("vec_id", col("vec_id") + lit(1000000))
     val pairs = Similarity.nearDupPairsLSH(emb.unionByName(copies), 0.9, dim = 64)
