@@ -1363,6 +1363,13 @@ object SparkEntry {
         table(s, dir, "documents"), "doc_id", col("text"),
         col("lang") === "en")),
 
+    // cluster-balanced diversity sample: SemDeDup centroid assignment +
+    // flat deterministic quota per cluster (WindowGroupLimit bounds the
+    // rank exchange to n rows per cluster per input partition)
+    "curation_cluster_sample" -> ((s, dir) =>
+      operators.Curation.clusterBalancedSample(
+        table(s, dir, "embeddings"), SemCentroids, perCluster = 25)),
+
     // CAPSTONE 3 — hybrid retrieval with reciprocal-rank fusion: a
     // semantic ranking (exact cosine top-20) and a lexical ranking
     // (distinct-token overlap top-20) fuse by RRF with FIXED-POINT
@@ -3110,6 +3117,29 @@ object SparkEntry {
         FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
         WHERE CAST(round(1e6 * list_cosine_similarity(x.v, y.v)) AS BIGINT) >= 450000)
       SELECT vec_id, cluster FROM a WHERE vec_id NOT IN (SELECT vec_id FROM d)"""
+    },
+
+    // same centroid-argmax CTE as dedup_semantic; the quota draw is the
+    // lcg integer replayed verbatim
+    "curation_cluster_sample" -> {
+      def lst(c: Seq[Double]) = c.mkString("[", ", ", "]")
+      val sims = SemCentroids
+        .map(c => s"CAST(round(1e6 * list_cosine_similarity(v, ${lst(c)})) AS BIGINT)")
+        .mkString("[", ", ", "]")
+      s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      a AS (
+        SELECT vec_id, CAST(list_position(sims, list_max(sims)) AS BIGINT) AS cluster
+        FROM (SELECT vec_id, v, $sims AS sims FROM e)),
+      r AS (
+        SELECT vec_id, cluster,
+               CAST(row_number() OVER (PARTITION BY cluster
+                 ORDER BY ((vec_id % 1000003) * 2654435761) % 4294967296, vec_id)
+                 AS BIGINT) AS rk
+        FROM a)
+      SELECT vec_id, cluster, rk FROM r WHERE rk <= 25"""
     },
 
     "dedup_embedding_lsh" ->

@@ -312,6 +312,32 @@ object Curation {
     out
   }
 
+  /** Cluster-balanced diversity sampling: assign every embedding to its
+    * nearest plan-literal centroid ([[Similarity.assignClusters]] — the
+    * SemDeDup assignment, zero exchanges), then keep at most
+    * `perCluster` rows per cluster by a DETERMINISTIC draw — rank within
+    * cluster on ([[lcgUniform]]'s integer form, id). The flat-per-cluster
+    * quota is the curation move that stops a corpus's majority mode from
+    * swamping a sample (DataComp-style cluster filtering / diversity
+    * sampling).
+    *
+    * Scale shape: ONE exchange on the cluster key for the rank window,
+    * and the `rank ≤ n` filter triggers WindowGroupLimit, so each input
+    * partition forwards at most n rows per cluster into that exchange —
+    * the shuffle carries O(C·n·P_in) bounded rows, never the corpus.
+    * The draw is a pure function of the id: the kept set survives
+    * retries, repartitioning, and engine ports bit-for-bit. */
+  def clusterBalancedSample(vectors: DataFrame, centroids: Seq[Seq[Double]],
+                            perCluster: Int): DataFrame = {
+    require(perCluster >= 1, s"perCluster must be >= 1, got $perCluster")
+    val draw = pmod(pmod(col("vec_id"), lit(1000003L)) * lit(2654435761L), lit(4294967296L))
+    val w = Window.partitionBy(col("cluster")).orderBy(draw.asc, col("vec_id").asc)
+    Similarity.assignClusters(vectors, centroids)
+      .select(col("vec_id"), col("cluster"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perCluster)
+  }
+
   // ------------------------------------------------- epoch budgeting
 
   /** Data-constrained epoch planner: split a total token `budget` across

@@ -142,16 +142,23 @@ object Similarity {
     * differences. Ties: first max wins (array_position), smallest id
     * kept. Zero vectors (cosine NaN) are a precondition violation —
     * embed-before-dedup pipelines never emit them. */
-  def semanticDedup(vectors: DataFrame, centroids: Seq[Seq[Double]],
-                    thresholdMicro: Long): DataFrame = {
-    require(centroids.nonEmpty, "semanticDedup needs at least one centroid")
+  /** Nearest-plan-literal-centroid assignment: (vec_id, v, cluster) with
+    * the micro-quantized integer argmax ([[semanticDedup]]'s determinism
+    * contract — first max wins on ties). Zero exchanges: a codegen'd
+    * projection that splits with the scan. */
+  def assignClusters(vectors: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "assignClusters needs at least one centroid")
     val v = vectors.select(col("vec_id"), dvec(col("embedding")).as("v"))
     val simq = centroids.map(c =>
       round(cosine(col("v"), array(c.map(lit(_)): _*)) * 1e6).cast("long"))
-    val assigned = v
-      .withColumn("sims", array(simq: _*))
+    v.withColumn("sims", array(simq: _*))
       .withColumn("cluster", expr("array_position(sims, array_max(sims))").cast("bigint"))
       .select(col("vec_id"), col("v"), col("cluster"))
+  }
+
+  def semanticDedup(vectors: DataFrame, centroids: Seq[Seq[Double]],
+                    thresholdMicro: Long): DataFrame = {
+    val assigned = assignClusters(vectors, centroids)
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = assigned.select(col("cluster"), col("vec_id").as("id_b"), col("v").as("vb"))
     val dropped = a.join(b, Seq("cluster")) // equi-join on cluster: C balanced tasks

@@ -186,6 +186,29 @@ class CurationSpec extends SparkTestBase {
     assert(keeps.keySet === Set(true, false), s"expected a split, got $keeps")
   }
 
+  test("clusterBalancedSample: quota honored, partitioning-invariant, group-limited plan") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Seq(
+      Seq.tabulate(64)(i => if (i % 2 == 0) 1.0 else 0.0),
+      Seq.tabulate(64)(i => if (i % 2 == 1) 1.0 else 0.0),
+      Seq.tabulate(64)(i => math.sin(i + 1.0)))
+    val kept = Curation.clusterBalancedSample(emb, cents, perCluster = 5)
+    val rows = kept.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // quota: at most 5 per cluster, ranks are 1..n without gaps
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster.forall(_._2.length <= 5))
+    assert(byCluster.forall { case (_, g) => g.map(_._3).sorted.toSeq == (1 to g.length).map(_.toLong) })
+    assert(byCluster.size > 1, "fixture should populate several clusters")
+    // deterministic under a different input partitioning
+    val again = Curation.clusterBalancedSample(emb.repartition(7), cents, perCluster = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == again.toSet)
+    // the rank<=n filter must reach the window as a group limit so no
+    // cluster materializes more than n rows per partition pre-exchange
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("lcgUniform/hashUniform land in [0,1) and are key-deterministic") {
     val u = docs.select(
       Curation.lcgUniform(col("doc_id")).as("u1"),
