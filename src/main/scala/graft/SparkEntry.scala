@@ -1370,6 +1370,17 @@ object SparkEntry {
       operators.Curation.clusterBalancedSample(
         table(s, dir, "embeddings"), SemCentroids, perCluster = 25)),
 
+    // contamination evidence: maximal matched-3-gram word spans per
+    // (train doc, bench doc) — the leakage-audit report behind the
+    // pipeline_decontam counts (same synthetic bench split)
+    "curation_decontam_spans" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      operators.Curation.contaminationSpans(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", col("text"), n = 3)
+    }),
+
     // CAPSTONE 3 — hybrid retrieval with reciprocal-rank fusion: a
     // semantic ranking (exact cosine top-20) and a lexical ranking
     // (distinct-token overlap top-20) fuse by RRF with FIXED-POINT
@@ -2385,6 +2396,27 @@ object SparkEntry {
       SELECT tr.doc_id, count(DISTINCT tr.sgram) AS n_hits
       FROM tr JOIN ev USING (sgram)
       GROUP BY tr.doc_id HAVING count(DISTINCT tr.sgram) >= 2""",
+
+    // positioned 3-grams on both sides, islands by pos - row_number
+    "curation_decontam_spans" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+      g AS (
+        SELECT doc_id, u.pos, u.g FROM (
+          SELECT doc_id, unnest([{'pos': i - 1, 'g': s[i] || ' ' || s[i+1] || ' ' || s[i+2]}
+                                 for i in range(1, len(s) - 1)]) AS u
+          FROM t WHERE len(s) >= 3)),
+      tr AS (SELECT doc_id, pos, g FROM g WHERE doc_id % 37 <> 0),
+      ev AS (SELECT DISTINCT doc_id AS bench_id, g FROM g WHERE doc_id % 37 = 0),
+      hits AS (
+        SELECT tr.doc_id, ev.bench_id, tr.pos,
+               tr.pos - row_number() OVER (PARTITION BY tr.doc_id, ev.bench_id
+                                           ORDER BY tr.pos) AS island
+        FROM tr JOIN ev USING (g))
+      SELECT doc_id, bench_id,
+             CAST(min(pos) AS BIGINT) AS start_word,
+             CAST(max(pos) + 2 AS BIGINT) AS end_word,
+             count(*) AS n_grams
+      FROM hits GROUP BY doc_id, bench_id, island""",
 
     "pipeline_stratified" -> """
       SELECT doc_id, lang, source FROM documents

@@ -48,6 +48,45 @@ object Curation {
       .filter(col("n_hits") >= minOverlap)
   }
 
+  /** Contamination EVIDENCE spans — the forensic companion of
+    * [[contaminationHits]]: for every (train doc, benchmark doc) pair,
+    * the maximal runs of consecutive matched n-grams, as word intervals
+    * (`start_word`..`end_word` inclusive, with the matched-gram count).
+    * A count says a doc leaked; the spans say WHERE — what an opt-out /
+    * takedown / leakage-audit report needs.
+    *
+    * Scale shape: the train side explodes to positioned n-grams
+    * NARROWLY (no corpus shuffle); the benchmark side (eval sets — tiny
+    * by definition) deduplicates and broadcasts; only the HIT rows —
+    * contamination is sparse by assumption — pay the one exchange for
+    * the per-(doc, bench) gaps-and-islands merge. */
+  def contaminationSpans(train: DataFrame, bench: DataFrame, id: String,
+                         text: Column, n: Int = 8,
+                         broadcastBench: Boolean = true): DataFrame = {
+    require(n >= 1, s"need n>=1, got n=$n")
+    def grams(df: DataFrame, asId: String): DataFrame = {
+      val toks = split(text, " ")
+      val g = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      df.select(col(id).as(asId), posexplode(g).as(Seq("pos", "g")))
+    }
+    val tr = grams(train, "doc_id")
+    val ev0 = grams(bench, "bench_id").select(col("bench_id"), col("g")).distinct()
+    val ev = if (broadcastBench) broadcast(ev0) else ev0
+    // consecutive positions share (pos - row_number) — the islands key
+    val w = Window.partitionBy(col("doc_id"), col("bench_id")).orderBy(col("pos"))
+    tr.join(ev, "g")
+      .withColumn("__island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("bench_id"), col("__island"))
+      .agg(min(col("pos")).cast("long").as("start_word"),
+        (max(col("pos")) + lit(n - 1)).cast("long").as("end_word"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("bench_id"),
+        col("start_word"), col("end_word"), col("n_grams"))
+  }
+
   /** Blocklist decontamination with a Bloom-filter prefilter: rows of
     * `corpus` whose `key` does NOT appear in `blocklist.blockKey` —
     * exactly an anti-join, computed without ever shuffling the corpus.

@@ -186,6 +186,24 @@ class CurationSpec extends SparkTestBase {
     assert(keeps.keySet === Set(true, false), s"expected a split, got $keeps")
   }
 
+  test("contaminationSpans: maximal islands, split matches stay split, word bounds exact") {
+    import spark.implicits._
+    //                 0   1     2     3   4     5    6   7    8     9
+    val train = Seq(
+      (1L, "aa the quick brown fox zz xx over the lazy dog tail"),
+      (2L, "nothing shared here at all totally different words")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val spans = Curation.contaminationSpans(train, bench, "doc_id", col("text"), n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // doc 1 matches bench 3-grams in TWO separated runs:
+    //   "the quick brown fox" at words 1..4   (grams at pos 1, 2)
+    //   "over the lazy dog"   at words 7..10  (grams at pos 7, 8)
+    assert(spans == Set((1L, 100L, 1L, 4L, 2L), (1L, 100L, 7L, 10L, 2L)),
+      s"got $spans")
+  }
+
   test("clusterBalancedSample: quota honored, partitioning-invariant, group-limited plan") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cents = Seq(
