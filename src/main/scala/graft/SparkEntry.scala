@@ -1836,6 +1836,29 @@ object SparkEntry {
       operators.Multimodal.dhashNearDups(hashes, "media_id", maxDist = 3)
     }),
 
+    // REAL multi-frame video decode: one JDK-encoded animated GIF per
+    // document (dims + frame count from n_chars, constant-gray frames
+    // seeded by doc_id), read back frame-by-frame through ImageIO — the
+    // oracle predicts the actual frame count and the temporal luma
+    // samples in closed form, so a container/frame-enumeration/pixel
+    // defect breaks the hash. (GIF is the one video container the JDK
+    // ships a codec for; MP4/WebM stay behind the documented stub.)
+    "mm_video" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = operators.Multimodal.gifMedia(
+        table(s, dir, "documents"), "doc_id",
+        lit(16) + col("n_chars") % 32, lit(16) + (col("n_chars") * 5) % 24,
+        lit(1) + col("n_chars") % 12)
+      operators.Multimodal.decode(media).toDF()
+        .select(col("media_id"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("n_frames").cast("bigint").as("n_frames"),
+          round(element_at(col("features"), 1) * 255).cast("bigint").as("g1"),
+          round(element_at(col("features"), 4) * 255).cast("bigint").as("g4"),
+          round(element_at(col("features"), 8) * 255).cast("bigint").as("g8"))
+    }),
+
     // frame sampling over decoded video records: every 7th frame index,
     // then per-media sampled-count and max index (deterministic through
     // the stub codec, so the explode arithmetic is driver-checked)
@@ -3493,6 +3516,21 @@ object SparkEntry {
                   bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) AS BIGINT) AS hamming
       FROM cand JOIN hh a ON cand.id_a = a.doc_id JOIN hh c ON cand.id_b = c.doc_id
       WHERE hamming <= 3""",
+
+    // frame f is constant gray (f·37 + id) mod 256; feature i samples
+    // frame ⌊i·n/8⌋, and round(g/255·255) recovers g exactly
+    "mm_video" -> """
+      WITH p AS (
+        SELECT doc_id, 16 + n_chars % 32 AS w, 16 + (n_chars * 5) % 24 AS h,
+               1 + n_chars % 12 AS n
+        FROM documents)
+      SELECT doc_id AS media_id,
+             CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(n AS BIGINT) AS n_frames,
+             CAST(doc_id % 256 AS BIGINT) AS g1,
+             CAST((((3 * n) // 8) * 37 + doc_id) % 256 AS BIGINT) AS g4,
+             CAST((((7 * n) // 8) * 37 + doc_id) % 256 AS BIGINT) AS g8
+      FROM p""",
 
     "mm_frames" -> """
       SELECT doc_id AS media_id,

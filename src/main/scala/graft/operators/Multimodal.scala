@@ -15,9 +15,11 @@ import java.awt.image.BufferedImage
   * with the JDK (WAV/AIFF/AU container + PCM parsing, no audio hardware
   * touched), so audio payloads decode to their actual sample rate,
   * channel count, frame count, and per-segment amplitude features. The
-  * VIDEO kind — and payloads no installed reader accepts — falls back to
-  * [[MediaCodec.decodeStub]], a deterministic fake (no video codec exists
-  * in the JDK); the fallback keeps arbitrary-bytes plumbing tests
+  * VIDEO kind decodes REAL animated GIF — the one video container the
+  * JDK ships a codec for — frame-by-frame (actual frame count, temporal
+  * luma envelope). Payloads no installed reader accepts (MP4/WebM-class
+  * codecs the JDK lacks) fall back to [[MediaCodec.decodeStub]], a
+  * deterministic fake; the fallback keeps arbitrary-bytes plumbing tests
   * runnable and is the single seam where a JavaCV/JNI codec would slot
   * in.
   *
@@ -248,6 +250,90 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Mean Rec.601 luma of a whole frame in [0,1] — exact for
+      * constant-fill fixtures (gray g decodes to g/255 after the
+      * integer-sum divide, one correctly-rounded float step). */
+    def meanLuma(im: BufferedImage): Float = {
+      val w = im.getWidth
+      val h = im.getHeight
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          sum += (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+            114 * (rgb & 0xFF)) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      if (w == 0 || h == 0) 0f else (sum / (255.0 * w * h)).toFloat
+    }
+
+    /** REAL multi-frame video decode for the one video container the JDK
+      * ships a codec for: animated GIF (ImageIO's reader enumerates and
+      * decodes every frame). width/height from frame 0, n_frames is the
+      * ACTUAL frame count, feature i = mean luma of the frame at index
+      * ⌊i·n/FeatureDim⌋ — a deterministic temporal sample of the clip's
+      * brightness envelope. None when no installed reader accepts the
+      * payload or it has no frames (caller falls back to the stub, which
+      * remains the documented seam for MP4/WebM-class codecs the JDK
+      * lacks). */
+    def decodeVideo(r: MediaRecord): Option[DecodedMedia] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); None }
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            if (n <= 0) None
+            else {
+              val first = reader.read(0)
+              val features = Array.tabulate(FeatureDim) { i =>
+                meanLuma(reader.read((i.toLong * n / FeatureDim).toInt))
+              }
+              Some(DecodedMedia(r.media_id, r.kind, r.content.length.toLong,
+                first.getWidth, first.getHeight, n_frames = n, features = features))
+            }
+          } finally { reader.dispose(); iis.close() }
+        }
+      } catch { case _: Exception => None }
+
+    /** Deterministic animated-GIF fixture, encoded by the real JDK GIF
+      * sequence writer: `nFrames` constant-gray frames, frame f filled
+      * with (f·37 + seed) mod 256 — constant fills survive GIF's palette
+      * quantization exactly, so an oracle predicts every decoded frame's
+      * luma in closed form. */
+    def syntheticGif(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+      require(width > 0 && height > 0 && nFrames > 0,
+        s"GIF fixture needs positive dims/frames, got ${width}x$height x$nFrames")
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val g = java.lang.Math.floorMod(f.toLong * 37 + seed, 256L).toInt
+          val im = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+          val gr = im.createGraphics()
+          gr.setColor(new java.awt.Color(g, g, g))
+          gr.fillRect(0, 0, width, height)
+          gr.dispose()
+          writer.writeToSequence(new javax.imageio.IIOImage(im, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
     /** STUB codec for the video kind (and undecodable image/audio bytes) —
       * deterministic fake standing in for a real decoder: every field
       * derives purely from the payload so tests and oracles are
@@ -272,11 +358,12 @@ object Multimodal {
     def resizeStub(d: DecodedMedia, w: Int, h: Int): DecodedMedia =
       d.copy(width = w, height = h)
 
-    /** Kind dispatch: real image and audio paths first, stub for video
-      * and anything the JDK readers reject. */
+    /** Kind dispatch: real image, audio, and (GIF) video paths first;
+      * the stub only for payloads no JDK reader accepts. */
     def decodeAny(r: MediaRecord): DecodedMedia =
       if (r.kind == "image") decodeImage(r).getOrElse(decodeStub(r))
       else if (r.kind == "audio") decodeAudio(r).getOrElse(decodeStub(r))
+      else if (r.kind == "video") decodeVideo(r).getOrElse(decodeStub(r))
       else decodeStub(r)
   }
 
@@ -402,6 +489,26 @@ object Multimodal {
       .as[(Long, Int, Int)]
       .mapPartitions(_.map { case (id, sr, n) =>
         MediaRecord(id, "audio", MediaCodec.syntheticWav(sr, n, id))
+      })
+  }
+
+  /** Deterministic REAL-GIF media table: one JDK-encoded animated GIF per
+    * input row (dims/frame count from the given column expressions,
+    * frames seeded by the id), encoded partition-parallel — the fixture
+    * generator for exercising the real multi-frame video decode path at
+    * any SF. */
+  def gifMedia(df: DataFrame, idCol: String,
+               widthCol: org.apache.spark.sql.Column,
+               heightCol: org.apache.spark.sql.Column,
+               framesCol: org.apache.spark.sql.Column)
+      (implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        widthCol.cast("int").as("w"), heightCol.cast("int").as("h"),
+        framesCol.cast("int").as("n"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h, n) =>
+        MediaRecord(id, "video", MediaCodec.syntheticGif(w, h, n, id))
       })
   }
 

@@ -504,6 +504,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(out == Set((3L, 20, 30), (4L, 64, 16)))
   }
 
+  test("real video decode: animated-GIF roundtrip recovers frame count and per-frame luma") {
+    import spark.implicits._
+    import Multimodal._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // kernel: 5 frames, frame f constant gray (f*37 + 9) mod 256
+    val d = MediaCodec.decodeVideo(
+      MediaRecord(9L, "video", MediaCodec.syntheticGif(24, 18, 5, 9L))).get
+    assert(d.width == 24 && d.height == 18 && d.n_frames == 5)
+    // feature i samples frame floor(i*5/8): frames 0,0,1,1,2,3,3,4
+    val expect = Array(0, 0, 1, 1, 2, 3, 3, 4).map(f => (f * 37 + 9) % 256)
+    assert(d.features.map(f => math.round(f * 255)).toSeq == expect.toSeq)
+    // single-frame GIF degenerates cleanly
+    val one = MediaCodec.decodeVideo(
+      MediaRecord(3L, "video", MediaCodec.syntheticGif(16, 16, 1, 3L))).get
+    assert(one.n_frames == 1 && math.round(one.features(7) * 255) == 3)
+    // non-video bytes under the video kind keep the stub fallback
+    val junk = MediaCodec.decodeAny(MediaRecord(7L, "video", "not a gif".getBytes))
+    assert(junk.n_frames == 1 + ("not a gif".length % 30))
+    // distributed: gifMedia → decode roundtrips the frame count per row
+    val df = Seq((3L, 20, 16, 4), (4L, 32, 20, 7)).toDF("id", "w", "h", "n")
+    val out = decode(gifMedia(df, "id", col("w"), col("h"), col("n")))
+      .collect().map(x => (x.media_id, x.width, x.height, x.n_frames)).toSet
+    assert(out == Set((3L, 20, 16, 4), (4L, 32, 20, 7)))
+  }
+
   test("dHash: closed-form gradient hash, identical images pair at 0, banding is pigeonhole-exact") {
     import spark.implicits._
     import Multimodal._
