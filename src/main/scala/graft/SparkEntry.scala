@@ -1859,15 +1859,17 @@ object SparkEntry {
           round(element_at(col("features"), 8) * 255).cast("bigint").as("g8"))
     }),
 
-    // frame sampling over decoded video records: every 7th frame index,
-    // then per-media sampled-count and max index (deterministic through
-    // the stub codec, so the explode arithmetic is driver-checked)
+    // frame sampling over REAL decoded video (the same GIF frame counts
+    // mm_video verifies): every 3rd frame index, then per-media
+    // sampled-count and max index — the decode→sample composition runs
+    // on actual frame enumeration, not stub arithmetic
     "mm_frames" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val media = operators.Multimodal.fromText(
-        table(s, dir, "documents"), "doc_id", "text", "video")
+      val media = operators.Multimodal.gifMedia(
+        table(s, dir, "documents"), "doc_id",
+        lit(16), lit(16), lit(1) + col("n_chars") % 12)
       val decoded = operators.Multimodal.decode(media)
-      operators.Multimodal.sampleFrames(decoded, stride = 7)
+      operators.Multimodal.sampleFrames(decoded, stride = 3)
         .groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_sampled"),
           max(col("frame_idx")).cast("bigint").as("max_idx"))
@@ -3532,10 +3534,11 @@ object SparkEntry {
              CAST((((7 * n) // 8) * 37 + doc_id) % 256 AS BIGINT) AS g8
       FROM p""",
 
+    // real frame count n = 1 + n_chars % 12, stride 3 over 0..n-1
     "mm_frames" -> """
       SELECT doc_id AS media_id,
-             ((1 + strlen(text) % 30) - 1) // 7 + 1 AS n_sampled,
-             (((1 + strlen(text) % 30) - 1) // 7) * 7 AS max_idx
+             ((1 + n_chars % 12) - 1) // 3 + 1 AS n_sampled,
+             (((1 + n_chars % 12) - 1) // 3) * 3 AS max_idx
       FROM documents""",
 
     // analytic re-derivation of the decoded WAV: the waveform formula
