@@ -1779,8 +1779,9 @@ object SparkEntry {
     // from n_chars, constant gray = doc_id mod 256), read back through
     // javax.imageio — the oracle predicts the decoded width/height and
     // the luma-feature gray level analytically, so any encode/decode or
-    // pixel-path defect breaks the hash. Audio/video stay stubbed
-    // (documented; no codecs in this environment).
+    // pixel-path defect breaks the hash. (Audio decodes real WAV in
+    // mm_audio; video decodes real GIF in mm_video/mm_frames — the stub
+    // remains only for payloads no JDK reader accepts.)
     "mm_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val media = operators.Multimodal.pngMedia(

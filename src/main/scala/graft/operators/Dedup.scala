@@ -583,13 +583,18 @@ object Dedup {
     // Distribute the verify by block key: with a broadcast build side the
     // probe side would otherwise keep the scan's split count — for a
     // single small file that is ONE task doing every Levenshtein
-    // single-threaded (measured 100s at sf0.1; 3.6s after). The exchange
+    // single-threaded (measured 100s at sf0.1; 3.2s after). The exchange
     // is the record-linkage blocking shuffle — the same one a sort-merge
-    // plan would need, so nothing extra at cluster scale.
-    val a = keyed
-      .repartition(spark.sparkContext.defaultParallelism, col("__blk"))
+    // plan would need, so nothing extra at cluster scale. Repartition the
+    // SHARED frame before forking both sides: whichever side the planner
+    // streams (build-side choice is a stats tie-break here) is
+    // distributed — repartitioning only one side would silently revert
+    // to the single-task pathology if the tie-break ever flipped.
+    val blocked = keyed.repartition(spark.sparkContext.defaultParallelism, col("__blk"))
+    val a = blocked
       .select(col("__blk"), col(id).as("id_a"), col("t").as("t_a"), col("__len").as("len_a"))
-    val b = keyed.select(col("__blk"), col(id).as("id_b"), col("t").as("t_b"), col("__len").as("len_b"))
+    val b = blocked
+      .select(col("__blk"), col(id).as("id_b"), col("t").as("t_b"), col("__len").as("len_b"))
     val maxLen = greatest(col("len_a"), col("len_b"))
     // Banded Levenshtein: pass the pair's own edit budget
     // k = ⌊(1−minSim)·maxLen⌋ as the expression's threshold — the kernel

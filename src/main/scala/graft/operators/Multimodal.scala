@@ -47,6 +47,14 @@ object Multimodal {
     // arrays — the memory cache is strictly better.
     javax.imageio.ImageIO.setUseCache(false)
     val FeatureDim = 8
+
+    /** Integer Rec.601 luma of a packed RGB pixel, 0..255 — the ONE
+      * quantization every image kernel (grid features, dHash, frame
+      * means) and every SQL oracle shares; a gray pixel (g,g,g) maps to
+      * exactly g. */
+    private def luma(rgb: Int): Int =
+      (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+        114 * (rgb & 0xFF)) / 1000
     private val GridRows = 2
     private val GridCols = FeatureDim / GridRows
 
@@ -130,21 +138,17 @@ object Multimodal {
     def dhashBands(im: BufferedImage): Array[Int] = {
       val w = im.getWidth
       val h = im.getHeight
-      // luma(px, py) quantized to the integer 0..255 Rec.601 sum used
-      // everywhere else in this file
-      def luma(gx: Int, gy: Int): Int = {
+      def gridLuma(gx: Int, gy: Int): Int = {
         val px = math.min(gx * w / 9, w - 1)
         val py = math.min(gy * h / 8, h - 1)
-        val rgb = im.getRGB(px, py)
-        ((299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
-          114 * (rgb & 0xFF)) / 1000)
+        luma(im.getRGB(px, py))
       }
       val bands = new Array[Int](4)
       var gy = 0
       while (gy < 8) {
         var gx = 0
         while (gx < 8) {
-          if (luma(gx + 1, gy) > luma(gx, gy)) {
+          if (gridLuma(gx + 1, gy) > gridLuma(gx, gy)) {
             val bit = gy * 8 + gx
             bands(bit >> 4) |= 1 << (bit & 15)
           }
@@ -261,9 +265,7 @@ object Multimodal {
       while (y < h) {
         var x = 0
         while (x < w) {
-          val rgb = im.getRGB(x, y)
-          sum += (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
-            114 * (rgb & 0xFF)) / 1000
+          sum += luma(im.getRGB(x, y))
           x += 1
         }
         y += 1
@@ -276,10 +278,17 @@ object Multimodal {
       * decodes every frame). width/height from frame 0, n_frames is the
       * ACTUAL frame count, feature i = mean luma of the frame at index
       * ⌊i·n/FeatureDim⌋ — a deterministic temporal sample of the clip's
-      * brightness envelope. None when no installed reader accepts the
-      * payload or it has no frames (caller falls back to the stub, which
-      * remains the documented seam for MP4/WebM-class codecs the JDK
-      * lacks). */
+      * brightness envelope.
+      *
+      * FULL-FRAME GIFs only: an optimized GIF stores later frames as
+      * changed-region deltas that must be composited under the disposal
+      * method — raw delta rasters would make the luma envelope garbage —
+      * so any frame whose raster dims differ from frame 0's is treated
+      * as unsupported and the payload falls to the stub rather than
+      * decode WRONG. None likewise when no installed reader accepts the
+      * payload or it has no frames (the stub remains the documented seam
+      * for MP4/WebM-class codecs the JDK lacks, and for a compositing
+      * delta-GIF path if one is ever needed). */
     def decodeVideo(r: MediaRecord): Option[DecodedMedia] =
       try {
         val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -294,11 +303,21 @@ object Multimodal {
             if (n <= 0) None
             else {
               val first = reader.read(0)
-              val features = Array.tabulate(FeatureDim) { i =>
-                meanLuma(reader.read((i.toLong * n / FeatureDim).toInt))
+              var fullFrame = true
+              var i = 1
+              while (fullFrame && i < n) {
+                if (reader.getWidth(i) != first.getWidth ||
+                    reader.getHeight(i) != first.getHeight) fullFrame = false
+                i += 1
               }
-              Some(DecodedMedia(r.media_id, r.kind, r.content.length.toLong,
-                first.getWidth, first.getHeight, n_frames = n, features = features))
+              if (!fullFrame) None
+              else {
+                val features = Array.tabulate(FeatureDim) { i =>
+                  meanLuma(reader.read((i.toLong * n / FeatureDim).toInt))
+                }
+                Some(DecodedMedia(r.media_id, r.kind, r.content.length.toLong,
+                  first.getWidth, first.getHeight, n_frames = n, features = features))
+              }
             }
           } finally { reader.dispose(); iis.close() }
         }

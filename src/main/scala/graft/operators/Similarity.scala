@@ -118,34 +118,15 @@ object Similarity {
     * no BroadcastNestedLoopJoin, no CartesianProduct, no driver-side
     * anything. For the high-similarity regime (true near-duplicates,
     * cosine ≥ ~0.9) use [[nearDupPairsLSH]], which IS subquadratic. */
-  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
-    * arXiv:2303.09540): assign every vector to its nearest centroid by
-    * cosine, enumerate pairs ONLY within a cluster, and drop the higher
-    * id of any pair at or above the threshold — keep-min, the
-    * deterministic greedy rule. Returns the KEPT rows as
-    * (vec_id, cluster).
-    *
-    * Scale shape: the clusters bound the quadratic term — cross-cluster
-    * pairs are never formed, so the self-join shuffles on the cluster id
-    * into C balanced tasks of B_c² comparisons (pick C ~ corpus/√target
-    * so B_c² fits a task; a mega-cluster is the same skew valve as LSH's
-    * maxBucketSize). Centroids are PLAN LITERALS (trained offline or on
-    * a sample, exactly as the paper does with off-the-shelf k-means):
-    * assignment is a zero-exchange projection and the corpus is never
-    * shuffled to build an index.
-    *
-    * Determinism: similarities quantize to micro units
-    * (round(cos·10⁶) as BIGINT) BEFORE both the argmax and the
-    * threshold compare, so assignment and the drop set are exact
-    * integer decisions reproducible across engines, partitionings and
-    * retries — a raw double argmax could flip on 1-ulp evaluation-order
-    * differences. Ties: first max wins (array_position), smallest id
-    * kept. Zero vectors (cosine NaN) are a precondition violation —
-    * embed-before-dedup pipelines never emit them. */
   /** Nearest-plan-literal-centroid assignment: (vec_id, v, cluster) with
-    * the micro-quantized integer argmax ([[semanticDedup]]'s determinism
-    * contract — first max wins on ties). Zero exchanges: a codegen'd
-    * projection that splits with the scan. */
+    * a micro-quantized integer argmax — similarities quantize to micro
+    * units (round(cos·10⁶) as BIGINT) BEFORE the argmax, so assignment
+    * is an exact integer decision reproducible across engines,
+    * partitionings and retries (a raw double argmax could flip on 1-ulp
+    * evaluation-order differences); ties: first max wins
+    * (array_position). Zero exchanges: a codegen'd projection that
+    * splits with the scan. Zero vectors (cosine NaN) are a precondition
+    * violation — embed-before-assign pipelines never emit them. */
   def assignClusters(vectors: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
     require(centroids.nonEmpty, "assignClusters needs at least one centroid")
     val v = vectors.select(col("vec_id"), dvec(col("embedding")).as("v"))
@@ -156,6 +137,23 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("cluster"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest centroid
+    * ([[assignClusters]]), enumerate pairs ONLY within a cluster, and
+    * drop the higher id of any pair at or above the threshold —
+    * keep-min, the deterministic greedy rule. Returns the KEPT rows as
+    * (vec_id, cluster).
+    *
+    * Scale shape: the clusters bound the quadratic term — cross-cluster
+    * pairs are never formed, so the self-join shuffles on the cluster id
+    * into C balanced tasks of B_c² comparisons (pick C ~ corpus/√target
+    * so B_c² fits a task; a mega-cluster is the same skew valve as LSH's
+    * maxBucketSize). Centroids are PLAN LITERALS (trained offline or on
+    * a sample, exactly as the paper does with off-the-shelf k-means):
+    * assignment is a zero-exchange projection and the corpus is never
+    * shuffled to build an index. The threshold compare quantizes to
+    * micro units like the assignment, so the drop set is an exact
+    * integer decision too; smallest id kept. */
   def semanticDedup(vectors: DataFrame, centroids: Seq[Seq[Double]],
                     thresholdMicro: Long): DataFrame = {
     val assigned = assignClusters(vectors, centroids)

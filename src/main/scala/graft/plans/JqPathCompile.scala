@@ -73,6 +73,10 @@ object JqPathCompile extends Rule[LogicalPlan] {
       case st: StructType =>
         val idx = st.fieldNames.indexOf(k)
         if (idx < 0) return None // jq: null; schema has no such leaf — keep the interpreter
+        // duplicate names: the document conversion builds the object
+        // last-wins, but GetStructField would read the FIRST — not
+        // provably equivalent, keep the interpreter
+        if (st.fieldNames.lastIndexOf(k) != idx) return None
         cur = GetStructField(cur, idx, Some(k))
       case MapType(StringType, _, _) =>
         cur = GetMapValue(cur, Literal(UTF8String.fromString(k), StringType))

@@ -73,6 +73,15 @@ class JqPathCompileSpec extends SparkTestBase {
     assert(wq.head().getLong(0) == 5L && wq.head().getDouble(1) == 6.0d)
   }
 
+  test("duplicate struct field names keep the interpreter (conversion is last-wins, GetStructField first)") {
+    val df = spark.range(1).select(
+      struct((col("id") + 1).as("k"), (col("id") + 2).as("k")).as("s"))
+    val q = df.select(graft.Jq.long(".k", col("s")).as("v"))
+    assert(optimizedPlan(q).contains("jq_long"),
+      "ambiguous field name must NOT compile to a first-field access")
+    assert(q.head().getLong(0) == 2L) // interpreter semantics: last duplicate wins
+  }
+
   test("identity over a STRING document stays a canonicalizer (not rewritten to the raw column)") {
     val df = spark.range(1).select(
       concat(lit("""{"b": 2, "a": """), col("id").cast("string"), lit("}")).as("j"))
