@@ -18,6 +18,7 @@ object SparkEntry {
     * Removed on JVM exit; within the process `overwrite` keeps one copy. */
   private lazy val orcSinkDir: String = sinkDir("orc")
   private lazy val csvSinkDir: String = sinkDir("csv")
+  private lazy val jsonSinkDir: String = sinkDir("json")
 
   private def sinkDir(kind: String): String = {
     val d = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -486,6 +487,66 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     }),
 
+    // document-format interchange: parquet → canonical JSONL (Spark's
+    // native json sink — the reference's own document format) →
+    // schema'd read-back, same content-sensitive fingerprint aggregate
+    // as the ORC/CSV roundtrips: escaping, unicode, and the typed
+    // re-parse all have to survive for the hash to match
+    "rel_json_roundtrip" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      docs.write.mode("overwrite").json(jsonSinkDir)
+      s.read.schema("doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT")
+        .json(jsonSinkDir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(operators.TextAnalysis.fingerprint(col("text"))).as("sum_fp"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
+    // TPC-H Q3 (shipping priority): the canonical dim-filter → fact-join
+    // → top-k aggregate — customer dim BROADCAST, orders⋈lineitem on the
+    // shared orderkey shuffle, revenue summed in exact DECIMAL, top-10
+    // via TakeOrderedAndProject (never a full sort)
+    "rel_tpch_q3" -> ((s, dir) => {
+      val cutoff = lit("1998-07-01 00:00:00").cast("timestamp")
+      val c = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = table(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = table(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,2)").as("rev"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc).limit(10)
+    }),
+
+    // TPC-H Q18 (large-volume customers): aggregate-HAVING as the join
+    // prefilter — the qty rollup keyed on the same orderkey the join
+    // needs, so the HAVING output (tiny) drives the probe; customer dim
+    // broadcast, top-20 TakeOrdered
+    "rel_tpch_q18" -> ((s, dir) => {
+      val big = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      val c = table(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(20)
+    }),
+
     // one-scan table profiler: per-column nulls/ndv/min/max — the
     // data-quality reconnaissance pass; k distinct aggregates plan as
     // ONE Expand scan, output is k rows
@@ -808,6 +869,32 @@ object SparkEntry {
           (abs(col("approx_parts_raw") - col("exact_parts")) <
             col("exact_parts") * 0.1).as("approx_ok"),
           (col("p50_raw") >= col("min_qty") && col("p50_raw") <= col("max_qty")).as("p50_ok"))
+    }),
+
+    // MERGEABLE distinct-count sketches (Apache DataSketches HLL, built
+    // into Spark 4): per-group sketches built in one pass, then the ALL
+    // row re-aggregates the GROUP SKETCHES via hll_union_agg — the
+    // mergeability that lets 1000 executors sketch independently and
+    // union bounded register arrays, the scale story approx_count_distinct
+    // (sketch_stats) hides inside one aggregate. Estimates are emitted as
+    // an error-bound boolean next to the exact count (the sketch_stats
+    // recall-as-data pattern) — at lgK=14 the bound is deterministic
+    "sketch_hll_merge" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val perG = ev.groupBy(col("event_type").as("grp")).agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("est"),
+        countDistinct(col("user_id")).as("exact_distinct"))
+      val mergedEst = ev.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est"))
+      val exactAll = ev.agg(countDistinct(col("user_id")).as("exact_distinct"))
+      val allRow = mergedEst.crossJoin(broadcast(exactAll))
+        .select(lit("ALL").as("grp"), col("est"), col("exact_distinct"))
+      perG.select(col("grp"), col("est"), col("exact_distinct"))
+        .unionByName(allRow)
+        .select(col("grp"), col("exact_distinct").cast("long").as("exact_distinct"),
+          (abs(col("est").cast("double") - col("exact_distinct").cast("double")) <=
+            col("exact_distinct").cast("double") * lit(0.05)).as("ok"))
     }),
 
     // count-min sketch as a grouped aggregate (no driver state): the
@@ -1363,6 +1450,14 @@ object SparkEntry {
         table(s, dir, "documents"), "doc_id", col("text"),
         col("lang") === "en")),
 
+    // CCNet perplexity bucketing (Wenzek et al. 2020): per-language
+    // head/middle/tail thirds by char-trigram LM cost — the LM pass is
+    // text_ppl's, the split is exact integer rank arithmetic, and the
+    // only new exchange is one language-keyed window
+    "curation_ccnet_buckets" -> ((s, dir) =>
+      operators.Curation.ccnetBuckets(
+        table(s, dir, "documents"), "doc_id", col("text"), col("lang"))),
+
     // cluster-balanced diversity sample: SemDeDup centroid assignment +
     // flat deterministic quota per cluster (WindowGroupLimit bounds the
     // rank exchange to n rows per cluster per input partition)
@@ -1731,6 +1826,52 @@ object SparkEntry {
           col("g.n_stop_hits").as("n_stop_hits"),
           col("g.keep").as("keep"),
           col("gt.keep").as("keep_tuned"))),
+
+    // C4 cleaning rules (Raffel et al. 2020 §2.2) over a page with line
+    // structure. The corpus is single-line word soup, so the page is
+    // PLANTED deterministically (the text_redact pattern): 7-word lines
+    // whose terminal punctuation varies by (doc_id + line), plus a
+    // "lorem ipsum" line on doc_id%11 and a brace+javascript line on
+    // doc_id%13 — every rule fires on some rows and the oracle rebuilds
+    // the identical page byte-for-byte
+    "text_c4_rules" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val nLines = ceil(size(words).cast("double") / 7.0).cast("int")
+      val lineArr = transform(sequence(lit(0), nLines - 1), i =>
+        concat(array_join(slice(words, i * 7 + 1, lit(7)), " "),
+          when(pmod(col("doc_id") + i, lit(3)) === 0, lit("."))
+            .when(pmod(col("doc_id") + i, lit(3)) === 1, lit("?"))
+            .otherwise(lit(""))))
+      val page = concat(array_join(lineArr, "\n"),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          lit("\nvar x = { javascript }")).otherwise(lit("")))
+      table(s, dir, "documents")
+        .select(col("doc_id"), operators.TextAnalysis.c4Signals(page).as("c"))
+        .select(col("doc_id"),
+          col("c.n_lines").as("n_lines"),
+          col("c.n_kept_lines").as("n_kept_lines"),
+          col("c.n_sentences").as("n_sentences"),
+          col("c.has_lorem").as("has_lorem"),
+          col("c.has_brace").as("has_brace"),
+          col("c.keep").as("keep"))
+    }),
+
+    // Gopher duplicate-n-gram signals (Rae et al. 2021 App. A.2): chars
+    // covered by the top 2-gram and by duplicated 3-grams, as exact
+    // integers beside the total — vocabulary-sized (id, gram) exchanges,
+    // never the text
+    "text_dup_ngrams" -> ((s, dir) =>
+      operators.TextAnalysis.dupNgramStats(
+        table(s, dir, "documents"), "doc_id", col("text"), nTop = 2, nDup = 3)),
+
+    // skip-gram co-occurrence statistics (word2vec/GloVe prep): ordered
+    // pairs at distance 1..2, top-50 deterministic cut — equi-joins on
+    // (doc, pos+d), one partial-agg'd pair exchange, TakeOrdered
+    "text_cooccurrence" -> ((s, dir) =>
+      operators.TextAnalysis.cooccurrenceTopK(
+        table(s, dir, "documents"), "doc_id", col("text"), window = 2, k = 50)),
 
     // distributed BPE vocabulary learning (Sennrich et al. 2016): one
     // corpus pass folds to a (word, freq) vocab, then every merge is
@@ -2800,6 +2941,46 @@ object SparkEntry {
              true AS approx_ok, true AS p50_ok
       FROM lineitem GROUP BY l_returnflag""",
 
+    "sketch_hll_merge" -> """
+      SELECT event_type AS grp,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+             true AS ok
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 'ALL' AS grp,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+             true AS ok
+      FROM events""",
+
+    "curation_ccnet_buckets" -> """
+      WITH tri AS (
+        SELECT doc_id, substr(text, i, 3) AS g
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, len(text) - 2))::BIGINT AS i
+              FROM documents WHERE len(text) >= 3)),
+      counts AS (SELECT g, count(*) AS c FROM tri GROUP BY g),
+      pre AS (SELECT substr(g, 1, 2) AS pre, sum(c) AS cp FROM counts GROUP BY 1),
+      model AS (
+        SELECT g, CAST(round(ln(c::DOUBLE / cp::DOUBLE) * 1000000.0) AS BIGINT) AS lp
+        FROM counts JOIN pre ON substr(g, 1, 2) = pre.pre),
+      scored AS (
+        SELECT doc_id, count(*) AS n_grams, sum(lp) AS lps
+        FROM tri JOIN model USING (g) GROUP BY doc_id),
+      j AS (
+        SELECT d.doc_id, d.lang,
+               CAST((-lps) // n_grams AS BIGINT) AS cost_micro
+        FROM scored JOIN documents d USING (doc_id)),
+      r AS (
+        SELECT doc_id, lang, cost_micro,
+               row_number() OVER (PARTITION BY lang ORDER BY cost_micro, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS cnt
+        FROM j)
+      SELECT doc_id, lang, cost_micro,
+             CAST(((rn - 1) * 3) // cnt + 1 AS BIGINT) AS bucket,
+             CASE ((rn - 1) * 3) // cnt + 1 WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+                  ELSE 'middle' END AS label
+      FROM r""",
+
     "sketch_cms" -> """
       WITH h(i, a, b) AS (VALUES
         (0, 2654435761, 1013904223), (1, 2246822519, 374761393),
@@ -3419,6 +3600,75 @@ object SparkEntry {
                AND n_stop_hits >= 1 END AS keep_tuned
       FROM m""",
 
+    "text_c4_rules" -> """
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      p AS (
+        SELECT doc_id,
+          array_to_string(list_transform(
+            generate_series(0, CAST(ceil(len(ws) / 7.0) AS INT) - 1),
+            i -> array_to_string(list_slice(ws, i*7 + 1, i*7 + 7), ' ') ||
+                 CASE (doc_id + i) % 3 WHEN 0 THEN '.' WHEN 1 THEN '?' ELSE '' END),
+            chr(10)) ||
+          CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
+          CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'var x = { javascript }' ELSE '' END AS page
+        FROM w),
+      k AS (
+        SELECT doc_id, page,
+          string_split(page, chr(10)) AS lines,
+          list_filter(string_split(page, chr(10)), l ->
+            regexp_matches(rtrim(l), '[.!?"]$')
+            AND len(list_filter(string_split(l, ' '), x -> length(x) > 0)) >= 3
+            AND NOT contains(lower(l), 'javascript')) AS kept
+        FROM p),
+      f AS (
+        SELECT doc_id,
+          len(lines)::BIGINT AS n_lines,
+          len(kept)::BIGINT AS n_kept_lines,
+          (length(array_to_string(kept, chr(10))) -
+           length(regexp_replace(array_to_string(kept, chr(10)), '[.!?]', '', 'g')))::BIGINT AS n_sentences,
+          contains(lower(page), 'lorem ipsum') AS has_lorem,
+          contains(page, '{') AS has_brace
+        FROM k)
+      SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+             (NOT has_lorem AND NOT has_brace AND n_sentences >= 5) AS keep
+      FROM f""",
+
+    "text_dup_ngrams" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                        length(text)::BIGINT AS chars_total FROM documents),
+      g2 AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS g
+             FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1))::BIGINT AS i
+                   FROM w WHERE len(ws) >= 2)),
+      c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+      t2 AS (SELECT doc_id, max(c * length(g)) AS top_chars FROM c2 GROUP BY doc_id),
+      g3 AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 2), ' ') AS g
+             FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2))::BIGINT AS i
+                   FROM w WHERE len(ws) >= 3)),
+      c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+      d3 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup_chars
+             FROM c3 GROUP BY doc_id)
+      SELECT w.doc_id, chars_total,
+             CAST(coalesce(top_chars, 0) AS BIGINT) AS top_chars,
+             CAST(coalesce(dup_chars, 0) AS BIGINT) AS dup_chars
+      FROM w LEFT JOIN t2 USING (doc_id) LEFT JOIN d3 USING (doc_id)""",
+
+    "text_cooccurrence" -> """
+      WITH t AS (
+        SELECT doc_id, i, ws[i] AS tok
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)))::BIGINT AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+        WHERE length(ws[i]) > 0),
+      p AS (
+        SELECT a.tok AS w1, b.tok AS w2
+        FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        UNION ALL
+        SELECT a.tok AS w1, b.tok AS w2
+        FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 2)
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+      FROM p GROUP BY w1, w2
+      ORDER BY cnt DESC, w1, w2 LIMIT 50""",
+
     // same token hash as the Spark kernel: 31-polynomial over codepoints
     // mod 1e9+7, bucketed to 256, integer weight formula — bit-exact
     "text_quality_model" -> """
@@ -3464,6 +3714,39 @@ object SparkEntry {
                (h, c) -> (h * 31 + c) % 1000000007)) AS BIGINT) AS sum_fp,
              min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM documents GROUP BY lang""",
+
+    // same derivation: the oracle reads the parquet directly, so the
+    // JSONL encode→decode must be lossless for the hash to match
+    "rel_json_roundtrip" -> """
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(list_reduce(list_prepend(0::BIGINT,
+               [ord(substring(text, i, 1))::BIGINT for i in range(1, strlen(text) + 1)]),
+               (h, c) -> (h * 31 + c) % 1000000007)) AS BIGINT) AS sum_fp,
+             min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM documents GROUP BY lang""",
+
+    "rel_tpch_q3" -> """
+      SELECT o_orderkey,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             o_orderdate, o_orderpriority
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+      GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    "rel_tpch_q18" -> """
+      WITH big AS (
+        SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             CAST(sum_qty AS DOUBLE) AS sum_qty
+      FROM big JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
 
     // --- multimodal ------------------------------------------------------
     "mm_dedup" ->

@@ -421,4 +421,44 @@ object Curation {
       .select(col("source"), col("n_tokens"), col("alloc"), col("epochs_full"),
         col("partial_tokens"), col("served_tokens"), col("unused_tokens"))
   }
+
+  // ------------------------------------------------ CCNet ppl buckets
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document under the corpus's own char n-gram LM
+    * ([[TextAnalysis.ngramScoreSelf]]), then split each language into
+    * `buckets` equal-depth bands by per-gram cost — CCNet's
+    * head/middle/tail, the standard "keep the head, sample the middle,
+    * drop the tail" curation knob.
+    *
+    * All arithmetic is exact integers: cost_micro = (−logp_sum_micro)
+    * DIV n_grams (micro-nats per gram), and the band is
+    * ((rank−1)·buckets) DIV count + 1 over the (cost, id) order — both
+    * engines reproduce the identical split, ties and all. Docs shorter
+    * than one gram have no defined cost and are absent (the LM has
+    * nothing to say about them) — gate such docs on length upstream.
+    *
+    * Scale shape: the LM fit/score is the one corpus-scale gram pass
+    * (see ngramScoreSelf); everything after is id-keyed joins plus ONE
+    * language-keyed window exchange carrying 3 small columns per doc.
+    * Languages are the natural partition — skew follows the corpus's
+    * language mix, the same skew any per-language curation has. */
+  def ccnetBuckets(docs: DataFrame, id: String, text: Column, lang: Column,
+                   n: Int = 3, buckets: Int = 3): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val scored = TextAnalysis.ngramScoreSelf(docs, id, text, n)
+    val costed = docs.select(col(id), lang.as("lang"))
+      .join(scored, Seq(id))
+      .withColumn("cost_micro", expr("(-logp_sum_micro) DIV n_grams"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cost_micro").asc, col(id).asc)
+    val cw = Window.partitionBy(col("lang"))
+    costed
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .withColumn("bucket", expr(s"((rn - 1) * $buckets) DIV cnt + 1"))
+      .select(col(id), col("lang"), col("cost_micro"), col("bucket"),
+        when(col("bucket") === 1, lit("head"))
+          .when(col("bucket") === buckets.toLong, lit("tail"))
+          .otherwise(lit("middle")).as("label"))
+  }
 }

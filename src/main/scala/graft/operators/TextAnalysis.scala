@@ -403,6 +403,117 @@ object TextAnalysis {
       stopHits.as("n_stop_hits"), keep.as("keep"))
   }
 
+  // ------------------------------------------------------ C4 page rules
+
+  /** C4 cleaning rules (Raffel et al. 2020, §2.2 — the "Colossal Clean
+    * Crawled Corpus" filter) as one STRUCT column over a page with line
+    * structure. The published line rules: keep only lines that end in a
+    * terminal punctuation mark, contain ≥ `minLineWords` words, and do
+    * not mention "javascript"; page rules: drop pages with "lorem
+    * ipsum", a curly brace, or fewer than `minSentences` sentences
+    * (sentence ≈ terminal punctuation mark in the KEPT lines — C4's own
+    * approximation is sentence-splitting; the mark count is the
+    * engine-exact stand-in, documented deviation).
+    *
+    * Signals: n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+    * keep — all integers/booleans from one `split`, so the gate is
+    * engine-reproducible bit-for-bit. A narrow zero-shuffle projection:
+    * filtering 100 TB of pages is pure map-side work. */
+  def c4Signals(page: Column, minSentences: Long = 5L,
+                minLineWords: Int = 3): Column = {
+    val lines = split(page, "\n")
+    val kept = filter(lines, l =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(filter(split(l, " "), w => length(w) > 0)) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val keptText = array_join(kept, "\n")
+    val nSent = (length(keptText) -
+      length(regexp_replace(keptText, "[.!?]", ""))).cast("long")
+    val hasLorem = lower(page).contains("lorem ipsum")
+    val hasBrace = page.contains("{")
+    struct(
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      nSent.as("n_sentences"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      (!hasLorem && !hasBrace && nSent >= minSentences).as("keep"))
+  }
+
+  // --------------------------------------------- duplicate n-gram signals
+
+  /** All word `n`-grams of `text` as space-joined strings, duplicates
+    * KEPT (unlike [[Dedup.wordShingles]], which is a distinct set) —
+    * the raw material for repetition accounting. Guarded: fewer than n
+    * words yields an empty array (an unguarded `sequence(1, size-n+1)`
+    * would generate a DESCENDING range). */
+  def wordGrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val words = split(text, " ")
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - lit(n - 1)),
+        i => array_join(slice(words, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher duplicate-n-gram signals (Rae et al. 2021, App. A.2): per
+    * document, the characters covered by the MOST frequent `nTop`-gram
+    * (top_chars = count·len) and by all DUPLICATED `nDup`-grams
+    * (dup_chars = Σ count·len over grams with count ≥ 2), next to the
+    * total character count — the repetition fractions that flag
+    * template spam and degenerate generations. Deviation from the
+    * paper, documented: occurrences are counted with overlap (Gopher
+    * de-overlaps character spans); both engines replicate this exact
+    * integer definition, so the signals are hash-comparable.
+    *
+    * Scale shape: one explode per n, each followed by a partial-agg'd
+    * (id, gram)-keyed aggregate — the exchange carries vocabulary-sized
+    * 8-byte-ish rows, never the text; the per-doc rollup and the two
+    * left joins are id-keyed. Docs too short for a gram keep 0s. */
+  def dupNgramStats(docs: org.apache.spark.sql.DataFrame, id: String,
+                    text: Column, nTop: Int = 2, nDup: Int = 3): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(id), text.as("__t"))
+    def gramCounts(n: Int) = base
+      .select(col(id), explode(wordGrams(col("__t"), n)).as("g"))
+      .groupBy(col(id), col("g")).agg(count(lit(1)).as("c"))
+    val top = gramCounts(nTop).groupBy(col(id))
+      .agg(max(col("c") * length(col("g")).cast("long")).as("top_chars"))
+    val dup = gramCounts(nDup).groupBy(col(id))
+      .agg(sum(when(col("c") >= 2, col("c") * length(col("g")).cast("long"))
+        .otherwise(0L)).as("dup_chars"))
+    base.select(col(id), length(col("__t")).cast("long").as("chars_total"))
+      .join(top, Seq(id), "left")
+      .join(dup, Seq(id), "left")
+      .na.fill(0L, Seq("top_chars", "dup_chars"))
+  }
+
+  // --------------------------------------------------- co-occurrence pairs
+
+  /** Skip-gram co-occurrence counts — the statistics table behind
+    * word2vec/GloVe-style embedding training: ordered (w1, w2) pairs
+    * with w2 at distance 1..`window` AFTER w1, counted corpus-wide, top
+    * `k` by (count desc, w1, w2) so the cut is deterministic.
+    *
+    * Scale shape: one posexplode builds the (doc, pos, token) stream;
+    * each distance d becomes an EQUI-join on (doc, pos+d) — no range
+    * join, no window function — and the d arms union before one
+    * partial-agg'd pair-count exchange. The final top-k is a
+    * TakeOrderedAndProject, never a full sort. */
+  def cooccurrenceTopK(docs: org.apache.spark.sql.DataFrame, id: String,
+                       text: Column, window: Int = 2, k: Int = 50): org.apache.spark.sql.DataFrame = {
+    require(window >= 1 && k >= 1, s"need window>=1, k>=1; got $window, $k")
+    val toks = docs.select(col(id), posexplode(split(text, " ")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val left = toks.select(col(id), col("pos"), col("tok").as("w1"))
+    val pairs = (1 to window).map { d =>
+      left.join(
+        toks.select(col(id), (col("pos") - d).as("pos"), col("tok").as("w2")),
+        Seq(id, "pos"))
+    }.reduce(_ unionAll _)
+    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc).limit(k)
+  }
+
   // ------------------------------------------------------ phrase search
 
   /** Exact phrase search over POSITIONAL postings — the IR operator the

@@ -237,4 +237,36 @@ class CurationSpec extends SparkTestBase {
     assert(u.select(countDistinct(col("u1"))).head().getLong(0) > 100)
     assert(u.select(countDistinct(col("u2"))).head().getLong(0) > 100)
   }
+
+  // ------------------------------------------------ CCNet ppl buckets
+
+  test("ccnetBuckets: per-language equal-depth bands ordered by LM cost") {
+    val rows = Curation.ccnetBuckets(docs, "doc_id", col("text"), col("lang"))
+      .collect()
+    assert(rows.nonEmpty)
+    // labels are a pure function of the bucket index
+    assert(rows.forall(r => (r.getLong(3), r.getString(4)) match {
+      case (1L, "head") | (2L, "middle") | (3L, "tail") => true
+      case _ => false
+    }))
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val byBucket = rs.groupBy(_.getLong(3))
+      // equal depth: band sizes differ by at most 1
+      val sizes = byBucket.view.mapValues(_.size).toMap
+      assert(sizes.values.max - sizes.values.min <= 1, s"sizes $sizes")
+      // bands partition the cost order: no overlap between consecutive
+      val maxB = byBucket.view.mapValues(_.map(_.getLong(2)).max).toMap
+      val minB = byBucket.view.mapValues(_.map(_.getLong(2)).min).toMap
+      for (b <- 1L to 2L if maxB.contains(b) && minB.contains(b + 1))
+        assert(maxB(b) <= minB(b + 1), s"bucket $b overlaps ${b + 1}")
+    }
+  }
+
+  test("ccnetBuckets is partitioning-invariant") {
+    val a = Curation.ccnetBuckets(docs, "doc_id", col("text"), col("lang"))
+      .orderBy("doc_id").collect().toSeq
+    val b = Curation.ccnetBuckets(docs.repartition(7), "doc_id", col("text"), col("lang"))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
 }

@@ -198,4 +198,78 @@ class PipelineOpsSpec extends SparkTestBase {
       .select(col("e.tokens")).collect()(0).getString(0)
     assert(got === "aa a")
   }
+
+  // ------------------------------------------------------- C4 rules
+
+  test("c4Signals: each line/page rule fires on a crafted page") {
+    import spark.implicits._
+    val page =
+      "one two three end here.\n" +     // kept: 5 words, terminal '.'
+        "too short.\n" +                // dropped: 2 words
+        "no terminal punctuation here\n" + // dropped: no mark
+        "uses javascript sadly today.\n" + // dropped: javascript line
+        "is this a question? yes!\n" +  // kept: ends '!'
+        "ends with quote \""            // kept: ends '"'
+    val out = Seq(Tuple1(page)).toDF("page")
+      .select(TextAnalysis.c4Signals(col("page"), minSentences = 2L).as("c"))
+      .select("c.*").collect()(0)
+    assert(out.getLong(0) === 6L, "n_lines")
+    assert(out.getLong(1) === 3L, "n_kept_lines")
+    // kept text marks: here.(1) + question? yes!(2) + quote line(0) = 3
+    assert(out.getLong(2) === 3L, "n_sentences")
+    assert(!out.getBoolean(3) && !out.getBoolean(4))
+    assert(out.getBoolean(5), "keep: 3 sentences >= 2")
+  }
+
+  test("c4Signals: lorem-ipsum and brace pages drop regardless of sentences") {
+    import spark.implicits._
+    val good = "a fine long sentence here.\nanother fine long sentence."
+    val rows = Seq(
+      good,
+      good + "\nsome Lorem Ipsum filler.",
+      good + "\ncode { block } here.").toDF("page")
+      .select(TextAnalysis.c4Signals(col("page"), minSentences = 2L).as("c"))
+      .select(col("c.keep"), col("c.has_lorem"), col("c.has_brace"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(rows(0) === ((true, false, false)))
+    assert(rows(1) === ((false, true, false)))
+    assert(rows(2) === ((false, false, true)))
+  }
+
+  // --------------------------------------------- duplicate n-gram signals
+
+  test("dupNgramStats: top/duplicated gram accounting and short-doc zeros") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b c"),       // top 2-gram "a b" ×2·len3 = 6; 3-grams unique
+      (2L, "x y z x y z x y"), // top 2-gram "x y" ×3·len3 = 9; all 3 trigrams ×2·len5 = 30
+      (3L, "q")                // shorter than any gram → zeros, not a crash
+    ).toDF("id", "t")
+    val got = TextAnalysis.dupNgramStats(df, "id", col("t"), nTop = 2, nDup = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) === ((9L, 6L, 0L)))
+    assert(got(1) === ((15L, 9L, 30L)))
+    assert(got(2) === ((1L, 0L, 0L)))
+  }
+
+  test("wordGrams: fewer words than n yields empty, not a descending range") {
+    import spark.implicits._
+    val got = Seq("a b").toDF("t")
+      .select(size(TextAnalysis.wordGrams(col("t"), 5)).as("n"))
+      .collect()(0).getInt(0)
+    assert(got === 0)
+  }
+
+  // --------------------------------------------------- co-occurrence pairs
+
+  test("cooccurrenceTopK: window-2 ordered pairs, deterministic tie cut") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("id", "t")
+    // d=1: (a,b)×3, (b,a)×1, (b,c)×1; d=2: (a,a), (b,b), (a,c) — ties
+    // resolve by (cnt desc, w1, w2): (a,b,3), (a,a,1), (a,c,1)
+    val got = TextAnalysis.cooccurrenceTopK(df, "id", col("t"), window = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("a", "b", 3L), ("a", "a", 1L), ("a", "c", 1L)))
+  }
 }

@@ -42,4 +42,17 @@ class SketchesSpec extends SparkTestBase {
     assert(est.forall(_ >= 0))
     assert(est.count(_ == 0) >= 2)
   }
+
+  test("hll sketches built per group union to the global estimate") {
+    import spark.implicits._
+    // 250 distinct values scattered across 7 groups: per-group sketches
+    // (the per-executor build at scale) must union to the global count —
+    // at this cardinality the DataSketches HLL is still exact
+    val df = (1 to 1000).map(i => (i % 7, i % 250)).toDF("g", "v")
+    val merged = df.groupBy(col("g"))
+      .agg(expr("hll_sketch_agg(v, 14)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("e"))
+      .collect()(0).getLong(0)
+    assert(merged === 250L)
+  }
 }
