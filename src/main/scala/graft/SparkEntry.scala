@@ -2140,7 +2140,155 @@ object SparkEntry {
     // Zipf slope of the term distribution, micro-nat least squares
     "text_zipf" -> ((s, dir) =>
       operators.TextAnalysis.zipfSlope(
-        table(s, dir, "documents"), col("text"), topV = 200))
+        table(s, dir, "documents"), col("text"), topV = 200)),
+
+    // --- round 8 ---------------------------------------------------------
+
+    // exact triangle counting by degree orientation (Suri & Vassilvitskii
+    // 2011) over a deterministic sparse citation graph on documents
+    // (3 LCG out-links per doc — the testdata has no link column, so the
+    // links are synthesized identically in both engines, like the crawl
+    // URLs below); per-node triangle memberships = the local clustering
+    // numerator. Orientation bounds every out-adjacency at O(√m) — no
+    // celebrity-node wedge blow-up at crawl scale
+    "graph_triangles" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val links = docs.select(col("doc_id")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n_docs"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .select(col("doc_id").as("src"),
+          expr("((doc_id * 2654435761L + j * 40503L) % 1000003L) % n_docs").as("dst"))
+      operators.Graph.triangleCount(links)
+    }),
+
+    // batch sessionization (gaps-and-islands, 12 h inactivity gap): the
+    // backfill twin of stream_sessionize — one exchange on the user key
+    // reused by both windows; value sums are exact micro-units
+    "rel_sessionize" -> ((s, dir) =>
+      operators.Relational.sessionize(table(s, dir, "events"),
+          col("user_id"), col("ts"),
+          round(col("value") * lit(1000000.0)).cast("long"),
+          gapNanos = 12L * 3600L * 1000000000L)
+        .select(col("k").as("user_id"), col("session_no"),
+          col("session_start"), col("session_end"), col("n_events"),
+          col("sum_value").as("sum_value_micro"))),
+
+    // per-doc top-k terms by tf·idf with the idf as an exact integer
+    // quotient (linear-idf variant — hash-exact where tf·ln cannot be)
+    "text_tfidf" -> ((s, dir) =>
+      operators.TextAnalysis.tfIdfTopK(
+        table(s, dir, "documents"), col("doc_id"), col("text"),
+        k = 3, minTermLen = 5)
+        .filter(col("doc_id") < 200)),
+
+    // TPC-H Q5 (local-supplier volume): the canonical snowflake — tiny
+    // region⋈nation broadcast into supplier, fact tables shuffle-join on
+    // their natural keys (customer/supplier are NOT broadcast: they grow
+    // with SF), revenue in exact DECIMAL
+    "rel_tpch_q5" -> ((s, dir) => {
+      val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+      val hi = lit("1997-01-01 00:00:00").cast("timestamp")
+      val nr = table(s, dir, "nation")
+        .join(broadcast(table(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sn = table(s, dir, "supplier")
+        .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val c = table(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,2)").as("rev"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sn, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // canonical-URL crawl dedup (C4/RefinedWeb's first pass): URLs are
+    // synthesized deterministically from doc columns (scheme/www/port/
+    // tracking-param/fragment/trailing-slash variants), canonicalized by
+    // Curation.canonicalUrl, grouped; first fetch wins
+    "curation_url_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("http://")).otherwise(lit("HTTPS://")),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=feed&ref="), (col("doc_id") % 10).cast("string")))
+          .otherwise(concat(lit("?ref="), (col("doc_id") % 10).cast("string"))),
+        when(col("doc_id") % 11 === 0, lit("&fbclid=abc123")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("#sec")).otherwise(lit("")))
+      operators.Curation.urlDedup(docs, col("doc_id"), url)
+    }),
+
+    // Unicode text normalization: NFC → casefold → whitespace collapse.
+    // The corpus rows prove the pass is safe on clean ASCII; the planted
+    // rows pin the interesting contracts (decomposed é == precomposed é,
+    // U+212B ANGSTROM → å, tabs/newlines/runs collapse)
+    "text_normalize" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+      val planted = s.createDataFrame(Seq(
+        (10000001L, "Café  du   Monde"),
+        (10000002L, "Café du Monde"),
+        (10000003L, "Å ring"),
+        (10000004L, " tabs\tand\nnewlines  here ")))
+        .toDF("doc_id", "text")
+      docs.unionByName(planted)
+        .select(col("doc_id"),
+          operators.TextAnalysis.normalizeText(col("text")).as("norm"))
+    }),
+
+    // theta sketches (DataSketches): the mergeable SET-OPERATION sketch —
+    // |A|, |A∩B|, |A∪B|, |A∖B| from compact sketch blobs alone, built by
+    // a custom TypedImperativeAggregate; exact mode below the nominal-
+    // entry threshold makes the small-SF oracle hash-exact while the
+    // same plan degrades to ±ε estimates at crawl scale
+    "sketch_theta" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val a = ev.filter(col("event_type") === "click" && col("value") > 480)
+        .agg(operators.Sketches.thetaAgg(col("user_id")).as("ska"))
+      val b = ev.filter(col("event_type") === "purchase" && col("value") > 480)
+        .agg(operators.Sketches.thetaAgg(col("user_id")).as("skb"))
+      import operators.Sketches._
+      a.crossJoin(broadcast(b)).select(
+        thetaCount(col("ska")).as("n_click"),
+        thetaCount(col("skb")).as("n_purchase"),
+        thetaCount(thetaIntersect(col("ska"), col("skb"))).as("n_both"),
+        thetaCount(thetaUnion(col("ska"), col("skb"))).as("n_either"),
+        thetaCount(thetaANotB(col("ska"), col("skb"))).as("n_click_only"))
+    }),
+
+    // exact equi-width histogram: global min/max ride a broadcast one-row
+    // frame into the bucket projection — one scan + one tiny exchange;
+    // the formula is written identically in both engines so edge-case
+    // doubles land in the same bucket bit-for-bit
+    "rel_histogram" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val mm = o.agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+      o.crossJoin(broadcast(mm))
+        .select(least(lit(7L),
+          floor((col("o_totalprice") - col("mn")) /
+            ((col("mx") - col("mn")) / lit(8.0)))).as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+    })
   )
 
   /** Shared CTE chain for the BPE oracles: the (word, freq) vocabulary,
@@ -4174,6 +4322,160 @@ object SparkEntry {
                     CAST(n * sxy - sx * sy AS DOUBLE) /
                       CAST(n * sxx - sx * sx AS DOUBLE) *
                       CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
-      FROM a"""
+      FROM a""",
+
+    // --- round 8 ---------------------------------------------------------
+
+    // triangles enumerated ONCE as ordered triples x<y<z (orientation-
+    // free), then each corner counted — the same per-node membership
+    // counts the degree-oriented engine emits
+    "graph_triangles" -> """
+      WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      links AS (
+        SELECT doc_id AS src,
+               ((doc_id * 2654435761 + j * 40503) % 1000003) % (SELECT n_docs FROM n) AS dst
+        FROM documents, (SELECT unnest([1, 2, 3]) AS j)),
+      und AS (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM links WHERE src <> dst),
+      tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM und e1 JOIN und e2 ON e1.v = e2.u
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
+      SELECT node, count(*) AS triangles
+      FROM (SELECT unnest([x, y, z]) AS node FROM tri) m
+      GROUP BY node""",
+
+    "rel_sessionize" -> """
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) * 1000 AS ts,
+               CAST(round(value * 1000000.0) AS BIGINT) AS v
+        FROM events),
+      marked AS (
+        SELECT user_id, ts, v,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= 43200000000000 THEN 0 ELSE 1 END AS new_session
+        FROM e),
+      numbered AS (
+        SELECT user_id, ts, v,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM marked)
+      SELECT user_id, session_no,
+             min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events, sum(v) AS sum_value_micro
+      FROM numbered GROUP BY user_id, session_no""",
+
+    // tf/df/N over the FULL corpus; the doc_id gate applies to the output
+    "text_tfidf" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      t5 AS (SELECT doc_id, term FROM toks WHERE length(term) >= 5),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM t5 GROUP BY doc_id, term),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t5 GROUP BY term),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * ((n.n_docs * 1000000) // df.df) AS tfidf_q
+        FROM tf JOIN df ON tf.term = df.term, n),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf_q DESC, term ASC) AS rk
+        FROM scored)
+      SELECT doc_id, CAST(rk AS BIGINT) AS rk, term,
+             CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf_q
+      FROM ranked WHERE rk <= 3 AND doc_id < 200""",
+
+    "rel_tpch_q5" -> """
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""",
+
+    // the canonicalization chain mirrored step-for-step; note RE2 has no
+    // lookahead (the engine's regexes avoid it for exactly this reason)
+    // and DuckDB's regexp_replace needs the explicit 'g' flag on the one
+    // pattern expected to match repeatedly
+    "curation_url_dedup" -> """
+      WITH raw AS (
+        SELECT doc_id,
+          (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END)
+          || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+          || source || '.Example.COM'
+          || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+          || '/docs/' || (doc_id % 50)
+          || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+          || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=' || (doc_id % 10)
+                   ELSE '?ref=' || (doc_id % 10) END)
+          || (CASE WHEN doc_id % 11 = 0 THEN '&fbclid=abc123' ELSE '' END)
+          || (CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END) AS url
+        FROM documents),
+      step1 AS (
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(regexp_replace(url, '#.*$', ''),
+              '[?&](?:utm_[a-z0-9]+|gclid|fbclid)=[^&#]*', '', 'g'),
+            '^([^?]*)&', '\1?') AS u2
+        FROM raw),
+      canon AS (
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    lower(regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1))
+                      || regexp_replace(u2, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', ''),
+                    '^http://', 'https://'),
+                  '^(https://)www\.', '\1'),
+                '^(https://[^/?:]*):(?:80|443)([/?]|$)', '\1\2'),
+              '^(https://[^/?]*/[^?]*[^/?])/(\?|$)', '\1\2'),
+            '\?$', '') AS canon_url
+        FROM step1)
+      SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_alias
+      FROM canon GROUP BY canon_url""",
+
+    // same planted rows byte-for-byte; nfc_normalize is DuckDB's UAX #15
+    // implementation of the engine's NfcNormalize kernel
+    "text_normalize" -> ("""
+      WITH src AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 100
+        UNION ALL VALUES
+          (10000001, 'Café  du   Monde'),
+          (10000002, 'Café du Monde'),
+          (10000003, 'Å ring'),
+          (10000004, ' tabs""" + "\tand\nnewlines" + """  here '))
+      SELECT doc_id,
+             trim(regexp_replace(lower(nfc_normalize(text)), '[ """ +
+      "\t\n" + """]+', ' ', 'g')) AS norm
+      FROM src"""),
+
+    "sketch_theta" -> """
+      WITH a AS (SELECT DISTINCT user_id FROM events
+                 WHERE event_type = 'click' AND value > 480),
+      b AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 480)
+      SELECT (SELECT count(*) FROM a) AS n_click,
+             (SELECT count(*) FROM b) AS n_purchase,
+             (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS n_both,
+             (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b) u) AS n_either,
+             (SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b)) AS n_click_only""",
+
+    // bucket formula written operation-for-operation as the engine's —
+    // identical IEEE doubles land identical buckets
+    "rel_histogram" -> """
+      WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+      SELECT CAST(least(7, floor((o_totalprice - mn) / ((mx - mn) / 8.0))) AS BIGINT) AS bucket,
+             count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM orders, mm
+      GROUP BY 1"""
   )
 }

@@ -571,3 +571,26 @@ case class QualityModelScore(child: Expression, dims: Int)
   override protected def withNewChildInternal(newChild: Expression): QualityModelScore =
     copy(child = newChild)
 }
+
+/** Unicode NFC normalization (UAX #15 canonical composition) — the text
+  * cleaner's first pass: a decomposed "é" (e + U+0301) and the precomposed
+  * U+00E9 must dedup, fingerprint and join as the SAME bytes or every
+  * downstream exact-match operator silently misses. Backed by the JDK's
+  * `java.text.Normalizer` (ICU-conformant); kernel fast-path: NFC-quick-
+  * check via `isNormalized` avoids allocating for the (overwhelmingly
+  * common) already-normalized document. Cross-engine contract: DuckDB's
+  * `nfc_normalize` implements the same UAX #15 mapping, which is what
+  * lets the oracle hash-compare normalized bytes. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with NativeUnaryCodegen {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}

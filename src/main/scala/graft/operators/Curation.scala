@@ -461,4 +461,45 @@ object Curation {
           .when(col("bucket") === buckets.toLong, lit("tail"))
           .otherwise(lit("middle")).as("label"))
   }
+
+  /** Canonical form of a crawl URL — the key web-corpus dedup actually
+    * groups on (C4 and RefinedWeb both dedup the crawl by normalized URL
+    * before any content pass; the same page arrives via http/https,
+    * with/without www., with tracking params, with a fragment).
+    * Normalization, in declared order: drop the #fragment; drop
+    * utm_ / gclid / fbclid tracking params (promoting the next param to `?`
+    * when the first was dropped); lowercase ONLY scheme+host (paths are
+    * case-sensitive per RFC 3986 — lowercasing them would merge distinct
+    * pages); http→https; drop a www. prefix and default :80/:443 ports;
+    * drop one trailing slash on a non-root path; drop a bare trailing
+    * `?`. Pure single-row string kernel — codegen'd regexes, zero
+    * shuffles, linear at any corpus size. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noTrack = regexp_replace(noFrag, "[?&](?:utm_[a-z0-9]+|gclid|fbclid)=[^&#]*", "")
+    val fixedQ = regexp_replace(noTrack, "^([^?]*)&", "$1?")
+    val hostLower = concat(
+      lower(regexp_extract(fixedQ, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)),
+      regexp_replace(fixedQ, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", ""))
+    val https = regexp_replace(hostLower, "^http://", "https://")
+    val noWww = regexp_replace(https, "^(https://)www\\.", "$1")
+    // no lookahead: RE2-class engines (the oracle side) don't support it
+    val noPort = regexp_replace(noWww, "^(https://[^/?:]*):(?:80|443)([/?]|$)", "$1$2")
+    // the [^/?]* host + '/' + [^?]*[^/?] body keeps the ROOT slash alive
+    // (https://site.com/ names a resource; the '' form does not) and stops
+    // the match at '?' so a slash inside a query value is never touched
+    val noSlash = regexp_replace(noPort, "^(https://[^/?]*/[^?]*[^/?])/(\\?|$)", "$1$2")
+    regexp_replace(noSlash, "\\?$", "")
+  }
+
+  /** URL-keyed crawl dedup: group by [[canonicalUrl]], keep the smallest
+    * id (first fetch wins), count the aliases folded away. One
+    * partial-agg'd exchange on the canonical key — at crawl scale the
+    * canonical-URL space is ~unique per group, so the map-side combine
+    * leaves near-distinct keys and the shuffle carries (url, id, count)
+    * triples, never documents. */
+  def urlDedup(df: DataFrame, id: Column, url: Column): DataFrame =
+    df.select(id.as("keep_id"), canonicalUrl(url).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("keep_id")).as("keep_id"), count(lit(1)).as("n_alias"))
 }

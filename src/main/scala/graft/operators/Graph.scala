@@ -78,6 +78,53 @@ object Graph {
     ranks
   }
 
+  /** Exact triangle counting by degree orientation (the standard
+    * subquadratic formulation: Schank & Wagner 2005 / Suri & Vassilvitskii
+    * 2011 "node-iterator++" for MapReduce).
+    *
+    * Input edges are made undirected-distinct (u < v, self-loops dropped),
+    * then each edge is oriented from its LOWER-degree endpoint to the
+    * higher (ties by node id). Orientation bounds every out-adjacency at
+    * O(√m) regardless of raw skew — the celebrity node with 10⁸ followers
+    * contributes no wedge blow-up because wedges pivot only on LOW-degree
+    * centers. Each triangle survives in exactly one orientation, so a
+    * wedge join (a→b)⋈(b→c) followed by a closing semi-join against
+    * (a→c) counts it exactly once.
+    *
+    * Scale shape: 2 aggregates (degree, count) + 2 equi-joins, all
+    * partial-agg'd shuffles on node keys; no all-pairs anywhere. Output
+    * is per-node MEMBERSHIP counts (`node`, `triangles`): each closed
+    * wedge explodes its three corners, so the result is independent of
+    * which orientation found the triangle — the per-node
+    * clustering-coefficient numerator; totals are one tiny aggregate
+    * away. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node")).union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val oriented = und.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("b"))
+    val e1 = oriented.select(col("a"), col("b"))
+    val e2 = oriented.select(col("a").as("b"), col("b").as("c"))
+    val wedges = e1.join(e2, "b").select(col("a"), col("b"), col("c"))
+    val closing = oriented.select(col("a"), col("b").as("c"))
+    wedges.join(closing, Seq("a", "c"), "left_semi")
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
   /** In/out degree per node — the cheap centrality for cut-offs. */
   def degrees(edges: DataFrame): DataFrame = {
     val out = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))

@@ -461,4 +461,35 @@ object Relational {
         sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
         sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"))
   }
+
+  /** Batch sessionization (gaps-and-islands): events of one key belong to
+    * the same session while consecutive gaps stay under `gapNanos`.
+    * Returns one row per session with start/end, event count and value sum.
+    *
+    * Scale shape: one hash exchange on the key, then BOTH windows (the
+    * lag that marks session starts and the running sum that numbers them)
+    * reuse that single partitioning — Catalyst plans one Exchange and one
+    * Sort for the pair. State per key is its own event list, never global;
+    * there is no session-count prepass and no driver state. The streaming
+    * twin is EventStreams.sessionize (watermark + state timeout); this is
+    * the backfill declaration over the same data. */
+  def sessionize(df: DataFrame, key: Column, tsNanos: Column, value: Column,
+                 gapNanos: Long): DataFrame = {
+    require(gapNanos > 0, s"gapNanos must be positive, got $gapNanos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("ts"))
+    val marked = df
+      .select(key.as("k"), tsNanos.cast("long").as("ts"), value.as("v"))
+      .withColumn("new_session",
+        when(col("ts") - lag(col("ts"), 1).over(w) <= lit(gapNanos), 0L)
+          .otherwise(1L))
+    marked
+      .withColumn("session_no", sum(col("new_session")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("k"), col("session_no"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("v")).as("sum_value"))
+  }
 }

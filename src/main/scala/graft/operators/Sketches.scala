@@ -54,4 +54,31 @@ object Sketches {
       .groupBy(col("key"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  // --- theta sketches (set-operation sketches) ---------------------------
+  // Column-API face of graft.functions.Theta* — see ThetaExpressions for
+  // the exact-mode contract and the 100 TB shape.
+
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Aggregate a LONG key column into compact theta-sketch bytes. */
+  def thetaAgg(key: Column, nominalEntries: Int = 4096): Column =
+    ColumnBridge.column(graft.functions.ThetaSketchAgg(
+      ColumnBridge.expression(key), nominalEntries).toAggregateExpression())
+
+  /** Estimate of a sketch as LONG (exact while in exact mode). */
+  def thetaCount(sketch: Column): Column =
+    ColumnBridge.column(graft.functions.ThetaCount(ColumnBridge.expression(sketch)))
+
+  def thetaIntersect(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.functions.ThetaSetOp("intersect",
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def thetaUnion(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.functions.ThetaSetOp("union",
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def thetaANotB(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.functions.ThetaSetOp("anotb",
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -19,6 +19,20 @@ object TextAnalysis {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Unicode NFC normalization — see [[graft.functions.NfcNormalize]]. */
+  def nfc(text: Column): Column =
+    ColumnBridge.column(graft.functions.NfcNormalize(ColumnBridge.expression(text)))
+
+  /** The full text-cleaning normalization pass, in declared order: NFC
+    * canonical composition (decomposed accents → precomposed bytes), then
+    * case folding, then whitespace runs (space/tab/newline) collapsed to
+    * one space and trimmed. The order matters and is part of the
+    * contract: NFC before lower() so singleton compositions (U+212B
+    * ANGSTROM → U+00C5) take their canonical lowercase. Zero shuffles,
+    * linear, codegen'd end to end. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(nfc(text)), "[ \t\n]+", " "))
+
   /** BPE-ish word tokens: maximal [a-z0-9]+ runs of the lowercased text. */
   def wordTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
@@ -590,5 +604,42 @@ object TextAnalysis {
             (d(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double") *
             col("sx").cast("double")) / col("n").cast("double"), 6)
           .as("intercept"))
+  }
+
+  /** Per-document top-k terms by tf·idf, with the idf kept EXACT: the
+    * textbook ln(N/df) is replaced by the integer-scaled quotient
+    * (N·10⁶) DIV df — strictly monotone in N/df, so the idf FACTOR
+    * ranks terms as ln would; the combined tf·idf_q product is a
+    * documented linear-idf variant (it weighs rarity more than the
+    * logarithmic form — tf·ln cannot be made hash-exact across engines,
+    * the same rationale as the BM25 rational core above). Every score is
+    * a BIGINT that compares bit-for-bit; ties break by term.
+    *
+    * Scale shape: one token explode feeding two partial-agg'd exchanges
+    * (tf on (doc,term), df on term); the df frame is vocabulary-sized —
+    * orders of magnitude below the corpus — and joins back to tf on the
+    * term key; the per-doc top-k rank engages WindowGroupLimit, so the
+    * final exchange carries at most k rows per doc per input partition.
+    * N rides a broadcast one-row frame, never a driver constant. */
+  def tfIdfTopK(docs: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+                k: Int = 3, minTermLen: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(id.as("doc_id"), explode(tokens(text)).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(id).as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_q",
+        col("tf") * expr("(n_docs * 1000000L) DIV df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_q").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+        col("tf"), col("df"), col("tfidf_q"))
   }
 }
