@@ -2272,6 +2272,19 @@ object SparkEntry {
         thetaCount(thetaANotB(col("ska"), col("skb"))).as("n_click_only"))
     }),
 
+    // streaming windowed top-k (trending keys): space-saving summary per
+    // window inside ONE flatMapGroupsWithState, emitted when the
+    // watermark finalizes the window; exact while distinct keys ≤
+    // capacity (this regime — the oracle pins it), published ε·N bound
+    // past it. Batch/backfill form here; StreamingSpec drives the live
+    // micro-batch path and pins stream == batch
+    "stream_topk" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      streaming.TopKStream.windowTopK(
+        table(s, dir, "events"), "ts", col("user_id"),
+        windowNanos = 86400L * 1000000000L, k = 3, capacity = 2048)
+    }),
+
     // exact equi-width histogram: global min/max ride a broadcast one-row
     // frame into the bucket projection — one scan + one tiny exchange;
     // the formula is written identically in both engines so edge-case
@@ -4468,6 +4481,20 @@ object SparkEntry {
              (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS n_both,
              (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b) u) AS n_either,
              (SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b)) AS n_click_only""",
+
+    // exact regime: capacity exceeds the per-window key cardinality, so
+    // the space-saving table degenerates to exact counts with err 0
+    "stream_topk" -> """
+      WITH e AS (
+        SELECT (epoch_us(ts) * 1000) - (epoch_us(ts) * 1000) % 86400000000000 AS wstart,
+               user_id AS key
+        FROM events),
+      c AS (SELECT wstart, key, count(*) AS n FROM e GROUP BY wstart, key),
+      r AS (SELECT wstart, key, n,
+                   row_number() OVER (PARTITION BY wstart ORDER BY n DESC, key ASC) AS rank
+            FROM c)
+      SELECT wstart, CAST(rank AS BIGINT) AS rank, key, n, CAST(0 AS BIGINT) AS err
+      FROM r WHERE rank <= 3""",
 
     // bucket formula written operation-for-operation as the engine's —
     // identical IEEE doubles land identical buckets

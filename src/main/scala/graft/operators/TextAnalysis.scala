@@ -581,16 +581,20 @@ object TextAnalysis {
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("tok").asc).limit(topV)
-    // single-partition by design — the frame is ≤ topV rows (post-LIMIT),
-    // bounded by a constant. partitionBy(lit) declares that intent so the
-    // plan carries no unbounded partition-less WindowExec.
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1))
-      .orderBy(col("f").desc, col("tok").asc)
-    val pts = freqs.withColumn("r", row_number().over(wRank).cast("long"))
+    // rank WITHOUT a window: the frame is ≤ topV rows (post-LIMIT,
+    // constant-bounded), so pack it into ONE sorted array and read the
+    // rank off posexplode's index. A partition-less row_number would plan
+    // a WindowExec with no partition spec (partitionBy(lit) does not
+    // help: the optimizer folds constant partition keys away and the
+    // single-partition warning returns) — the aggregate states the same
+    // bounded-single-task intent with no warning and no sort exchange.
+    val pts = freqs
+      .agg(sort_array(collect_list(struct((-col("f")).as("nf"), col("tok"))))
+        .as("arr"))
+      .select(posexplode(col("arr")).as(Seq("i", "e")))
       .select(
-        round(log(col("r").cast("double")) * 1e6).cast("long").as("x"),
-        round(log(col("f").cast("double")) * 1e6).cast("long").as("y"))
+        round(log((col("i") + 1).cast("double")) * 1e6).cast("long").as("x"),
+        round(log((-col("e.nf")).cast("double")) * 1e6).cast("long").as("y"))
     def d(c: Column): Column = c.cast("decimal(38,0)")
     pts.agg(count(lit(1)).as("n"), sum(d(col("x"))).as("sx"),
         sum(d(col("y"))).as("sy"), sum(d(col("x")) * d(col("y"))).as("sxy"),

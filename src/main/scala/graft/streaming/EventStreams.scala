@@ -179,21 +179,15 @@ object EventStreams {
 
   /** Batch sessionization: split each user's event sequence on gaps longer
     * than `gapNanos`. Exact BIGINT arithmetic end to end. */
-  def sessionizeBatch(events: DataFrame, gapNanos: Long): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    val flagged = events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNanos, 1L).otherwise(0L))
-      .withColumn("session_seq", sum(col("new_session")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    flagged.groupBy(col("user_id"), col("session_seq"))
-      .agg(min(col("ts")).as("session_start"),
-        max(col("ts")).as("session_end"),
-        count(lit(1)).as("n_events"))
-      .select(col("user_id"), col("session_seq"), col("session_start"),
-        (col("session_end") - col("session_start")).as("duration_ns"), col("n_events"))
-  }
+  def sessionizeBatch(events: DataFrame, gapNanos: Long): DataFrame =
+    // the generic gaps-and-islands operator, shaped to this module's
+    // session schema (duration instead of end, no value rollup)
+    graft.operators.Relational.sessionize(
+        events, col("user_id"), col("ts"), lit(0L), gapNanos)
+      .select(col("k").as("user_id"), col("session_no").as("session_seq"),
+        col("session_start"),
+        (col("session_end") - col("session_start")).as("duration_ns"),
+        col("n_events"))
 
   final case class SessionEvent(user_id: Long, ts: Long)
   final case class SessionState(start: Long, last: Long, n: Long)
