@@ -24,11 +24,19 @@ object Checkpoints {
     * unset, executor-local blocks: the fast path for single-query
     * lifetimes and local mode. Reliable-checkpoint files are owned by
     * the caller's `dir` and are not deleted here. */
-  def checkpoint(df: DataFrame, dir: Option[String] = None): DataFrame = dir match {
-    case Some(d) =>
-      df.sparkSession.sparkContext.setCheckpointDir(d)
-      df.checkpoint(eager = true)
-    case None => df.localCheckpoint(eager = true)
+  def checkpoint(df: DataFrame, dir: Option[String] = None): DataFrame = {
+    val ck = dir match {
+      case Some(d) =>
+        df.sparkSession.sparkContext.setCheckpointDir(d)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+    // Spark preserves the ORIGINAL plan's statistics through checkpoint;
+    // iterative self-joins then square sizeInBytes per round until the
+    // stats visitor overflows at analysis time — rebase on a fresh leaf
+    // (see ColumnBridge.freshLeaf). release() walks the short dependency
+    // chain to the persisted RDD underneath.
+    org.apache.spark.sql.graft.ColumnBridge.freshLeaf(ck)
   }
 
   /** Spark WARNs every time a locally-checkpointed RDD is unpersisted
@@ -49,8 +57,16 @@ object Checkpoints {
     * again. No-op for frames that hold no checkpointed RDD. */
   def release(df: DataFrame): Unit = {
     quietUnpersistWarn
+    // the frame's leaf RDD may be an unpersisted wrapper over the actual
+    // checkpoint blocks (freshLeaf rebasing) — walk the (short, truncated)
+    // dependency chain and unpersist every persisted ancestor
+    def unpersistTree(r: org.apache.spark.rdd.RDD[_]): Unit = {
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        r.unpersist(blocking = false)
+      r.dependencies.foreach(d => unpersistTree(d.rdd))
+    }
     df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case lr: LogicalRDD => unpersistTree(lr.rdd)
       case _ => ()
     }
   }

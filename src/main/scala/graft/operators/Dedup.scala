@@ -330,24 +330,31 @@ object Dedup {
     * Returns (id, rep) where rep is the MINIMUM id transitively reachable
     * through the pair relation (isolated ids are their own rep).
     *
-    * Algorithm: min-label propagation WITH pointer jumping — per round,
+    * Algorithm: min-label propagation with POINTER JUMPING — per round,
     * (1) every id takes the min of its label and its direct neighbors'
-    * labels (one hop), then (2) every id replaces its label with its
-    * label's label (`rep := rep(rep)`, the pointer jump). The jump is
-    * what makes convergence logarithmic: after the hop shrinks label
-    * distance to the component minimum by at least one edge, the jump
-    * composes two label links into one, so the remaining distance at
-    * least HALVES per round — a diameter-D component converges in
-    * O(log D) rounds, not D (a one-hop-only loop needs ~D rounds). Two
-    * shuffles per round (the hop's groupBy + the jump's self-join), no
-    * driver-side union-find, no full closure materialization. Each round
-    * materializes eagerly (Checkpoints.checkpoint) so lineage stays
-    * flat, and superseded rounds are RELEASED as soon as the next one
-    * lands — only the final (id, rep) frame outlives the call (an
-    * un-released checkpoint taxes every later query in the session).
-    * The loop stops as soon as a round changes no label — a driver-side
-    * CONVERGENCE check, not driver-side data. `checkpointDir` switches
-    * rounds to reliable checkpoints for long jobs on real clusters.
+    * labels (one hop), then (2) `jumps` successive pointer jumps
+    * (`rep := min(rep, rep(rep))`) each compose two label links into
+    * one. A single jump per round is NOT the textbook halving: the hop
+    * only injects one new edge of information, so hop+1-jump grows the
+    * covered distance ~φ× per round and an adversarial id layout on a
+    * long cycle crawls (measured 23 rounds on a 100-node LCG cycle
+    * component — label distance here is distance in the pointer graph,
+    * which the hop rebuilds each round). Multiple jumps per round restore
+    * geometric depth reduction at one cheap (id, rep)⋈(id, rep)
+    * self-join each — jumps=3 brings that same component to ~8 rounds.
+    * The default stays jumps=1: near-dup pair graphs (this operator's
+    * domain) have tiny components that converge in ~2 rounds, where
+    * extra jumps are pure per-round job overhead; callers clustering
+    * high-diameter graphs raise it. Shuffles per round: 1 groupBy +
+    * `jumps` self-joins, no driver-side union-find,
+    * no full closure materialization. Each round materializes eagerly
+    * (Checkpoints.checkpoint) so lineage stays flat, and superseded
+    * rounds are RELEASED as soon as the next one lands — only the final
+    * (id, rep) frame outlives the call (an un-released checkpoint taxes
+    * every later query in the session). The loop stops as soon as a
+    * round changes no label — a driver-side CONVERGENCE check, not
+    * driver-side data. `checkpointDir` switches rounds to reliable
+    * checkpoints for long jobs on real clusters.
     *
     * The jump's self-join is total because labels are always ids already
     * in the table: initial reps are the ids themselves, the hop takes
@@ -366,7 +373,9 @@ object Dedup {
     * construction). */
   def nearDupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
                       maxIters: Int = 10,
-                      checkpointDir: Option[String] = None): DataFrame = {
+                      checkpointDir: Option[String] = None,
+                      jumps: Int = 1): DataFrame = {
+    require(jumps >= 1, s"jumps must be >= 1, got $jumps")
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = Checkpoints.checkpoint(
@@ -376,21 +385,26 @@ object Dedup {
     while (iters < maxIters && !converged) {
       val viaNeighbors = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("rep"))
-      val hopped = Checkpoints.checkpoint(labels.unionByName(viaNeighbors)
+      var cur = Checkpoints.checkpoint(labels.unionByName(viaNeighbors)
         .groupBy(col("id")).agg(min(col("rep")).as("rep")), checkpointDir)
-      val next = Checkpoints.checkpoint(hopped
-        .join(hopped.select(col("id").as("jid"), col("rep").as("jrep")),
-          hopped("rep") === col("jid"))
-        .select(col("id"), least(col("rep"), col("jrep")).as("rep")),
-        checkpointDir)
+      // pointer jumps: each materializes (the next jump reads it twice —
+      // as the table and as the lookup) and releases its predecessor
+      for (_ <- 1 to jumps) {
+        val jumped = Checkpoints.checkpoint(cur
+          .join(cur.select(col("id").as("jid"), col("rep").as("jrep")),
+            cur("rep") === col("jid"))
+          .select(col("id"), least(col("rep"), col("jrep")).as("rep")),
+          checkpointDir)
+        Checkpoints.release(cur)
+        cur = jumped
+      }
       // convergence check needs the PREVIOUS labels — only after it may
       // the superseded round state be released (checkpoints rotate; see
       // Checkpoints.release)
-      val changed = next.join(labels.select(col("id"), col("rep").as("prev")), "id")
+      val changed = cur.join(labels.select(col("id"), col("rep").as("prev")), "id")
         .filter(col("rep") =!= col("prev")).limit(1).count()
-      Checkpoints.release(hopped)
       Checkpoints.release(labels)
-      labels = next
+      labels = cur
       converged = changed == 0
       iters += 1
     }
