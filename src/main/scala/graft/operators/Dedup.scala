@@ -383,28 +383,34 @@ object Dedup {
     var iters = 0
     var converged = false
     while (iters < maxIters && !converged) {
+      // the round CARRIES each id's previous label as `prev` (neighbors
+      // contribute null, so max(prev) is the id's own old label through
+      // the same single exchange) — the convergence check then reads the
+      // already-materialized round instead of paying a third join
       val viaNeighbors = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("rep"))
-      var cur = Checkpoints.checkpoint(labels.unionByName(viaNeighbors)
-        .groupBy(col("id")).agg(min(col("rep")).as("rep")), checkpointDir)
+        .select(col("dst").as("id"), col("rep"),
+          lit(null).cast("long").as("prev"))
+      var cur = Checkpoints.checkpoint(
+        labels.select(col("id"), col("rep"), col("rep").as("prev"))
+          .unionByName(viaNeighbors)
+          .groupBy(col("id"))
+          .agg(min(col("rep")).as("rep"), max(col("prev")).as("prev")),
+        checkpointDir)
       // pointer jumps: each materializes (the next jump reads it twice —
       // as the table and as the lookup) and releases its predecessor
       for (_ <- 1 to jumps) {
         val jumped = Checkpoints.checkpoint(cur
           .join(cur.select(col("id").as("jid"), col("rep").as("jrep")),
             cur("rep") === col("jid"))
-          .select(col("id"), least(col("rep"), col("jrep")).as("rep")),
+          .select(col("id"), least(col("rep"), col("jrep")).as("rep"),
+            col("prev")),
           checkpointDir)
         Checkpoints.release(cur)
         cur = jumped
       }
-      // convergence check needs the PREVIOUS labels — only after it may
-      // the superseded round state be released (checkpoints rotate; see
-      // Checkpoints.release)
-      val changed = cur.join(labels.select(col("id"), col("rep").as("prev")), "id")
-        .filter(col("rep") =!= col("prev")).limit(1).count()
+      val changed = cur.filter(col("rep") =!= col("prev")).limit(1).count()
       Checkpoints.release(labels)
-      labels = cur
+      labels = cur.select(col("id"), col("rep"))
       converged = changed == 0
       iters += 1
     }
