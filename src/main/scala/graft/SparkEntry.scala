@@ -2380,6 +2380,33 @@ object SparkEntry {
         windowNanos = 86400L * 1000000000L, k = 3, capacity = 2048)
     }),
 
+    // exact per-group Pearson correlation: moment sums in DECIMAL(38,0)
+    // over centi-unit integers — built-in corr's running doubles are
+    // partitioning-dependent; this one is bit-stable anywhere
+    "rel_corr" -> ((s, dir) =>
+      operators.Relational.corrExact(table(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .withColumnRenamed("g", "l_returnflag")),
+
+    // main-content extraction from raw HTML (the first transform of any
+    // web-crawl pipeline): script/style/comment elimination, tag strip,
+    // entity decode (amp last), whitespace fold — the HTML is
+    // synthesized from doc columns identically in both engines
+    "text_html_extract" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      val html = concat(
+        lit("<html><head><title>doc "), col("doc_id"),
+        lit("</title><style>p { color: red; }</style></head><body><h1>Doc "),
+        col("doc_id"),
+        lit("</h1><p>"),
+        regexp_replace(col("text"), " the ", " <b>the</b> "),
+        lit("</p><p>A &amp; B &lt;ok&gt; &quot;q&quot; &#39;s&#39;</p>"),
+        lit("<script>track(\""), col("doc_id"),
+        lit("\");</script><!-- crawler note --></body></html>"))
+      docs.select(col("doc_id"),
+        operators.TextAnalysis.htmlExtract(html).as("content"))
+    }),
+
     // exact equi-width histogram: global min/max ride a broadcast one-row
     // frame into the bucket projection — one scan + one tiny exchange;
     // the formula is written identically in both engines so edge-case
@@ -4611,6 +4638,60 @@ object SparkEntry {
             FROM c)
       SELECT wstart, CAST(rank AS BIGINT) AS rank, key, n, CAST(0 AS BIGINT) AS err
       FROM r WHERE rank <= 3""",
+
+    "rel_corr" -> """
+      WITH q AS (
+        SELECT l_returnflag AS g,
+               CAST(round(CAST(l_quantity AS DOUBLE) * 100) AS BIGINT) AS xi,
+               CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS yi
+        FROM lineitem),
+      m AS (
+        SELECT g, CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(xi AS HUGEINT)) AS sx, sum(CAST(yi AS HUGEINT)) AS sy,
+               sum(CAST(xi AS HUGEINT) * CAST(xi AS HUGEINT)) AS sxx,
+               sum(CAST(yi AS HUGEINT) * CAST(yi AS HUGEINT)) AS syy,
+               sum(CAST(xi AS HUGEINT) * CAST(yi AS HUGEINT)) AS sxy
+        FROM q GROUP BY g)
+      SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+             round(CAST(n * sxy - sx * sy AS DOUBLE) /
+               sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                    CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+      FROM m""",
+
+    // the same synthesis and the same regex chain, step for step; RE2
+    // non-greedy spans, (?i) inline flags, entity decode with amp LAST
+    "text_html_extract" -> ("""
+      WITH h AS (
+        SELECT doc_id,
+          '<html><head><title>doc ' || doc_id ||
+          '</title><style>p { color: red; }</style></head><body><h1>Doc ' ||
+          doc_id || '</h1><p>' ||
+          regexp_replace(text, ' the ', ' <b>the</b> ', 'g') ||
+          '</p><p>A &amp; B &lt;ok&gt; &quot;q&quot; &#39;s&#39;</p>' ||
+          '<script>track("' || doc_id ||
+          '");</script><!-- crawler note --></body></html>' AS html
+        FROM documents WHERE doc_id < 200)
+      SELECT doc_id,
+        trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(html, '(?i)<script[^>]*>.*?</script>', ' ', 'g'),
+                          '(?i)<style[^>]*>.*?</style>', ' ', 'g'),
+                        '<!--.*?-->', ' ', 'g'),
+                      '<[^>]*>', ' ', 'g'),
+                    '&lt;', '<', 'g'),
+                  '&gt;', '>', 'g'),
+                '&quot;', '"', 'g'),
+              '&#39;', '''', 'g'),
+            '&amp;', '&', 'g'),
+          '[ """ + "\t\n" + """]+', ' ', 'g')) AS content
+      FROM h"""),
 
     // bucket formula written operation-for-operation as the engine's —
     // identical IEEE doubles land identical buckets

@@ -462,6 +462,34 @@ object Relational {
         sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"))
   }
 
+  /** Exact per-group Pearson correlation. Built-in `corr` accumulates
+    * running doubles whose value depends on row order — which Spark does
+    * not promise across partitionings, so it can differ between runs,
+    * engines and retries. Here the five moment sums are EXACT: inputs
+    * quantize to centi-units (lossless for currency/quantity columns),
+    * products and sums ride DECIMAL(38,0), and only the final closed
+    * form — written in one declared operation order — touches doubles.
+    * One partial-agg'd exchange on the group key; sqrt/division are
+    * correctly-rounded IEEE ops, so identical sums give identical
+    * correlations anywhere. */
+  def corrExact(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val q = df.select(group.as("g"),
+      round(x.cast("double") * 100).cast("long").as("xi"),
+      round(y.cast("double") * 100).cast("long").as("yi"))
+    q.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("xi"))).as("sx"), sum(d(col("yi"))).as("sy"),
+        sum(d(col("xi")) * d(col("xi"))).as("sxx"),
+        sum(d(col("yi")) * d(col("yi"))).as("syy"),
+        sum(d(col("xi")) * d(col("yi"))).as("sxy"))
+      .select(col("g"), col("n"),
+        round((d(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((d(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (d(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("corr"))
+  }
+
   /** Batch sessionization (gaps-and-islands): events of one key belong to
     * the same session while consecutive gaps stay under `gapNanos`.
     * Returns one row per session with start/end, event count and value sum.

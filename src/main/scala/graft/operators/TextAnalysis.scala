@@ -23,6 +23,27 @@ object TextAnalysis {
   def nfc(text: Column): Column =
     ColumnBridge.column(graft.functions.NfcNormalize(ColumnBridge.expression(text)))
 
+  /** Main-content extraction from raw HTML — the first transform of every
+    * web-crawl pipeline. Declared order (each step a codegen'd regex,
+    * RE2-compatible — no lookaround, non-greedy spans only):
+    * drop <script>/<style> elements WITH their content (executable/
+    * presentation payloads are never text), drop comments, strip the
+    * remaining tags, decode the five predefined entities (&amp; LAST —
+    * decoding it first would double-decode "&amp;lt;"), collapse
+    * whitespace runs, trim. Zero shuffles, linear in bytes; a DOM parser
+    * it is not (malformed nesting degrades to tag-stripping, never to an
+    * error), which is the right trade for 100 TB of real-world HTML. */
+  def htmlExtract(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?i)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?i)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
+    trim(regexp_replace(decoded, "[ \t\n]+", " "))
+  }
+
   /** The full text-cleaning normalization pass, in declared order: NFC
     * canonical composition (decomposed accents → precomposed bytes), then
     * case folding, then whitespace runs (space/tab/newline) collapsed to

@@ -162,6 +162,40 @@ class Round8OpsSpec extends SparkTestBase {
     assert(df.as[String].collect().toSeq == Seq("plain ascii", "café"))
   }
 
+  // --- HTML extraction ----------------------------------------------------
+
+  test("htmlExtract: scripts/styles die with their content, tags strip, entities decode") {
+    val html = """<html><head><style>p{x}</style></head><body>
+      |<h1>Title</h1><p class="a">Hello <b>world</b></p>
+      |<script type="text/js">var x = "<p>not text</p>";</script>
+      |<!-- note -->A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;</body></html>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(TextAnalysis.htmlExtract(col("h"))).as[String].head()
+    assert(got == "Title Hello world A & B <tag> \"q\" 's'")
+  }
+
+  test("htmlExtract: '&amp;lt;' decodes ONCE (amp last), malformed HTML degrades safely") {
+    val got = Seq("&amp;lt; <p>ok</p> <unclosed <b>bold").toDF("h")
+      .select(TextAnalysis.htmlExtract(col("h"))).as[String].head()
+    // &amp;lt; → &lt; (literal — the author escaped it); stray '<' swallows
+    // up to the next '>' (tag-stripper semantics, never an error)
+    assert(got == "&lt; ok bold")
+  }
+
+  // --- exact correlation --------------------------------------------------
+
+  test("corrExact: perfect linear ±1, partitioning-invariant digits") {
+    val rows = (1 to 100).map(i => ("up", i.toDouble, 2.0 * i + 3)) ++
+      (1 to 100).map(i => ("down", i.toDouble, -0.5 * i + 10))
+    val df = rows.toDF("g", "x", "y")
+    val got = Relational.corrExact(df, col("g"), col("x"), col("y"))
+      .orderBy("g").as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("down", 100L, -1.0), ("up", 100L, 1.0)))
+    val p13 = Relational.corrExact(df.repartition(13), col("g"), col("x"), col("y"))
+      .orderBy("g").as[(String, Long, Double)].collect().toSeq
+    assert(p13 == got) // decimal sums: bit-identical at any partitioning
+  }
+
   // --- theta sketches -----------------------------------------------------
 
   test("theta sketches: exact-mode set algebra equals exact set algebra") {
