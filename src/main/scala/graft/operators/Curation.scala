@@ -477,7 +477,9 @@ object Curation {
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val noTrack = regexp_replace(noFrag, "[?&](?:utm_[a-z0-9]+|gclid|fbclid)=[^&#]*", "")
-    val fixedQ = regexp_replace(noTrack, "^([^?]*)&", "$1?")
+    // lazy quantifier: the FIRST '&' becomes '?'; greedy [^?]* would
+    // backtrack to the LAST one and scramble multi-param queries
+    val fixedQ = regexp_replace(noTrack, "^([^?]*?)&", "$1?")
     val hostLower = concat(
       lower(regexp_extract(fixedQ, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)),
       regexp_replace(fixedQ, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", ""))

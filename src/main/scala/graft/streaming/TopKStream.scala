@@ -71,19 +71,27 @@ object TopKStream {
     val timeoutConf =
       if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
 
-    def fold(table: List[Counter], key: Long): List[Counter] =
-      table.find(_.key == key) match {
-        case Some(c) => Counter(key, c.n + 1, c.err) :: table.filterNot(_.key == key)
-        case None if table.size < capacity => Counter(key, 1L, 0L) :: table
+    // mutable counter table per invocation: O(1) hits and below-capacity
+    // inserts; the O(capacity) min scan runs ONLY on evictions (cache-miss
+    // traffic past capacity) — a per-event linear fold would make window
+    // cost O(events × capacity), the opposite of the sketch's purpose.
+    // Fold order is pre-sorted, so determinism is unaffected.
+    def fold(table: scala.collection.mutable.HashMap[Long, Counter], key: Long): Unit =
+      table.get(key) match {
+        case Some(c) => table.update(key, Counter(key, c.n + 1, c.err))
+        case None if table.size < capacity => table.update(key, Counter(key, 1L, 0L))
         case None =>
           // evict the min counter (key asc tie-break keeps eviction
           // deterministic); its count becomes the newcomer's floor+error
-          val min = table.minBy(c => (c.n, c.key))
-          Counter(key, min.n + 1, min.n) :: table.filterNot(_ eq min)
+          val min = table.valuesIterator.reduceLeft { (a, b) =>
+            if (a.n < b.n || (a.n == b.n && a.key < b.key)) a else b
+          }
+          table.remove(min.key)
+          table.update(key, Counter(key, min.n + 1, min.n))
       }
 
-    def topK(wstart: Long, table: List[Counter]): Iterator[TopHit] =
-      table.sortBy(c => (-c.n, c.key)).take(k).zipWithIndex.iterator
+    def topK(wstart: Long, table: Iterable[Counter]): Iterator[TopHit] =
+      table.toSeq.sortBy(c => (-c.n, c.key)).take(k).zipWithIndex.iterator
         .map { case (c, i) => TopHit(wstart, i + 1L, c.key, c.n, c.err) }
 
     val hits = watermarked.as[KeyedEvent]
@@ -99,17 +107,18 @@ object TopKStream {
           } else {
             // key asc fold order: deterministic past capacity too, so the
             // batch backfill (whole window in one call) is reproducible
-            var table = state.getOption.getOrElse(Nil)
-            rows.toVector.sortBy(_.key).foreach(e => table = fold(table, e.key))
+            val table = scala.collection.mutable.HashMap.empty[Long, Counter]
+            state.getOption.getOrElse(Nil).foreach(c => table.update(c.key, c))
+            rows.toVector.sortBy(_.key).foreach(e => fold(table, e.key))
             if (streaming) {
-              state.update(table)
+              state.update(table.values.toList)
               // fire when the watermark passes the window end (the
               // event_time of the last instant inside the window)
               state.setTimeoutTimestamp(
                 math.max(wstart / 1000000L + windowNanos / 1000000L,
                   state.getCurrentWatermarkMs() + 1L))
               Iterator.empty
-            } else topK(wstart, table)
+            } else topK(wstart, table.values)
           }
       }
     hits.toDF("wstart", "rank", "key", "n", "err")

@@ -124,7 +124,10 @@ class Round8OpsSpec extends SparkTestBase {
       // :443 with explicit query, gclid only param
       "https://site.com:443/x?gclid=1" -> "https://site.com/x",
       // non-tracking params untouched, order preserved
-      "https://site.com/x?b=2&a=1" -> "https://site.com/x?b=2&a=1")
+      "https://site.com/x?b=2&a=1" -> "https://site.com/x?b=2&a=1",
+      // leading tracking param with TWO survivors: the FIRST '&' must be
+      // the one promoted to '?' (a greedy rewrite would take the last)
+      "https://site.com/p?utm_source=x&a=1&b=2" -> "https://site.com/p?a=1&b=2")
     val got = cases.map(_._1).toDF("url")
       .select(Curation.canonicalUrl(col("url"))).as[String].collect().toSeq
     assert(got == cases.map(_._2))
