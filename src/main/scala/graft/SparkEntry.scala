@@ -600,8 +600,9 @@ object SparkEntry {
           col("o_orderpriority"))
       val l = table(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
         .select(col("l_orderkey"),
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,2)").as("rev"))
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1.0).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .as("rev")) // decimal-first: see rel_tpch_q5
       o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
@@ -716,10 +717,16 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("rnk").cast("bigint").as("rnk"))),
 
     "rel_window_running" -> ((s, dir) =>
+      // ordering includes quantity/price: (orderkey, linenumber) is NOT
+      // unique in every testdata generation (sf0.1 carries a duplicate
+      // key), and a running sum under a tied order is engine-dependent —
+      // the extended key is total, or the tied rows are full duplicates
+      // whose assignment cannot matter
       operators.Relational.runningTotal(
         table(s, dir, "lineitem"),
         Seq(col("l_suppkey")),
-        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice")),
         col("l_quantity"), "running")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running"))),
 
@@ -2305,8 +2312,15 @@ object SparkEntry {
         .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
         .select(col("o_orderkey"), col("o_custkey"))
       val l = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,2)").as("rev"))
+        // decimal-FIRST: casting the double PRODUCT to decimal hits
+        // representable .xx5 ties (e.g. price*0.75 ending in .125) that
+        // HALF_UP and half-even resolve differently across engines; with
+        // both factors cast first the product is exact at scale 4 and no
+        // tie can form (the double-product form lost 1 cent on 3 of 5
+        // nations at sf0.1)
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .as("rev"))
       o.join(l, col("o_orderkey") === col("l_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(sn, col("l_suppkey") === col("s_suppkey") &&
@@ -2725,7 +2739,7 @@ object SparkEntry {
       SELECT l_suppkey, l_orderkey, l_linenumber,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
                   OVER (PARTITION BY l_suppkey
-                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
       FROM lineitem""",
 
@@ -4019,7 +4033,7 @@ object SparkEntry {
 
     "rel_tpch_q3" -> """
       SELECT o_orderkey,
-             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
              o_orderdate, o_orderpriority
       FROM customer, orders, lineitem
       WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -4553,7 +4567,7 @@ object SparkEntry {
 
     "rel_tpch_q5" -> """
       SELECT n_name,
-             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
       FROM customer, orders, lineitem, supplier, nation, region
       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
