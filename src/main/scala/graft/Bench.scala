@@ -44,6 +44,25 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    // Provenance (round 9): the r7→r8 triage could not separate host noise
+    // (a concurrent verify JVM, background load) from plan regressions
+    // because the ledger carried no context. Record 1-min load average at
+    // start/end plus how many OTHER java processes were live — enough to
+    // flag a contended run without a judge re-measure.
+    def loadAvg(): Double = {
+      val v = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      if (v.isNaN) -1.0 else v
+    }
+    def otherJavaProcs(): Long = {
+      val self = ProcessHandle.current().pid()
+      ProcessHandle.allProcesses()
+        .filter(p => p.pid() != self &&
+          p.info().command().map[java.lang.Boolean](_.contains("java")).orElse(false))
+        .count()
+    }
+    val loadStart = loadAvg()
+    val javaProcsStart = otherJavaProcs()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = ordered.map { case (name, fn) =>
       // failures are a visible -1 sentinel, never a bogus near-zero time
@@ -77,8 +96,10 @@ object Bench {
       .mkString("{", ",", "}")
     // n_queries counts only the queries inside the total; failures are
     // separate so total/n_queries stay mutually consistent
+    val host =
+      s""""host":{"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadAvg())},"cpus":${Runtime.getRuntime.availableProcessors()},"other_java_procs_start":$javaProcsStart,"other_java_procs_end":${otherJavaProcs()}}"""
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,$host,"queries":$detail,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detailJson) finally w.close()
@@ -87,7 +108,7 @@ object Bench {
     // "queries" holds the slowest entries that fit; the rest are summarized.
     val budget = 1500
     val bySlowest = results.filter(_._2 >= 0).sortBy(-_._2) ++ results.filter(_._2 < 0)
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,"sf":"$sfDir","detail_file":"BENCH_DETAIL.json","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,$host,"sf":"$sfDir","detail_file":"BENCH_DETAIL.json","queries":{"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + 60 // reserve for closing braces + omitted field
     for ((k, v) <- bySlowest) {

@@ -19,6 +19,8 @@ object SparkEntry {
   private lazy val orcSinkDir: String = sinkDir("orc")
   private lazy val csvSinkDir: String = sinkDir("csv")
   private lazy val jsonSinkDir: String = sinkDir("json")
+  private lazy val partitionedSinkDir: String = sinkDir("partitioned")
+  private lazy val bucketedSinkDir: String = sinkDir("bucketed")
 
   private def sinkDir(kind: String): String = {
     val d = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -108,10 +110,21 @@ object SparkEntry {
                                       parallelism: Int): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sizes = (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-                 else Seq(fs.getFileStatus(p)))
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-      .map(_.getLen).filter(_ > 0)
+    // recurse: a partitioned layout nests data files under key=value
+    // dirs — a one-level listing would see no files and under-estimate
+    val sizes = {
+      if (fs.getFileStatus(p).isDirectory) {
+        val it = fs.listFiles(p, /* recursive = */ true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (it.hasNext) {
+          val st = it.next()
+          val name = st.getPath.getName
+          if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+            buf += st.getLen
+        }
+        buf.toSeq
+      } else Seq(fs.getFileStatus(p).getLen)
+    }.filter(_ > 0)
     if (sizes.isEmpty) return 1L
     // the same parser Spark applies to these confs — no hand-rolled
     // suffix table to silently diverge from it
@@ -121,8 +134,13 @@ object SparkEntry {
         .getOrElse(default)
     val maxPartition = bytesConf("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
     val openCost = bytesConf("spark.sql.files.openCostInBytes", 4L * 1024 * 1024)
+    // Spark divides by files.minPartitionNum when set (else the leaf-node
+    // default parallelism) — mirror that so the estimate tracks the real
+    // split count
+    val minPartitionNum = spark.conf.getOption("spark.sql.files.minPartitionNum")
+      .map(_.toLong).getOrElse(parallelism.toLong)
     val total = sizes.map(_ + openCost).sum
-    val maxSplit = math.min(maxPartition, math.max(openCost, total / math.max(1, parallelism)))
+    val maxSplit = math.min(maxPartition, math.max(openCost, total / math.max(1L, minPartitionNum)))
     (total + maxSplit - 1) / maxSplit
   }
 
@@ -498,12 +516,16 @@ object SparkEntry {
             .withColumn("__v", lit(2L))
           val snap = operators.Relational.upsert(base, changes, Seq(col("o_orderkey")), col("__v"))
             .select(col("o_orderkey"), col("o_orderstatus"), col("price"))
+          // filesystem paths fold the pid in (via bucketedSinkDir): two
+          // concurrent JVMs on the same data dir must not rebuild and
+          // overwrite each other's bucketed files mid-scan. The table
+          // NAMES stay dir-scoped only — the catalog is session-local.
           snap.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-            .option("path", s"/tmp/graft_bucketed/snap_b_$tag").mode("overwrite")
+            .option("path", s"$bucketedSinkDir/snap_b_$tag").mode("overwrite")
             .saveAsTable(snapT)
           table(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
             .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-            .option("path", s"/tmp/graft_bucketed/li_b_$tag").mode("overwrite")
+            .option("path", s"$bucketedSinkDir/li_b_$tag").mode("overwrite")
             .saveAsTable(liT)
           java.lang.Boolean.TRUE
         })
@@ -874,8 +896,8 @@ object SparkEntry {
       table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .write.partitionBy("event_type").mode("overwrite")
-        .parquet("/tmp/graft_partitioned/events_by_type")
-      s.read.parquet("/tmp/graft_partitioned/events_by_type")
+        .parquet(s"$partitionedSinkDir/events_by_type")
+      s.read.parquet(s"$partitionedSinkDir/events_by_type")
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
@@ -2416,15 +2438,18 @@ object SparkEntry {
     // synthesized from doc columns identically in both engines
     "text_html_extract" -> ((s, dir) => {
       val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      // script/style/comment payloads span NEWLINES, like real HTML —
+      // pins the (?s)/(?is) DOTALL contract (round-9 ADVICE): without it
+      // these payloads would leak through the tag-stripper
       val html = concat(
         lit("<html><head><title>doc "), col("doc_id"),
-        lit("</title><style>p { color: red; }</style></head><body><h1>Doc "),
+        lit("</title><style>\np { color: red; }\n</style></head><body><h1>Doc "),
         col("doc_id"),
         lit("</h1><p>"),
         regexp_replace(col("text"), " the ", " <b>the</b> "),
         lit("</p><p>A &amp; B &lt;ok&gt; &quot;q&quot; &#39;s&#39;</p>"),
-        lit("<script>track(\""), col("doc_id"),
-        lit("\");</script><!-- crawler note --></body></html>"))
+        lit("<script>\ntrack(\""), col("doc_id"),
+        lit("\");\n</script><!-- crawler\nnote --></body></html>"))
       docs.select(col("doc_id"),
         operators.TextAnalysis.htmlExtract(html).as("content"))
     }),
@@ -2515,7 +2540,7 @@ object SparkEntry {
       FROM events""",
 
     "jq_literals" -> """
-      SELECT event_id, 42 AS i, 10.2 AS f, 'hi' AS s, true AS b,
+      SELECT event_id, CAST(42 AS BIGINT) AS i, CAST(10.2 AS DOUBLE) AS f, 'hi' AS s, true AS b,
              '[1,2]' AS arr, '{"a":1}' AS obj
       FROM events""",
 
@@ -2545,7 +2570,7 @@ object SparkEntry {
       "SELECT event_id, CAST(NULL AS BIGINT) AS v FROM events",
 
     "jq_sub_rem" -> """
-      SELECT event_id, 2 AS after_sub,
+      SELECT event_id, CAST(2 AS BIGINT) AS after_sub,
              CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod
       FROM events""",
 
@@ -2604,7 +2629,7 @@ object SparkEntry {
              k + 3 AS total,
              greatest(k, 50) AS mx,
              least(k, 50) AS mn,
-             CASE WHEN k = 1 THEN 1 ELSE 2 END AS uniq_n,
+             CAST(CASE WHEN k = 1 THEN 1 ELSE 2 END AS BIGINT) AS uniq_n,
              k AS rev0,
              'a-' || k AS joined,
              floor(sqrt(k)) AS fl,
@@ -4536,12 +4561,13 @@ object SparkEntry {
         FROM e),
       numbered AS (
         SELECT user_id, ts, v,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS session_no
         FROM marked)
       SELECT user_id, session_no,
              min(ts) AS session_start, max(ts) AS session_end,
-             count(*) AS n_events, sum(v) AS sum_value_micro
+             count(*) AS n_events, CAST(sum(v) AS BIGINT) AS sum_value_micro
       FROM numbered GROUP BY user_id, session_no""",
 
     // tf/df/N over the FULL corpus; the doc_id gate applies to the output
@@ -4686,12 +4712,14 @@ object SparkEntry {
       WITH h AS (
         SELECT doc_id,
           '<html><head><title>doc ' || doc_id ||
-          '</title><style>p { color: red; }</style></head><body><h1>Doc ' ||
+          '</title><style>' || chr(10) || 'p { color: red; }' || chr(10) ||
+          '</style></head><body><h1>Doc ' ||
           doc_id || '</h1><p>' ||
           regexp_replace(text, ' the ', ' <b>the</b> ', 'g') ||
           '</p><p>A &amp; B &lt;ok&gt; &quot;q&quot; &#39;s&#39;</p>' ||
-          '<script>track("' || doc_id ||
-          '");</script><!-- crawler note --></body></html>' AS html
+          '<script>' || chr(10) || 'track("' || doc_id ||
+          '");' || chr(10) || '</script><!-- crawler' || chr(10) ||
+          'note --></body></html>' AS html
         FROM documents WHERE doc_id < 200)
       SELECT doc_id,
         trim(regexp_replace(
@@ -4703,16 +4731,16 @@ object SparkEntry {
                     regexp_replace(
                       regexp_replace(
                         regexp_replace(
-                          regexp_replace(html, '(?i)<script[^>]*>.*?</script>', ' ', 'g'),
-                          '(?i)<style[^>]*>.*?</style>', ' ', 'g'),
-                        '<!--.*?-->', ' ', 'g'),
+                          regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                        '(?s)<!--.*?-->', ' ', 'g'),
                       '<[^>]*>', ' ', 'g'),
                     '&lt;', '<', 'g'),
                   '&gt;', '>', 'g'),
                 '&quot;', '"', 'g'),
               '&#39;', '''', 'g'),
             '&amp;', '&', 'g'),
-          '[ """ + "\t\n" + """]+', ' ', 'g')) AS content
+          '[ """ + "\t\n\r" + """]+', ' ', 'g')) AS content
       FROM h"""),
 
     // bucket formula written operation-for-operation as the engine's —

@@ -34,9 +34,29 @@ object Checkpoints {
     // Spark preserves the ORIGINAL plan's statistics through checkpoint;
     // iterative self-joins then square sizeInBytes per round until the
     // stats visitor overflows at analysis time — rebase on a fresh leaf
-    // (see ColumnBridge.freshLeaf). release() walks the short dependency
-    // chain to the persisted RDD underneath.
-    org.apache.spark.sql.graft.ColumnBridge.freshLeaf(ck)
+    // (see ColumnBridge.freshLeaf). The leaf carries the TRUTHFUL size of
+    // the just-materialized blocks (the checkpoint is eager, so the block
+    // manager already knows it): a default-stats leaf would report
+    // sizeInBytes = Long.MaxValue and silently stop small checkpointed
+    // frames from auto-broadcasting in downstream joins. Falls back to
+    // default stats when the blocks aren't block-manager-tracked
+    // (reliable checkpoints live in files). release() walks the short
+    // dependency chain to the persisted RDD underneath.
+    val measured = persistedRddId(ck).flatMap(
+      org.apache.spark.sql.graft.ColumnBridge.persistedBytes(ck.sparkSession, _))
+    org.apache.spark.sql.graft.ColumnBridge.freshLeaf(ck, measured.map(BigInt(_)))
+  }
+
+  /** Id of the persisted RDD underneath a checkpointed frame's leaf, if
+    * any — the same short walk release() unpersists. */
+  private def persistedRddId(df: DataFrame): Option[Int] = {
+    def find(r: org.apache.spark.rdd.RDD[_]): Option[Int] =
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) Some(r.id)
+      else r.dependencies.iterator.flatMap(d => find(d.rdd)).nextOption()
+    df.queryExecution.analyzed.collectLeaves().iterator.flatMap {
+      case lr: LogicalRDD => find(lr.rdd)
+      case _ => None
+    }.nextOption()
   }
 
   /** Spark WARNs every time a locally-checkpointed RDD is unpersisted

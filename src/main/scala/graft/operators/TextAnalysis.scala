@@ -34,14 +34,18 @@ object TextAnalysis {
     * it is not (malformed nesting degrades to tag-stripping, never to an
     * error), which is the right trade for 100 TB of real-world HTML. */
   def htmlExtract(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?i)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?i)<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "<!--.*?-->", " ")
+    // (?s) DOTALL on every content-crossing span: real <script>/<style>/
+    // comments are virtually always multiline, and without it '.' stops at
+    // the first newline and the payload leaks through the tag-stripper as
+    // "extracted content"
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]*>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
-    trim(regexp_replace(decoded, "[ \t\n]+", " "))
+    trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
   }
 
   /** The full text-cleaning normalization pass, in declared order: NFC

@@ -84,6 +84,24 @@ class CheckpointHygieneSpec extends SparkTestBase {
       s"bpeLearn stranded ${(persistedNow -- before).size} persisted RDDs — rotation broken")
   }
 
+  test("checkpoint() attaches truthful stats so small frames still auto-broadcast") {
+    val small = (1L to 100L).toDF("k")
+    val ck = Checkpoints.checkpoint(small)
+    try {
+      val stats = ck.queryExecution.optimizedPlan.stats
+      // a 100-row bigint frame is a few KB; the old default-stats leaf
+      // reported Long.MaxValue and killed downstream auto-broadcast
+      assert(stats.sizeInBytes < BigInt(10L * 1024 * 1024),
+        s"checkpointed leaf reports sizeInBytes=${stats.sizeInBytes} — default stats leaked back in")
+      // and the planner actually picks a broadcast join against a big side
+      val big = spark.range(0, 10000).toDF("k")
+      val joined = big.join(ck, "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"small checkpointed frame did not broadcast:\n$plan")
+    } finally Checkpoints.release(ck)
+  }
+
   test("nearDupClusters with a reliable checkpoint dir converges identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
     try {
