@@ -63,7 +63,12 @@ object Bench {
     }
     val loadStart = loadAvg()
     val javaProcsStart = otherJavaProcs()
+    // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run (driver sets no
+    // filter and benches everything) — same contract as Verify
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = ordered.map { case (name, fn) =>
       // failures are a visible -1 sentinel, never a bogus near-zero time
       val sec =

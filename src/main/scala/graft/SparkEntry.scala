@@ -315,6 +315,24 @@ object SparkEntry {
         .select(col("event_id"), Jq.multi(Seq(("band", ".k & 12", "long"), ("bor_", ".k bor 5", "long"), ("bxor", ".k ^ 3", "long"), ("shl", ".k << 2", "long"), ("shr", ".k >> 1", "long")), col("props")).as("m"))
         .select(col("event_id"), col("m.band"), col("m.bor_"), col("m.bxor"), col("m.shl"), col("m.shr"))),
 
+    // exact wide integers past ±2^63 (reference json.rs:469 Integer(i128),
+    // parse at json.rs:234): a wide literal promotes the arithmetic to the
+    // exact JBigInt path, round-trips byte-exactly through parse/serialize,
+    // and re-enters long range losslessly. Wide results travel as their
+    // canonical STRINGS (Spark BIGINT cannot carry them); the oracle
+    // replays the arithmetic in DuckDB HUGEINT (int128, the reference's
+    // own width).
+    "jq_bigint" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), Jq.multi(Seq(
+          ("wide_add", ".k + 18446744073709551615 | tostring", "string"),
+          ("wide_mul", ".k * 18446744073709551616 | tostring", "string"),
+          ("wide_lit", "\"{\\\"big\\\":18446744073709551616}\" | fromjson | .big | tostring", "string"),
+          ("back_in_range", ".k + 18446744073709551615 - 18446744073709551615", "long")),
+          col("props")).as("m"))
+        .select(col("event_id"), col("m.wide_add"), col("m.wide_mul"),
+          col("m.wide_lit"), col("m.back_in_range"))),
+
     // logical and/or over truthiness (§2.5)
     "jq_logic" -> ((s, dir) =>
       table(s, dir, "events")
@@ -2585,6 +2603,14 @@ object SparkEntry {
     "jq_bitops" -> """
       SELECT event_id, k & 12 AS band, k | 5 AS bor_, xor(k, 3) AS bxor,
              k << 2 AS shl, k >> 1 AS shr
+      FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
+
+    "jq_bigint" -> """
+      SELECT event_id,
+             CAST(CAST(k AS HUGEINT) + CAST('18446744073709551615' AS HUGEINT) AS VARCHAR) AS wide_add,
+             CAST(CAST(k AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT) AS VARCHAR) AS wide_mul,
+             '18446744073709551616' AS wide_lit,
+             k AS back_in_range
       FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
 
     "jq_logic" -> """

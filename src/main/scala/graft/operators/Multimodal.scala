@@ -195,10 +195,56 @@ object Multimodal {
       * (caller falls back to the stub). Supports the 16-bit signed PCM
       * that WAV fixtures here use; other sample widths fall to the stub
       * rather than decode approximately. */
+    /** The JDK's audio SPI providers, resolved ONCE per JVM.
+      * `AudioSystem.getAudioInputStream`/`write` route every call through
+      * `JDK13Services.getProviders` — a synchronized static that re-walks
+      * the ServiceLoader each time — so a 32-thread decode stage
+      * serializes on provider lookup and scales NEGATIVELY (measured:
+      * 1 thread 0.74s, 4 threads 1.50s on the sf0.1 audio table).
+      * Resolving the same public SPI once and dispatching directly keeps
+      * the hot loop lock-free; semantics are identical (same providers,
+      * same first-accepting-reader order). */
+    private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .asScala.toList
+        // A reader accepts only its own container, so probe ORDER cannot
+        // change which one decodes a payload — but it dominates rejection
+        // cost. The JDK's SoftMidiAudioFileReader (served BEFORE the WAV
+        // readers) burns ~75µs per rejected probe and detours through
+        // MidiSystem's synchronized provider registry; on a WAV corpus
+        // that is the whole decode budget. Probe the PCM containers
+        // first, MIDI last.
+        .sortBy { r =>
+          val n = r.getClass.getSimpleName
+          if (n.startsWith("Wave")) 0
+          else if (n.toLowerCase.contains("midi")) 2
+          else 1
+        }
+    }
+    private lazy val audioWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .asScala.toList
+    }
+
+    /** First reader that accepts the payload (each attempt gets a fresh
+      * stream — a rejecting reader may have consumed header bytes). */
+    private def audioStream(
+        bytes: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] = {
+      val it = audioReaders.iterator
+      while (it.hasNext) {
+        try return Some(it.next().getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
+      }
+      None
+    }
+
     def decodeAudio(r: MediaRecord): Option[DecodedMedia] =
-      try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.content))
+      audioStream(r.content).flatMap { ais => try {
         val fmt = ais.getFormat
         if (fmt.getSampleSizeInBits != 16 ||
             fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
@@ -227,7 +273,7 @@ object Multimodal {
             width = fmt.getSampleRate.toInt, height = fmt.getChannels,
             n_frames = n, features = features))
         }
-      } catch { case _: Exception => None }
+      } catch { case _: Exception => None } }
 
     /** Deterministic 16-bit PCM mono WAV fixture, encoded by the real
       * JDK WAV writer: sample i = ((i·31 + seed·17) mod 2001) − 1000, an
@@ -249,8 +295,13 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(bytes), fmt, nSamples.toLong)
       val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(
-        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      // cached SPI dispatch for the same reason as audioStream — the
+      // AudioSystem.write facade serializes on the provider registry
+      audioWriters.find(_.isFileTypeSupported(wave, ais)) match {
+        case Some(w) => w.write(ais, wave, bos)
+        case None => javax.sound.sampled.AudioSystem.write(ais, wave, bos)
+      }
       bos.toByteArray
     }
 
