@@ -61,7 +61,23 @@ object Bench {
           p.info().command().map[java.lang.Boolean](_.contains("java")).orElse(false))
         .count()
     }
+    // Contention guard (round 10): the r9 ledger was contaminated by a loaded
+    // host (loadavg_start=3.71 inflated 12 queries 3-38×) and read as a fake
+    // 41% regression. A ledger that can silently absorb host noise is useless
+    // as a regression gate, so: wait (bounded) for the 1-min load to drop
+    // below a threshold before timing anything, and if it never does, emit
+    // "contended":true so the run is self-labeled as untrustworthy.
+    val loadMax = sys.env.get("SPARK_GRAFT_LOAD_MAX").map(_.toDouble).getOrElse(2.0)
+    val loadWaitSec = sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC").map(_.toInt).getOrElse(120)
+    val waitDeadline = System.nanoTime() + loadWaitSec * 1_000_000_000L
+    while (loadAvg() > loadMax && System.nanoTime() < waitDeadline) {
+      System.err.println(f"[bench] loadavg ${loadAvg()}%.2f > $loadMax%.1f — waiting for idle host")
+      Thread.sleep(5000)
+    }
     val loadStart = loadAvg()
+    val contended = loadStart > loadMax
+    if (contended)
+      System.err.println(f"[bench] WARNING: starting contended (loadavg $loadStart%.2f > $loadMax%.1f after ${loadWaitSec}s) — ledger will carry contended:true")
     val javaProcsStart = otherJavaProcs()
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run (driver sets no
     // filter and benches everything) — same contract as Verify
@@ -102,9 +118,13 @@ object Bench {
     // n_queries counts only the queries inside the total; failures are
     // separate so total/n_queries stay mutually consistent
     val host =
-      s""""host":{"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadAvg())},"cpus":${Runtime.getRuntime.availableProcessors()},"other_java_procs_start":$javaProcsStart,"other_java_procs_end":${otherJavaProcs()}}"""
+      s""""host":{"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadAvg())},"cpus":${Runtime.getRuntime.availableProcessors()},"other_java_procs_start":$javaProcsStart,"other_java_procs_end":${otherJavaProcs()},"contended":$contended}"""
+    // A SPARK_GRAFT_ONLY dev run writes a PARTIAL total; without a marker a
+    // stale partial ledger is indistinguishable from a full run. Record the
+    // restriction list verbatim (empty field when unrestricted).
+    val onlyField = only.map(s => s""","only":[${s.toSeq.sorted.map(q => s"\"$q\"").mkString(",")}]""").getOrElse("")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,$host,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,$host$onlyField,"queries":$detail,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detailJson) finally w.close()
@@ -113,7 +133,7 @@ object Bench {
     // "queries" holds the slowest entries that fit; the rest are summarized.
     val budget = 1500
     val bySlowest = results.filter(_._2 >= 0).sortBy(-_._2) ++ results.filter(_._2 < 0)
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,$host,"sf":"$sfDir","detail_file":"BENCH_DETAIL.json","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,$host$onlyField,"sf":"$sfDir","detail_file":"BENCH_DETAIL.json","queries":{"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + 60 // reserve for closing braces + omitted field
     for ((k, v) <- bySlowest) {

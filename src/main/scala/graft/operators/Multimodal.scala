@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 import java.awt.image.BufferedImage
 
@@ -32,6 +33,51 @@ object Multimodal {
 
   /** One raw media object. */
   final case class MediaRecord(media_id: Long, kind: String, content: Array[Byte])
+
+  /** Pluggable decoder seam: a real cluster injects ffmpeg/JavaCV-backed
+    * codecs by registering implementations of this trait — operator code
+    * never changes. Implementations MUST be Serializable (registered
+    * decoders are captured into the decode plan at construction time and
+    * ship to executors inside the task closure, so driver-side
+    * registration is cluster-correct, not a local-mode accident) and
+    * stateless-or-thread-safe (one instance serves all partition threads
+    * of an executor).
+    *
+    * `decode` returns None to DECLINE the payload (next decoder, then the
+    * built-in JDK codecs, then the stub — the decode-or-stub contract is
+    * preserved no matter what plugins do). */
+  trait MediaDecoder extends Serializable {
+    /** Media kinds ("image" | "audio" | "video" | custom) this decoder
+      * wants to be offered. Kinds outside the set are never offered. */
+    def kinds: Set[String]
+    def decode(r: MediaRecord): Option[DecodedMedia]
+  }
+
+  /** Process-wide decoder registry. Two injection paths:
+    *   - programmatic: `MediaDecoders.register(...)` on the driver before
+    *     building the plan (tests, notebooks, library users);
+    *   - system property `graft.media.decoders` = comma-separated class
+    *     names with no-arg constructors, resolved once per JVM — the
+    *     spark-submit path (`--conf spark.driver.extraJavaOptions=-D...`),
+    *     useful when the registering code never runs on the driver.
+    * Registration order is probe order; plugins always probe BEFORE the
+    * built-in JDK codecs so a real ffmpeg decoder overrides the GIF-only
+    * video path. */
+  object MediaDecoders {
+    @volatile private var programmatic: Vector[MediaDecoder] = Vector.empty
+    private lazy val fromProperty: Vector[MediaDecoder] =
+      sys.props.get("graft.media.decoders").toVector
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        .map { cls =>
+          java.lang.Class.forName(cls).getDeclaredConstructor()
+            .newInstance().asInstanceOf[MediaDecoder]
+        }
+    def register(d: MediaDecoder): Unit = synchronized { programmatic :+= d }
+    /** Test hook: drop programmatic registrations. */
+    def clearProgrammatic(): Unit = synchronized { programmatic = Vector.empty }
+    /** The decoder list a plan built NOW should carry. */
+    def snapshot(): Seq[MediaDecoder] = programmatic ++ fromProperty
+  }
 
   /** Decoded metadata + a small feature vector. */
   final case class DecodedMedia(
@@ -237,7 +283,13 @@ object Multimodal {
         try return Some(it.next().getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes)))
         catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+          // A probe rejecting a payload must mean "try the next reader",
+          // never "fail the task": the JDK readers signal rejection with
+          // UnsupportedAudioFileException, but a third-party SPI reader is
+          // free to throw IOException (or anything) on a malformed header.
+          // The documented contract is decode-or-stub, so treat every
+          // non-fatal probe failure as a rejection.
+          case scala.util.control.NonFatal(_) => ()
         }
       }
       None
@@ -428,36 +480,66 @@ object Multimodal {
     def resizeStub(d: DecodedMedia, w: Int, h: Int): DecodedMedia =
       d.copy(width = w, height = h)
 
-    /** Kind dispatch: real image, audio, and (GIF) video paths first;
-      * the stub only for payloads no JDK reader accepts. */
-    def decodeAny(r: MediaRecord): DecodedMedia =
+    /** Kind dispatch: registered plugin decoders first (a cluster's
+      * ffmpeg-backed codec overrides the JDK paths), then the built-in
+      * real image/audio/(GIF) video paths, then the stub — so every
+      * payload decodes to SOMETHING deterministic no matter what plugins
+      * decline. */
+    def decodeAny(r: MediaRecord, plugins: Seq[MediaDecoder]): DecodedMedia = {
+      val it = plugins.iterator
+      while (it.hasNext) {
+        val d = it.next()
+        if (d.kinds.contains(r.kind)) {
+          val out = d.decode(r)
+          if (out.isDefined) return out.get
+        }
+      }
       if (r.kind == "image") decodeImage(r).getOrElse(decodeStub(r))
       else if (r.kind == "audio") decodeAudio(r).getOrElse(decodeStub(r))
       else if (r.kind == "video") decodeVideo(r).getOrElse(decodeStub(r))
       else decodeStub(r)
+    }
+
+    /** Same-JVM convenience (CLI, tests): dispatch with whatever is
+      * registered RIGHT NOW in this process. Plan-building code should
+      * instead capture [[MediaDecoders.snapshot]] so the list rides the
+      * task closure to executors. */
+    def decodeAny(r: MediaRecord): DecodedMedia =
+      decodeAny(r, MediaDecoders.snapshot())
   }
 
-  /** Decode a binary media Dataset partition-parallel. The batch shape —
-    * an iterator per partition, record-at-a-time kernel, no driver
-    * round-trips — is the Scala analogue of `mapInPandas`. */
-  def decode(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[DecodedMedia] = {
+  /** Shared decode plan: one codegen'd projection through
+    * [[graft.functions.DecodeMediaExpr]]. media_id/kind bypass the kernel
+    * (pure pass-through), and the binary payload is prunable — a consumer
+    * that only reads metadata never deserializes `content` rows through an
+    * encoder the way the old `mapPartitions` shape forced. */
+  private def decodePlan(media: Dataset[MediaRecord], resizeTo: Option[(Int, Int)])
+      (implicit spark: SparkSession): Dataset[DecodedMedia] = {
     import spark.implicits._
-    media.mapPartitions(_.map(MediaCodec.decodeAny))
+    val d = ColumnBridge.column(graft.functions.DecodeMediaExpr(
+      ColumnBridge.expression(col("kind")),
+      ColumnBridge.expression(col("content")),
+      MediaDecoders.snapshot(), resizeTo))
+    media.toDF()
+      .select(col("media_id"), col("kind"), d.as("d"))
+      .select(col("media_id"), col("kind"), col("d.n_bytes"), col("d.width"),
+        col("d.height"), col("d.n_frames"), col("d.features"))
+      .as[DecodedMedia]
   }
 
-  /** Decode + resize in one pass (kernel fusion — still one narrow map):
+  /** Decode a binary media Dataset partition-parallel — a single narrow
+    * projection inside whole-stage codegen (no shuffle, no serde
+    * boundary). Plugin decoders registered at plan time are captured into
+    * the expression and ship with the task. */
+  def decode(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[DecodedMedia] =
+    decodePlan(media, None)
+
+  /** Decode + resize in one pass (kernel fusion — still one projection):
     * images rescale real pixels and re-extract features from the
     * resized raster; other kinds rescale stub metadata. */
   def decodeAndResize(media: Dataset[MediaRecord], w: Int, h: Int)
-      (implicit spark: SparkSession): Dataset[DecodedMedia] = {
-    import spark.implicits._
-    media.mapPartitions(_.map { r =>
-      if (r.kind == "image")
-        MediaCodec.resizeImage(r, w, h)
-          .getOrElse(MediaCodec.resizeStub(MediaCodec.decodeStub(r), w, h))
-      else MediaCodec.resizeStub(MediaCodec.decodeStub(r), w, h)
-    })
-  }
+      (implicit spark: SparkSession): Dataset[DecodedMedia] =
+    decodePlan(media, Some((w, h)))
 
   /** Frame sampling for video-kind records: every `stride`-th frame index
     * up to the decoded frame count. Explodes without shuffling. */
@@ -474,14 +556,12 @@ object Multimodal {
     * Narrow mapPartitions — no shuffle, payloads never leave their
     * partition. */
   def imageDhash(media: Dataset[MediaRecord])(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    media.mapPartitions(_.map { r =>
-      val bands =
-        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content)))
-          .map(MediaCodec.dhashBands)
-        catch { case _: Exception => None }
-      (r.media_id, bands.map(_(0)), bands.map(_(1)), bands.map(_(2)), bands.map(_(3)))
-    }).toDF("media_id", "b0", "b1", "b2", "b3")
+    val bands = ColumnBridge.column(graft.functions.DhashBandsExpr(
+      ColumnBridge.expression(col("content"))))
+    media.toDF()
+      .select(col("media_id"), bands.as("bands"))
+      .select(col("media_id"), col("bands")(0).as("b0"), col("bands")(1).as("b1"),
+        col("bands")(2).as("b2"), col("bands")(3).as("b3"))
   }
 
   /** Image near-dup pairs by banded dHash: candidates share at least one

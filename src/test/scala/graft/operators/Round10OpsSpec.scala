@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-10 changes: the pluggable media-decoder registry
+  * and the expression-based (whole-stage-codegen) decode plan. */
+/** Top-level (NOT spec-inner) so the instances are genuinely Serializable —
+  * an inner class would drag the whole ScalaTest suite into the task
+  * closure, which is exactly the mistake a real plugin must not make. */
+object Round10OpsSpec {
+  import Multimodal._
+
+  /** Serializable fake decoder claiming the video kind: every payload it
+    * accepts decodes to a sentinel (width=7777) no real codec produces. */
+  class FakeVideoDecoder extends MediaDecoder {
+    def kinds: Set[String] = Set("video")
+    def decode(r: MediaRecord): Option[DecodedMedia] =
+      Some(DecodedMedia(r.media_id, r.kind, r.content.length.toLong,
+        width = 7777, height = 1, n_frames = 42,
+        features = Array.fill(MediaCodec.FeatureDim)(0.5f)))
+  }
+
+  /** A decoder that DECLINES everything — probes must fall through to the
+    * built-in JDK paths, preserving decode-or-stub. */
+  class DecliningDecoder extends MediaDecoder {
+    def kinds: Set[String] = Set("image", "audio", "video")
+    def decode(r: MediaRecord): Option[DecodedMedia] = None
+  }
+}
+
+class Round10OpsSpec extends SparkTestBase {
+  import spark.implicits._
+  import Multimodal._
+  import Round10OpsSpec._
+
+  test("media-decoder registry: registered decoder takes over its declared kind only") {
+    implicit val s = spark
+    MediaDecoders.clearProgrammatic()
+    try {
+      MediaDecoders.register(new FakeVideoDecoder)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(10)
+      val videos = fromText(docs, "doc_id", "text", "video")
+      val images = pngMedia(docs, "doc_id", lit(12), lit(8))
+      // video kind: plugin wins (plan captured AFTER registration)
+      val vd = decode(videos).collect()
+      assert(vd.nonEmpty && vd.forall(d => d.width == 7777 && d.n_frames == 42))
+      // image kind: plugin never offered it — real ImageIO path unchanged
+      val id = decode(images).collect()
+      assert(id.nonEmpty && id.forall(d => d.width == 12 && d.height == 8))
+    } finally MediaDecoders.clearProgrammatic()
+  }
+
+  test("media-decoder registry: a declining plugin falls through to built-ins") {
+    implicit val s = spark
+    MediaDecoders.clearProgrammatic()
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(8)
+      val images = pngMedia(docs, "doc_id", lit(10), lit(10))
+      val before = decode(images).orderBy("media_id").collect().toSeq
+      MediaDecoders.register(new DecliningDecoder)
+      val after = decode(images).orderBy("media_id").collect().toSeq
+      assert(before.map(_.media_id) == after.map(_.media_id))
+      assert(before.zip(after).forall { case (a, b) =>
+        a.width == b.width && a.height == b.height &&
+          a.features.toSeq == b.features.toSeq
+      })
+    } finally MediaDecoders.clearProgrammatic()
+  }
+
+  test("media-decoder registry: plan-time snapshot — late registration does not mutate an existing plan") {
+    implicit val s = spark
+    MediaDecoders.clearProgrammatic()
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(5)
+      val videos = fromText(docs, "doc_id", "text", "video")
+      val plannedBefore = decode(videos) // snapshot taken here: empty registry
+      MediaDecoders.register(new FakeVideoDecoder)
+      // the pre-registration plan keeps its captured (empty) decoder list —
+      // deterministic plans, no spooky re-resolution at execution time
+      assert(plannedBefore.collect().forall(_.width != 7777))
+      // a NEW plan sees the plugin
+      assert(decode(videos).collect().forall(_.width == 7777))
+    } finally MediaDecoders.clearProgrammatic()
+  }
+
+  test("expression decode: whole-stage codegen, and metadata-only reads prune the payload") {
+    implicit val s = spark
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+    // fromText builds media with pure column ops (no fixture mapPartitions),
+    // so the whole scan→decode pipeline should be one codegen'd stage
+    val media = fromText(docs, "doc_id", "text", "image")
+    val decoded = decode(media).toDF()
+    decoded.collect() // finalize the AQE plan before inspecting it
+    val plan = decoded.queryExecution.executedPlan.toString()
+    // the decode projection participates in whole-stage codegen — the "*(n)"
+    // stage marker must sit on the Project carrying decode_media (the old
+    // mapPartitions shape forced a SerializeFromObject/DeserializeToObject
+    // serde sandwich that split the stage)
+    assert(plan.linesIterator.exists(l => l.contains("decode_media") && l.contains("*(")),
+      s"decode not codegen'd:\n$plan")
+    assert(!plan.contains("DeserializeToObject"),
+      s"decode still routes through object serde:\n$plan")
+    // a metadata-only projection prunes the binary payload out of the scan
+    val meta = decode(media).toDF().select("media_id")
+    val metaScan = meta.queryExecution.executedPlan.toString()
+    assert(metaScan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"payload not pruned from metadata-only read:\n$metaScan")
+    // results identical to the real kernel applied directly
+    val got = decode(pngMedia(docs, "doc_id", lit(16), lit(16))).orderBy("media_id").collect()
+    assert(got.nonEmpty && got.forall(d => d.width == 16 && d.height == 16 && d.n_frames == 1))
+  }
+
+  test("expression dhash: same bands as the direct kernel, null for non-images") {
+    implicit val s = spark
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(10)
+    val media = pngMedia(docs, "doc_id", lit(20), lit(12), gradient = true)
+    val viaOp = imageDhash(media).orderBy("media_id").collect()
+    val direct = media.orderBy("media_id").collect().map { r =>
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      MediaCodec.dhashBands(im)
+    }
+    assert(viaOp.length == direct.length)
+    viaOp.zip(direct).foreach { case (row, bands) =>
+      assert(Seq(row.getInt(1), row.getInt(2), row.getInt(3), row.getInt(4)) == bands.toSeq)
+    }
+    // non-image payloads → NULL bands (cannot be perceptually compared)
+    val text = fromText(docs, "doc_id", "text", "image")
+    assert(imageDhash(text).collect().forall(_.isNullAt(1)))
+  }
+}
