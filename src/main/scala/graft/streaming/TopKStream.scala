@@ -34,7 +34,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * 100 TB posture: state is O(windows-in-flight × capacity) regardless of
   * stream rate; the shuffle carries (window, key) pairs into the group op
   * — never a global sort, no unbounded state. At crawl scale you'd raise
-  * capacity to the memory budget and read the ε bound off err. */
+  * capacity to the memory budget and read the ε bound off err. The
+  * per-invocation fold works off an exact key→count aggregation, so one
+  * group call's working set is O(distinct keys in the invocation), never
+  * O(events) — a batch backfill of a billion-event window over a
+  * thousand-key universe folds a thousand counters (the old shape
+  * buffered the raw window; round-9 finding). */
 object TopKStream {
 
   final case class KeyedEvent(wstart: Long, key: Long,
@@ -76,10 +81,20 @@ object TopKStream {
     // traffic past capacity) — a per-event linear fold would make window
     // cost O(events × capacity), the opposite of the sketch's purpose.
     // Fold order is pre-sorted, so determinism is unaffected.
-    def fold(table: scala.collection.mutable.HashMap[Long, Counter], key: Long): Unit =
+    //
+    // `cnt` folds a whole run of same-key events at once. Bulk fold is
+    // EXACTLY equivalent to folding cnt consecutive singles (the key-sorted
+    // order makes same-key events consecutive): a hit adds cnt to n; a
+    // below-capacity insert lands at (cnt, 0); an eviction lands at
+    // (min.n + cnt, min.n) — singles would evict once for the first event
+    // and then hit cnt−1 times, same result, and hits can never trigger an
+    // interleaved eviction. This is what lets the batch path aggregate
+    // instead of buffer (see the fold sites below).
+    def fold(table: scala.collection.mutable.HashMap[Long, Counter],
+             key: Long, cnt: Long): Unit =
       table.get(key) match {
-        case Some(c) => table.update(key, Counter(key, c.n + 1, c.err))
-        case None if table.size < capacity => table.update(key, Counter(key, 1L, 0L))
+        case Some(c) => table.update(key, Counter(key, c.n + cnt, c.err))
+        case None if table.size < capacity => table.update(key, Counter(key, cnt, 0L))
         case None =>
           // evict the min counter (key asc tie-break keeps eviction
           // deterministic); its count becomes the newcomer's floor+error
@@ -87,8 +102,27 @@ object TopKStream {
             if (a.n < b.n || (a.n == b.n && a.key < b.key)) a else b
           }
           table.remove(min.key)
-          table.update(key, Counter(key, min.n + 1, min.n))
+          table.update(key, Counter(key, min.n + cnt, min.n))
       }
+
+    // One invocation's events fold via an exact key→count aggregation, then
+    // a key-asc bulk fold into the counter table. Identical results to
+    // sorting the raw events (same consecutive-run structure — see fold),
+    // but the working set is O(DISTINCT keys this invocation), never
+    // O(events): a heavy-hitter window — the workload this operator exists
+    // for — has events ≫ distinct, and the old rows.toVector buffer
+    // materialized the whole window in one group call during batch
+    // backfill (round-9 finding). Past-capacity determinism is unchanged:
+    // the fold order is still globally key-asc, independent of Spark's
+    // arrival order.
+    def foldAll(table: scala.collection.mutable.HashMap[Long, Counter],
+                keys: Iterator[Long]): Unit = {
+      val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+      keys.foreach(k2 => counts.update(k2, counts.getOrElse(k2, 0L) + 1L))
+      val sorted = counts.keysIterator.toArray
+      java.util.Arrays.sort(sorted)
+      sorted.foreach(k2 => fold(table, k2, counts(k2)))
+    }
 
     def topK(wstart: Long, table: Iterable[Counter]): Iterator[TopHit] =
       table.toSeq.sortBy(c => (-c.n, c.key)).take(k).zipWithIndex.iterator
@@ -109,7 +143,7 @@ object TopKStream {
             // batch backfill (whole window in one call) is reproducible
             val table = scala.collection.mutable.HashMap.empty[Long, Counter]
             state.getOption.getOrElse(Nil).foreach(c => table.update(c.key, c))
-            rows.toVector.sortBy(_.key).foreach(e => fold(table, e.key))
+            foldAll(table, rows.map(_.key))
             if (streaming) {
               state.update(table.values.toList)
               // fire when the watermark passes the window end (the

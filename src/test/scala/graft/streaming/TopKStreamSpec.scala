@@ -78,6 +78,45 @@ class TopKStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("batch backfill of a window ≫ capacity: O(distinct) fold matches the event-at-a-time reference") {
+    implicit val s = spark
+    import spark.implicits._
+    // 120k events over 37 distinct keys through a capacity-6 table inside
+    // ONE window — the backfill regime the round-9 finding flagged (the old
+    // shape buffered all 120k rows in one group call; the fold now
+    // aggregates to 37 counters first). Skewed counts so eviction pressure
+    // is real and rank order is non-trivial.
+    val nEvents = 120000
+    val keys = Array.tabulate(nEvents) { i =>
+      // deterministic skew: key j appears ~(38-j)·c times
+      var j = 1L; var acc = (i * 2654435761L) % 703L // 703 = 37·38/2
+      while (acc >= 38L - j) { acc -= (38L - j); j += 1 }
+      j
+    }
+    val rows = keys.zipWithIndex.map { case (u, i) => (i.toLong * 1000L, u) }
+      .toSeq.toDF("ts", "user")
+    val got = TopKStream.windowTopK(rows, "ts", col("user"), W, k = 6, capacity = 6)
+      .orderBy("rank").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // reference: the PRE-round-10 semantics — sort every raw event by key,
+    // fold one at a time through an identical space-saving table
+    final case class C(key: Long, n: Long, err: Long)
+    val table = scala.collection.mutable.HashMap.empty[Long, C]
+    keys.sorted.foreach { k2 =>
+      table.get(k2) match {
+        case Some(c) => table.update(k2, C(k2, c.n + 1, c.err))
+        case None if table.size < 6 => table.update(k2, C(k2, 1L, 0L))
+        case None =>
+          val min = table.valuesIterator.reduceLeft { (a, b) =>
+            if (a.n < b.n || (a.n == b.n && a.key < b.key)) a else b }
+          table.remove(min.key)
+          table.update(k2, C(k2, min.n + 1, min.n))
+      }
+    }
+    val expect = table.values.toSeq.sortBy(c => (-c.n, c.key)).take(6)
+      .zipWithIndex.map { case (c, i) => (0L, i + 1L, c.key, c.n, c.err) }
+    assert(got == expect, s"bulk fold diverged from event-at-a-time fold:\n$got\nvs\n$expect")
+  }
+
   test("space-saving past capacity: frequencies overestimate by at most err") {
     implicit val s = spark
     import spark.implicits._
