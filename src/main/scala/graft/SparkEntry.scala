@@ -2251,6 +2251,27 @@ object SparkEntry {
         k = 3, cands = 8, lambdaPermille = 700)
     }),
 
+    // MMR with SRP-LSH candidate generation — the 100 TB shape (the exact
+    // path above scans the whole corpus per query batch; this one only
+    // scores same-bucket candidates). The oracle is the sim_ann_lsh
+    // pattern: agreement with the exact-candidate greedy trace is emitted
+    // AS DATA and hash-checked (deterministic planes + deterministic data
+    // ⇒ stable booleans; L=8 tables gives the exact top-8 with wide
+    // margin on every driver SF, asserted in SimilaritySpec).
+    "sim_mmr_ann" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 4)
+      val viaAnn = operators.Similarity.mmrSelect(emb, qs,
+        k = 3, cands = 8, lambdaPermille = 700,
+        candidates = operators.Similarity.MmrCandidates.Lsh(dim = 64, tables = 8))
+      val viaExact = operators.Similarity.mmrSelect(emb, qs,
+        k = 3, cands = 8, lambdaPermille = 700)
+      viaExact.join(viaAnn.withColumn("hit", lit(1L)),
+          Seq("qid", "vec_id", "sel_rank"), "left")
+        .groupBy(col("qid"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) === 3L).as("agree"))
+    }),
+
     // Rademacher random projection to 8 exact-integer components
     // proj is serialized to a canonical CSV string: the driver's pandas
     // compare sorts every output column, and a raw array column is
@@ -4434,6 +4455,9 @@ object SparkEntry {
 
     // unrolled k=3 greedy MMR trace in micro-int space — identical
     // integer argmax decisions to the Spark plan loop
+    "sim_mmr_ann" ->
+      "SELECT DISTINCT vec_id AS qid, true AS agree FROM embeddings WHERE vec_id < 4",
+
     "sim_mmr" -> """
       WITH q AS (SELECT vec_id AS qid,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

@@ -20,6 +20,17 @@ import graft.functions.{CosineSim, VecDot}
   */
 object Similarity {
 
+  /** Candidate-generation strategy for [[mmrSelect]]: `Exact` scans the
+    * whole corpus per query batch (the right re-rank primitive when the
+    * pool is already small); `Lsh` routes through the banded
+    * [[lshCandidates]] scan — the only shape a 100 TB corpus should
+    * reach for. */
+  sealed trait MmrCandidates
+  object MmrCandidates {
+    case object Exact extends MmrCandidates
+    final case class Lsh(dim: Int, tables: Int = Tables) extends MmrCandidates
+  }
+
   /** Embedding cast to double for stable accumulation. */
   private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -461,12 +472,14 @@ object Similarity {
       when(dot(vec, array(p.map(lit): _*)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Approximate top-k: per table, rows sharing the query's bucket or any
-    * Hamming-1 neighbor; union over tables, dedup, exact rank within the
-    * candidate set. Per-query work is ~corpus × L(H+1)/2^H instead of the
-    * full corpus — the knob that makes 100 TB ANN feasible. */
-  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              tables: Int = Tables): DataFrame = {
+  /** The SRP-LSH candidate stage of [[annTopK]], exposed so other
+    * re-rankers ([[mmrSelect]]) can swap their exact candidate scan for
+    * the banded one: per table, corpus rows sharing the query's bucket or
+    * any Hamming-1 probe; union over tables, dedup on the narrow
+    * (qid, vec_id) pair, exact cosine on the survivors only. Output
+    * (qid, vec_id, sim). */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame, dim: Int,
+                    tables: Int = Tables): DataFrame = {
     val ps = planes(dim, tables)
     def tableBuckets(v: Column): Column =
       array((0 until tables).map(t => struct(lit(t).as("t"), srpBucket(v, ps(t)).as("b"))): _*)
@@ -492,10 +505,18 @@ object Similarity {
     // equi-join on the small candidate set, queries by broadcast)
     val cands = e.join(broadcast(q), "tb")
       .select(col("qid"), col("vec_id")).distinct()
-    val scored = cands
+    cands
       .join(corpus.select(col("vec_id"), dvec(col("embedding")).as("v")), "vec_id")
       .join(broadcast(queries.select(col("vec_id").as("qid"), dvec(col("embedding")).as("qv"))), "qid")
       .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+  }
+
+  /** Approximate top-k: exact rank within the [[lshCandidates]] set.
+    * Per-query work is ~corpus × L(H+1)/2^H instead of the full corpus —
+    * the knob that makes 100 TB ANN feasible. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              tables: Int = Tables): DataFrame = {
+    val scored = lshCandidates(corpus, queries, dim, tables)
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("vec_id"))
@@ -516,14 +537,20 @@ object Similarity {
     * integer arithmetic (ties → smallest vec_id) — the greedy trace is
     * bit-identical across engines and partitionings.
     *
-    * Scale shape: candidate generation inherits [[cosineTopK]]'s shape
-    * (queries broadcast, corpus never self-joined); everything after
-    * operates on |queries|·cands rows — the candidate pair matrix
-    * (|q|·cands²) and k−1 windowed argmax passes over it are
-    * negligible next to the corpus scan, and the k-step loop composes
-    * PLAN stages (no driver data motion, k is a small constant). */
+    * Scale shape: EXACT candidate generation inherits [[cosineTopK]]'s
+    * shape (queries broadcast, corpus never self-joined) but still scans
+    * the whole corpus per query batch — at 100 TB pass
+    * [[MmrCandidates.Lsh]] instead, which routes candidate generation
+    * through the banded [[lshCandidates]] scan (per-query work
+    * ~corpus × L(H+1)/2^H) and re-ranks the same way. Everything after
+    * candidate generation operates on |queries|·cands rows — the
+    * candidate pair matrix (|q|·cands²) and k−1 windowed argmax passes
+    * over it are negligible next to the corpus scan, and the k-step loop
+    * composes PLAN stages (no driver data motion, k is a small
+    * constant). */
   def mmrSelect(corpus: DataFrame, queries: DataFrame, k: Int,
-                cands: Int = 8, lambdaPermille: Int = 700): DataFrame = {
+                cands: Int = 8, lambdaPermille: Int = 700,
+                candidates: MmrCandidates = MmrCandidates.Exact): DataFrame = {
     require(k >= 1 && cands >= k, s"need 1 <= k <= cands, got k=$k cands=$cands")
     require(lambdaPermille >= 0 && lambdaPermille <= 1000,
       s"lambdaPermille in [0,1000], got $lambdaPermille")
@@ -531,10 +558,21 @@ object Similarity {
     val e = corpus.select(col("vec_id"), dvec(col("embedding")).as("v"))
     val q = queries.select(col("vec_id").as("qid"), dvec(col("embedding")).as("qv"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("vec_id").asc)
-    // candidate set: top-`cands` by relevance, micro-quantized
-    val cand = Checkpoints.checkpoint(e.crossJoin(broadcast(q))
-      .select(col("qid"), col("vec_id"),
-        round(cosine(col("v"), col("qv")) * 1e6).cast("long").as("rel"))
+    // candidate set: top-`cands` by relevance, micro-quantized. Both
+    // generators end in the SAME (qid, vec_id, rel) shape and the same
+    // deterministic greedy trace — the only difference is whether the
+    // relevance pool came from a full scan or the LSH bands.
+    val scored = candidates match {
+      case MmrCandidates.Exact =>
+        e.crossJoin(broadcast(q))
+          .select(col("qid"), col("vec_id"),
+            round(cosine(col("v"), col("qv")) * 1e6).cast("long").as("rel"))
+      case MmrCandidates.Lsh(dim, tables) =>
+        lshCandidates(corpus, queries, dim, tables)
+          .select(col("qid"), col("vec_id"),
+            round(col("sim") * 1e6).cast("long").as("rel"))
+    }
+    val cand = Checkpoints.checkpoint(scored
       .withColumn("__r", row_number().over(wTop)).filter(col("__r") <= cands)
       .drop("__r"))
     // candidate-candidate similarity matrix (|q|·cands² tiny rows)

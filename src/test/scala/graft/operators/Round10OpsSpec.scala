@@ -111,6 +111,33 @@ class Round10OpsSpec extends SparkTestBase {
     assert(got.nonEmpty && got.forall(d => d.width == 16 && d.height == 16 && d.n_frames == 1))
   }
 
+  test("mmrSelect via LSH candidates == exact candidates on the embeddings fixture") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 4)
+    val exact = Similarity.mmrSelect(emb, qs, k = 3, cands = 8, lambdaPermille = 700)
+      .orderBy("qid", "sel_rank").collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val viaAnn = Similarity.mmrSelect(emb, qs, k = 3, cands = 8, lambdaPermille = 700,
+        candidates = Similarity.MmrCandidates.Lsh(dim = 64, tables = 8))
+      .orderBy("qid", "sel_rank").collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // L=8 SRP tables recover the exact top-8 pool with margin on the test
+    // SFs, so the deterministic greedy traces are identical — the contract
+    // sim_mmr_ann hash-checks as data
+    assert(exact == viaAnn, s"exact=$exact\nann=$viaAnn")
+  }
+
+  test("LSH candidate generation never cross-joins the corpus") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 4)
+    val lsh = Similarity.lshCandidates(emb, qs, dim = 64, tables = 8)
+    val plan = lsh.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidates must stay equi-joined on (table,bucket):\n$plan")
+    // the exact path IS the documented full scan — sanity-check the contrast
+    val exactCand = emb.crossJoin(org.apache.spark.sql.functions.broadcast(qs))
+    val exactPlan = exactCand.queryExecution.executedPlan.toString()
+    assert(exactPlan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("expression dhash: same bands as the direct kernel, null for non-images") {
     implicit val s = spark
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(10)
