@@ -17,6 +17,7 @@ object SparkEntry {
     * bench/verify runs on one host must not race on a shared path.
     * Removed on JVM exit; within the process `overwrite` keeps one copy. */
   private lazy val orcSinkDir: String = sinkDir("orc")
+  private lazy val concatSinkDir: String = sinkDir("concat")
   private lazy val csvSinkDir: String = sinkDir("csv")
   private lazy val jsonSinkDir: String = sinkDir("json")
   private lazy val partitionedSinkDir: String = sinkDir("partitioned")
@@ -216,6 +217,45 @@ object SparkEntry {
         Jq.bool("true", col("props")).as("b"),
         Jq.string("[1, 2]", col("props")).as("arr"),
         Jq.string("{a: 1}", col("props")).as("obj"))),
+
+    // the §2.1 scan path itself (reference json.rs:123-160), driver-checked
+    // end-to-end: a whitespace-separated concatenated-JSON byte stream is
+    // synthesized from the nation table (three values per row — a
+    // PRETTY-PRINTED object whose value spans lines and whose keys arrive
+    // unsorted, an array, a bare literal — separated by mixed tabs/spaces/
+    // newlines), written to a per-process text sink, then scanned back with
+    // readConcatenated's incremental parse. The oracle reconstructs every
+    // expected canonical value (sorted keys, compact separators) straight
+    // off the table, so a parse/canonicalization drift anywhere in the
+    // stream breaks the hash.
+    "scan_concatenated" -> ((s, dir) => {
+      table(s, dir, "nation")
+        .select(concat(
+          lit("{\n  \"name\": \""), col("n_name"), lit("\",\n  \"k\": "),
+          col("n_nationkey").cast("string"), lit("\n}\t [ "),
+          col("n_nationkey").cast("string"), lit(", \"x\" ]\n  true")
+        ).as("value"))
+        .write.mode("overwrite").text(concatSinkDir)
+      sources.JsonDocs.readConcatenated(s, concatSinkDir)
+        .select(col("doc"), col("error"))
+    }),
+
+    // the InputMem analogue (§2.1, reference input_mem.rs:4-46): an
+    // in-memory document vector fed through the same parse+canonicalize
+    // contract the file scans use. The corpus is literal (that is what an
+    // in-memory source is for), chosen to pin re-ordering of unsorted
+    // keys, nesting, negative ints, unicode pass-through, and bare
+    // scalars; the oracle states the expected canonical text verbatim.
+    "scan_mem" -> ((s, dir) => {
+      val raws = Seq(
+        """ {"b": 1, "a": [1, "x", true]} """,
+        """[ -2, {"z": null} ]""",
+        "\"café strings\"",
+        "42",
+        "null")
+      sources.JsonDocs.fromStrings(s, raws)
+        .select(element_at(Jq.docs(".", col("doc")), 1).as("doc"))
+    }),
 
     // --- jq core: navigation (§2.2) -------------------------------------
     "jq_index" -> ((s, dir) =>
@@ -2574,6 +2614,22 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "text_bpe_learn" -> bpeLearnOracle(8),
     "text_bpe_encode" -> bpeEncodeOracle(8),
+    "scan_concatenated" -> """
+      SELECT '{"k":' || n_nationkey || ',"name":"' || n_name || '"}' AS doc,
+             CAST(NULL AS VARCHAR) AS error FROM nation
+      UNION ALL
+      SELECT '[' || n_nationkey || ',"x"]', CAST(NULL AS VARCHAR) FROM nation
+      UNION ALL
+      SELECT 'true', CAST(NULL AS VARCHAR) FROM nation""",
+
+    "scan_mem" -> """
+      SELECT * FROM (VALUES
+        ('{"a":[1,"x",true],"b":1}'),
+        ('[-2,{"z":null}]'),
+        ('"café strings"'),
+        ('42'),
+        ('null')) AS t(doc)""",
+
     "jq_identity" -> """
       SELECT event_id, '{"k":' || CAST(json_extract(props, '$.k') AS BIGINT) || '}' AS doc
       FROM events""",
