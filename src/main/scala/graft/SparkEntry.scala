@@ -368,10 +368,17 @@ object SparkEntry {
           ("wide_add", ".k + 18446744073709551615 | tostring", "string"),
           ("wide_mul", ".k * 18446744073709551616 | tostring", "string"),
           ("wide_lit", "\"{\\\"big\\\":18446744073709551616}\" | fromjson | .big | tostring", "string"),
+          // full i128 width (reference json.rs:469): the 39-digit domain
+          // bounds round-trip exactly, and 39-digit arithmetic inside the
+          // range stays exact — DuckDB HUGEINT replays the identical i128
+          ("i128_max", "170141183460469231731687303715884105727 | tostring", "string"),
+          ("i128_min", "\"-170141183460469231731687303715884105728\" | fromjson | tostring", "string"),
+          ("wide39_add", ".k + 170141183460469231731687303715884105000 | tostring", "string"),
           ("back_in_range", ".k + 18446744073709551615 - 18446744073709551615", "long")),
           col("props")).as("m"))
         .select(col("event_id"), col("m.wide_add"), col("m.wide_mul"),
-          col("m.wide_lit"), col("m.back_in_range"))),
+          col("m.wide_lit"), col("m.i128_max"), col("m.i128_min"),
+          col("m.wide39_add"), col("m.back_in_range"))),
 
     // logical and/or over truthiness (§2.5)
     "jq_logic" -> ((s, dir) =>
@@ -2687,6 +2694,9 @@ object SparkEntry {
              CAST(CAST(k AS HUGEINT) + CAST('18446744073709551615' AS HUGEINT) AS VARCHAR) AS wide_add,
              CAST(CAST(k AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT) AS VARCHAR) AS wide_mul,
              '18446744073709551616' AS wide_lit,
+             '170141183460469231731687303715884105727' AS i128_max,
+             '-170141183460469231731687303715884105728' AS i128_min,
+             CAST(CAST(k AS HUGEINT) + CAST('170141183460469231731687303715884105000' AS HUGEINT) AS VARCHAR) AS wide39_add,
              k AS back_in_range
       FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
 

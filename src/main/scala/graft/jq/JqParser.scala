@@ -160,15 +160,17 @@ final class JqParser(text: String) {
     pos = p
     if (!isFloat) {
       // same widening ladder as JsonText.parseNum: long → exact JBigInt
-      // (≤ 38 digits, the DecimalType(38,0) ceiling) → double
+      // (full i128 range, reference json.rs:469) → double
       try Some(JLong(java.lang.Long.parseLong(s)))
       catch {
         case _: NumberFormatException =>
           val digits = s.length - (if (s.charAt(0) == '+' || s.charAt(0) == '-') 1 else 0)
-          if (digits <= graft.json.JInt.MaxDigits)
-            try Some(graft.json.JInt.of(BigInt(s)))
-            catch { case _: NumberFormatException => Some(JDouble(java.lang.Double.parseDouble(s))) }
-          else Some(JDouble(java.lang.Double.parseDouble(s)))
+          val wide =
+            if (digits <= graft.json.JInt.MaxDigits)
+              try Some(BigInt(s)).filter(graft.json.JInt.inI128).map(graft.json.JInt.of)
+              catch { case _: NumberFormatException => None }
+            else None
+          wide.orElse(Some(JDouble(java.lang.Double.parseDouble(s))))
       }
     } else Some(JDouble(java.lang.Double.parseDouble(s)))
   }

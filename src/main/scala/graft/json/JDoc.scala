@@ -31,17 +31,23 @@ final case class JBool(v: Boolean) extends JDoc { val typeOrder = 1; val typeNam
 final case class JLong(v: Long) extends JDoc { val typeOrder = 2; val typeName = "Integer" }
 
 /** Exact integer beyond ±2^63-1 — the reference's i128 literals
-  * (reference: src/json.rs:234) stay exact instead of degrading to
-  * double, bounded at 38 digits (DecimalType(38,0)'s domain, the Spark
-  * exact-decimal ceiling). Same collation class as [[JLong]]
+  * (reference: src/json.rs:234,469) stay exact over the FULL i128 range
+  * [−2^127, 2^127−1]; only literals outside i128 degrade to double
+  * (jq's behavior). DuckDB's HUGEINT is the same i128, so oracles
+  * compare exactly at full width. Same collation class as [[JLong]]
   * ("Integer"); [[JInt.of]] maintains the invariant that long-range
   * values ALWAYS use JLong, so a JBigInt is never numerically equal to
   * any JLong and variant-strict equality stays coherent. */
 final case class JBigInt(v: BigInt) extends JDoc { val typeOrder = 2; val typeName = "Integer" }
 
 object JInt {
-  /** Max digits an exact integer may carry (DecimalType(38,0)). */
-  val MaxDigits = 38
+  /** The i128 domain (reference json.rs:469). */
+  val MinI128: BigInt = BigInt(-1) << 127
+  val MaxI128: BigInt = (BigInt(1) << 127) - 1
+  /** Fast digit pre-filter for the parse ladders: i128 values carry at
+    * most 39 digits; a 39-digit string still needs the range check. */
+  val MaxDigits = 39
+  def inI128(v: BigInt): Boolean = v >= MinI128 && v <= MaxI128
   /** Normalizing constructor: long-range → JLong, else JBigInt. */
   def of(v: BigInt): JDoc = if (v.isValidLong) JLong(v.toLong) else JBigInt(v)
 }

@@ -115,17 +115,18 @@ object JsonText {
         else JLong(java.lang.Long.parseLong(s))
       } catch {
         case _: NumberFormatException if !isFloat =>
-          // Reference i128 semantics (json.rs:234): an integer past
-          // ±2^63-1 stays EXACT as a JBigInt up to 38 digits
-          // (DecimalType(38,0), the Spark exact-decimal ceiling) — a
-          // 20-digit id round-trips bit-exactly. Past 38 digits it
+          // Reference i128 semantics (json.rs:234,469): an integer past
+          // ±2^63-1 stays EXACT as a JBigInt over the full i128 range —
+          // a 39-digit id inside ±2^127 round-trips bit-exactly
+          // (DuckDB's HUGEINT is the same domain). Outside i128 it
           // degrades to double (jq's behavior) instead of erroring the
           // whole document: at corpus scale one absurd literal must
           // not kill the batch.
           val digits = s.length - (if (s.startsWith("-") || s.startsWith("+")) 1 else 0)
           val wide =
             if (digits <= JInt.MaxDigits)
-              try Some(JInt.of(BigInt(s))) catch { case _: NumberFormatException => None }
+              try Some(BigInt(s)).filter(JInt.inI128).map(JInt.of)
+              catch { case _: NumberFormatException => None }
             else None
           wide.getOrElse {
             try JDouble(java.lang.Double.parseDouble(s))

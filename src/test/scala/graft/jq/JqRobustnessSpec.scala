@@ -90,11 +90,12 @@ class JqRobustnessSpec extends AnyFunSuite {
       """{"a": 18446744073709551616, "b": 18446744073709551615}""")).head.doc) == "1")
     assert(JsonText.canonical(Interp.run(". - 18446744073709551615",
       JsonText.parse("18446744073709551616")).head.doc) == "1")
-    // 38 digits is the exactness ceiling (DecimalType(38,0)); 39 degrades
-    // to double as before — one absurd literal must not kill a batch
-    val d38 = "9" * 38
-    assert(JsonText.canonical(JsonText.parse(d38)) == d38)
-    assert(JsonText.parse("1" + "0" * 38).isInstanceOf[graft.json.JDouble])
+    // the full i128 range is the exactness ceiling (reference
+    // json.rs:469; round 10 widened it from 38 digits); outside i128
+    // degrades to double — one absurd literal must not kill a batch
+    val d39 = "1" + "0" * 38 // 10^38, inside i128
+    assert(JsonText.canonical(JsonText.parse(d39)) == d39)
+    assert(JsonText.parse("1" + "0" * 39).isInstanceOf[graft.json.JDouble])
     // collation: integer class orders numerically across widths
     assert(JsonText.canonical(Interp.run(".a < .b", JsonText.parse(
       """{"a": 5, "b": 18446744073709551616}""")).head.doc) == "true")

@@ -3,11 +3,12 @@ package graft.json
 import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Property pins for the exact wide-integer path (round-7 i128 parity):
-  * JBigInt must behave as the mathematical integers wherever the
-  * 38-digit exactness window holds — arithmetic against a BigInt model,
-  * total numeric order across the two Integer widths, byte-exact text
-  * round-trips, and lossless CBOR bignum round-trips. */
+/** Property pins for the exact wide-integer path (round-7 i128 parity;
+  * widened to the FULL i128 domain in round 10): JBigInt must behave as
+  * the mathematical integers across the whole [−2^127, 2^127−1] window —
+  * arithmetic against a BigInt model, total numeric order across the two
+  * Integer widths, byte-exact text round-trips, and lossless CBOR bignum
+  * round-trips. */
 class JBigIntPropsSpec extends AnyFunSuite {
 
   private def forAllN[A](gen: Gen[A], n: Int = 300)(f: A => Unit): Unit = {
@@ -17,15 +18,16 @@ class JBigIntPropsSpec extends AnyFunSuite {
     }
   }
 
-  /** Integers spanning both widths: long-range and 64–120 bit. */
+  /** Integers spanning both widths: long-range and 64–127 bit (the full
+    * i128 parse domain). */
   private val genInt: Gen[BigInt] = Gen.oneOf(
     Gen.choose(Long.MinValue, Long.MaxValue).map(BigInt(_)),
     for {
-      bits <- Gen.choose(64, 120)
+      bits <- Gen.choose(64, 127)
       bytes <- Gen.listOfN(bits / 8 + 1, Gen.choose(0, 255))
       neg <- Gen.oneOf(true, false)
     } yield {
-      val m = bytes.foldLeft(BigInt(0))((a, b) => (a << 8) | b) % (BigInt(10).pow(36))
+      val m = bytes.foldLeft(BigInt(0))((a, b) => (a << 8) | b) % (JInt.MaxI128 + 1)
       if (neg) -m else m
     })
 
@@ -73,6 +75,26 @@ class JBigIntPropsSpec extends AnyFunSuite {
       assert(CborCodec.decode(CborCodec.encode(d)) == d, s"cbor($a)")
       assert(JsonText.parse(JsonText.canonical(d)) == d, s"roundtrip($a)")
     }
+  }
+
+  test("i128 domain bounds: ±2^127 boundaries parse exactly, one-past degrades to double") {
+    val max = JInt.MaxI128 // 170141183460469231731687303715884105727 (39 digits)
+    val min = JInt.MinI128
+    assert(max.toString.length == 39 && min.toString.length == 40)
+    for (v <- Seq(max, min, max - 1, min + 1, BigInt(10).pow(38), -BigInt(10).pow(38))) {
+      assert(JsonText.parse(v.toString) == JBigInt(v), s"parse($v)")
+      assert(JsonText.canonical(JBigInt(v)) == v.toString, s"canonical($v)")
+      assert(JsonText.parse(JsonText.canonical(JBigInt(v))) == JBigInt(v), s"roundtrip($v)")
+    }
+    // one past the i128 domain degrades to double (jq behavior, reference
+    // json.rs:469 can represent no wider) — never an error
+    assert(JsonText.parse((max + 1).toString) == JDouble((max + 1).toDouble))
+    assert(JsonText.parse((min - 1).toString) == JDouble((min - 1).toDouble))
+    assert(JsonText.parse("1" + "0" * 39) == JDouble(1e39))
+    // the jq literal parser rides the same ladder
+    import graft.jq.{JqParser, Interp}
+    val out = Interp.run(max.toString, JNull).map(_.doc)
+    assert(out == Vector(JBigInt(max)), s"jq literal at i128 max: $out")
   }
 
   test("JInt.of normalizes the boundary: ±2^63 land on the right variants") {
