@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.{col, explode}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.jq.{JqParser, JqEval, JqDocs, JqExtract}
+import graft.jq.{JqParser, JqEval, JqEvalMeta, JqDocs, JqExtract}
 import graft.functions._
 
 /** Public Column/SQL surface of the jq engine.
@@ -28,6 +28,13 @@ object Jq {
   /** Successful outputs only, canonical JSON text each: ARRAY<STRING>. */
   def docs(q: String, jsonCol: Column): Column =
     toCol(JqDocs(JqParser.parse(q), q, toExpr(jsonCol)))
+
+  /** Entry-with-lineage evaluation: seeds the input entry's meta envelope
+    * from `metaJsonCol` (a JSON object: domains/sources/keys), runs the
+    * pipeline with full entry semantics, returns
+    * ARRAY<STRUCT<doc STRING, meta STRING>> (both canonical). */
+  def evalWithMeta(q: String, jsonCol: Column, metaJsonCol: Column): Column =
+    toCol(JqEvalMeta(JqParser.parse(q), q, toExpr(jsonCol), toExpr(metaJsonCol)))
 
   /** First successful output as a typed scalar (NULL if none / mismatch). */
   def string(q: String, jsonCol: Column): Column =

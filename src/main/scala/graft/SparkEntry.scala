@@ -380,6 +380,27 @@ object SparkEntry {
           col("m.wide_lit"), col("m.i128_max"), col("m.i128_min"),
           col("m.wide39_add"), col("m.back_in_range"))),
 
+    // the lineage meta envelope END-TO-END (reference meta.rs:63-74,
+    // entry.rs:5-28): each record is seeded with the provenance envelope a
+    // reference source would attach (two sources + a domain, derived from
+    // event_id so the oracle re-derives them), then a COMBINING operator
+    // (`+`, Entry::new_merged) runs — its fresh Meta::new() envelope
+    // merges the input's lists (list ++ list append through Meta::append),
+    // and the final envelope travels back as canonical text the oracle
+    // reconstructs verbatim.
+    "jq_meta_lineage" -> ((s, dir) => {
+      val withMeta = table(s, dir, "events").select(
+        col("event_id"), col("props"),
+        concat(lit("{\"sources\":[\"events/"), (col("event_id") % 4).cast("string"),
+          lit("\",\"raw/"), (col("event_id") % 4).cast("string"),
+          lit("\"],\"domains\":[\"d"), (col("event_id") % 3).cast("string"),
+          lit("\"]}")).as("meta_in"))
+      withMeta
+        .select(col("event_id"),
+          element_at(Jq.evalWithMeta(".k + 1", col("props"), col("meta_in")), 1).as("o"))
+        .select(col("event_id"), col("o.doc").as("doc"), col("o.meta").as("meta"))
+    }),
+
     // logical and/or over truthiness (§2.5)
     "jq_logic" -> ((s, dir) =>
       table(s, dir, "events")
@@ -2698,6 +2719,13 @@ object SparkEntry {
              '-170141183460469231731687303715884105728' AS i128_min,
              CAST(CAST(k AS HUGEINT) + CAST('170141183460469231731687303715884105000' AS HUGEINT) AS VARCHAR) AS wide39_add,
              k AS back_in_range
+      FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
+
+    "jq_meta_lineage" -> """
+      SELECT event_id,
+             CAST(k + 1 AS VARCHAR) AS doc,
+             '{"domains":["d' || (event_id % 3) || '"],"keys":[],"sources":["events/'
+               || (event_id % 4) || '","raw/' || (event_id % 4) || '"]}' AS meta
       FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t""",
 
     "jq_logic" -> """

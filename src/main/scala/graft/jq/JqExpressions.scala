@@ -172,6 +172,69 @@ case class JqExtract(ast: Ast, queryText: String, kind: String, child: Expressio
     copy(child = newChild)
 }
 
+/** `jq_eval_meta(query, json, meta_json)`: the lineage envelope
+  * (reference: src/meta.rs, src/entry.rs:5-28) exercised END-TO-END — the
+  * input entry is seeded with a meta object parsed from `meta_json` (the
+  * way a reference source WOULD populate it: provenance domains/sources
+  * per record), the pipeline runs with full entry semantics
+  * ([[Interp.compileE]]: navigation clones the envelope, combining
+  * operators new_merge it), and each successful output carries its final
+  * envelope back as canonical text. Returns
+  * ARRAY<STRUCT<doc STRING, meta STRING>>; a malformed or non-object
+  * `meta_json` means "no envelope" (errors-as-data discipline — lineage
+  * must never kill the batch). */
+case class JqEvalMeta(ast: Ast, queryText: String,
+                      left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with graft.functions.NativeBinaryCodegen {
+  @transient private lazy val compiled = Interp.compileE(ast)
+  @transient private lazy val inputConv: JqInput.Conv = JqInput.converter(left.dataType)
+  override def dataType: DataType = JqEvalMeta.outputType
+  override def prettyName: String = "jq_eval_meta"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!JqInput.supports(left.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName cannot run over input type ${left.dataType.catalogString}")
+    else if (right.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName meta envelope must be STRING json, got ${right.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  override protected def nullSafeEval(j: Any, m: Any): Any = {
+    val metaObj: Option[JObj] =
+      try JsonText.parse(m.asInstanceOf[UTF8String].toString) match {
+        case o: JObj => Some(o)
+        case _       => None
+      } catch { case _: JsonText.JsonParseException => None }
+    val entries =
+      try {
+        val in = JEntry(inputConv(j), Vector.empty, metaObj)
+        compiled(in, Nil)
+      } catch {
+        case e: JsonText.JsonParseException =>
+          Vector(JEntry(JNull, Vector(s"invalid json: ${e.getMessage}")))
+        case _: StackOverflowError =>
+          Vector(JEntry(JNull, Vector("jq evaluation exceeded the stack — runaway recursion")))
+        case b: Interp.BreakSignal => b.partial
+      }
+    new GenericArrayData(entries.collect {
+      case en if en.errors.isEmpty =>
+        InternalRow(
+          UTF8String.fromString(JsonText.canonical(en.doc)),
+          UTF8String.fromString(en.meta.map(JsonText.canonical).getOrElse("null")))
+    }.toArray[Any])
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JqEvalMeta =
+    copy(left = l, right = r)
+}
+
+object JqEvalMeta {
+  val outputType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("doc", StringType, nullable = false),
+      StructField("meta", StringType, nullable = false))),
+    containsNull = false)
+}
+
 /** `jq_multi`: evaluate SEVERAL jq pipelines against one document with a
   * single input conversion — returns STRUCT<name: typedValue, ...>. N
   * extractions of the same column otherwise each re-convert the document;

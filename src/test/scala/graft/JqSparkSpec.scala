@@ -38,6 +38,26 @@ class JqSparkSpec extends SparkTestBase {
     assert(r.getLong(3) == 6) // byte length
   }
 
+  test("evalWithMeta: lineage envelope seeds, clones through navigation, merges through operators") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(("""{"a":{"b":7},"k":5}""", """{"sources":["f.jsons"],"domains":["web"]}"""))
+      .toDF("doc", "meta")
+    val r = df.select(
+      element_at(Jq.evalWithMeta(".a | .b", col("doc"), col("meta")), 1).as("nav"),
+      element_at(Jq.evalWithMeta(".k + 1", col("doc"), col("meta")), 1).as("comb"),
+      element_at(Jq.evalWithMeta(".", col("doc"), lit("not json")), 1).as("bad")).head()
+    // navigation CLONES the envelope verbatim (ops.rs:432)
+    assert(r.getStruct(0).getString(0) == "7")
+    assert(r.getStruct(0).getString(1) == """{"domains":["web"],"sources":["f.jsons"]}""")
+    // a combining operator new_merges: Meta::new() + the input's lists
+    // appended — the keys key materializes as [] (entry.rs:22-29)
+    assert(r.getStruct(1).getString(0) == "6")
+    assert(r.getStruct(1).getString(1) == """{"domains":["web"],"keys":[],"sources":["f.jsons"]}""")
+    // malformed meta json = no envelope, never a failure
+    assert(r.getStruct(2).getString(1) == "null")
+  }
+
   test("SQL functions: text/vector kernels registered and usable") {
     Jq.register(spark)
     val r = spark.sql(
