@@ -29,6 +29,10 @@ object Similarity {
   object MmrCandidates {
     case object Exact extends MmrCandidates
     final case class Lsh(dim: Int, tables: Int = Tables) extends MmrCandidates
+    /** Composed IVF-PQ index as the candidate pool: per query, ADC keeps
+      * `rerank × cands` codes before the exact re-score. */
+    final case class IvfPq(cells: Int = 16, probes: Int = 4, m: Int = 8,
+                           ksub: Int = 32, rerank: Int = 10) extends MmrCandidates
   }
 
   /** Embedding cast to double for stable accumulation. */
@@ -395,6 +399,20 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 cells: Int = 16, probes: Int = 4,
                 m: Int = 8, ksub: Int = 32, rerank: Int = 10): DataFrame = {
+    val scored = ivfPqCandidates(corpus, queries, keep = rerank * k,
+      cells = cells, probes = probes, m = m, ksub = ksub)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("vec_id"))
+  }
+
+  /** The candidate stage of [[ivfPqTopK]], exposed (like [[lshCandidates]])
+    * so other re-rankers can consume the composed-index scan: coarse-cell
+    * probe → ADC scoring via broadcast LUTs → top-`keep` per query →
+    * EXACT cosine on the survivors. Output (qid, vec_id, sim). */
+  def ivfPqCandidates(corpus: DataFrame, queries: DataFrame, keep: Int,
+                      cells: Int = 16, probes: Int = 4,
+                      m: Int = 8, ksub: Int = 32): DataFrame = {
     import graft.functions.{PqAdc, PqEncode, PqLut}
     val sampled: Array[Array[Double]] = corpus
       .orderBy(col("vec_id")).limit(math.max(cells, ksub))
@@ -441,14 +459,11 @@ object Similarity {
           ColumnBridge.expression(col("lut")), sample.length)).as("ascore"))
     val w1 = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id").asc)
     val cands = scored.withColumn("arnk", row_number().over(w1))
-      .filter(col("arnk") <= rerank * k).select(col("qid"), col("vec_id"))
-    val exact = cands
+      .filter(col("arnk") <= keep).select(col("qid"), col("vec_id"))
+    cands
       .join(corpus.select(col("vec_id"), dvec(col("embedding")).as("v")), "vec_id")
       .join(broadcast(qv), "qid")
       .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
-    exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("vec_id"))
   }
 
   // ------------------------------------------------------- LSH (scale path)
@@ -540,9 +555,10 @@ object Similarity {
     * Scale shape: EXACT candidate generation inherits [[cosineTopK]]'s
     * shape (queries broadcast, corpus never self-joined) but still scans
     * the whole corpus per query batch — at 100 TB pass
-    * [[MmrCandidates.Lsh]] instead, which routes candidate generation
-    * through the banded [[lshCandidates]] scan (per-query work
-    * ~corpus × L(H+1)/2^H) and re-ranks the same way. Everything after
+    * [[MmrCandidates.Lsh]] (banded [[lshCandidates]] scan, per-query work
+    * ~corpus × L(H+1)/2^H) or [[MmrCandidates.IvfPq]] (composed
+    * coarse-cell + PQ-ADC index via [[ivfPqCandidates]]) instead; both
+    * re-rank identically. Everything after
     * candidate generation operates on |queries|·cands rows — the
     * candidate pair matrix (|q|·cands²) and k−1 windowed argmax passes
     * over it are negligible next to the corpus scan, and the k-step loop
@@ -569,6 +585,11 @@ object Similarity {
             round(cosine(col("v"), col("qv")) * 1e6).cast("long").as("rel"))
       case MmrCandidates.Lsh(dim, tables) =>
         lshCandidates(corpus, queries, dim, tables)
+          .select(col("qid"), col("vec_id"),
+            round(col("sim") * 1e6).cast("long").as("rel"))
+      case MmrCandidates.IvfPq(cells, probes, m, ksub, rerank) =>
+        ivfPqCandidates(corpus, queries, keep = rerank * cands,
+            cells = cells, probes = probes, m = m, ksub = ksub)
           .select(col("qid"), col("vec_id"),
             round(col("sim") * 1e6).cast("long").as("rel"))
     }

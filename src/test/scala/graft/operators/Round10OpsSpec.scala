@@ -125,6 +125,39 @@ class Round10OpsSpec extends SparkTestBase {
     assert(exact == viaAnn, s"exact=$exact\nann=$viaAnn")
   }
 
+  test("mmrSelect via IVF-PQ candidates: valid diversified selection from the composed index") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 3)
+    val got = Similarity.mmrSelect(emb, qs, k = 3, cands = 8,
+        candidates = Similarity.MmrCandidates.IvfPq())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly k selections per query, ranks 1..k, no duplicate picks
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(rows.map(_._2).distinct.length == 3)
+    }
+    // every pick comes from the IVF-PQ candidate pool (ADC keep = rerank·cands)
+    val pool = Similarity.ivfPqCandidates(emb, qs, keep = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall(t => pool.contains((t._1, t._2))))
+    // deterministic greedy trace: same plan twice, same selections
+    val again = Similarity.mmrSelect(emb, qs, k = 3, cands = 8,
+        candidates = Similarity.MmrCandidates.IvfPq())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("ivfPqTopK unchanged by the candidate-stage refactor: self-hit at rank 1") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+    val top = Similarity.ivfPqTopK(emb, qs, k = 3)
+      .filter(col("rnk") === 1).collect().map(r => (r.getLong(0), r.getLong(2)))
+    // identical vector ⇒ same cell, ADC max, exact sim 1 ⇒ always rank 1
+    assert(top.forall { case (q, v) => q == v }, top.mkString(","))
+  }
+
   test("LSH candidate generation never cross-joins the corpus") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val qs = emb.filter(col("vec_id") < 4)
