@@ -85,6 +85,10 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // per-query 1-min loadavg AT COMPLETION: when one ledger entry spikes
+    // across rounds, this column answers "was the host busy right then"
+    // without a judge re-measure (round-10 follow-up to the r9 adjudication)
+    val loadAt = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = ordered.map { case (name, fn) =>
       // failures are a visible -1 sentinel, never a bogus near-zero time
       val sec =
@@ -101,6 +105,7 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         } finally resetSessionStorage()
+      loadAt(name) = loadAvg()
       name -> sec
     }
     // Locale.ROOT: the default-locale f-interpolator would emit "62,000" on
@@ -123,8 +128,10 @@ object Bench {
     // stale partial ledger is indistinguishable from a full run. Record the
     // restriction list verbatim (empty field when unrestricted).
     val onlyField = only.map(s => s""","only":[${s.toSeq.sorted.map(q => s"\"$q\"").mkString(",")}]""").getOrElse("")
+    val loadDetail = loadAt.map { case (k, v) => s"\"$k\":${fmt(v)}" }
+      .mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,$host$onlyField,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,$host$onlyField,"queries":$detail,"loadavg_after":$loadDetail,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detailJson) finally w.close()

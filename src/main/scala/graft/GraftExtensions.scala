@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.jq.{JqParser, JqEval, JqDocs, JqExtract}
+import graft.jq.{JqParser, JqEval, JqEvalMeta, JqDocs, JqExtract}
 import graft.functions._
 
 /** Session-extension entry point: registers every graft SQL function at
@@ -97,6 +97,15 @@ object GraftExtensions {
       "rolling_fingerprint" -> arity(1, "rolling_fingerprint")(exprs =>
         RollingFingerprint(exprs.head)),
       "vec_cosine" -> arity(2, "vec_cosine")(exprs => CosineSim(exprs.head, exprs(1))),
-      "vec_dot" -> arity(2, "vec_dot")(exprs => VecDot(exprs.head, exprs(1))))
+      "vec_dot" -> arity(2, "vec_dot")(exprs => VecDot(exprs.head, exprs(1))),
+      // lineage-entry evaluation (round 10): jq with a seeded meta envelope
+      "jq_eval_meta" -> arity(3, "jq_eval_meta")(exprs =>
+        JqEvalMeta(JqParser.parse(foldableString(exprs.head, "jq_eval_meta")),
+          foldableString(exprs.head, "jq_eval_meta"), exprs(1), exprs(2))),
+      // media decode from SQL (round 10): built-in codecs only — plugin
+      // decoders need plan-time capture, which the Scala API provides
+      "decode_media" -> arity(2, "decode_media")(exprs =>
+        DecodeMediaExpr(exprs.head, exprs(1), Nil, None)),
+      "dhash_bands" -> arity(1, "dhash_bands")(exprs => DhashBandsExpr(exprs.head)))
   }
 }

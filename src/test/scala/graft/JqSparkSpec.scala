@@ -36,6 +36,14 @@ class JqSparkSpec extends SparkTestBase {
     assert(r.getString(1) == """{"a":1,"b":2}""")
     assert(r.getInt(2) == -1) // Integer < Float in the collation order
     assert(r.getLong(3) == 6) // byte length
+    // round-10 additions: lineage evaluation + media decode from plain SQL
+    val r2 = spark.sql(
+      """SELECT jq_eval_meta('.a + 1', '{"a":1}', '{"sources":["s"]}')[0].meta AS m,
+                decode_media('image', CAST('nope' AS BINARY)).n_bytes AS nb,
+                dhash_bands(CAST('not an image' AS BINARY)) AS bands""").head()
+    assert(r2.getString(0) == """{"domains":[],"keys":[],"sources":["s"]}""")
+    assert(r2.getLong(1) == 4L) // stub path: n_bytes is the payload length
+    assert(r2.isNullAt(2))
   }
 
   test("evalWithMeta: lineage envelope seeds, clones through navigation, merges through operators") {
