@@ -67,6 +67,13 @@ object Bench {
     // as a regression gate, so: wait (bounded) for the 1-min load to drop
     // below a threshold before timing anything, and if it never does, emit
     // "contended":true so the run is self-labeled as untrustworthy.
+    //
+    // The threshold is DELIBERATELY absolute, not scaled by core count: this
+    // bench saturates every core itself (local[N] with N = the host's CPUs),
+    // so any external load steals cycles from the timed queries directly —
+    // r9's 3.71 on 32 cores, "idle" by a cores-scaled measure, inflated
+    // queries up to 38×. Hosts where 2.0 genuinely is background noise can
+    // raise SPARK_GRAFT_LOAD_MAX.
     val loadMax = sys.env.get("SPARK_GRAFT_LOAD_MAX").map(_.toDouble).getOrElse(2.0)
     val loadWaitSec = sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC").map(_.toInt).getOrElse(120)
     val waitDeadline = System.nanoTime() + loadWaitSec * 1_000_000_000L

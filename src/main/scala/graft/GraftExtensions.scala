@@ -99,13 +99,17 @@ object GraftExtensions {
       "vec_cosine" -> arity(2, "vec_cosine")(exprs => CosineSim(exprs.head, exprs(1))),
       "vec_dot" -> arity(2, "vec_dot")(exprs => VecDot(exprs.head, exprs(1))),
       // lineage-entry evaluation (round 10): jq with a seeded meta envelope
-      "jq_eval_meta" -> arity(3, "jq_eval_meta")(exprs =>
-        JqEvalMeta(JqParser.parse(foldableString(exprs.head, "jq_eval_meta")),
-          foldableString(exprs.head, "jq_eval_meta"), exprs(1), exprs(2))),
-      // media decode from SQL (round 10): built-in codecs only — plugin
-      // decoders need plan-time capture, which the Scala API provides
+      "jq_eval_meta" -> arity(3, "jq_eval_meta")(exprs => {
+        val q = foldableString(exprs.head, "jq_eval_meta")
+        JqEvalMeta(JqParser.parse(q), q, exprs(1), exprs(2))
+      }),
+      // media decode from SQL (round 10): the builder runs at analysis
+      // time on the driver — plan time — so it captures the SAME decoder
+      // snapshot the Scala API does; SQL and Scala decodes of one payload
+      // can never disagree about plugins
       "decode_media" -> arity(2, "decode_media")(exprs =>
-        DecodeMediaExpr(exprs.head, exprs(1), Nil, None)),
+        DecodeMediaExpr(exprs.head, exprs(1),
+          graft.operators.Multimodal.MediaDecoders.snapshot(), None)),
       "dhash_bands" -> arity(1, "dhash_bands")(exprs => DhashBandsExpr(exprs.head)))
   }
 }

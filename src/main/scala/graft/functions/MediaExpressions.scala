@@ -53,10 +53,18 @@ case class DecodeMediaExpr(
     val r = Multimodal.MediaRecord(0L, kind, c.asInstanceOf[Array[Byte]])
     val d = resizeTo match {
       case Some((w, h)) =>
-        if (kind == "image")
-          Multimodal.MediaCodec.resizeImage(r, w, h).getOrElse(
-            Multimodal.MediaCodec.resizeStub(Multimodal.MediaCodec.decodeStub(r), w, h))
-        else Multimodal.MediaCodec.resizeStub(Multimodal.MediaCodec.decodeStub(r), w, h)
+        // plugins probe first here too (the registry contract — a plan
+        // with a registered real decoder must not silently fall to the
+        // stub just because resize was fused in); a plugin decode gets a
+        // metadata rescale, the built-in image path rescales real pixels
+        Multimodal.MediaCodec.pluginDecode(r, plugins) match {
+          case Some(pd) => Multimodal.MediaCodec.resizeStub(pd, w, h)
+          case None =>
+            if (kind == "image")
+              Multimodal.MediaCodec.resizeImage(r, w, h).getOrElse(
+                Multimodal.MediaCodec.resizeStub(Multimodal.MediaCodec.decodeStub(r), w, h))
+            else Multimodal.MediaCodec.resizeStub(Multimodal.MediaCodec.decodeStub(r), w, h)
+        }
       case None => Multimodal.MediaCodec.decodeAny(r, plugins)
     }
     InternalRow(d.n_bytes, d.width, d.height, d.n_frames,

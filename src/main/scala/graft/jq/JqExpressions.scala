@@ -33,6 +33,27 @@ import graft.json._
   *      whole-stage codegen instead of forcing the interpreted fallback path
   *      for the entire stage.
   */
+/** The ONE throwable→error-entry ladder every jq expression shares
+  * (extracted in round 10 — it had grown a second copy): malformed JSON
+  * text becomes the errors-as-data record; a StackOverflowError is the
+  * backstop behind Interp's call-depth guard (pathological non-call
+  * recursion becomes an error entry at this unwound boundary, not a dead
+  * executor task); an escaped BreakSignal — unreachable by construction,
+  * unbound breaks are compile-time error entries and bound ones are
+  * caught by their label — yields its pre-break outputs as the best
+  * answer. */
+private[jq] object JqGuard {
+  def entries(thunk: => Vector[JEntry]): Vector[JEntry] =
+    try thunk
+    catch {
+      case e: JsonText.JsonParseException =>
+        Vector(JEntry(JNull, Vector(s"invalid json: ${e.getMessage}")))
+      case _: StackOverflowError =>
+        Vector(JEntry(JNull, Vector("jq evaluation exceeded the stack — runaway recursion")))
+      case b: Interp.BreakSignal => b.partial
+    }
+}
+
 trait JqNativeInput extends UnaryExpression {
 
   /** Resolved once on the driver from the child's type — the per-row path
@@ -42,21 +63,7 @@ trait JqNativeInput extends UnaryExpression {
   /** Run `compiled` over one input value; malformed JSON *text* becomes the
     * errors-as-data record, never an exception (reference: src/entry.rs:5-10). */
   protected final def runPipe(compiled: Interp.Pipe, input: Any): Vector[JEntry] =
-    try compiled(inputConv(input), Nil)
-    catch {
-      case e: JsonText.JsonParseException =>
-        Vector(JEntry(JNull, Vector(s"invalid json: ${e.getMessage}")))
-      case _: StackOverflowError =>
-        // backstop behind Interp's call-depth guard: pathological
-        // non-call recursion becomes an error entry at this (unwound)
-        // boundary, not a dead executor task
-        Vector(JEntry(JNull, Vector("jq evaluation exceeded the stack — runaway recursion")))
-      case b: Interp.BreakSignal =>
-        // unreachable by construction (unbound breaks are compile-time
-        // error entries; bound ones are caught by their label) — if a
-        // signal ever escapes, its pre-break outputs are the best answer
-        b.partial
-    }
+    JqGuard.entries(compiled(inputConv(input), Nil))
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (JqInput.supports(child.dataType)) TypeCheckResult.TypeCheckSuccess
@@ -185,12 +192,17 @@ case class JqExtract(ast: Ast, queryText: String, kind: String, child: Expressio
   * must never kill the batch). */
 case class JqEvalMeta(ast: Ast, queryText: String,
                       left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with graft.functions.NativeBinaryCodegen {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   @transient private lazy val compiled = Interp.compileE(ast)
   @transient private lazy val inputConv: JqInput.Conv = JqInput.converter(left.dataType)
   override def dataType: DataType = JqEvalMeta.outputType
   override def prettyName: String = "jq_eval_meta"
+  // NULL gates on the DOCUMENT only: a NULL meta column is the natural
+  // "this record has no provenance" representation and must evaluate the
+  // pipeline with no envelope — swallowing the row's outputs because its
+  // lineage is absent would violate the lineage-never-kills-the-batch
+  // contract (round-10 review finding).
+  override def nullable: Boolean = left.nullable
   override def checkInputDataTypes(): TypeCheckResult =
     if (!JqInput.supports(left.dataType))
       TypeCheckResult.TypeCheckFailure(
@@ -199,29 +211,46 @@ case class JqEvalMeta(ast: Ast, queryText: String,
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName meta envelope must be STRING json, got ${right.dataType.catalogString}")
     else TypeCheckResult.TypeCheckSuccess
-  override protected def nullSafeEval(j: Any, m: Any): Any = {
+  override def eval(input: InternalRow): Any = {
+    val j = left.eval(input)
+    if (j == null) null else evalDocMeta(j, right.eval(input))
+  }
+  /** Public bridge for generated code. `m` may be null (no envelope). */
+  def evalDocMeta(j: Any, m: Any): Any = {
     val metaObj: Option[JObj] =
-      try JsonText.parse(m.asInstanceOf[UTF8String].toString) match {
-        case o: JObj => Some(o)
-        case _       => None
-      } catch { case _: JsonText.JsonParseException => None }
-    val entries =
-      try {
-        val in = JEntry(inputConv(j), Vector.empty, metaObj)
-        compiled(in, Nil)
-      } catch {
-        case e: JsonText.JsonParseException =>
-          Vector(JEntry(JNull, Vector(s"invalid json: ${e.getMessage}")))
-        case _: StackOverflowError =>
-          Vector(JEntry(JNull, Vector("jq evaluation exceeded the stack — runaway recursion")))
-        case b: Interp.BreakSignal => b.partial
-      }
+      if (m == null) None
+      else
+        try JsonText.parse(m.asInstanceOf[UTF8String].toString) match {
+          case o: JObj => Some(o)
+          case _       => None
+        } catch { case _: JsonText.JsonParseException => None }
+    val entries = JqGuard.entries(compiled(JEntry(inputConv(j), Vector.empty, metaObj), Nil))
     new GenericArrayData(entries.collect {
       case en if en.errors.isEmpty =>
         InternalRow(
           UTF8String.fromString(JsonText.canonical(en.doc)),
           UTF8String.fromString(en.meta.map(JsonText.canonical).getOrElse("null")))
     }.toArray[Any])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jqMetaExpr", this, classOf[JqEvalMeta].getName)
+    val lGen = left.genCode(ctx)
+    val rGen = right.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    val boxed = CodeGenerator.boxedType(dataType)
+    val obj = ctx.freshName("jqMetaOut")
+    ev.copy(code =
+      code"""
+         |${lGen.code}
+         |boolean ${ev.isNull} = ${lGen.isNull};
+         |$javaType ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+         |if (!${ev.isNull}) {
+         |  ${rGen.code}
+         |  Object $obj = $ref.evalDocMeta(${lGen.value},
+         |    ${rGen.isNull} ? null : ${rGen.value});
+         |  ${ev.value} = ($boxed) $obj;
+         |}
+       """.stripMargin)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JqEvalMeta =
     copy(left = l, right = r)

@@ -12,9 +12,9 @@ package graft.json
   *   - objects hold key-sorted unique properties with last-wins upsert
   *     (reference: src/json.rs:501-507, src/prop.rs:86-110).
   *   - integers are 64-bit [[JLong]] in the common range and widen to an
-  *     exact [[JBigInt]] past ±2^63-1, up to 38 digits (DecimalType(38,0))
-  *     — covering the reference's i128 literal domain for real-world ids
-  *     (see SURVEY.md §1.4; round-7 VERDICT item 8).
+  *     exact [[JBigInt]] past ±2^63-1 over the reference's FULL i128
+  *     domain [−2^127, 2^127−1]; outside i128 they degrade to [[JDouble]]
+  *     (see SURVEY.md §1.4; round-7 VERDICT item 8, widened in round 10).
   *
   * All values are immutable and `Serializable`, so kernels over them can run
   * inside Catalyst expressions on executors.
@@ -48,8 +48,18 @@ object JInt {
     * most 39 digits; a 39-digit string still needs the range check. */
   val MaxDigits = 39
   def inI128(v: BigInt): Boolean = v >= MinI128 && v <= MaxI128
-  /** Normalizing constructor: long-range → JLong, else JBigInt. */
-  def of(v: BigInt): JDoc = if (v.isValidLong) JLong(v.toLong) else JBigInt(v)
+  /** Normalizing constructor: long-range → JLong; i128-range → JBigInt;
+    * OUTSIDE i128 → JDouble. The last arm closes arithmetic over the
+    * representable domain: the reference's i128 cannot hold a wider value
+    * (its arithmetic would overflow there), and degrading to Float keeps
+    * errors-as-data batches alive while preserving the invariant that
+    * every Integer the engine ever produces round-trips exactly through
+    * parse/canonical (a >i128 JBigInt would canonicalize to text the
+    * parse ladder can only re-read as a double). */
+  def of(v: BigInt): JDoc =
+    if (v.isValidLong) JLong(v.toLong)
+    else if (inI128(v)) JBigInt(v)
+    else JDouble(v.toDouble)
 }
 
 final case class JDouble(v: Double) extends JDoc { val typeOrder = 3; val typeName = "Float" }

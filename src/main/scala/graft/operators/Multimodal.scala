@@ -480,25 +480,32 @@ object Multimodal {
     def resizeStub(d: DecodedMedia, w: Int, h: Int): DecodedMedia =
       d.copy(width = w, height = h)
 
-    /** Kind dispatch: registered plugin decoders first (a cluster's
-      * ffmpeg-backed codec overrides the JDK paths), then the built-in
-      * real image/audio/(GIF) video paths, then the stub — so every
-      * payload decodes to SOMETHING deterministic no matter what plugins
-      * decline. */
-    def decodeAny(r: MediaRecord, plugins: Seq[MediaDecoder]): DecodedMedia = {
+    /** First registered plugin that claims the kind AND accepts the
+      * payload; None when every plugin declines (or none is offered). */
+    def pluginDecode(r: MediaRecord, plugins: Seq[MediaDecoder]): Option[DecodedMedia] = {
       val it = plugins.iterator
       while (it.hasNext) {
         val d = it.next()
         if (d.kinds.contains(r.kind)) {
           val out = d.decode(r)
-          if (out.isDefined) return out.get
+          if (out.isDefined) return out
         }
       }
-      if (r.kind == "image") decodeImage(r).getOrElse(decodeStub(r))
-      else if (r.kind == "audio") decodeAudio(r).getOrElse(decodeStub(r))
-      else if (r.kind == "video") decodeVideo(r).getOrElse(decodeStub(r))
-      else decodeStub(r)
+      None
     }
+
+    /** Kind dispatch: registered plugin decoders first (a cluster's
+      * ffmpeg-backed codec overrides the JDK paths), then the built-in
+      * real image/audio/(GIF) video paths, then the stub — so every
+      * payload decodes to SOMETHING deterministic no matter what plugins
+      * decline. */
+    def decodeAny(r: MediaRecord, plugins: Seq[MediaDecoder]): DecodedMedia =
+      pluginDecode(r, plugins).getOrElse {
+        if (r.kind == "image") decodeImage(r).getOrElse(decodeStub(r))
+        else if (r.kind == "audio") decodeAudio(r).getOrElse(decodeStub(r))
+        else if (r.kind == "video") decodeVideo(r).getOrElse(decodeStub(r))
+        else decodeStub(r)
+      }
 
     /** Same-JVM convenience (CLI, tests): dispatch with whatever is
       * registered RIGHT NOW in this process. Plan-building code should

@@ -64,6 +64,15 @@ class JqSparkSpec extends SparkTestBase {
     assert(r.getStruct(1).getString(1) == """{"domains":["web"],"keys":[],"sources":["f.jsons"]}""")
     // malformed meta json = no envelope, never a failure
     assert(r.getStruct(2).getString(1) == "null")
+    // NULL meta column = no provenance for this record: the pipeline STILL
+    // evaluates (round-10 review finding — a lineage gap must not swallow
+    // the row's outputs); only a NULL document gates to NULL
+    val rNull = df.select(
+      element_at(Jq.evalWithMeta(".a.b", col("doc"), lit(null).cast("string")), 1).as("o"),
+      Jq.evalWithMeta(".", lit(null).cast("string"), col("meta")).as("gone")).head()
+    assert(rNull.getStruct(0).getString(0) == "7")
+    assert(rNull.getStruct(0).getString(1) == "null")
+    assert(rNull.isNullAt(1))
   }
 
   test("SQL functions: text/vector kernels registered and usable") {

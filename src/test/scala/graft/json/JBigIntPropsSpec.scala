@@ -39,24 +39,41 @@ class JBigIntPropsSpec extends AnyFunSuite {
   }
 
   test("property: +, -, * and % against the BigInt model across widths") {
+    // in-i128 results are exact integers; results OUTSIDE i128 degrade to
+    // double (round 10: JInt.of closes arithmetic over the representable
+    // domain — the reference's i128 cannot hold wider either)
+    def expectInt(got: JDoc, model: BigInt, what: String): Unit =
+      if (JInt.inI128(model)) assert(asBig(got).contains(model), what)
+      else assert(got == JDouble(model.toDouble), s"$what (out-of-i128 degrade)")
     forAllN(Gen.zip(genInt, genInt)) { case (a, b) =>
       // the narrow JLong⊗JLong case keeps its PRE-EXISTING wrapping
       // 64-bit semantics (pinned below); the exact BigInt model applies
       // whenever either operand is wide
       val wide = !a.isValidLong || !b.isValidLong
       if (wide) {
-        assert(asBig(JOps.add(num(a), num(b))).contains(a + b), s"$a + $b")
-        assert(asBig(JOps.sub(num(a), num(b))).contains(a - b), s"$a - $b")
-        assert(asBig(JOps.mul(num(a), num(b))).contains(a * b), s"$a * $b")
-        if (b != 0) assert(asBig(JOps.rem(num(a), num(b))).contains(a % b), s"$a % $b")
+        expectInt(JOps.add(num(a), num(b)), a + b, s"$a + $b")
+        expectInt(JOps.sub(num(a), num(b)), a - b, s"$a - $b")
+        expectInt(JOps.mul(num(a), num(b)), a * b, s"$a * $b")
+        if (b != 0) expectInt(JOps.rem(num(a), num(b)), a % b, s"$a % $b")
         else assert(JOps.rem(num(a), num(b)) == JNull)
       } else {
         assert(JOps.add(num(a), num(b)) == JLong(a.toLong + b.toLong))
         assert(JOps.sub(num(a), num(b)) == JLong(a.toLong - b.toLong))
         assert(JOps.mul(num(a), num(b)) == JLong(a.toLong * b.toLong))
       }
-      assert(asBig(JOps.neg(num(a))).contains(-a), s"-$a")
+      assert(asBig(JOps.neg(num(a))).contains(-a), s"-$a") // genInt ⊂ (MinI128, MaxI128]
     }
+  }
+
+  test("arithmetic closes over i128: a boundary-crossing result degrades to double and round-trips") {
+    val max = JInt.MaxI128
+    val over = JOps.add(JBigInt(max), JLong(1))
+    assert(over == JDouble((max + 1).toDouble), s"i128max + 1 → $over")
+    // the degraded value canonicalizes and re-parses as ITSELF — no value
+    // the engine produces breaks the parse(canonical(x)) == x invariant
+    assert(JsonText.parse(JsonText.canonical(over)) == over)
+    assert(JOps.neg(JBigInt(JInt.MinI128)) == JDouble((-JInt.MinI128).toDouble))
+    assert(JOps.mul(JBigInt(max), JBigInt(max)) == JDouble((max * max).toDouble))
   }
 
   test("property: numeric total order across widths matches BigInt compare") {

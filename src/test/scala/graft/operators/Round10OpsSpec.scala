@@ -51,6 +51,25 @@ class Round10OpsSpec extends SparkTestBase {
     } finally MediaDecoders.clearProgrammatic()
   }
 
+  test("media-decoder registry: decodeAndResize consults plugins too (metadata rescale)") {
+    implicit val s = spark
+    MediaDecoders.clearProgrammatic()
+    try {
+      MediaDecoders.register(new FakeVideoDecoder)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(6)
+      val videos = fromText(docs, "doc_id", "text", "video")
+      val resized = decodeAndResize(videos, 64, 48).collect()
+      // plugin decode wins, then the fused resize rescales its metadata —
+      // NOT the stub's (stub n_frames is payload-derived, never 42)
+      assert(resized.nonEmpty && resized.forall(d =>
+        d.width == 64 && d.height == 48 && d.n_frames == 42))
+      // images with no claiming plugin keep the real pixel-rescale path
+      val images = pngMedia(docs, "doc_id", lit(20), lit(10))
+      val ri = decodeAndResize(images, 8, 8).collect()
+      assert(ri.forall(d => d.width == 8 && d.height == 8 && d.n_frames == 1))
+    } finally MediaDecoders.clearProgrammatic()
+  }
+
   test("media-decoder registry: a declining plugin falls through to built-ins") {
     implicit val s = spark
     MediaDecoders.clearProgrammatic()
