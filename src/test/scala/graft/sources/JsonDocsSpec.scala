@@ -28,6 +28,39 @@ class JsonDocsSpec extends SparkTestBase {
     assert(out.exists(r => !r.isNullAt(0) && r.getString(0) == """{"k":1}"""))
   }
 
+  test("property: parseManyLenient recovers any doc sequence under any whitespace layout") {
+    // the invariant the scan_concatenated oracle row rests on: however a
+    // writer interleaves values and whitespace (compact, pretty-printed,
+    // tabs/CRLF, no separator at all where self-delimiting), the
+    // incremental parse recovers exactly the written sequence
+    import graft.json.{JsonText, JDoc}
+    val rnd = new scala.util.Random(0xC0FFEEL)
+    val pool: Seq[String] = Seq(
+      "null", "true", "false", "42", "-7", "3.5", "\"s p a c e s\"",
+      "\"uni\\u00e9\"", "[1,[2,[3]]]", "{\"b\":1,\"a\":[null,false]}",
+      "{\"nested\":{\"deep\":{\"x\":-0.25}}}", "[]", "{}",
+      "170141183460469231731687303715884105727")
+    val ws = Seq(" ", "\n", "\t", "\r\n", "  \n  ", "\n\n\t")
+    (1 to 60).foreach { _ =>
+      val docs = Vector.fill(1 + rnd.nextInt(12))(pool(rnd.nextInt(pool.size)))
+      val pretty = docs.map { d =>
+        // re-layout some objects/arrays across lines (canonical is
+        // whitespace-free, so ANY internal layout must parse the same)
+        if (rnd.nextBoolean()) d
+        else d.replace(",", ",\n  ").replace(":", ": ")
+      }
+      val blob = pretty.zip(Vector.fill(pretty.size)(ws(rnd.nextInt(ws.size))))
+        .map { case (d, sep) => d + sep }.mkString
+      val (got, err) = JsonText.parseManyLenient(blob)
+      assert(err.isEmpty, s"unexpected error on <$blob>: $err")
+      val want: Vector[JDoc] = docs.map(JsonText.parse)
+      assert(got == want, s"layout changed the parse:\n$blob")
+    }
+    // a malformed TAIL yields the parsed prefix + one error, never a throw
+    val (pre, e) = JsonText.parseManyLenient("1 2 {\"unterminated\": ")
+    assert(pre.size == 2 && e.isDefined)
+  }
+
   test("readJsonl: per-line values, bad lines become error records") {
     val dir = Files.createTempDirectory("jsonl").toFile
     val f = new java.io.File(dir, "docs.jsonl")
