@@ -2351,6 +2351,14 @@ object SparkEntry {
           concat_ws(",", transform(col("proj"), _.cast("string"))).as("proj_s"),
           col("norm2"))),
 
+    // BM25 top-k retrieval (Okapi): the standard lexical ranker next to
+    // tf·idf — micro-nat robust idf, exact integer tf-fraction
+    // polynomials, one pinned float step per term (see bm25TopK scaladoc)
+    "text_bm25" -> ((s, dir) =>
+      operators.TextAnalysis.bm25TopK(
+        table(s, dir, "documents"), col("doc_id"), col("text"),
+        query = Seq("table", "hash", "data"), k = 10)),
+
     // positional-postings phrase query: consecutive-term equi-join
     "text_phrase" -> ((s, dir) =>
       operators.TextAnalysis.phraseSearch(
@@ -4715,6 +4723,34 @@ object SparkEntry {
       FROM numbered GROUP BY user_id, session_no""",
 
     // tf/df/N over the FULL corpus; the doc_id gate applies to the output
+    "text_bm25" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS t_tokens FROM d),
+      tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+             FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+             WHERE term IN ('table', 'hash', 'data')
+             GROUP BY 1, 2, 3),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      contrib AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                 CAST(round(ln((tot.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * 1e6) AS BIGINT)
+                 * (CAST(tf.tf * 2200 * 1000 * tot.t_tokens AS DOUBLE)
+                    / CAST(tf.tf * 1000000 * tot.t_tokens
+                           + 300000 * tot.t_tokens
+                           + 900000 * tf.dl * tot.n_docs AS DOUBLE))) AS BIGINT) AS c
+        FROM tf JOIN df USING (term), tot),
+      score AS (SELECT doc_id, sum(c) AS bm25_micro FROM contrib GROUP BY doc_id)
+      SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, bm25_micro FROM (
+        SELECT doc_id, bm25_micro,
+               row_number() OVER (ORDER BY bm25_micro DESC, doc_id ASC) AS rnk
+        FROM score) t
+      WHERE rnk <= 10""",
+
     "text_tfidf" -> """
       WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term

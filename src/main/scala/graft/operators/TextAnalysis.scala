@@ -650,6 +650,66 @@ object TextAnalysis {
     * term key; the per-doc top-k rank engages WindowGroupLimit, so the
     * final exchange carries at most k rows per doc per input partition.
     * N rides a broadcast one-row frame, never a driver constant. */
+  /** BM25 top-k retrieval (Robertson & Walker / Okapi, the standard
+    * lexical ranking function next to [[tfIdfTopK]]'s linear idf):
+    * per document, score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b +
+    * b·dl/avgdl)) over the query terms, with the robust idf
+    * ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * Determinism discipline (the [[graft.operators.Curation]] DSIR
+    * pattern): k1/b are MILLI-unit integers, the tf fraction is carried
+    * as two EXACT integer polynomials — multiplying numerator and
+    * denominator by 10⁶·T clears every rational: num = tf·(k1ₘ+1000)·10³·T,
+    * den = tf·10⁶·T + k1ₘ·(1000−bₘ)·T + k1ₘ·bₘ·dl·N — and the only float
+    * steps per term are the micro-nat idf (one `round(ln(·)·10⁶)`) and one
+    * pinned `round(idf_micro · (num/den))`, both bit-replicable in any
+    * IEEE engine evaluating the same expression shape. Long headroom:
+    * num < 2^63 requires tf·T < 4.2e15 (≈10¹² total corpus tokens at
+    * real tf) — past that, rescale the clearing factor or move the two
+    * polynomials to DECIMAL(38,0); the plan shape is unchanged.
+    *
+    * Scale shape: the corpus explodes only FILTERED tokens (the array is
+    * pruned to query terms before the generator, so the exploded frame is
+    * ≤ |docs|·|query| rows plus duplicates-in-doc, never the full token
+    * stream); totals and per-term dfs are one-row / |query|-row broadcast
+    * literals; the global top-k window is WindowGroupLimit-bounded. */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+               query: Seq[String], k: Int = 10,
+               k1Milli: Int = 1200, bMilli: Int = 750): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(query.nonEmpty, "bm25TopK needs at least one query term")
+    require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
+      s"k1Milli >= 0 and bMilli in [0,1000], got $k1Milli/$bMilli")
+    val terms = query.distinct
+    val base = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val tot = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    val tf = base
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), t => t.isInCollection(terms))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(df), "term").crossJoin(broadcast(tot))
+      .withColumn("idf_micro",
+        round(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) * 1e6)
+          .cast("long"))
+      .withColumn("num",
+        col("tf") * lit(k1Milli + 1000L) * lit(1000L) * col("t_tokens"))
+      .withColumn("den",
+        col("tf") * lit(1000000L) * col("t_tokens") +
+          lit(k1Milli.toLong * (1000L - bMilli)) * col("t_tokens") +
+          lit(k1Milli.toLong * bMilli) * col("dl") * col("n_docs"))
+      .select(col("doc_id"),
+        round(col("idf_micro") * (col("num").cast("double") / col("den").cast("double")))
+          .cast("long").as("c"))
+    val score = contrib.groupBy(col("doc_id")).agg(sum(col("c")).as("bm25_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25_micro").desc, col("doc_id").asc)
+    score.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("bm25_micro"))
+  }
+
   def tfIdfTopK(docs: org.apache.spark.sql.DataFrame, id: Column, text: Column,
                 k: Int = 3, minTermLen: Int = 5): org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -190,6 +190,50 @@ class Round10OpsSpec extends SparkTestBase {
     assert(exactPlan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bm25TopK: classic ranking behaviors on a controlled corpus") {
+    val docs = Seq(
+      (1L, "rare common common filler filler filler"),      // 1× rare
+      (2L, "rare rare common filler filler filler"),        // 2× rare
+      (3L, "common common common filler filler filler"),    // no rare
+      (4L, "rare filler"),                                   // 1× rare, SHORT doc
+      (5L, "filler filler filler filler filler filler"),    // no query terms
+      (6L, "other words entirely"),
+      (7L, "common filler filler filler filler filler"),
+      (8L, "noise noise noise noise noise noise")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+        query = Seq("rare", "common"), k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rankOf = got.map(t => t._1 -> t._2).toMap
+    val scoreOf = got.map(t => t._1 -> t._3).toMap
+    // docs with no query terms never appear
+    assert(!rankOf.contains(5L) && !rankOf.contains(6L) && !rankOf.contains(8L))
+    // tf monotonicity: two "rare" beats one at equal length and common-count...
+    assert(scoreOf(2L) > scoreOf(1L))
+    // idf: the rarer term dominates the common one at equal tf and length
+    assert(scoreOf(1L) > scoreOf(3L))
+    // length normalization (b > 0): the same single "rare" in a 2-token doc
+    // beats it in a 6-token doc
+    assert(scoreOf(4L) > scoreOf(1L) - scoreOf(3L), "short-doc boost should be visible")
+    assert(scoreOf(4L) > 0 && got.forall(_._3 > 0))
+    // ranks are 1..n dense in score order
+    assert(got.sortBy(_._2).map(_._3).reverse.sorted.toSeq == got.map(_._3).sorted.toSeq)
+  }
+
+  test("bm25TopK plan: full token stream never explodes (array pruned to query terms first)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val q = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"), Seq("table", "hash"), k = 5)
+    val plan = q.queryExecution.optimizedPlan.toString()
+    // the generator's child must be the term-pruned array, not the raw
+    // token array (the optimized plan aliases split() to toks upstream)
+    assert(plan.contains("explode(filter(toks"),
+      s"explode should consume the term-pruned array:\n$plan")
+    // and the k-bound pushes below the global window (GlobalLimit before
+    // the rank) so the single-partition sort sees k·P rows, not all docs
+    assert(plan.contains("GlobalLimit"),
+      s"top-k should be limit-pushed below the window:\n$plan")
+  }
+
   test("expression dhash: same bands as the direct kernel, null for non-images") {
     implicit val s = spark
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(10)
