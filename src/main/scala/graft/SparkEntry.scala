@@ -900,22 +900,33 @@ object SparkEntry {
     // both engines — decimal sums are exact, the double arithmetic is
     // written in identical order, so the hash gate applies to statistics
     // that are normally fp-flaky across engines
+    // moment-sum variance/stddev/correlation — EXACT centi-unit DECIMAL
+    // moments; the float arithmetic is a pinned chain of correctly-rounded
+    // ops on identical exact inputs, so the doubles are bit-identical on
+    // any engine/partitioning (round 10: the old double-moments version
+    // diverged from DuckDB by an ulp at sf0.001 — FMA-class intermediate
+    // drift — exactly what corrExact's discipline exists to prevent).
+    // var in centi² units rescales by 1e4 at the end.
     "rel_agg_variance" -> ((s, dir) => {
-      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
-      val nd = col("n").cast("double")
-      table(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val q = table(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_quantity").cast("double") * 100).cast("long").as("xi"),
+        round(col("l_extendedprice").cast("double") * 100).cast("long").as("yi"))
+      val m = q.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).cast("double").as("sx"),
-          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double").as("sxx"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sy"),
-          sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).cast("double").as("syy"),
-          sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).cast("double").as("sxy"))
-        .select(col("l_returnflag"), col("n"),
-          ((col("sxx") - col("sx") * col("sx") / nd) / (nd - lit(1.0))).as("var_qty"),
-          sqrt((col("sxx") - col("sx") * col("sx") / nd) / (nd - lit(1.0))).as("std_qty"),
-          ((nd * col("sxy") - col("sx") * col("sy")) /
-            sqrt((nd * col("sxx") - col("sx") * col("sx")) *
-                 (nd * col("syy") - col("sy") * col("sy")))).as("corr_qp"))
+          sum(d(col("xi"))).as("sx"), sum(d(col("yi"))).as("sy"),
+          sum(d(col("xi")) * d(col("xi"))).as("sxx"),
+          sum(d(col("yi")) * d(col("yi"))).as("syy"),
+          sum(d(col("xi")) * d(col("yi"))).as("sxy"))
+      val varNum = (d(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
+      val varDen = (d(col("n")) * (d(col("n")) - lit(1))).cast("double")
+      m.select(col("l_returnflag"), col("n"),
+        (varNum / varDen / lit(1e4)).as("var_qty"),
+        sqrt(varNum / varDen / lit(1e4)).as("std_qty"),
+        ((d(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((d(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double") *
+               (d(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("corr_qp"))
     }),
 
     // explicit grouping sets (beyond rollup/cube's fixed lattices): the
@@ -3330,20 +3341,26 @@ object SparkEntry {
       FROM d GROUP BY 1""",
 
     "rel_agg_variance" -> """
-      WITH m AS (
-        SELECT l_returnflag, count(*) AS n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
-        FROM lineitem GROUP BY l_returnflag)
-      SELECT l_returnflag, n,
-             (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_qty,
-             sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS std_qty,
-             (CAST(n AS DOUBLE) * sxy - sx * sy) /
-               sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) *
-                    (CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qp
+      WITH q AS (
+        SELECT l_returnflag,
+               CAST(round(CAST(l_quantity AS DOUBLE) * 100) AS BIGINT) AS xi,
+               CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS yi
+        FROM lineitem),
+      m AS (
+        SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(xi AS HUGEINT)) AS sx, sum(CAST(yi AS HUGEINT)) AS sy,
+               sum(CAST(xi AS HUGEINT) * CAST(xi AS HUGEINT)) AS sxx,
+               sum(CAST(yi AS HUGEINT) * CAST(yi AS HUGEINT)) AS syy,
+               sum(CAST(xi AS HUGEINT) * CAST(yi AS HUGEINT)) AS sxy
+        FROM q GROUP BY l_returnflag)
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 1e4
+               AS var_qty,
+             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 1e4)
+               AS std_qty,
+             CAST(n * sxy - sx * sy AS DOUBLE) /
+               sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                    CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qp
       FROM m""",
 
     "rel_grouping_sets" -> """
@@ -4524,16 +4541,26 @@ object SparkEntry {
         SELECT c_nationkey AS g, count(*) AS n,
                quantile_cont(CAST(c_acctbal AS DOUBLE), 0.05) AS lo,
                quantile_cont(CAST(c_acctbal AS DOUBLE), 0.95) AS hi
-        FROM customer GROUP BY 1)
+        FROM customer GROUP BY 1),
+      a AS (
+        SELECT g, n, lo, hi,
+               sum(CASE WHEN CAST(c.c_acctbal AS DOUBLE) >= b.lo
+                         AND CAST(c.c_acctbal AS DOUBLE) <= b.hi
+                        THEN CAST(round(CAST(c.c_acctbal AS DOUBLE) * 100) AS BIGINT)
+                        ELSE 0 END) AS sum_in_centi,
+               CAST(sum(CASE WHEN CAST(c.c_acctbal AS DOUBLE) < b.lo THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_clip_lo,
+               CAST(sum(CASE WHEN CAST(c.c_acctbal AS DOUBLE) > b.hi THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_clip_hi
+        FROM customer c JOIN b ON c.c_nationkey = b.g
+        GROUP BY g, n, lo, hi)
       SELECT g AS c_nationkey, n, round(lo, 6) AS p_lo, round(hi, 6) AS p_hi,
-             round(avg(greatest(least(CAST(c.c_acctbal AS DOUBLE), b.hi), b.lo)), 6)
+             round((CAST(sum_in_centi AS DOUBLE) / 100.0
+                    + CAST(n_clip_lo AS DOUBLE) * lo
+                    + CAST(n_clip_hi AS DOUBLE) * hi) / CAST(n AS DOUBLE), 6)
                AS winsor_mean,
-             CAST(sum(CASE WHEN CAST(c.c_acctbal AS DOUBLE) < b.lo THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_clip_lo,
-             CAST(sum(CASE WHEN CAST(c.c_acctbal AS DOUBLE) > b.hi THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_clip_hi
-      FROM customer c JOIN b ON c.c_nationkey = b.g
-      GROUP BY g, n, lo, hi""",
+             n_clip_lo, n_clip_hi
+      FROM a""",
 
     "curation_epochs" -> """
       WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens

@@ -451,15 +451,32 @@ object Relational {
       expr(s"percentile(v, $pLo)").as("lo"),
       expr(s"percentile(v, $pHi)").as("hi"),
       count(lit(1)).as("n"))
+    // The winsorized mean must NOT be a running-double avg(): its sum
+    // order is partitioning-dependent, so the 1e-6 rounding can flip on a
+    // half-case (caught by an sf0.001 parity sweep, round 10 — the
+    // corrExact discipline applies). Decompose exactly instead: in-range
+    // values are centi-exact (money/quantity lattice) and sum as BIGINT;
+    // the clipped tails contribute count × bound. The mean is then a
+    // PINNED chain of correctly-rounded ops on identical inputs —
+    // bit-identical on any engine/partitioning.
     rows.join(broadcast(bounds), Seq("g"))
       .groupBy(col("g"))
       .agg(first(col("n")).as("n"),
         round(first(col("lo")), 6).as("p_lo"),
         round(first(col("hi")), 6).as("p_hi"),
-        round(avg(greatest(least(col("v"), col("hi")), col("lo"))), 6)
-          .as("winsor_mean"),
+        sum(when(col("v") >= col("lo") && col("v") <= col("hi"),
+          round(col("v") * 100).cast("long")).otherwise(0L)).as("sum_in_centi"),
+        first(col("lo")).as("lo"),
+        first(col("hi")).as("hi"),
         sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
         sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"))
+      .select(col("g"), col("n"), col("p_lo"), col("p_hi"),
+        round(
+          (col("sum_in_centi").cast("double") / lit(100.0) +
+            col("n_clip_lo").cast("double") * col("lo") +
+            col("n_clip_hi").cast("double") * col("hi")) / col("n").cast("double"),
+          6).as("winsor_mean"),
+        col("n_clip_lo"), col("n_clip_hi"))
   }
 
   /** Exact per-group Pearson correlation. Built-in `corr` accumulates
