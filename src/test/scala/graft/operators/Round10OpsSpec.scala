@@ -234,6 +234,39 @@ class Round10OpsSpec extends SparkTestBase {
       s"top-k should be limit-pushed below the window:\n$plan")
   }
 
+  test("winsorize: exact-decomposition mean == brute-force clamped mean, partitioning-invariant") {
+    // centi-exact fixture with deliberate outliers per group
+    val rows = (for {
+      g <- 0L to 2L
+      i <- 1 to 40
+    } yield (g, (i * 25 + g * 7).toDouble / 100.0 * (if (i % 13 == 0) 50 else 1)))
+      .toDF("g", "v")
+    val got = Relational.winsorize(rows, col("g"), col("v"))
+      .orderBy("g").collect()
+    // brute-force reference: clamp at the same percentile bounds, plain mean
+    val bounds = got.map(r => (r.getLong(0), (r.getDouble(2), r.getDouble(3)))).toMap
+    val data = rows.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    got.foreach { r =>
+      val g = r.getLong(0)
+      val (lo, hi) = bounds(g)
+      val vs = data.filter(_._1 == g).map(_._2)
+      val clamped = vs.map(v => math.max(math.min(v, hi), lo))
+      val ref = BigDecimal(clamped.sum / clamped.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(4) - ref) <= 1e-6,
+        s"group $g: winsor_mean=${r.getDouble(4)} ref=$ref")
+      // clip counts consistent
+      assert(r.getLong(5) == vs.count(_ < lo) && r.getLong(6) == vs.count(_ > hi))
+    }
+    // partitioning invariance: a different layout gives BIT-identical means
+    // (the running-double avg this replaced could differ per layout)
+    val shuffled = Relational.winsorize(rows.repartition(7, col("v")), col("g"), col("v"))
+      .orderBy("g").collect()
+    got.zip(shuffled).foreach { case (a, b) =>
+      assert(a.getDouble(4) == b.getDouble(4), s"layout changed winsor_mean for group ${a.getLong(0)}")
+    }
+  }
+
   test("expression dhash: same bands as the direct kernel, null for non-images") {
     implicit val s = spark
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(10)
