@@ -4537,25 +4537,24 @@ object SparkEntry {
           AND (b.o_totalprice > a.o_totalprice OR b.o_orderdate < a.o_orderdate))""",
 
     "rel_winsorize" -> """
-      WITH b AS (
+      WITH nn AS (
+        SELECT c_nationkey, CAST(c_acctbal AS DOUBLE) AS v
+        FROM customer WHERE c_acctbal IS NOT NULL),
+      b AS (
         SELECT c_nationkey AS g, count(*) AS n,
-               quantile_cont(CAST(c_acctbal AS DOUBLE), 0.05) AS lo,
-               quantile_cont(CAST(c_acctbal AS DOUBLE), 0.95) AS hi
-        FROM customer GROUP BY 1),
+               quantile_cont(v, 0.05) AS lo,
+               quantile_cont(v, 0.95) AS hi
+        FROM nn GROUP BY 1),
       a AS (
         SELECT g, n, lo, hi,
-               sum(CASE WHEN CAST(c.c_acctbal AS DOUBLE) >= b.lo
-                         AND CAST(c.c_acctbal AS DOUBLE) <= b.hi
-                        THEN CAST(round(CAST(c.c_acctbal AS DOUBLE) * 100) AS BIGINT)
-                        ELSE 0 END) AS sum_in_centi,
-               CAST(sum(CASE WHEN CAST(c.c_acctbal AS DOUBLE) < b.lo THEN 1 ELSE 0 END)
-                 AS BIGINT) AS n_clip_lo,
-               CAST(sum(CASE WHEN CAST(c.c_acctbal AS DOUBLE) > b.hi THEN 1 ELSE 0 END)
-                 AS BIGINT) AS n_clip_hi
-        FROM customer c JOIN b ON c.c_nationkey = b.g
+               sum(CAST(CASE WHEN c.v >= b.lo AND c.v <= b.hi
+                             THEN c.v ELSE 0.0 END AS DECIMAL(38,9))) AS sum_in,
+               CAST(sum(CASE WHEN c.v < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+               CAST(sum(CASE WHEN c.v > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
+        FROM nn c JOIN b ON c.c_nationkey = b.g
         GROUP BY g, n, lo, hi)
       SELECT g AS c_nationkey, n, round(lo, 6) AS p_lo, round(hi, 6) AS p_hi,
-             round((CAST(sum_in_centi AS DOUBLE) / 100.0
+             round((CAST(sum_in AS DOUBLE)
                     + CAST(n_clip_lo AS DOUBLE) * lo
                     + CAST(n_clip_hi AS DOUBLE) * hi) / CAST(n AS DOUBLE), 6)
                AS winsor_mean,
@@ -4771,7 +4770,7 @@ object SparkEntry {
                            + 300000 * tot.t_tokens
                            + 900000 * tf.dl * tot.n_docs AS DOUBLE))) AS BIGINT) AS c
         FROM tf JOIN df USING (term), tot),
-      score AS (SELECT doc_id, sum(c) AS bm25_micro FROM contrib GROUP BY doc_id)
+      score AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS bm25_micro FROM contrib GROUP BY doc_id)
       SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, bm25_micro FROM (
         SELECT doc_id, bm25_micro,
                row_number() OVER (ORDER BY bm25_micro DESC, doc_id ASC) AS rnk

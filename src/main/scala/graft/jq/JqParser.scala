@@ -170,7 +170,14 @@ final class JqParser(text: String) {
               try Some(BigInt(s)).filter(graft.json.JInt.inI128).map(graft.json.JInt.of)
               catch { case _: NumberFormatException => None }
             else None
-          wide.orElse(Some(JDouble(java.lang.Double.parseDouble(s))))
+          // integer ladder overflow saturates (JInt.toDoubleSat policy)
+          wide.orElse {
+            val d = java.lang.Double.parseDouble(s)
+            Some(JDouble(
+              if (d == Double.PositiveInfinity) Double.MaxValue
+              else if (d == Double.NegativeInfinity) Double.MinValue
+              else d))
+          }
       }
     } else Some(JDouble(java.lang.Double.parseDouble(s)))
   }

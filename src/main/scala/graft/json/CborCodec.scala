@@ -185,10 +185,20 @@ object CborCodec {
               val ib2 = u8()
               if ((ib2 >>> 5) != 2) fail("bignum content must be a byte string")
               val len = arg(ib2 & 0x1F)
-              if (len > 64 || pos + len > bytes.length) fail("bignum length out of range")
-              val mag = BigInt(1, bytes.slice(pos, pos + len.toInt))
-              pos += len.toInt
-              JInt.of(if (tag == 2L) mag else -mag - 1)
+              if (pos + len > bytes.length) fail("bignum length out of range")
+              // any length decodes (the old 64-byte cap rejected bytes the
+              // ENCODER itself can emit): values leave the exact domain
+              // through JInt.of's saturating degrade, and a bignum wider
+              // than 512 bytes (≫ 2^1024) saturates directly — no
+              // allocation proportional to an adversarial payload
+              if (len > 512) {
+                pos += len.toInt
+                JDouble(if (tag == 2L) Double.MaxValue else Double.MinValue)
+              } else {
+                val mag = BigInt(1, bytes.slice(pos, pos + len.toInt))
+                pos += len.toInt
+                JInt.of(if (tag == 2L) mag else -mag - 1)
+              }
             case t => fail(s"tag $t not supported")
           }
         case 7 => info match {

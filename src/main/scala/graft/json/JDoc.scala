@@ -59,7 +59,23 @@ object JInt {
   def of(v: BigInt): JDoc =
     if (v.isValidLong) JLong(v.toLong)
     else if (inI128(v)) JBigInt(v)
-    else JDouble(v.toDouble)
+    else JDouble(toDoubleSat(v))
+
+  /** Integer-degrade conversion with jq's overflow discipline: a value
+    * beyond double range saturates to ±Double.MaxValue instead of ±inf
+    * (jq clamps overflowing numeric literals the same way), so every
+    * degraded value stays finite — canonicalizable AND re-parseable.
+    * Without this a CBOR bignum ≥ 2^1024 became JDouble(inf), whose
+    * canonical text "inf" no JSON parser reads back (round-10 review
+    * finding). Float LITERALS (1e999) keep the reference's Rust parse
+    * semantics (inf) — this policy covers only the integer widening
+    * ladder, which is this engine's own extension. */
+  def toDoubleSat(v: BigInt): Double = {
+    val d = v.toDouble
+    if (d == Double.PositiveInfinity) Double.MaxValue
+    else if (d == Double.NegativeInfinity) Double.MinValue
+    else d
+  }
 }
 
 final case class JDouble(v: Double) extends JDoc { val typeOrder = 3; val typeName = "Float" }

@@ -446,7 +446,13 @@ object Relational {
   def winsorize(df: DataFrame, group: Column, value: Column,
                 pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(0 <= pLo && pLo < pHi && pHi <= 1, s"need 0<=pLo<pHi<=1, got $pLo,$pHi")
+    // NULL values carry no information for a robust-location statistic:
+    // percentile already ignores them, so the mean/counts do too — n is
+    // the NON-NULL count (the old avg-based shape let Spark's
+    // null-skipping least/greatest silently treat a null as clipped-high,
+    // which was wrong in a different way; round-10 review finding).
     val rows = df.select(group.as("g"), value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
     val bounds = rows.groupBy(col("g")).agg(
       expr(s"percentile(v, $pLo)").as("lo"),
       expr(s"percentile(v, $pHi)").as("hi"),
@@ -455,8 +461,10 @@ object Relational {
     // order is partitioning-dependent, so the 1e-6 rounding can flip on a
     // half-case (caught by an sf0.001 parity sweep, round 10 — the
     // corrExact discipline applies). Decompose exactly instead: in-range
-    // values are centi-exact (money/quantity lattice) and sum as BIGINT;
-    // the clipped tails contribute count × bound. The mean is then a
+    // values sum as DECIMAL(38,9) — an exact, order-independent
+    // accumulation at nano resolution, 1000× below the 1e-6 output
+    // rounding and lossless for any real-world score/currency lattice —
+    // and the clipped tails contribute count × bound. The mean is then a
     // PINNED chain of correctly-rounded ops on identical inputs —
     // bit-identical on any engine/partitioning.
     rows.join(broadcast(bounds), Seq("g"))
@@ -464,15 +472,15 @@ object Relational {
       .agg(first(col("n")).as("n"),
         round(first(col("lo")), 6).as("p_lo"),
         round(first(col("hi")), 6).as("p_hi"),
-        sum(when(col("v") >= col("lo") && col("v") <= col("hi"),
-          round(col("v") * 100).cast("long")).otherwise(0L)).as("sum_in_centi"),
+        sum(when(col("v") >= col("lo") && col("v") <= col("hi"), col("v"))
+          .otherwise(lit(0.0)).cast("decimal(38,9)")).as("sum_in"),
         first(col("lo")).as("lo"),
         first(col("hi")).as("hi"),
         sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
         sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"))
       .select(col("g"), col("n"), col("p_lo"), col("p_hi"),
         round(
-          (col("sum_in_centi").cast("double") / lit(100.0) +
+          (col("sum_in").cast("double") +
             col("n_clip_lo").cast("double") * col("lo") +
             col("n_clip_hi").cast("double") * col("hi")) / col("n").cast("double"),
           6).as("winsor_mean"),

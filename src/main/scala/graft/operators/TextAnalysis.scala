@@ -664,9 +664,10 @@ object TextAnalysis {
     * steps per term are the micro-nat idf (one `round(ln(·)·10⁶)`) and one
     * pinned `round(idf_micro · (num/den))`, both bit-replicable in any
     * IEEE engine evaluating the same expression shape. Long headroom:
-    * num < 2^63 requires tf·T < 4.2e15 (≈10¹² total corpus tokens at
-    * real tf) — past that, rescale the clearing factor or move the two
-    * polynomials to DECIMAL(38,0); the plan shape is unchanged.
+    * num = tf·2.2e6·T < 2^63 requires tf·T < 4.2e12 (a ≈10¹²-token
+    * corpus at single-digit tf) — past that, rescale the clearing factor
+    * or move the two polynomials to DECIMAL(38,0); the plan shape is
+    * unchanged.
     *
     * Scale shape: the corpus explodes only FILTERED tokens (the array is
     * pruned to query terms before the generator, so the exploded frame is

@@ -76,6 +76,25 @@ class JBigIntPropsSpec extends AnyFunSuite {
     assert(JOps.mul(JBigInt(max), JBigInt(max)) == JDouble((max * max).toDouble))
   }
 
+  test("degrade saturates past double range: every produced value stays finite and re-parseable") {
+    // a CBOR bignum (or any widening) beyond 2^1024 must NOT become
+    // JDouble(inf) — canonical "inf" is unparseable JSON. jq's clamp
+    // discipline applies: saturate to ±Double.MaxValue.
+    val huge = BigInt(2).pow(1100)
+    assert(JInt.of(huge) == JDouble(Double.MaxValue))
+    assert(JInt.of(-huge) == JDouble(Double.MinValue))
+    val viaC = CborCodec.decode(CborCodec.encode(JBigInt(huge))) // tag-2 bignum path
+    assert(viaC == JDouble(Double.MaxValue), s"cbor bignum degrade: $viaC")
+    assert(JsonText.parse(JsonText.canonical(viaC)) == viaC)
+    // a 400-digit JSON integer literal rides the same saturation
+    val wide = JsonText.parse("9" * 400)
+    assert(wide == JDouble(Double.MaxValue))
+    assert(JsonText.parse(JsonText.canonical(wide)) == wide)
+    assert(JsonText.parse("-" + "9" * 400) == JDouble(Double.MinValue))
+    // float LITERALS keep the reference's Rust parse semantics (inf)
+    assert(JsonText.parse("1e999") == JDouble(Double.PositiveInfinity))
+  }
+
   test("property: numeric total order across widths matches BigInt compare") {
     forAllN(Gen.zip(genInt, genInt)) { case (a, b) =>
       val got = JOps.cmp(num(a), num(b)).map(Integer.signum)

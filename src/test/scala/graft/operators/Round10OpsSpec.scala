@@ -216,8 +216,10 @@ class Round10OpsSpec extends SparkTestBase {
     // beats it in a 6-token doc
     assert(scoreOf(4L) > scoreOf(1L) - scoreOf(3L), "short-doc boost should be visible")
     assert(scoreOf(4L) > 0 && got.forall(_._3 > 0))
-    // ranks are 1..n dense in score order
-    assert(got.sortBy(_._2).map(_._3).reverse.sorted.toSeq == got.map(_._3).sorted.toSeq)
+    // ranks are 1..n dense, and scores are non-increasing in rank order
+    assert(got.map(_._2).sorted.toSeq == (1L to got.length).toSeq)
+    val byRank = got.sortBy(_._2).map(_._3).toSeq
+    assert(byRank == byRank.sorted.reverse, s"scores must not increase with rank: $byRank")
   }
 
   test("bm25TopK plan: full token stream never explodes (array pruned to query terms first)") {
