@@ -2362,10 +2362,11 @@ object SparkEntry {
           concat_ws(",", transform(col("proj"), _.cast("string"))).as("proj_s"),
           col("norm2"))),
 
-    // BM25 top-k retrieval (Okapi): the standard lexical ranker next to
-    // tf·idf — micro-nat robust idf, exact integer tf-fraction
-    // polynomials, one pinned float step per term (see bm25TopK scaladoc)
-    "text_bm25" -> ((s, dir) =>
+    // BM25 top-k retrieval (Okapi): the RANKED-retrieval complement to
+    // text_bm25's per-doc rational-idf scoring — textbook ln idf carried
+    // as micro-nats, exact integer tf-fraction polynomials, one pinned
+    // float step per term (see bm25TopK scaladoc)
+    "text_bm25_topk" -> ((s, dir) =>
       operators.TextAnalysis.bm25TopK(
         table(s, dir, "documents"), col("doc_id"), col("text"),
         query = Seq("table", "hash", "data"), k = 10)),
@@ -4749,7 +4750,7 @@ object SparkEntry {
       FROM numbered GROUP BY user_id, session_no""",
 
     // tf/df/N over the FULL corpus; the doc_id gate applies to the output
-    "text_bm25" -> """
+    "text_bm25_topk" -> """
       WITH d AS (
         SELECT doc_id, string_split(text, ' ') AS toks,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS dl

@@ -269,6 +269,28 @@ class Round10OpsSpec extends SparkTestBase {
     }
   }
 
+  test("SparkEntry source literals carry no duplicate query/oracle keys") {
+    // A Map literal silently keeps the LAST duplicate key — adding a new
+    // query under an existing name would SHADOW a green oracle row with
+    // no error anywhere (it nearly happened in round 10: a second
+    // text_bm25 replaced the round-5 rational-idf row until a set-diff
+    // against CORRECTNESS_r09 exposed it). Pin it at the source level.
+    val src = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val qkeys = """"([a-z0-9_]+)" -> \(\(s, dir\)""".r
+      .findAllMatchIn(src).map(_.group(1)).toSeq
+    assert(qkeys.distinct.size == qkeys.size,
+      s"duplicate query keys: ${qkeys.diff(qkeys.distinct).distinct}")
+    val okeys = """"([a-z0-9_]+)" ->\s*\"\"\"""".r
+      .findAllMatchIn(src).map(_.group(1)).toSeq
+    assert(okeys.distinct.size == okeys.size,
+      s"duplicate oracle keys: ${okeys.diff(okeys.distinct).distinct}")
+    // and the runtime maps agree 1:1 (every query oracled, no orphans)
+    assert(graft.SparkEntry.queries.keySet == graft.SparkEntry.oracleSql.keySet)
+  }
+
   test("expression dhash: same bands as the direct kernel, null for non-images") {
     implicit val s = spark
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(10)
