@@ -222,6 +222,46 @@ class Round10OpsSpec extends SparkTestBase {
     assert(byRank == byRank.sorted.reverse, s"scores must not increase with rank: $byRank")
   }
 
+  test("property: bm25TopK matches an independent in-memory brute force across random corpora") {
+    // independent substrate: the same pinned formula evaluated in plain
+    // Scala over the collected corpus — any drift in the distributed
+    // plan's aggregation, join, or pinning shows up as a tuple mismatch
+    val rnd = new scala.util.Random(0xB5251L)
+    val vocab = Vector("table", "hash", "data", "index", "scan", "merge", "row")
+    val query = Seq("table", "hash", "data")
+    (1 to 12).foreach { trial =>
+      val docs = (1L to (10 + rnd.nextInt(25))).map { id =>
+        (id, Vector.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val k = 1 + rnd.nextInt(8)
+      val got = TextAnalysis.bm25TopK(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), query, k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      // brute force with the identical pinned arithmetic
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val n = docs.size.toLong
+      val tTok = toks.valuesIterator.map(_.size.toLong).sum
+      val df = query.map(t => t -> toks.count(_._2.contains(t)).toLong).toMap
+      val scores = docs.flatMap { case (id, _) =>
+        val dl = toks(id).size.toLong
+        val cs = query.flatMap { t =>
+          val tf = toks(id).count(_ == t).toLong
+          if (tf == 0 || df(t) == 0) None
+          else {
+            val idf = Math.round(math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0) * 1e6)
+            val num = tf * 2200L * 1000L * tTok
+            val den = tf * 1000000L * tTok + 300000L * tTok + 900000L * dl * n
+            Some(Math.round(idf * (num.toDouble / den.toDouble)))
+          }
+        }
+        if (cs.isEmpty) None else Some(id -> cs.sum)
+      }
+      val expect = scores.sortBy { case (id, s) => (-s, id) }.take(k)
+        .zipWithIndex.map { case ((id, s), i) => (id, i + 1L, s) }.sorted
+      assert(got == expect, s"trial $trial (k=$k):\n got=$got\n exp=$expect")
+    }
+  }
+
   test("bm25TopK plan: full token stream never explodes (array pruned to query terms first)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val q = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"), Seq("table", "hash"), k = 5)
