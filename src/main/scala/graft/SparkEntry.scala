@@ -920,12 +920,17 @@ object SparkEntry {
           sum(d(col("xi")) * d(col("yi"))).as("sxy"))
       val varNum = (d(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
       val varDen = (d(col("n")) * (d(col("n")) - lit(1))).cast("double")
+      val dx = d(col("n")) * col("sxx") - col("sx") * col("sx")
+      val dy = d(col("n")) * col("syy") - col("sy") * col("sy")
+      // degenerate groups are pinned NULL on BOTH engines (a 1-row group's
+      // 0/0 is NULL under Spark's non-ANSI divide but inf/nan in DuckDB's
+      // IEEE division; a constant column likewise zeroes a corr leg)
       m.select(col("l_returnflag"), col("n"),
-        (varNum / varDen / lit(1e4)).as("var_qty"),
-        sqrt(varNum / varDen / lit(1e4)).as("std_qty"),
-        ((d(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
-          sqrt((d(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double") *
-               (d(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")))
+        when(col("n") > 1, varNum / varDen / lit(1e4)).as("var_qty"),
+        when(col("n") > 1, sqrt(varNum / varDen / lit(1e4))).as("std_qty"),
+        when(col("n") > 1 && dx > 0 && dy > 0,
+          (d(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(dx.cast("double") * dy.cast("double")))
           .as("corr_qp"))
     }),
 
@@ -3355,13 +3360,17 @@ object SparkEntry {
                sum(CAST(xi AS HUGEINT) * CAST(yi AS HUGEINT)) AS sxy
         FROM q GROUP BY l_returnflag)
       SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-             CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 1e4
-               AS var_qty,
-             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 1e4)
-               AS std_qty,
-             CAST(n * sxy - sx * sy AS DOUBLE) /
-               sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-                    CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qp
+             CASE WHEN n > 1 THEN
+               CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 1e4
+             END AS var_qty,
+             CASE WHEN n > 1 THEN
+               sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 1e4)
+             END AS std_qty,
+             CASE WHEN n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE) /
+                 sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                      CAST(n * syy - sy * sy AS DOUBLE))
+             END AS corr_qp
       FROM m""",
 
     "rel_grouping_sets" -> """

@@ -170,14 +170,9 @@ final class JqParser(text: String) {
               try Some(BigInt(s)).filter(graft.json.JInt.inI128).map(graft.json.JInt.of)
               catch { case _: NumberFormatException => None }
             else None
-          // integer ladder overflow saturates (JInt.toDoubleSat policy)
-          wide.orElse {
-            val d = java.lang.Double.parseDouble(s)
-            Some(JDouble(
-              if (d == Double.PositiveInfinity) Double.MaxValue
-              else if (d == Double.NegativeInfinity) Double.MinValue
-              else d))
-          }
+          // integer ladder overflow saturates (JInt.satDouble policy)
+          wide.orElse(Some(JDouble(
+            graft.json.JInt.satDouble(java.lang.Double.parseDouble(s)))))
       }
     } else Some(JDouble(java.lang.Double.parseDouble(s)))
   }

@@ -188,15 +188,23 @@ object CborCodec {
               if (pos + len > bytes.length) fail("bignum length out of range")
               // any length decodes (the old 64-byte cap rejected bytes the
               // ENCODER itself can emit): values leave the exact domain
-              // through JInt.of's saturating degrade, and a bignum wider
-              // than 512 bytes (≫ 2^1024) saturates directly — no
-              // allocation proportional to an adversarial payload
-              if (len > 512) {
-                pos += len.toInt
+              // through JInt.of's saturating degrade. The saturate-vs-exact
+              // decision keys on SIGNIFICANT bytes — RFC 8949 permits
+              // non-preferred leading-zero padding, so a 600-byte encoding
+              // of the integer 5 must still decode as 5, not ±MaxValue —
+              // and a genuinely ≫2^1024 magnitude saturates with no
+              // allocation proportional to an adversarial payload.
+              val end = pos + len.toInt
+              var off = pos
+              while (off < end && bytes(off) == 0) off += 1
+              if (end - off > 512) {
+                pos = end
                 JDouble(if (tag == 2L) Double.MaxValue else Double.MinValue)
               } else {
-                val mag = BigInt(1, bytes.slice(pos, pos + len.toInt))
-                pos += len.toInt
+                val mag =
+                  if (off == end) BigInt(0)
+                  else BigInt(1, bytes.slice(off, end))
+                pos = end
                 JInt.of(if (tag == 2L) mag else -mag - 1)
               }
             case t => fail(s"tag $t not supported")

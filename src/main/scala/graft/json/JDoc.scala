@@ -70,12 +70,14 @@ object JInt {
     * finding). Float LITERALS (1e999) keep the reference's Rust parse
     * semantics (inf) — this policy covers only the integer widening
     * ladder, which is this engine's own extension. */
-  def toDoubleSat(v: BigInt): Double = {
-    val d = v.toDouble
+  def toDoubleSat(v: BigInt): Double = satDouble(v.toDouble)
+
+  /** The ONE clamp the integer-degrade paths share (JInt.of, and the
+    * >39-digit fallbacks in JsonText.parseNum / the jq literal lexer). */
+  def satDouble(d: Double): Double =
     if (d == Double.PositiveInfinity) Double.MaxValue
     else if (d == Double.NegativeInfinity) Double.MinValue
     else d
-  }
 }
 
 final case class JDouble(v: Double) extends JDoc { val typeOrder = 3; val typeName = "Float" }

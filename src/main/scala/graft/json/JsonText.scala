@@ -129,15 +129,10 @@ object JsonText {
               catch { case _: NumberFormatException => None }
             else None
           wide.getOrElse {
-            // integer ladder overflow saturates (JInt.toDoubleSat policy)
+            // integer ladder overflow saturates (JInt.satDouble policy)
             // so the degraded value stays canonicalizable + re-parseable
-            try {
-              val d = java.lang.Double.parseDouble(s)
-              JDouble(
-                if (d == Double.PositiveInfinity) Double.MaxValue
-                else if (d == Double.NegativeInfinity) Double.MinValue
-                else d)
-            } catch { case _: NumberFormatException => fail(s"invalid number $s") }
+            try JDouble(JInt.satDouble(java.lang.Double.parseDouble(s)))
+            catch { case _: NumberFormatException => fail(s"invalid number $s") }
           }
         case _: NumberFormatException => fail(s"invalid number $s")
       }

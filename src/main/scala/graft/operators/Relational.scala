@@ -474,16 +474,22 @@ object Relational {
         round(first(col("hi")), 6).as("p_hi"),
         sum(when(col("v") >= col("lo") && col("v") <= col("hi"), col("v"))
           .otherwise(lit(0.0)).cast("decimal(38,9)")).as("sum_in"),
+        // |v| ≥ 1e29 overflows the decimal cast (non-ANSI cast → NULL
+        // element → NULL sum); such inputs fall back to the clamped
+        // running avg — order-dependent in the last ulp, but a correct
+        // value beats a NULL, and the exact path still covers every
+        // realistically-scaled corpus
+        avg(greatest(least(col("v"), col("hi")), col("lo"))).as("avg_fallback"),
         first(col("lo")).as("lo"),
         first(col("hi")).as("hi"),
         sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
         sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"))
       .select(col("g"), col("n"), col("p_lo"), col("p_hi"),
-        round(
+        round(coalesce(
           (col("sum_in").cast("double") +
             col("n_clip_lo").cast("double") * col("lo") +
             col("n_clip_hi").cast("double") * col("hi")) / col("n").cast("double"),
-          6).as("winsor_mean"),
+          col("avg_fallback")), 6).as("winsor_mean"),
         col("n_clip_lo"), col("n_clip_hi"))
   }
 
