@@ -472,24 +472,35 @@ object Relational {
       .agg(first(col("n")).as("n"),
         round(first(col("lo")), 6).as("p_lo"),
         round(first(col("hi")), 6).as("p_hi"),
-        sum(when(col("v") >= col("lo") && col("v") <= col("hi"), col("v"))
-          .otherwise(lit(0.0)).cast("decimal(38,9)")).as("sum_in"),
-        // |v| ≥ 1e29 overflows the decimal cast (non-ANSI cast → NULL
-        // element → NULL sum); such inputs fall back to the clamped
-        // running avg — order-dependent in the last ulp, but a correct
-        // value beats a NULL, and the exact path still covers every
-        // realistically-scaled corpus
+        // |v| ≥ 1e29 overflows the decimal(38,9) cast. Under ANSI (the
+        // Spark 4 default) a plain cast THROWS; under legacy it yields a
+        // NULL element that SUM silently SKIPS while n still counts it —
+        // either way the exact path must detect overflow per element, not
+        // infer it from a NULL sum (round-10 advice finding). try_cast
+        // makes the probe mode-independent, try_sum additionally turns an
+        // ACCUMULATOR overflow (a sum crossing 1e29 even when every
+        // element fits) into NULL instead of an ANSI abort. Any group
+        // hitting either routes to the clamped running avg —
+        // order-dependent in the last ulp, but a correct value beats a
+        // silently-wrong exact path, and the decimal path still covers
+        // every realistically-scaled corpus.
+        expr("try_sum(try_cast(CASE WHEN v >= lo AND v <= hi THEN v " +
+          "ELSE CAST(0.0 AS DOUBLE) END AS decimal(38,9)))").as("sum_in"),
+        sum(when(col("v") >= col("lo") && col("v") <= col("hi") &&
+            expr("try_cast(v AS decimal(38,9))").isNull, 1L)
+          .otherwise(0L)).as("n_overflow"),
         avg(greatest(least(col("v"), col("hi")), col("lo"))).as("avg_fallback"),
         first(col("lo")).as("lo"),
         first(col("hi")).as("hi"),
         sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
         sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"))
       .select(col("g"), col("n"), col("p_lo"), col("p_hi"),
-        round(coalesce(
+        round(when(col("n_overflow") > 0 || col("sum_in").isNull,
+          col("avg_fallback")).otherwise(
           (col("sum_in").cast("double") +
             col("n_clip_lo").cast("double") * col("lo") +
-            col("n_clip_hi").cast("double") * col("hi")) / col("n").cast("double"),
-          col("avg_fallback")), 6).as("winsor_mean"),
+            col("n_clip_hi").cast("double") * col("hi")) / col("n").cast("double")),
+          6).as("winsor_mean"),
         col("n_clip_lo"), col("n_clip_hi"))
   }
 
