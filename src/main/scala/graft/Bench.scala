@@ -11,9 +11,52 @@ import org.apache.spark.sql.SparkSession
   *     and changes when entries are added);
   *   - each query first runs once UNTIMED at the bench SF (same plan, same
   *     AQE decisions — warms its generated code and the file footers), then
-  *     runs twice timed and reports the min.
+  *     runs twice timed and reports the min;
+  *   - (round 11) after the whole pass, the N slowest entries are RE-TIMED
+  *     once each and the ledger takes the min of all runs — transient host
+  *     load at minute 3 can no longer survive into the ledger, because the
+  *     re-probe happens ~15 minutes later. The r10 driver run proved the
+  *     start-of-run load gate alone is insufficient: loadavg 1.92 passed a
+  *     2.0 gate and still inflated 12 queries up to 15×.
   */
 object Bench {
+
+  /** Pick the re-probe set: the `n` slowest SUCCESSFUL queries of the first
+    * pass (failures re-run nothing — a crash is not a timing artifact). */
+  def selectReprobe(first: Seq[(String, Double)], n: Int): Seq[String] =
+    first.filter(_._2 >= 0).sortBy { case (name, sec) => (-sec, name) }
+      .take(math.max(0, n)).map(_._1)
+
+  /** Fold re-probe times into the ledger: a query keeps the MIN of its
+    * first-pass min and its re-probe (a failed re-probe, -1, changes
+    * nothing — the first-pass number stands). Returns the merged ledger and
+    * the count of entries the re-probe IMPROVED by more than `improveFactor`
+    * AND more than `minDeltaSec` absolute (direct evidence the first-pass
+    * number was contention-inflated — the absolute floor keeps sub-second
+    * JIT/noise wobble from reading as contention). */
+  def mergeReprobe(first: Seq[(String, Double)], probes: Map[String, Double],
+                   improveFactor: Double = 1.5,
+                   minDeltaSec: Double = 0.5): (Seq[(String, Double)], Int) = {
+    var improved = 0
+    val merged = first.map { case (name, sec) =>
+      probes.get(name).filter(p => p >= 0 && sec >= 0) match {
+        case Some(p) =>
+          if (p * improveFactor < sec && sec - p > minDeltaSec) improved += 1
+          name -> math.min(sec, p)
+        case None => name -> sec
+      }
+    }
+    (merged, improved)
+  }
+
+  /** Mid-run spike threshold: Spark itself drives the 1-min load to 10-18
+    * on an idle 32-core host (local[N] saturates every core by design), so
+    * per-query load samples can NOT be compared against the idle-start gate
+    * — only load clearly beyond what this process can generate flags an
+    * external intruder. */
+  def midrunSpikeMax(loadMax: Double, cpus: Int): Double =
+    math.max(loadMax, cpus * 0.75)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -61,21 +104,19 @@ object Bench {
           p.info().command().map[java.lang.Boolean](_.contains("java")).orElse(false))
         .count()
     }
-    // Contention guard (round 10): the r9 ledger was contaminated by a loaded
-    // host (loadavg_start=3.71 inflated 12 queries 3-38×) and read as a fake
-    // 41% regression. A ledger that can silently absorb host noise is useless
-    // as a regression gate, so: wait (bounded) for the 1-min load to drop
-    // below a threshold before timing anything, and if it never does, emit
-    // "contended":true so the run is self-labeled as untrustworthy.
-    //
-    // The threshold is DELIBERATELY absolute, not scaled by core count: this
-    // bench saturates every core itself (local[N] with N = the host's CPUs),
-    // so any external load steals cycles from the timed queries directly —
-    // r9's 3.71 on 32 cores, "idle" by a cores-scaled measure, inflated
-    // queries up to 38×. Hosts where 2.0 genuinely is background noise can
-    // raise SPARK_GRAFT_LOAD_MAX.
-    val loadMax = sys.env.get("SPARK_GRAFT_LOAD_MAX").map(_.toDouble).getOrElse(2.0)
-    val loadWaitSec = sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC").map(_.toInt).getOrElse(120)
+    // Contention guard (round 10, tightened round 11): the r9 ledger was
+    // contaminated by a loaded host (loadavg_start=3.71 inflated 12 queries
+    // 3-38×) and read as a fake 41% regression; the r10 driver run then
+    // PASSED a 2.0 gate at loadavg 1.92 and still inflated 12 queries up to
+    // 15× — so the gate is now 0.8 (any sustained external runnable thread
+    // steals cycles from a bench that saturates every core itself) and the
+    // default wait is 5 minutes. If the host never settles, the ledger
+    // self-labels "contended":true. The threshold is DELIBERATELY absolute,
+    // not scaled by core count — r9's 3.71 on 32 cores, "idle" by a
+    // cores-scaled measure, was ruinous. Hosts where 0.8 genuinely is
+    // background noise can raise SPARK_GRAFT_LOAD_MAX.
+    val loadMax = sys.env.get("SPARK_GRAFT_LOAD_MAX").map(_.toDouble).getOrElse(0.8)
+    val loadWaitSec = sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC").map(_.toInt).getOrElse(300)
     val waitDeadline = System.nanoTime() + loadWaitSec * 1_000_000_000L
     while (loadAvg() > loadMax && System.nanoTime() < waitDeadline) {
       System.err.println(f"[bench] loadavg ${loadAvg()}%.2f > $loadMax%.1f — waiting for idle host")
@@ -96,7 +137,7 @@ object Bench {
     // across rounds, this column answers "was the host busy right then"
     // without a judge re-measure (round-10 follow-up to the r9 adjudication)
     val loadAt = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = ordered.map { case (name, fn) =>
+    val firstPass = ordered.map { case (name, fn) =>
       // failures are a visible -1 sentinel, never a bogus near-zero time
       val sec =
         try {
@@ -115,6 +156,37 @@ object Bench {
       loadAt(name) = loadAvg()
       name -> sec
     }
+    // Self-correcting re-probe (round 11, judge ask): re-time the N slowest
+    // entries at END of run (min of all runs). A transient load spike during
+    // the main pass inflates some first-pass minima; minutes later the spike
+    // is gone and the re-probe restores the real number. An entry the probe
+    // improves >1.5× is counted as evidence of mid-run contention.
+    val reprobeN = sys.env.get("SPARK_GRAFT_REPROBE_N").map(_.toInt).getOrElse(10)
+    val fnMap = ordered.toMap
+    val reprobeNames = selectReprobe(firstPass, reprobeN)
+    val probes = reprobeNames.map { name =>
+      val sec =
+        try {
+          val t0 = System.nanoTime()
+          run(fnMap(name))
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] reprobe $name FAILED: ${e.getMessage}")
+            -1.0
+        } finally resetSessionStorage()
+      name -> sec
+    }.toMap
+    val (results, reprobeImproved) = mergeReprobe(firstPass, probes)
+    // Mid-run contention flag (round-10 advice): the start gate cannot see a
+    // host that loads up at minute 3. Per-query load samples include OUR OWN
+    // load (Spark drives 10-18 on an idle 32-core host), so they compare
+    // against a self-load-aware ceiling, not the idle gate; re-probe
+    // improvements are the sharper signal and count regardless.
+    val nCpus = Runtime.getRuntime.availableProcessors()
+    val spikeMax = midrunSpikeMax(loadMax, nCpus)
+    val loadSpikes = loadAt.valuesIterator.count(_ > spikeMax)
+    val contendedMidrun = loadSpikes > 0 || reprobeImproved > 0
     // Locale.ROOT: the default-locale f-interpolator would emit "62,000" on
     // comma-decimal locales and corrupt the JSON line.
     def fmt(v: Double): String =
@@ -130,15 +202,21 @@ object Bench {
     // n_queries counts only the queries inside the total; failures are
     // separate so total/n_queries stay mutually consistent
     val host =
-      s""""host":{"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadAvg())},"cpus":${Runtime.getRuntime.availableProcessors()},"other_java_procs_start":$javaProcsStart,"other_java_procs_end":${otherJavaProcs()},"contended":$contended}"""
+      s""""host":{"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadAvg())},"cpus":$nCpus,"other_java_procs_start":$javaProcsStart,"other_java_procs_end":${otherJavaProcs()},"contended":$contended,"contended_midrun":$contendedMidrun,"load_spikes_midrun":$loadSpikes,"reprobe_n":${reprobeNames.size},"reprobe_improved":$reprobeImproved}"""
     // A SPARK_GRAFT_ONLY dev run writes a PARTIAL total; without a marker a
     // stale partial ledger is indistinguishable from a full run. Record the
     // restriction list verbatim (empty field when unrestricted).
     val onlyField = only.map(s => s""","only":[${s.toSeq.sorted.map(q => s"\"$q\"").mkString(",")}]""").getOrElse("")
     val loadDetail = loadAt.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
+    // re-probe bookkeeping: first-pass min vs end-of-run probe, per entry —
+    // the judge can see exactly which numbers self-corrected and by how much
+    val firstBySec = firstPass.toMap
+    val reprobeDetail = reprobeNames.map { n =>
+      s"\"$n\":{\"first\":${fmt(firstBySec(n))},\"probe\":${fmt(probes(n))}}"
+    }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,$host$onlyField,"queries":$detail,"loadavg_after":$loadDetail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,$host$onlyField,"queries":$detail,"loadavg_after":$loadDetail,"reprobe":$reprobeDetail,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detailJson) finally w.close()
