@@ -2609,7 +2609,10 @@ object SparkEntry {
     * its char-tokenized form v0, then per merge i the pair-count argmax
     * b_i (count desc, lexicographic pair tie-break — binary collation on
     * the [a-z0-9] alphabet, identical in both engines) and the rewritten
-    * vocabulary v_i via left-to-right non-overlapping `replace`.
+    * vocabulary v_i via left-to-right non-overlapping `replace`. Token
+    * boundaries are TWO spaces and the pattern consumes one per side
+    * (" l  r " → " lr "), so back-to-back occurrences all merge in one
+    * pass — textbook BPE, mirroring the engine exactly (round 11).
     * MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
     * reference, making the un-materialized chain exponential in the
     * merge count. */
@@ -2619,16 +2622,16 @@ object SparkEntry {
         FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents)
         GROUP BY w),
       v0 AS MATERIALIZED (
-        SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS toks, cnt
+        SELECT '  ' || array_to_string(regexp_extract_all(w, '.'), '  ') || '  ' AS toks, cnt
         FROM words)"""
     val iters = (1 to n).map { i =>
       s"""b$i AS MATERIALIZED (
         SELECT u.l AS l, u.r AS r, sum(cnt) AS pc FROM (
           SELECT cnt, unnest([{'l': a[i], 'r': a[i+1]} for i in generate_series(1, len(a)-1)]) AS u
-          FROM (SELECT string_split(trim(toks), ' ') AS a, cnt FROM v${i - 1})
+          FROM (SELECT string_split(trim(toks), '  ') AS a, cnt FROM v${i - 1})
         ) GROUP BY 1, 2 ORDER BY pc DESC, l, r LIMIT 1),
       v$i AS MATERIALIZED (
-        SELECT replace(toks, (SELECT ' '||l||' '||r||' ' FROM b$i),
+        SELECT replace(toks, (SELECT ' '||l||'  '||r||' ' FROM b$i),
                              (SELECT ' '||l||r||' ' FROM b$i)) AS toks, cnt
         FROM v${i - 1})"""
     }
@@ -2646,19 +2649,19 @@ object SparkEntry {
     * by scalar subqueries over the learned b_i pairs. */
   private def bpeEncodeOracle(n: Int): String = {
     val enc0 = """enc0 AS MATERIALIZED (
-        SELECT doc_id, ' ' || array_to_string(
-          [array_to_string(regexp_extract_all(w, '.'), ' ')
-           for w in regexp_extract_all(lower(text), '[a-z0-9]+')], ' | ') || ' ' AS toks
+        SELECT doc_id, '  ' || array_to_string(
+          [array_to_string(regexp_extract_all(w, '.'), '  ')
+           for w in regexp_extract_all(lower(text), '[a-z0-9]+')], '  |  ') || '  ' AS toks
         FROM documents)"""
     val encs = (1 to n).map { i =>
       s"""enc$i AS MATERIALIZED (
-        SELECT doc_id, replace(toks, (SELECT ' '||l||' '||r||' ' FROM b$i),
+        SELECT doc_id, replace(toks, (SELECT ' '||l||'  '||r||' ' FROM b$i),
                                      (SELECT ' '||l||r||' ' FROM b$i)) AS toks FROM enc${i - 1})"""
     }
     bpeOracleCtes(n) + ",\n      " + (enc0 +: encs).mkString(",\n      ") + s"""
       SELECT doc_id,
-        CAST(len(list_filter(string_split(trim(toks), ' '), t -> t != '|')) AS BIGINT) AS n_tokens,
-        array_to_string(list_filter(string_split(trim(toks), ' '), t -> t != '|'), ' ') AS tokens
+        CAST(len(list_filter(string_split(trim(toks), '  '), t -> t != '|')) AS BIGINT) AS n_tokens,
+        array_to_string(list_filter(string_split(trim(toks), '  '), t -> t != '|'), ' ') AS tokens
       FROM enc$n"""
   }
 

@@ -287,31 +287,61 @@ object TextAnalysis {
     * pattern from [[Graph.pageRank]]), so only bounded state outlives
     * the call.
     *
-    * Token strings are space-joined with sentinel spaces (" a b ") —
-    * `replace(" l r " → " lr ")` is exactly BPE's left-to-right
-    * non-overlapping merge application, and the surrounding spaces make
-    * token boundaries unambiguous. The argmax tie-break (count desc,
+    * Token strings carry TWO-space boundaries ("  a  b  ") and merges
+    * apply as `replace(" l  r " → " lr ")`: the pattern consumes one
+    * space of each flanking boundary and the replacement restores them,
+    * so the remainder after a match still BEGINS with a full one-space
+    * lead — back-to-back occurrences ("banana" + (n,a), runs like
+    * "aaaa" + (a,a)) all merge in one pass, exactly textbook
+    * left-to-right non-overlapping BPE. (A single-space sentinel, the
+    * round-10 shape, shared the boundary space between adjacent matches
+    * and silently skipped every second merge in a run — caught by the
+    * round-11 local-vs-distributed equivalence spec.) The argmax tie-break (count desc,
     * then lexicographic pair) is binary-collation stable, so the learned
     * merge table is deterministic and engine-exact: every output cell is
     * a string or BIGINT — no floats anywhere.
     *
     * Returns the merge table: (merge_rank, lhs, rhs, pair_count), one
-    * row per learned merge (fewer if the vocabulary exhausts first). */
+    * row per learned merge (fewer if the vocabulary exhausts first).
+    *
+    * HYBRID merge loop (round 11): the distributed loop costs one Spark
+    * job per merge — vocabulary-bounded data, but a production tokenizer
+    * wants ~32k merges ⇒ ~32k job-scheduling round-trips, hours of pure
+    * overhead at ANY data scale. So after the one corpus-scale (word,
+    * freq) pass, the DISTINCT-WORD COUNT is measured (one agg); when it
+    * fits `localVocabLimit` (default 2M words ≈ tens of MB — true for
+    * any natural-language corpus at any byte scale, since the vocabulary
+    * grows ~Heaps-law sublinearly) the vocabulary is collected once and
+    * ALL merges run in driver memory over a pair-count heap with lazy
+    * invalidation — zero Spark jobs per merge. The collected frame is the
+    * same bounded-metadata class as the IVF/PQ centroid collects. Corpora
+    * whose vocabulary exceeds the budget keep the per-merge distributed
+    * loop (correct at any size, just schedule-bound). Both paths produce
+    * the IDENTICAL merge table (spec-pinned): same overlapping pair
+    * counts, same left-to-right non-overlapping merge application, and
+    * the local tie-break compares UTF-8 BYTES to match Spark's binary
+    * string collation (UTF-16 compareTo would diverge on supplementary
+    * characters). */
   def bpeLearn(corpus: DataFrame, text: Column, merges: Int,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None,
+               localVocabLimit: Long = 2000000L): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val words = corpus.select(explode(wordTokens(text)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    if (words.count() <= localVocabLimit) {
+      val wordCnt = words.collect().map(r => (r.getString(0), r.getLong(1)))
+      return bpeMergeLoopLocal(wordCnt, merges).toDF("merge_rank", "lhs", "rhs", "pair_count")
+    }
     var vocab = Checkpoints.checkpoint(
       words.select(
-        concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" ")).as("toks"),
+        concat(lit("  "), array_join(split(col("w"), ""), "  "), lit("  ")).as("toks"),
         col("cnt")),
       checkpointDir)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
     for (i <- 1 to merges if !exhausted) {
-      val a = split(trim(col("toks")), " ")
+      val a = split(trim(col("toks")), "  ")
       val best = vocab
         .filter(size(a) >= 2)
         .select(col("cnt"), explode(arrays_zip(
@@ -329,7 +359,7 @@ object TextAnalysis {
         learned += ((i.toLong, l, r, pc))
         val next = Checkpoints.checkpoint(
           vocab.select(
-            replace(col("toks"), lit(s" $l $r "), lit(s" $l$r ")).as("toks"),
+            replace(col("toks"), lit(s" $l  $r "), lit(s" $l$r ")).as("toks"),
             col("cnt")),
           checkpointDir)
         Checkpoints.release(vocab)
@@ -338,6 +368,107 @@ object TextAnalysis {
     }
     Checkpoints.release(vocab)
     learned.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** Spark's default string collation is BINARY = unsigned UTF-8 byte
+    * order; Java's String.compareTo is UTF-16 code-unit order. They
+    * disagree on supplementary characters (surrogates sort between
+    * U+DFFF-adjacent BMP ranges), so the local tie-break compares the
+    * encoded bytes directly. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    java.util.Arrays.compareUnsigned(x, y)
+  }
+
+  /** Driver-local BPE merge loop over a collected (word, freq) vocabulary.
+    * Mirrors the distributed loop's semantics EXACTLY:
+    *   - words split into Unicode code points (as Spark's `split(w, "")`);
+    *   - adjacent pairs counted overlapping ("aaa" holds (a,a) twice),
+    *     weighted by word frequency;
+    *   - argmax by (count desc, lhs utf8-asc, rhs utf8-asc);
+    *   - merge applied left-to-right non-overlapping per word (the
+    *     `replace(" l r " → " lr ")` contract);
+    *   - stops at `merges` or when no adjacent pair remains.
+    * A lazy-invalidation heap keeps each merge O(affected words · word
+    * length) instead of a full pair-table scan, so 32k merges over a 1M-
+    * word vocabulary are seconds, not hours of Spark job scheduling. */
+  private[graft] def bpeMergeLoopLocal(wordCnt: Array[(String, Long)],
+                                       merges: Int): Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    // code-point symbol arrays (split(w, "") is code-point aware)
+    val syms = mutable.ArrayBuffer.empty[Array[String]]
+    val cnts = mutable.ArrayBuffer.empty[Long]
+    wordCnt.foreach { case (w, c) =>
+      val cps = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+      syms += cps; cnts += c
+    }
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // heap of (count-at-push, l, r); stale entries are discarded on pop
+    val heapOrd: Ordering[(Long, String, String)] = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val byCnt = java.lang.Long.compare(a._1, b._1) // max-heap on count
+        if (byCnt != 0) byCnt
+        else {
+          val byL = -utf8Compare(a._2, b._2) // min on lhs under max-heap
+          if (byL != 0) byL else -utf8Compare(a._3, b._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    def bump(p: (String, String), delta: Long, wi: Int, add: Boolean): Unit = {
+      val nc = pairCount.getOrElse(p, 0L) + delta
+      if (nc <= 0) pairCount.remove(p) else pairCount(p) = nc
+      val set = pairWords.getOrElseUpdate(p, mutable.HashSet.empty[Int])
+      if (add) set += wi
+      if (nc > 0) heap.enqueue((nc, p._1, p._2))
+    }
+    for (wi <- syms.indices; s = syms(wi); if s.length >= 2; j <- 0 until s.length - 1)
+      bump((s(j), s(j + 1)), cnts(wi), wi, add = true)
+    val learned = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 0L
+    while (rank < merges && pairCount.nonEmpty) {
+      // pop until a live entry (count matches the current table)
+      var best: (Long, String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (pairCount.get((e._2, e._3)).contains(e._1)) best = e
+      }
+      if (best == null) { pairCount.clear() } // only stale entries left
+      else {
+        val (pc, l, r) = best
+        rank += 1
+        learned += ((rank, l, r, pc))
+        val merged = l + r
+        val affected = pairWords.get((l, r)).map(_.toArray).getOrElse(Array.empty)
+        affected.foreach { wi =>
+          val old = syms(wi)
+          // left-to-right non-overlapping application
+          val out = mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < old.length) {
+            if (i + 1 < old.length && old(i) == l && old(i + 1) == r) {
+              out += merged; i += 2
+            } else { out += old(i); i += 1 }
+          }
+          if (out.length != old.length) {
+            val neu = out.toArray
+            // retract the word's old pairs, add its new ones
+            if (old.length >= 2) (0 until old.length - 1).foreach { j =>
+              val p = (old(j), old(j + 1))
+              bump(p, -cnts(wi), wi, add = false)
+              pairWords.get(p).foreach(_.remove(wi))
+            }
+            if (neu.length >= 2) (0 until neu.length - 1).foreach { j =>
+              bump((neu(j), neu(j + 1)), cnts(wi), wi, add = true)
+            }
+            syms(wi) = neu
+          }
+        }
+      }
+    }
+    learned.toSeq
   }
 
   /** Apply a learned BPE merge list to documents (the tokenizer-ENCODE
@@ -350,14 +481,14 @@ object TextAnalysis {
     * order): encoding splits with the scan, so tokenizing 100 TB is
     * pure map-side work. */
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
-    val toks0 = concat(lit(" "),
+    val toks0 = concat(lit("  "),
       array_join(transform(wordTokens(text),
-        w => array_join(split(w, ""), " ")), " | "),
-      lit(" "))
+        w => array_join(split(w, ""), "  ")), "  |  "),
+      lit("  "))
     val toks = merges.foldLeft(toks0) { case (c, (l, r)) =>
-      replace(c, lit(s" $l $r "), lit(s" $l$r "))
+      replace(c, lit(s" $l  $r "), lit(s" $l$r "))
     }
-    val tokArr = filter(split(trim(toks), " "), t => t =!= "|")
+    val tokArr = filter(split(trim(toks), "  "), t => t =!= "|")
     struct(size(tokArr).cast("long").as("n_tokens"),
       array_join(tokArr, " ").as("tokens"))
   }

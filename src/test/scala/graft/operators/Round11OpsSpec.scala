@@ -46,4 +46,49 @@ class Round11OpsSpec extends SparkTestBase {
     assert(math.abs(m - ref) <= math.abs(ref) * 1e-9,
       s"winsor_mean=$m ref=$ref — the 2.5e29 element was silently dropped from sum_in")
   }
+
+  test("bpeLearn: driver-local and distributed merge loops produce the identical merge table") {
+    // Deliberately nasty corpus: count ties (exercise the utf8 tie-break),
+    // overlapping pair runs (aaa), multi-occurrence pairs inside one word
+    // (banana: (a,n)×2), multi-byte code points next to ASCII, and words
+    // that fully collapse mid-run.
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++
+      Seq.fill(4)("banana") ++ Seq.fill(4)("aaaa") ++
+      Seq.fill(2)("naïve") ++ Seq.fill(2)("née") ++ Seq.fill(3)("ab") ++
+      Seq.fill(3)("ba")).grouped(6).map(_.mkString(" ")).toSeq.toDF("text")
+    def table(limit: Long) =
+      TextAnalysis.bpeLearn(docs, col("text"), merges = 24, localVocabLimit = limit)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val local = table(Long.MaxValue) // vocabulary fits: driver-local loop
+    val dist = table(0L)             // forced distributed per-merge loop
+    assert(local == dist, s"merge tables diverge:\n local=$local\n dist=$dist")
+    assert(local.size == 24 || local.size < 24 && local.nonEmpty)
+    // and the encode side consumes either table identically
+    val merges = local.map(t => (t._2, t._3))
+    val enc = docs.select(TextAnalysis.bpeEncode(col("text"), merges).as("e"))
+      .select(col("e.tokens")).collect().map(_.getString(0)).toSeq
+    val enc2 = docs.select(TextAnalysis.bpeEncode(col("text"), dist.map(t => (t._2, t._3))).as("e"))
+      .select(col("e.tokens")).collect().map(_.getString(0)).toSeq
+    assert(enc == enc2)
+  }
+
+  test("bpeLearn local loop: supplementary-plane tie-break uses UTF-8 byte order (Spark binary collation)") {
+    // U+10000 (𐀀, 4-byte UTF-8, a surrogate pair in UTF-16) vs 'ﬀ'
+    // (U+FB00, 3-byte UTF-8): binary/UTF-8 order puts ﬀ < 𐀀, while a
+    // UTF-16 code-unit comparison sorts the surrogate (0xD800) BEFORE
+    // 0xFB00 — exactly the divergence the local comparator must avoid.
+    // wordTokens only admits [a-z0-9], so the public path never carries
+    // such symbols today; the local loop is pinned directly so a future
+    // tokenizer widening cannot silently diverge from the engine.
+    val s = new String(Character.toChars(0x10000))
+    val got = TextAnalysis.bpeMergeLoopLocal(
+      Array((s + "x", 1L), ("ﬀx", 1L)), merges = 1) // tie: (𐀀,x)×1 vs (ﬀ,x)×1
+    assert(got.map(t => (t._2, t._3)) == Seq(("ﬀ", "x")),
+      s"UTF-16 ordering leaked into the tie-break: $got")
+    // and the surrogate pair stays ONE symbol (code-point split)
+    val run = TextAnalysis.bpeMergeLoopLocal(Array((s + s, 2L)), merges = 1)
+    assert(run == Seq((1L, s, s, 2L)))
+  }
 }
