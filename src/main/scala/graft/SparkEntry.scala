@@ -257,6 +257,32 @@ object SparkEntry {
         .select(element_at(Jq.docs(".", col("doc")), 1).as("doc"))
     }),
 
+    // §2.1 CLI `q` — the one §2 item that had no driver-checked row
+    // (round-10 verdict residual). This drives the ACTUAL CLI entry:
+    // args → parse → scan → compile → toLocalIterator stream, via
+    // Cli.execute (the code path main wraps with a process boundary).
+    // The input file is built from the nation table (25 rows, bounded
+    // driver material) so DuckDB can derive the same lines.
+    "cli_q" -> ((s, dir) => {
+      import s.implicits._
+      val lines = table(s, dir, "nation")
+        .select(concat(lit("{\"k\":"), col("n_nationkey"),
+          lit(",\"name\":\""), col("n_name"), lit("\"}")).as("j"))
+        .collect().map(_.getString(0))
+      val f = java.nio.file.Files.createTempFile("graft_cli_q", ".jsonl")
+      try {
+        java.nio.file.Files.write(f, lines.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val outLines = scala.collection.mutable.ArrayBuffer.empty[String]
+        val errLines = scala.collection.mutable.ArrayBuffer.empty[String]
+        val code = Cli.execute(s, Array(".name", f.toString),
+          outLines += _, errLines += _)
+        require(code == 0 && errLines.isEmpty,
+          s"cli_q: exit=$code errors=${errLines.take(3)}")
+        outLines.toSeq.toDF("doc")
+      } finally java.nio.file.Files.deleteIfExists(f)
+    }),
+
     // --- jq core: navigation (§2.2) -------------------------------------
     "jq_index" -> ((s, dir) =>
       table(s, dir, "events").select(
@@ -2685,6 +2711,9 @@ object SparkEntry {
         ('"café strings"'),
         ('42'),
         ('null')) AS t(doc)""",
+
+    "cli_q" -> """
+      SELECT '"' || n_name || '"' AS doc FROM nation""",
 
     "jq_identity" -> """
       SELECT event_id, '{"k":' || CAST(json_extract(props, '$.k') AS BIGINT) || '}' AS doc
