@@ -1949,6 +1949,27 @@ object SparkEntry {
         .join(selfHit, "qid")
     }),
 
+    // IVF with ONE Lloyd refinement pass (round 11): the refined
+    // centroids are bit-deterministic — the Lloyd step accumulates
+    // micro-unit integer sums (decimal(38,0), order-independent) and
+    // divides once on the driver — so refinement is now inside the hash
+    // oracle, closing the round-10 "refineIters>0 is oracle-excluded"
+    // residual. Same recall/self-hit contract as sim_ivf; the ≥4-of-5
+    // cut and the self-hit both measured green at sf0.01 and sf0.1.
+    "sim_ivf_refined" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val ivf = operators.Similarity.ivfTopK(emb, qs, k = 5, refineIters = 1)
+      val exact = operators.Similarity.cosineTopK(emb, qs, k = 5)
+      val selfHit = ivf.filter(col("rnk") === 1)
+        .select(col("qid"), (col("vec_id") === col("qid")).as("self_ok"))
+      exact.join(ivf.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
+          Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) >= 4).as("recall_ok"))
+        .join(selfHit, "qid")
+    }),
+
     // PQ compressed-code ANN (third index family): exact re-rank of an
     // ADC candidate set; recall + deterministic self-hit as data.
     // Measured recall@5 with the sampled codebooks: 3-5/5 at sf0.01 and
@@ -3926,6 +3947,9 @@ object SparkEntry {
       "SELECT DISTINCT vec_id AS qid, true AS recall_ok FROM embeddings WHERE vec_id < 10",
 
     "sim_ivf" ->
+      "SELECT DISTINCT vec_id AS qid, true AS recall_ok, true AS self_ok FROM embeddings WHERE vec_id < 10",
+
+    "sim_ivf_refined" ->
       "SELECT DISTINCT vec_id AS qid, true AS recall_ok, true AS self_ok FROM embeddings WHERE vec_id < 10",
 
     "sim_pq" ->

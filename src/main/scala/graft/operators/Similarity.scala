@@ -290,10 +290,15 @@ object Similarity {
     * (cell, dim, sum, count) rows (C·dim per map partition) and C·dim
     * final rows reach the driver; at 100 TB each pass is one linear scan
     * plus a tiny exchange. Empty cells keep their previous centroid.
-    * NOTE: floating-point averages depend on partial-agg order, so
-    * refined centroids are not bit-deterministic across runs — the
-    * hash-gated oracle query therefore uses refineIters = 0 and the
-    * refinement quality is asserted with margin in OperatorsSpec. */
+    *
+    * DETERMINISM (round 11, was the last FP-order-dependent corner):
+    * components quantize to micro-units (round(x·1e6) — lossless at the
+    * 1e-6 scale that matters for a unit-norm coordinate) and accumulate
+    * as DECIMAL(38,0) integer sums, order-independent under any
+    * partitioning; each mean is ONE half-up integer division performed
+    * once on the driver. Refined centroids are therefore bit-identical
+    * across runs/partitionings/engines, which is what makes
+    * `refineIters > 0` hash-oracle-eligible (`sim_ivf_refined`). */
   private def lloydStep(corpus: DataFrame,
                         cents: Array[Array[Double]]): Array[Array[Double]] = {
     def centLit(c: Array[Double]): Column = array(c.map(lit(_)): _*)
@@ -304,11 +309,15 @@ object Similarity {
     val sums = assigned
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
-      .agg(avg(col("x")).as("m"))
+      .agg(sum(round(col("x") * 1e6).cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n"))
       .collect()
     val next = cents.map(_.clone())
     sums.foreach { r =>
-      next(r.getLong(0).toInt - 1)(r.getInt(1)) = r.getDouble(2)
+      val s = r.getDecimal(2)
+      val n = java.math.BigDecimal.valueOf(r.getLong(3))
+      val meanMicro = s.divide(n, 0, java.math.RoundingMode.HALF_UP).longValueExact()
+      next(r.getLong(0).toInt - 1)(r.getInt(1)) = meanMicro.toDouble / 1e6
     }
     next
   }
