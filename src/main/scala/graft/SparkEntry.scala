@@ -2423,6 +2423,19 @@ object SparkEntry {
         table(s, dir, "documents"), col("doc_id"), col("text"),
         query = Seq("table", "hash", "data"), k = 10)),
 
+    // multi-query BM25 (round 11): Q queries ranked in ONE corpus pass;
+    // the top-k window partitions by qid (WindowGroupLimit partial per
+    // partition — no unpartitioned window left in retrieval). Query 1
+    // repeats text_bm25_topk's terms, so its ranking cross-checks the
+    // single-query row inside the same hash-gated output.
+    "text_bm25_topk_multi" -> ((s, dir) =>
+      operators.TextAnalysis.bm25TopKMulti(
+        table(s, dir, "documents"), col("doc_id"), col("text"),
+        queries = Seq(
+          1L -> Seq("table", "hash", "data"),
+          2L -> Seq("filter", "batch", "scan"),
+          3L -> Seq("join", "merge")), k = 10)),
+
     // positional-postings phrase query: consecutive-term equi-join
     "text_phrase" -> ((s, dir) =>
       operators.TextAnalysis.phraseSearch(
@@ -4840,6 +4853,39 @@ object SparkEntry {
       SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, bm25_micro FROM (
         SELECT doc_id, bm25_micro,
                row_number() OVER (ORDER BY bm25_micro DESC, doc_id ASC) AS rnk
+        FROM score) t
+      WHERE rnk <= 10""",
+
+    "text_bm25_topk_multi" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS t_tokens FROM d),
+      tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+             FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+             WHERE term IN ('table', 'hash', 'data', 'filter', 'batch', 'scan', 'join', 'merge')
+             GROUP BY 1, 2, 3),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      contrib AS (
+        SELECT tf.term, tf.doc_id,
+               CAST(round(
+                 CAST(round(ln((tot.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * 1e6) AS BIGINT)
+                 * (CAST(tf.tf * 2200 * 1000 * tot.t_tokens AS DOUBLE)
+                    / CAST(tf.tf * 1000000 * tot.t_tokens
+                           + 300000 * tot.t_tokens
+                           + 900000 * tf.dl * tot.n_docs AS DOUBLE))) AS BIGINT) AS c
+        FROM tf JOIN df USING (term), tot),
+      q AS (SELECT * FROM (VALUES
+              (1, 'table'), (1, 'hash'), (1, 'data'),
+              (2, 'filter'), (2, 'batch'), (2, 'scan'),
+              (3, 'join'), (3, 'merge')) AS v(qid, term)),
+      score AS (SELECT q.qid, contrib.doc_id, CAST(sum(contrib.c) AS BIGINT) AS bm25_micro
+                FROM contrib JOIN q USING (term) GROUP BY 1, 2)
+      SELECT CAST(qid AS BIGINT) AS qid, doc_id, CAST(rnk AS BIGINT) AS rnk, bm25_micro FROM (
+        SELECT qid, doc_id, bm25_micro,
+               row_number() OVER (PARTITION BY qid ORDER BY bm25_micro DESC, doc_id ASC) AS rnk
         FROM score) t
       WHERE rnk <= 10""",
 

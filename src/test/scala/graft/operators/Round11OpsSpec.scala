@@ -91,4 +91,37 @@ class Round11OpsSpec extends SparkTestBase {
     val run = TextAnalysis.bpeMergeLoopLocal(Array((s + s, 2L)), merges = 1)
     assert(run == Seq((1L, s, s, 2L)))
   }
+
+  test("bm25TopKMulti: each qid's ranking equals the single-query operator exactly") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val q1 = Seq("table", "hash", "data")
+    val q2 = Seq("join", "merge")
+    val multi = TextAnalysis.bm25TopKMulti(docs, col("doc_id"), col("text"),
+        Seq(1L -> q1, 2L -> q2), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def single(q: Seq[String]) =
+      TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"), q, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // tf/df/corpus stats don't depend on the query set, and the one float
+    // step rounds per (doc, term) — so per-qid slices must be BIT-equal
+    assert(multi.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).sorted.toSeq == single(q1))
+    assert(multi.filter(_._1 == 2L).map(t => (t._2, t._3, t._4)).sorted.toSeq == single(q2))
+  }
+
+  test("bm25TopKMulti plan: qid-partitioned window with group-limit pushdown, term-pruned explode") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val q = TextAnalysis.bm25TopKMulti(docs, col("doc_id"), col("text"),
+      Seq(1L -> Seq("table", "hash"), 2L -> Seq("join")), k = 5)
+    val opt = q.queryExecution.optimizedPlan.toString()
+    // rnk <= k engages WindowGroupLimit so each upstream partition emits
+    // at most k rows per qid before the window's exchange
+    assert(opt.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$opt")
+    assert(opt.contains("explode(filter(toks"),
+      s"explode should consume the term-pruned array:\n$opt")
+    val phys = q.queryExecution.executedPlan.toString()
+    // the window is PARTITIONED (hashpartitioning on qid), not the
+    // single-task SinglePartition shape the single-query operator has
+    assert(phys.contains("hashpartitioning(qid"),
+      s"window exchange should partition by qid:\n$phys")
+  }
 }
