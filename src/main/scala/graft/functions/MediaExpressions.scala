@@ -72,6 +72,22 @@ case class DecodeMediaExpr(
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DecodeMediaExpr =
     copy(left = l, right = r)
+  // Decoder instances carry no value equality, so the synthesized
+  // case-class equals would make two plans built from separate
+  // MediaDecoders.snapshot() calls never semantically equal even with an
+  // identical registry — silently defeating subexpression elimination,
+  // canonicalization-based caching, and exchange reuse for decode plans
+  // (round-10 advice). Compare plugins by class name: a decoder class is
+  // the unit of registration and its decode behavior is a pure function
+  // of the payload, so same classes in the same order ⇒ same kernel.
+  private def pluginKey: Seq[String] = plugins.map(_.getClass.getName)
+  override def equals(other: Any): Boolean = other match {
+    case o: DecodeMediaExpr =>
+      left == o.left && right == o.right && resizeTo == o.resizeTo && pluginKey == o.pluginKey
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right, resizeTo, pluginKey)
 }
 
 /** `dhash_bands(content)` → ARRAY<INT> of four 16-bit dHash bands, or

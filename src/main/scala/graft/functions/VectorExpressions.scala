@@ -231,13 +231,16 @@ case class TextStats(child: Expression, stopwords: Set[String])
     copy(child = newChild)
 }
 
-/** Product-quantization encode: L2-normalize the vector, split it into
-  * M subvectors, emit per subspace the index of the nearest codebook
-  * centroid (L2). `books(m)(k)` is centroid k of subspace m; output is
-  * ARRAY<INT> of length M — at M=8 that is an 8-int code standing in for
-  * a 64-float vector (32× compression before bit-packing). Zero vectors
-  * encode as code 0 per subspace. */
-case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+/** Product-quantization encode: L2-normalize the vector (unless
+  * `normalize = false` — residual encoding quantizes `v̂ − ĉ`, which must
+  * NOT be re-normalized or the cell offset the query adds back would be
+  * wrong), split it into M subvectors, emit per subspace the index of the
+  * nearest codebook centroid (L2). `books(m)(k)` is centroid k of
+  * subspace m; output is ARRAY<INT> of length M — at M=8 that is an 8-int
+  * code standing in for a 64-float vector (32× compression before
+  * bit-packing). Zero vectors encode as code 0 per subspace. */
+case class PqEncode(child: Expression, books: Array[Array[Array[Double]]],
+                    normalize: Boolean = true)
     extends UnaryExpression with NativeUnaryCodegen {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_encode"
@@ -248,7 +251,7 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
     var n2 = 0.0
     var i = 0
     while (i < dim) { val x = a.getDouble(i); v(i) = x; n2 += x * x; i += 1 }
-    val inv = if (n2 > 0) 1.0 / math.sqrt(n2) else 0.0
+    val inv = if (!normalize) 1.0 else if (n2 > 0) 1.0 / math.sqrt(n2) else 0.0
     val m = books.length
     val sub = dim / m
     val code = new Array[Int](m)

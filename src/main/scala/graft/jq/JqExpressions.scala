@@ -221,7 +221,11 @@ case class JqEvalMeta(ast: Ast, queryText: String,
       if (m == null) None
       else
         try JsonText.parse(m.asInstanceOf[UTF8String].toString) match {
-          case o: JObj => Some(o)
+          // normalize on seed (reference meta.rs Meta::some invariant):
+          // every envelope carries all of domains/sources/keys, so a
+          // seeded envelope missing `keys` cannot propagate verbatim
+          // through cloning navigation (round-10 advice)
+          case o: JObj => Some(graft.json.JMeta.normalize(o))
           case _       => None
         } catch { case _: JsonText.JsonParseException => None }
     val entries = JqGuard.entries(compiled(JEntry(inputConv(j), Vector.empty, metaObj), Nil))

@@ -33,6 +33,20 @@ object JMeta {
 
   private val emptyMerged: Option[JObj] = Some(init)
 
+  /** Normalize a user-seeded envelope to the reference's canonical
+    * three-key shape (meta.rs `Meta::some` always holds all of
+    * domains/sources/keys; `Meta::init` materializes each as an empty
+    * array). Missing canonical keys become `[]`; present values — and any
+    * extra keys — are preserved verbatim. Applied once at seed time so
+    * every envelope observable downstream satisfies the meta invariant,
+    * regardless of which operators (cloning navigation vs combining)
+    * touched it. */
+  def normalize(m: JObj): JObj =
+    Keys.foldLeft(m) { (acc, k) =>
+      if (acc.get(k).isDefined) acc
+      else JObj.fromProps(acc.props :+ (k -> (JArr(Vector.empty): JDoc)))
+    }
+
   /** `Meta::append` (meta.rs:42-61). */
   def append(m: JObj, key: String, value: JDoc): JObj = m.get(key) match {
     case None => JObj.fromProps(m.props :+ (key -> value))

@@ -24,10 +24,11 @@ import java.awt.image.BufferedImage
   * runnable and is the single seam where a JavaCV/JNI codec would slot
   * in.
   *
-  * Scale posture: decode is a narrow mapPartitions (no shuffle); batches
-  * amortize per-record overhead the way Arrow batches do for Pandas UDFs;
-  * binary payloads never pass through a shuffle unless explicitly
-  * repartitioned by the caller.
+  * Scale posture: decode is a narrow codegen'd projection through a
+  * Catalyst expression ([[graft.functions.DecodeMediaExpr]]) — no shuffle,
+  * no serde boundary; binary payloads never pass through a shuffle unless
+  * explicitly repartitioned by the caller, and stay prunable for
+  * metadata-only consumers.
   */
 object Multimodal {
 
@@ -560,8 +561,8 @@ object Multimodal {
   /** Perceptual hash of every image-kind record: real ImageIO decode →
     * dHash, emitted as (media_id, b0..b3) 16-bit bands. Records no reader
     * accepts yield NULL bands (they cannot be perceptually compared).
-    * Narrow mapPartitions — no shuffle, payloads never leave their
-    * partition. */
+    * Narrow codegen'd projection ([[graft.functions.DhashBandsExpr]]) —
+    * no shuffle, payloads never leave their partition. */
   def imageDhash(media: Dataset[MediaRecord])(implicit spark: SparkSession): DataFrame = {
     val bands = ColumnBridge.column(graft.functions.DhashBandsExpr(
       ColumnBridge.expression(col("content"))))

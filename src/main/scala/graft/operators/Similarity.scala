@@ -400,16 +400,24 @@ object Similarity {
     * Same plan discipline as the parents: centroids AND codebooks are
     * plan literals (O(C·dim + M·ksub·dim/M) bytes), assignment + encoding
     * is one narrow projection — the corpus never shuffles to be indexed —
-    * and the only exchanges are the two bounded top-k windows. Codes
-    * encode the normalized VECTOR (not the cell residual): residual
-    * encoding would tighten quantization error but needs P per-cell LUTs
-    * per query; the scan shape — the thing that matters at 100 TB — is
-    * identical, and the exact re-rank absorbs the difference. */
+    * and the only exchanges are the two bounded top-k windows.
+    *
+    * `residual = false` encodes the normalized VECTOR; `residual = true`
+    * encodes the CELL RESIDUAL `v̂ − ĉ(cell)` (FAISS-style `IVFx,PQy`
+    * with by-residual coding): residuals span a tighter ball than raw
+    * vectors, so the same codebook budget quantizes finer and recall at
+    * fixed rerank improves. With a dot-product metric the cell term
+    * separates additively — `dot(q, v̂) = dot(q, ĉ) + dot(q, r)` — so NO
+    * per-cell LUTs are needed: one residual LUT per query plus a scalar
+    * `dot(q, ĉ)` per (query, probed cell), computed on the tiny
+    * qid×probes table. The corpus scan shape — the thing that matters at
+    * 100 TB — is bit-identical to the non-residual path. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 cells: Int = 16, probes: Int = 4,
-                m: Int = 8, ksub: Int = 32, rerank: Int = 10): DataFrame = {
+                m: Int = 8, ksub: Int = 32, rerank: Int = 10,
+                residual: Boolean = false): DataFrame = {
     val scored = ivfPqCandidates(corpus, queries, keep = rerank * k,
-      cells = cells, probes = probes, m = m, ksub = ksub)
+      cells = cells, probes = probes, m = m, ksub = ksub, residual = residual)
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("vec_id"))
@@ -421,7 +429,8 @@ object Similarity {
     * EXACT cosine on the survivors. Output (qid, vec_id, sim). */
   def ivfPqCandidates(corpus: DataFrame, queries: DataFrame, keep: Int,
                       cells: Int = 16, probes: Int = 4,
-                      m: Int = 8, ksub: Int = 32): DataFrame = {
+                      m: Int = 8, ksub: Int = 32,
+                      residual: Boolean = false): DataFrame = {
     import graft.functions.{PqAdc, PqEncode, PqLut}
     val sampled: Array[Array[Double]] = corpus
       .orderBy(col("vec_id")).limit(math.max(cells, ksub))
@@ -434,38 +443,89 @@ object Similarity {
     val dim = sample(0).length
     val sub = dim / m
     require(m * sub == dim, s"dim $dim must divide into $m subspaces")
-    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
-      sample.map { v =>
-        val n = math.sqrt(v.map(x => x * x).sum)
-        val inv = if (n > 0) 1.0 / n else 0.0
-        Array.tabulate(sub)(j => v(mi * sub + j) * inv)
+    def normalized(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val inv = if (n > 0) 1.0 / n else 0.0
+      v.map(_ * inv)
+    }
+    // normalized centroids: the residual frame of reference (assignment by
+    // cosine is scale-invariant, so coarse geometry is unchanged)
+    val centsN: Array[Array[Double]] = cents.map(normalized)
+    def driverBestCell(vn: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MinValue; var c = 0
+      while (c < centsN.length) {
+        var d = 0.0; var j = 0
+        while (j < dim) { d += vn(j) * centsN(c)(j); j += 1 }
+        if (d > bestD) { bestD = d; best = c } // strict >: first max, like array_position
+        c += 1
       }
+      best
+    }
+    // codebooks: non-residual trains on normalized sample subvectors;
+    // residual trains on (v̂ − ĉ(cell(v̂))) subvectors — same deterministic
+    // id-sample, same plan-literal size
+    val books: Array[Array[Array[Double]]] = {
+      val trained: Array[Array[Double]] =
+        if (!residual) sample.map(normalized)
+        else sample.map { v =>
+          val vn = normalized(v)
+          val cn = centsN(driverBestCell(vn))
+          Array.tabulate(dim)(j => vn(j) - cn(j))
+        }
+      Array.tabulate(m)(mi => trained.map(t => Array.tabulate(sub)(j => t(mi * sub + j))))
     }
     def centLit(c: Array[Double]): Column = array(c.map(lit(_)): _*)
     def simsTo(v: Column): Column = array(cents.map(c => cosine(v, centLit(c))): _*)
     def bestCell(v: Column): Column = array_position(simsTo(v), array_max(simsTo(v)))
     def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
       ColumnBridge.column(e)
+    // ARRAY<ARRAY<DOUBLE>> literal of normalized centroids, 1-indexed like `cell`
+    lazy val centsNLit: Column = array(centsN.map(c => array(c.map(lit(_)): _*)): _*)
 
     // one narrow indexing projection: coarse cell + PQ code per vector
-    val codes = corpus.select(col("vec_id"), dvec(col("embedding")).as("v"))
-      .select(col("vec_id"), bestCell(col("v")).as("cell"),
-        colOf(PqEncode(ColumnBridge.expression(col("v")), books)).as("code"))
+    // (residual mode subtracts the assigned cell's normalized centroid
+    // inside the same projection — `v` is still pruned after encode)
+    val codes =
+      if (!residual)
+        corpus.select(col("vec_id"), dvec(col("embedding")).as("v"))
+          .select(col("vec_id"), bestCell(col("v")).as("cell"),
+            colOf(PqEncode(ColumnBridge.expression(col("v")), books)).as("code"))
+      else {
+        val n = sqrt(dot(col("v"), col("v")))
+        val vhat = transform(col("v"), x => when(n > 0, x / n).otherwise(lit(0.0)))
+        val resid = zip_with(vhat,
+          element_at(centsNLit, col("cell").cast("int")), (a, b) => a - b)
+        corpus.select(col("vec_id"), dvec(col("embedding")).as("v"))
+          .select(col("vec_id"), bestCell(col("v")).as("cell"), col("v"))
+          .select(col("vec_id"), col("cell"),
+            colOf(PqEncode(ColumnBridge.expression(resid), books,
+              normalize = false)).as("code"))
+      }
     val qv = queries.select(col("vec_id").as("qid"), dvec(col("embedding")).as("qv"))
     val qprobe = qv
       .select(col("qid"), posexplode(simsTo(col("qv"))).as(Seq("cidx", "csim")))
       .select(col("qid"), (col("cidx").cast("bigint") + 1L).as("cell"), col("csim"))
     val w0 = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell").asc)
-    val probed = qprobe.withColumn("crnk", row_number().over(w0))
+    val probedCells = qprobe.withColumn("crnk", row_number().over(w0))
       .filter(col("crnk") <= probes).select(col("qid"), col("cell"))
+    // residual scoring needs the additive cell term dot(q, ĉ) per
+    // (query, probed cell) — computed on the tiny qid×probes table, never
+    // on the corpus scan
+    val probed =
+      if (!residual) probedCells
+      else probedCells.join(qv, "qid")
+        .select(col("qid"), col("cell"),
+          dot(col("qv"), element_at(centsNLit, col("cell").cast("int"))).as("cterm"))
     val qlut = queries.select(col("vec_id").as("qid"),
       colOf(PqLut(ColumnBridge.expression(dvec(col("embedding"))), books)).as("lut"))
-    // the scan: codes in probed cells only, scored via the broadcast LUT
+    // the scan: codes in probed cells only, scored via the broadcast LUT;
+    // residual mode adds the broadcast per-cell offset — same scan shape
+    val adc = colOf(PqAdc(ColumnBridge.expression(col("code")),
+      ColumnBridge.expression(col("lut")), sample.length))
     val scored = codes.join(broadcast(probed), "cell")
       .join(broadcast(qlut), "qid")
       .select(col("qid"), col("vec_id"),
-        colOf(PqAdc(ColumnBridge.expression(col("code")),
-          ColumnBridge.expression(col("lut")), sample.length)).as("ascore"))
+        (if (!residual) adc else col("cterm") + adc).as("ascore"))
     val w1 = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id").asc)
     val cands = scored.withColumn("arnk", row_number().over(w1))
       .filter(col("arnk") <= keep).select(col("qid"), col("vec_id"))

@@ -55,9 +55,12 @@ class JqSparkSpec extends SparkTestBase {
       element_at(Jq.evalWithMeta(".a | .b", col("doc"), col("meta")), 1).as("nav"),
       element_at(Jq.evalWithMeta(".k + 1", col("doc"), col("meta")), 1).as("comb"),
       element_at(Jq.evalWithMeta(".", col("doc"), lit("not json")), 1).as("bad")).head()
-    // navigation CLONES the envelope verbatim (ops.rs:432)
+    // navigation CLONES the envelope (ops.rs:432) — but the seed is first
+    // normalized to the canonical three-key shape (meta.rs Meta::some
+    // invariant: domains/sources/keys all present; missing ones
+    // materialize as [] — round-10 advice fix)
     assert(r.getStruct(0).getString(0) == "7")
-    assert(r.getStruct(0).getString(1) == """{"domains":["web"],"sources":["f.jsons"]}""")
+    assert(r.getStruct(0).getString(1) == """{"domains":["web"],"keys":[],"sources":["f.jsons"]}""")
     // a combining operator new_merges: Meta::new() + the input's lists
     // appended — the keys key materializes as [] (entry.rs:22-29)
     assert(r.getStruct(1).getString(0) == "6")

@@ -124,4 +124,41 @@ class Round11OpsSpec extends SparkTestBase {
     assert(phys.contains("hashpartitioning(qid"),
       s"window exchange should partition by qid:\n$phys")
   }
+
+  test("DecodeMediaExpr: plans from separate registry snapshots are semantically equal") {
+    import graft.functions.DecodeMediaExpr
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    // decoder instances have no value equality; equality must key on the
+    // registered decoder CLASSES or two identical decode plans never
+    // dedupe (subexpression elimination / exchange reuse — round-10 advice)
+    val kind = BoundReference(0, StringType, nullable = true)
+    val content = BoundReference(1, BinaryType, nullable = true)
+    Multimodal.MediaDecoders.clearProgrammatic()
+    try {
+      Multimodal.MediaDecoders.register(new Round10OpsSpec.FakeVideoDecoder)
+      val a = DecodeMediaExpr(kind, content, Multimodal.MediaDecoders.snapshot(), None)
+      val b = DecodeMediaExpr(kind, content, Multimodal.MediaDecoders.snapshot(), None)
+      assert(a ne b.asInstanceOf[AnyRef])
+      assert(a == b && a.hashCode == b.hashCode, "separate snapshots of the same registry must compare equal")
+      assert(a.semanticEquals(b), "canonicalized decode plans must dedupe")
+      // distinct registry contents must NOT compare equal
+      Multimodal.MediaDecoders.register(new Round10OpsSpec.DecliningDecoder)
+      val c = DecodeMediaExpr(kind, content, Multimodal.MediaDecoders.snapshot(), None)
+      assert(a != c, "different registered decoder classes are different kernels")
+      // and neither must resize variants
+      val d = DecodeMediaExpr(kind, content, Seq(new Round10OpsSpec.FakeVideoDecoder), Some((2, 2)))
+      assert(a != d)
+    } finally Multimodal.MediaDecoders.clearProgrammatic()
+  }
+
+  test("JMeta.normalize: seeded envelopes always carry the canonical three keys") {
+    import graft.json._
+    // missing keys materialize as []; present values and extra keys survive
+    val seeded = JsonText.parse("""{"sources":["s"],"extra":1}""").asInstanceOf[JObj]
+    val n = JMeta.normalize(seeded)
+    assert(JsonText.canonical(n) == """{"domains":[],"extra":1,"keys":[],"sources":["s"]}""")
+    // already-canonical envelope is untouched (same props, same order)
+    assert(JMeta.normalize(JMeta.init) eq JMeta.init)
+  }
 }
