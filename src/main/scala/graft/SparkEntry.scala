@@ -2009,6 +2009,27 @@ object SparkEntry {
         .join(selfHit, "qid")
     }),
 
+    // IVF-PQ with BY-RESIDUAL coding (FAISS `IVFx,PQy` default): codes
+    // quantize v̂ − ĉ(cell) instead of v̂ — residuals span a tighter ball,
+    // so the same codebook budget quantizes finer; scoring adds the
+    // separable cell term dot(q, ĉ) back via a broadcast per (qid, probed
+    // cell) scalar, leaving the corpus scan shape identical to sim_ivfpq.
+    // Same recall/self-hit contract as the non-residual row; the spec
+    // additionally pins recall ≥ the non-residual path at fixed rerank.
+    "sim_ivfpq_residual" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val ivfpq = operators.Similarity.ivfPqTopK(emb, qs, k = 5, residual = true)
+      val exact = operators.Similarity.cosineTopK(emb, qs, k = 5)
+      val selfHit = ivfpq.filter(col("rnk") === 1)
+        .select(col("qid"), (col("vec_id") === col("qid")).as("self_ok"))
+      exact.join(ivfpq.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
+          Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) >= 2).as("recall_ok"))
+        .join(selfHit, "qid")
+    }),
+
     // --- text analysis ---------------------------------------------------
     "text_langid" -> ((s, dir) =>
       table(s, dir, "documents").select(
@@ -3969,6 +3990,9 @@ object SparkEntry {
       "SELECT DISTINCT vec_id AS qid, true AS recall_ok, true AS self_ok FROM embeddings WHERE vec_id < 10",
 
     "sim_ivfpq" ->
+      "SELECT DISTINCT vec_id AS qid, true AS recall_ok, true AS self_ok FROM embeddings WHERE vec_id < 10",
+
+    "sim_ivfpq_residual" ->
       "SELECT DISTINCT vec_id AS qid, true AS recall_ok, true AS self_ok FROM embeddings WHERE vec_id < 10",
 
     // --- similarity search ----------------------------------------------

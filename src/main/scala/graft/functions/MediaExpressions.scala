@@ -77,13 +77,23 @@ case class DecodeMediaExpr(
   // MediaDecoders.snapshot() calls never semantically equal even with an
   // identical registry — silently defeating subexpression elimination,
   // canonicalization-based caching, and exchange reuse for decode plans
-  // (round-10 advice). Compare plugins by class name: a decoder class is
-  // the unit of registration and its decode behavior is a pure function
-  // of the payload, so same classes in the same order ⇒ same kernel.
+  // (round-10 advice). Round-11 advice tightened the comparison: class
+  // name alone would also equate two DIFFERENTLY-CONFIGURED instances of
+  // one decoder class (the registry accepts arbitrary instances, and
+  // nothing in the trait forbids constructor parameters that change
+  // decode output) — and a wrong substitution decodes with the wrong
+  // configuration. So compare class AND instance: snapshot() hands out
+  // the same registered instances, keeping same-registry plans equal by
+  // reference; stateless decoders opt into cross-instance dedup by being
+  // case objects / overriding equals; the default misses only a dedup,
+  // never substitutes wrongly.
   private def pluginKey: Seq[String] = plugins.map(_.getClass.getName)
+  private def pluginsEqual(other: Seq[Multimodal.MediaDecoder]): Boolean =
+    plugins.length == other.length &&
+      plugins.zip(other).forall { case (a, b) => a.getClass == b.getClass && a == b }
   override def equals(other: Any): Boolean = other match {
     case o: DecodeMediaExpr =>
-      left == o.left && right == o.right && resizeTo == o.resizeTo && pluginKey == o.pluginKey
+      left == o.left && right == o.right && resizeTo == o.resizeTo && pluginsEqual(o.plugins)
     case _ => false
   }
   override def hashCode(): Int =

@@ -597,3 +597,101 @@ case class NfcNormalize(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
+
+/** `cell_sims(v)` → ARRAY<DOUBLE> of cosine similarities of `v` to each
+  * of C coarse centroids, the broadcast-side twin of the IVF literal
+  * formulation `array(cosine(v, lit(c0)), …)`. Below
+  * [[graft.operators.Similarity.CentroidBroadcastThreshold]] cells the
+  * literal array is the right call (bounded plan metadata, analyzable in
+  * O(C·dim)); at production cell counts (C ≈ 16-64k) the PLAN would grow
+  * to hundreds of MB and analysis cost explodes, so the centroid matrix
+  * ships ONCE as a broadcast variable and this expression is the single
+  * O(C·dim)-per-row kernel consuming it — the same hybrid plan-literal /
+  * broadcast discipline `bpeLearn` uses for its vocabulary.
+  *
+  * Bit-compatibility contract (spec-pinned): per centroid the kernel is
+  * EXACTLY [[CosineSim]]'s accumulation — left-to-right `dot/na/nb` over
+  * (v, centroid), quotient `dot / (sqrt(na)·sqrt(nb))` — so the emitted
+  * array is bit-identical to the literal path and downstream
+  * `array_position(·, array_max(·))` argmax assignments cannot diverge.
+  * Dimension mismatch yields an all-NULL array, as C pairwise
+  * [[CosineSim]] calls would.
+  *
+  * Equality is by broadcast id: two expressions over the same broadcast
+  * are interchangeable; same-content distinct broadcasts compare UNEQUAL
+  * — the safe direction (a missed subexpression dedup, never a wrong
+  * substitution). */
+case class CellSims(child: Expression,
+                    bc: org.apache.spark.broadcast.Broadcast[Array[Double]],
+                    cells: Int, dim: Int)
+    extends UnaryExpression with NativeUnaryCodegen {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "cell_sims"
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() != dim)
+      return new GenericArrayData(Array.fill[Any](cells)(null))
+    val flat = bc.value
+    val v = VectorExpressions.toDoubles(a)
+    var na = 0.0
+    var i = 0
+    while (i < dim) { na += v(i) * v(i); i += 1 }
+    val sqNa = math.sqrt(na)
+    val out = new Array[Any](cells)
+    var c = 0
+    while (c < cells) {
+      val off = c * dim
+      var dot = 0.0; var nb = 0.0
+      var j = 0
+      while (j < dim) {
+        val y = flat(off + j)
+        dot += v(j) * y; nb += y * y
+        j += 1
+      }
+      out(c) = dot / (sqNa * math.sqrt(nb))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def equals(other: Any): Boolean = other match {
+    case o: CellSims =>
+      child == o.child && cells == o.cells && dim == o.dim && bc.id == o.bc.id
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(cells), Int.box(dim), Long.box(bc.id))
+  override protected def withNewChildInternal(newChild: Expression): CellSims =
+    copy(child = newChild)
+}
+
+/** `cell_vec(cell)` → ARRAY<DOUBLE>: row `cell` (1-indexed, like the IVF
+  * assignment) of a broadcast centroid matrix — the broadcast twin of
+  * `element_at(centsNLit, cell)` for residual IVF-PQ at large C. Out-of-
+  * range indices yield NULL (element_at under ansi=false). Equality by
+  * broadcast id, as [[CellSims]]. */
+case class CellVec(child: Expression,
+                   bc: org.apache.spark.broadcast.Broadcast[Array[Double]],
+                   cells: Int, dim: Int)
+    extends UnaryExpression with NativeUnaryCodegen {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "cell_vec"
+  override protected def nullSafeEval(input: Any): Any = {
+    val cell = input.asInstanceOf[Long]
+    if (cell < 1 || cell > cells) return null
+    val off = (cell.toInt - 1) * dim
+    val out = new Array[Double](dim)
+    System.arraycopy(bc.value, off, out, 0, dim)
+    new GenericArrayData(out)
+  }
+  override def equals(other: Any): Boolean = other match {
+    case o: CellVec =>
+      child == o.child && cells == o.cells && dim == o.dim && bc.id == o.bc.id
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(cells), Int.box(dim), Long.box(bc.id))
+  override protected def withNewChildInternal(newChild: Expression): CellVec =
+    copy(child = newChild)
+}

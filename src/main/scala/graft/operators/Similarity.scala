@@ -61,6 +61,55 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Cell counts below this ride as C×dim plan literals (bounded
+    * metadata, the right call at the default C=16); at or above, the
+    * centroid matrix ships ONCE as a broadcast variable consumed by one
+    * custom kernel ([[graft.functions.CellSims]]/[[graft.functions.CellVec]])
+    * — at a production C ≈ 16-64k the literal formulation would put
+    * hundreds of MB into the PLAN and analysis cost would dominate. Same
+    * hybrid literal/broadcast discipline as `TextAnalysis.bpeLearn`. */
+  private[graft] val CentroidBroadcastThreshold = 256
+
+  /** Builder for the per-row cell-similarity array over a fixed centroid
+    * table: ONE broadcast per operator call (not per column use), shared
+    * by every projection the caller builds. Both paths emit bit-identical
+    * arrays (CellSims replicates CosineSim's accumulation exactly;
+    * spec-pinned), so assignments cannot depend on which side of the
+    * threshold a deployment sits. */
+  private[graft] def cellSimsFn(spark: org.apache.spark.sql.SparkSession,
+                                cents: Array[Array[Double]],
+                                threshold: Int = CentroidBroadcastThreshold): Column => Column =
+    if (cents.length < threshold) {
+      v => array(cents.map(c => cosine(v, array(c.map(lit(_)): _*))): _*)
+    } else {
+      val dim = cents(0).length
+      val flat = new Array[Double](cents.length * dim)
+      var i = 0
+      while (i < cents.length) { System.arraycopy(cents(i), 0, flat, i * dim, dim); i += 1 }
+      val bc = spark.sparkContext.broadcast(flat)
+      v => ColumnBridge.column(graft.functions.CellSims(
+        ColumnBridge.expression(v), bc, cents.length, dim))
+    }
+
+  /** Builder for 1-indexed centroid-row lookup (`element_at(centsLit, i)`
+    * below the threshold, broadcast [[graft.functions.CellVec]] above) —
+    * the residual IVF-PQ path's other centroid consumer. */
+  private[graft] def cellVecFn(spark: org.apache.spark.sql.SparkSession,
+                               cents: Array[Array[Double]],
+                               threshold: Int = CentroidBroadcastThreshold): Column => Column =
+    if (cents.length < threshold) {
+      val centsLit = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+      idx => element_at(centsLit, idx.cast("int"))
+    } else {
+      val dim = cents(0).length
+      val flat = new Array[Double](cents.length * dim)
+      var i = 0
+      while (i < cents.length) { System.arraycopy(cents(i), 0, flat, i * dim, dim); i += 1 }
+      val bc = spark.sparkContext.broadcast(flat)
+      idx => ColumnBridge.column(graft.functions.CellVec(
+        ColumnBridge.expression(idx.cast("long")), bc, cents.length, dim))
+    }
+
   /** Exact brute-force cosine top-k: for each query vector, the k corpus
     * ids ranked by cosine desc (ties broken by id). Queries broadcast;
     * corpus never self-joined. */
@@ -260,8 +309,7 @@ object Similarity {
     require(sampled.nonEmpty,
       "ivfTopK: corpus is empty — no vectors to sample centroids from")
     val cents = (1 to refineIters).foldLeft(sampled)((c, _) => lloydStep(corpus, c))
-    def centLit(c: Array[Double]): Column = array(c.map(lit(_)): _*)
-    def simsTo(v: Column): Column = array(cents.map(c => cosine(v, centLit(c))): _*)
+    val simsTo = cellSimsFn(corpus.sparkSession, cents)
     // 1-based argmax; ties take the lowest cell id (array_position is first-match)
     def bestCell(v: Column): Column = array_position(simsTo(v), array_max(simsTo(v)))
 
@@ -301,8 +349,7 @@ object Similarity {
     * `refineIters > 0` hash-oracle-eligible (`sim_ivf_refined`). */
   private def lloydStep(corpus: DataFrame,
                         cents: Array[Array[Double]]): Array[Array[Double]] = {
-    def centLit(c: Array[Double]): Column = array(c.map(lit(_)): _*)
-    def simsTo(v: Column): Column = array(cents.map(c => cosine(v, centLit(c))): _*)
+    val simsTo = cellSimsFn(corpus.sparkSession, cents)
     val assigned = corpus
       .select(dvec(col("embedding")).as("v"))
       .withColumn("cell", array_position(simsTo(col("v")), array_max(simsTo(col("v")))))
@@ -433,13 +480,25 @@ object Similarity {
                       residual: Boolean = false): DataFrame = {
     import graft.functions.{PqAdc, PqEncode, PqLut}
     val sampled: Array[Array[Double]] = corpus
-      .orderBy(col("vec_id")).limit(math.max(cells, ksub))
+      .orderBy(col("vec_id"))
+      .limit(if (residual) cells + ksub else math.max(cells, ksub))
       .select(dvec(col("embedding")).as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(sampled.nonEmpty,
       "ivfPqTopK: corpus is empty — no vectors to sample centroids from")
     val cents = sampled.take(cells)
-    val sample = sampled.take(ksub)
+    // Residual training MUST exclude the centroid vectors themselves: the
+    // first `cells` samples ARE the cell centroids, so their residuals are
+    // exactly zero and a codebook trained on them wastes half its entries
+    // on the origin (round-11 advice). Train on the NEXT ksub samples;
+    // tiny corpora that don't reach past the centroids fall back to the
+    // shared prefix rather than an empty codebook.
+    val sample =
+      if (!residual) sampled.take(ksub)
+      else {
+        val tail = sampled.slice(cells, cells + ksub)
+        if (tail.nonEmpty) tail else sampled.take(ksub)
+      }
     val dim = sample(0).length
     val sub = dim / m
     require(m * sub == dim, s"dim $dim must divide into $m subspaces")
@@ -474,13 +533,13 @@ object Similarity {
         }
       Array.tabulate(m)(mi => trained.map(t => Array.tabulate(sub)(j => t(mi * sub + j))))
     }
-    def centLit(c: Array[Double]): Column = array(c.map(lit(_)): _*)
-    def simsTo(v: Column): Column = array(cents.map(c => cosine(v, centLit(c))): _*)
+    val simsTo = cellSimsFn(corpus.sparkSession, cents)
     def bestCell(v: Column): Column = array_position(simsTo(v), array_max(simsTo(v)))
     def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
       ColumnBridge.column(e)
-    // ARRAY<ARRAY<DOUBLE>> literal of normalized centroids, 1-indexed like `cell`
-    lazy val centsNLit: Column = array(centsN.map(c => array(c.map(lit(_)): _*)): _*)
+    // normalized-centroid row lookup, 1-indexed like `cell` (plan-literal
+    // element_at below the broadcast threshold, CellVec above)
+    lazy val centNAt: Column => Column = cellVecFn(corpus.sparkSession, centsN)
 
     // one narrow indexing projection: coarse cell + PQ code per vector
     // (residual mode subtracts the assigned cell's normalized centroid
@@ -493,8 +552,7 @@ object Similarity {
       else {
         val n = sqrt(dot(col("v"), col("v")))
         val vhat = transform(col("v"), x => when(n > 0, x / n).otherwise(lit(0.0)))
-        val resid = zip_with(vhat,
-          element_at(centsNLit, col("cell").cast("int")), (a, b) => a - b)
+        val resid = zip_with(vhat, centNAt(col("cell")), (a, b) => a - b)
         corpus.select(col("vec_id"), dvec(col("embedding")).as("v"))
           .select(col("vec_id"), bestCell(col("v")).as("cell"), col("v"))
           .select(col("vec_id"), col("cell"),
@@ -515,7 +573,7 @@ object Similarity {
       if (!residual) probedCells
       else probedCells.join(qv, "qid")
         .select(col("qid"), col("cell"),
-          dot(col("qv"), element_at(centsNLit, col("cell").cast("int"))).as("cterm"))
+          dot(col("qv"), centNAt(col("cell"))).as("cterm"))
     val qlut = queries.select(col("vec_id").as("qid"),
       colOf(PqLut(ColumnBridge.expression(dvec(col("embedding"))), books)).as("lut"))
     // the scan: codes in probed cells only, scored via the broadcast LUT;
