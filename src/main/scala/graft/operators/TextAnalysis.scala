@@ -473,14 +473,32 @@ object TextAnalysis {
 
   /** Apply a learned BPE merge list to documents (the tokenizer-ENCODE
     * side of [[bpeLearn]]): per document, the token count and the final
-    * space-joined token string. Word boundaries are held by a `|`
-    * sentinel no merge can touch (merges only ever contain word
-    * characters), so merges never cross words — BPE's rule. The whole
-    * encode is a zero-shuffle chain of plan-literal `replace` kernels
-    * (one per merge, each left-to-right non-overlapping = BPE apply
-    * order): encoding splits with the scan, so tokenizing 100 TB is
-    * pure map-side work. */
+    * space-joined token string. Merges never cross words — BPE's rule.
+    * The whole encode is ONE custom expression holding the merge-rank
+    * table ([[graft.functions.BpeApply]]) applied per word in priority
+    * order: O(merges) driver-side metadata, O(1) plan nodes, zero
+    * shuffles — encoding splits with the scan, so tokenizing 100 TB is
+    * pure map-side work AND a ~32k-merge production tokenizer (the size
+    * [[bpeLearn]]'s driver-local loop now emits in seconds) stays
+    * analyzable, where the former one-`replace`-per-merge plan chain
+    * ([[bpeEncodeChain]], kept as the spec's semantic oracle) would blow
+    * the analyzer and the 64KB codegen method limit at that depth. */
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val tokArr = ColumnBridge.column(graft.functions.BpeApply(
+      ColumnBridge.expression(wordTokens(text)), merges))
+    struct(size(tokArr).cast("long").as("n_tokens"),
+      array_join(tokArr, " ").as("tokens"))
+  }
+
+  /** The original plan-literal formulation of [[bpeEncode]]: one
+    * `replace` kernel per merge over a two-space-boundary token string,
+    * word boundaries held by a `|` sentinel no merge can touch. Ideal at
+    * single-digit merge counts (pure codegen), structurally identical to
+    * the DuckDB oracle's CTE chain — retained as the executable
+    * SEMANTIC SPEC that [[graft.functions.BpeApply]] is pinned against
+    * (Round12OpsSpec), and as the shape the oracle SQL mirrors. Not the
+    * production path: its plan depth grows with the merge count. */
+  private[graft] def bpeEncodeChain(text: Column, merges: Seq[(String, String)]): Column = {
     val toks0 = concat(lit("  "),
       array_join(transform(wordTokens(text),
         w => array_join(split(w, ""), "  ")), "  |  "),

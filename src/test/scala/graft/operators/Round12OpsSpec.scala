@@ -164,6 +164,85 @@ class Round12OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == 3 && got.forall(t => t._1 == t._2), got.mkString(","))
   }
+
+  test("bpeEncode expression equals the replace chain at oracle depth (merges=8)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val learned = TextAnalysis.bpeLearn(docs, col("text"), merges = 8)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(learned.length == 8)
+    def enc(f: (org.apache.spark.sql.Column, Seq[(String, String)]) => org.apache.spark.sql.Column) =
+      docs.select(col("doc_id"), f(col("text"), learned).as("e"))
+        .select(col("doc_id"), col("e.n_tokens"), col("e.tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(enc(TextAnalysis.bpeEncode) == enc(TextAnalysis.bpeEncodeChain))
+  }
+
+  test("bpeEncode expression equals the replace chain at medium depth (merges=512)") {
+    // the documents fixture exhausts at ~89 merges; a digit corpus has a
+    // deep enough pair vocabulary to reach a genuine 512-merge table
+    // while the 512-deep replace chain still analyzes
+    val docs = spark.range(0, 4000).select(col("id").cast("bigint").as("doc_id"),
+      col("id").cast("string").as("text"))
+    val learned = TextAnalysis.bpeLearn(docs, col("text"), merges = 512)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(learned.length == 512, s"corpus exhausted at ${learned.length} merges")
+    val sample = docs.filter(col("doc_id") % 17 === 0)
+    def enc(f: (org.apache.spark.sql.Column, Seq[(String, String)]) => org.apache.spark.sql.Column) =
+      sample.select(col("doc_id"), f(col("text"), learned).as("e"))
+        .select(col("doc_id"), col("e.n_tokens"), col("e.tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(enc(TextAnalysis.bpeEncode) == enc(TextAnalysis.bpeEncodeChain))
+  }
+
+  test("bpeEncode eats a production-size merge table (>=4k merges, one plan node)") {
+    import spark.implicits._
+    // digit corpus: every 1..4-digit string is a word, so the pair
+    // vocabulary is deep enough to learn thousands of merges
+    val corpus = spark.range(0, 8000).select(col("id").cast("string").as("text"))
+    val learned = TextAnalysis.bpeLearn(corpus, col("text"), merges = 4500)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(learned.length >= 4096, s"only ${learned.length} merges learned")
+    // the 4k-deep replace CHAIN would blow the analyzer — the exact
+    // ceiling this expression removes — so the semantic oracle here is a
+    // driver-local replay of the chain: Java String.replace is the same
+    // left-to-right non-overlapping kernel Spark's `replace` applies to
+    // plan-literal patterns.
+    def chainLocal(text: String): (Long, String) = {
+      val words = "[a-z0-9]+".r.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toSeq
+      var s = "  " + words.map(_.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).mkString("  ")).mkString("  |  ") + "  "
+      learned.foreach { case (l, r) => s = s.replace(s" $l  $r ", s" $l$r ") }
+      val toks = s.trim.split("  ").filter(_ != "|").toSeq
+      (toks.length.toLong, toks.mkString(" "))
+    }
+    val sample = spark.range(0, 8000, 13).select(col("id").cast("string").as("text"))
+    val got = sample.select(col("text"), TextAnalysis.bpeEncode(col("text"), learned).as("e"))
+      .select(col("text"), col("e.n_tokens"), col("e.tokens"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getString(2)))).toMap
+    val texts = sample.as[String].collect()
+    texts.foreach { t =>
+      assert(got(t) == chainLocal(t), s"diverged on '$t': ${got(t)} vs ${chainLocal(t)}")
+    }
+    // plan stays one node deep regardless of table size
+    val plan = sample.select(TextAnalysis.bpeEncode(col("text"), learned))
+      .queryExecution.optimizedPlan.toString()
+    assert(plan.contains("bpe_apply") && plan.length < 50000,
+      s"encode plan should be a single bounded kernel: ${plan.length} chars")
+  }
+
+  test("bpeEncode: zero-word document keeps the chain's one-empty-token edge") {
+    import spark.implicits._
+    val weird = Seq("", "   ", "!!!", "ab cd").toDF("text")
+    val merges = Seq(("a", "b"), ("c", "d"))
+    def enc(f: (org.apache.spark.sql.Column, Seq[(String, String)]) => org.apache.spark.sql.Column) =
+      weird.select(col("text"), f(col("text"), merges).as("e"))
+        .select(col("text"), col("e.n_tokens"), col("e.tokens"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(enc(TextAnalysis.bpeEncode) == enc(TextAnalysis.bpeEncodeChain))
+  }
 }
 
 object Round12OpsSpec {
