@@ -165,6 +165,22 @@ class Round12OpsSpec extends SparkTestBase {
     assert(got.length == 3 && got.forall(t => t._1 == t._2), got.mkString(","))
   }
 
+  test("bm25TopK: single-query rides the qid-partitioned multi path (no unpartitioned window)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val q = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("table", "hash", "data"), k = 10)
+    assert(q.columns.toSeq == Seq("doc_id", "rnk", "bm25_micro"))
+    val phys = q.queryExecution.executedPlan.toString()
+    // the round-10 adjudicated exception is gone: even one query ranks
+    // through the qid-partitioned window with group-limit pushdown
+    assert(phys.contains("hashpartitioning(qid"),
+      s"single-query window should partition by qid:\n$phys")
+    assert(q.queryExecution.optimizedPlan.toString().contains("WindowGroupLimit"))
+    // and the result is non-degenerate
+    val rows = q.collect()
+    assert(rows.length == 10 && rows.map(_.getLong(1)).sorted.toSeq == (1L to 10L))
+  }
+
   test("bpeEncode expression equals the replace chain at oracle depth (merges=8)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val learned = TextAnalysis.bpeLearn(docs, col("text"), merges = 8)
