@@ -17,7 +17,13 @@ import org.apache.spark.sql.SparkSession
   *     load at minute 3 can no longer survive into the ledger, because the
   *     re-probe happens ~15 minutes later. The r10 driver run proved the
   *     start-of-run load gate alone is insufficient: loadavg 1.92 passed a
-  *     2.0 gate and still inflated 12 queries up to 15×.
+  *     2.0 gate and still inflated 12 queries up to 15×;
+  *   - (round 12) the re-probe set also includes any query whose first-pass
+  *     time exceeds 2× its value in the PREVIOUS round's committed
+  *     BENCH_DETAIL.json (same sf only) — the slowest-N cutoff missed
+  *     narrow queries inflated 1.5-2× below rank 10 in r11 — and the
+  *     ledger carries per-query `suspects` markers for entries whose
+  *     numbers should be read as host noise, not plan changes.
   */
 object Bench {
 
@@ -26,6 +32,62 @@ object Bench {
   def selectReprobe(first: Seq[(String, Double)], n: Int): Seq[String] =
     first.filter(_._2 >= 0).sortBy { case (name, sec) => (-sec, name) }
       .take(math.max(0, n)).map(_._1)
+
+  /** History-aware re-probe set (round 12): the slowest-N cutoff misses
+    * contention that inflates a NARROW query — BENCH_r11 carried 1.5-2×
+    * inflation on sub-2s entries that never ranked in the top 10. So any
+    * successful query whose first-pass time exceeds `historyFactor`× its
+    * value in the PREVIOUS round's committed ledger (and by more than
+    * `minDeltaSec` absolute — the same noise floor mergeReprobe uses) is
+    * re-probed too, regardless of rank. Queries with no history (new this
+    * round) fall back to the slowest-N rule alone. */
+  def selectReprobeWithHistory(first: Seq[(String, Double)], n: Int,
+                               prev: Map[String, Double],
+                               historyFactor: Double = 2.0,
+                               minDeltaSec: Double = 0.5): Seq[String] = {
+    val base = selectReprobe(first, n)
+    val flagged = first.filter { case (name, sec) =>
+      sec >= 0 && prev.get(name).exists(p =>
+        p >= 0 && sec > p * historyFactor && sec - p > minDeltaSec)
+    }.sortBy { case (name, sec) => (-sec, name) }.map(_._1)
+    base ++ flagged.filterNot(base.contains)
+  }
+
+  /** Parse the previous round's BENCH_DETAIL.json into (sf, per-query
+    * seconds). Only a ledger recorded at the SAME sf dir is comparable —
+    * the caller drops history when sf differs. Malformed / absent input
+    * yields an empty history (the feature degrades to slowest-N). */
+  def parsePrevLedger(json: String): (String, Map[String, Double]) =
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = m.readTree(json)
+      val sf = Option(root.get("sf")).map(_.asText("")).getOrElse("")
+      val qs = Option(root.get("queries")).map { q =>
+        val it = q.fields()
+        val out = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); out += e.getKey -> e.getValue.asDouble(-1.0) }
+        out.result()
+      }.getOrElse(Map.empty[String, Double])
+      (sf, qs)
+    } catch { case _: Exception => ("", Map.empty) }
+
+  /** Per-query suspicion verdict (round-11 verdict ask 7): entries the
+    * judge should NOT read as plan regressions without a re-measure.
+    * Suspect = the 1-min load sample at the query's completion exceeded
+    * the self-load-aware spike ceiling, OR the FINAL ledger value (after
+    * the re-probe min) still sits `factor`× above the previous committed
+    * ledger while the run self-labeled mid-run contention — inflation
+    * the re-probe failed to correct. Sorted for stable JSON. */
+  def suspectEntries(results: Seq[(String, Double)],
+                     loadAt: Map[String, Double], spikeMax: Double,
+                     prev: Map[String, Double], contendedMidrun: Boolean,
+                     factor: Double = 2.0, minDeltaSec: Double = 0.5): Seq[String] =
+    results.filter { case (name, sec) =>
+      sec >= 0 && (
+        loadAt.get(name).exists(_ > spikeMax) ||
+        (contendedMidrun && prev.get(name).exists(p =>
+          p >= 0 && sec > p * factor && sec - p > minDeltaSec)))
+    }.map(_._1).sorted
 
   /** Fold re-probe times into the ledger: a query keeps the MIN of its
     * first-pass min and its re-probe (a failed re-probe, -1, changes
@@ -163,7 +225,21 @@ object Bench {
     // improves >1.5× is counted as evidence of mid-run contention.
     val reprobeN = sys.env.get("SPARK_GRAFT_REPROBE_N").map(_.toInt).getOrElse(10)
     val fnMap = ordered.toMap
-    val reprobeNames = selectReprobe(firstPass, reprobeN)
+    // history: the previous round's committed BENCH_DETAIL.json (this
+    // process overwrites it at the end — read BEFORE writing). A ledger
+    // recorded at a different sf dir is not comparable and is dropped.
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV_DETAIL", "BENCH_DETAIL.json")
+    val prevLedger: Map[String, Double] = {
+      val f = new java.io.File(prevPath)
+      if (!f.isFile) Map.empty
+      else {
+        val (prevSf, qs) = parsePrevLedger(
+          new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8))
+        if (prevSf == sfDir) qs else Map.empty
+      }
+    }
+    val reprobeNames = selectReprobeWithHistory(firstPass, reprobeN, prevLedger)
     val probes = reprobeNames.map { name =>
       val sec =
         try {
@@ -187,6 +263,10 @@ object Bench {
     val spikeMax = midrunSpikeMax(loadMax, nCpus)
     val loadSpikes = loadAt.valuesIterator.count(_ > spikeMax)
     val contendedMidrun = loadSpikes > 0 || reprobeImproved > 0
+    // per-query suspicion markers (round-11 verdict ask): entries whose
+    // numbers a judge should attribute to host noise, not plan changes
+    val suspects = suspectEntries(results, loadAt.toMap, spikeMax,
+      prevLedger, contendedMidrun)
     // Locale.ROOT: the default-locale f-interpolator would emit "62,000" on
     // comma-decimal locales and corrupt the JSON line.
     def fmt(v: Double): String =
@@ -202,7 +282,7 @@ object Bench {
     // n_queries counts only the queries inside the total; failures are
     // separate so total/n_queries stay mutually consistent
     val host =
-      s""""host":{"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadAvg())},"cpus":$nCpus,"other_java_procs_start":$javaProcsStart,"other_java_procs_end":${otherJavaProcs()},"contended":$contended,"contended_midrun":$contendedMidrun,"load_spikes_midrun":$loadSpikes,"reprobe_n":${reprobeNames.size},"reprobe_improved":$reprobeImproved}"""
+      s""""host":{"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadAvg())},"cpus":$nCpus,"other_java_procs_start":$javaProcsStart,"other_java_procs_end":${otherJavaProcs()},"contended":$contended,"contended_midrun":$contendedMidrun,"load_spikes_midrun":$loadSpikes,"reprobe_n":${reprobeNames.size},"reprobe_improved":$reprobeImproved,"history_n":${prevLedger.size},"n_suspect":${suspects.size}}"""
     // A SPARK_GRAFT_ONLY dev run writes a PARTIAL total; without a marker a
     // stale partial ledger is indistinguishable from a full run. Record the
     // restriction list verbatim (empty field when unrestricted).
@@ -215,8 +295,9 @@ object Bench {
     val reprobeDetail = reprobeNames.map { n =>
       s"\"$n\":{\"first\":${fmt(firstBySec(n))},\"probe\":${fmt(probes(n))}}"
     }.mkString("{", ",", "}")
+    val suspectJson = suspects.map(s => s"\"$s\"").mkString("[", ",", "]")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,$host$onlyField,"queries":$detail,"loadavg_after":$loadDetail,"reprobe":$reprobeDetail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,$host$onlyField,"queries":$detail,"loadavg_after":$loadDetail,"reprobe":$reprobeDetail,"suspects":$suspectJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detailJson) finally w.close()

@@ -53,6 +53,51 @@ class BenchReprobeSpec extends AnyFunSuite {
     assert(merged.last == ("q50" -> 0.5))
   }
 
+  test("selectReprobeWithHistory: >2x-over-previous entries join the set below the slowest-N cutoff") {
+    // r11 shape: narrow queries inflated ~2x sat below the top-N and
+    // survived into the ledger. With history they are re-probed too.
+    val first = Seq("big1" -> 9.0, "big2" -> 8.0, "narrow" -> 2.1, "ok" -> 1.0, "fail" -> -1.0)
+    val prev = Map("big1" -> 8.8, "big2" -> 8.1, "narrow" -> 0.9, "ok" -> 0.95, "fail" -> 1.0)
+    val got = Bench.selectReprobeWithHistory(first, 2, prev)
+    // slowest-2 first (ledger-rank order), then history-flagged extras
+    assert(got == Seq("big1", "big2", "narrow"))
+    // failures never re-run even when history flags them
+    assert(!Bench.selectReprobeWithHistory(first, 0, prev).contains("fail"))
+    // the absolute noise floor keeps sub-second wobble out: 0.4 -> 0.85
+    // is >2x but only 0.45s
+    val wobble = Bench.selectReprobeWithHistory(Seq("t" -> 0.85), 0, Map("t" -> 0.4))
+    assert(wobble.isEmpty)
+    // no history -> plain slowest-N
+    assert(Bench.selectReprobeWithHistory(first, 2, Map.empty) == Seq("big1", "big2"))
+    // no double entries when a slowest-N member is also history-flagged
+    val both = Bench.selectReprobeWithHistory(Seq("a" -> 9.0), 5, Map("a" -> 1.0))
+    assert(both == Seq("a"))
+  }
+
+  test("parsePrevLedger: sf + queries from a detail file; malformed input degrades to empty") {
+    val (sf, qs) = Bench.parsePrevLedger(
+      """{"metric":"total","sf":"/root/testdata/sf0.1","queries":{"q1":1.5,"q2":-1}}""")
+    assert(sf == "/root/testdata/sf0.1" && qs == Map("q1" -> 1.5, "q2" -> -1.0))
+    assert(Bench.parsePrevLedger("not json") == ("", Map.empty))
+    assert(Bench.parsePrevLedger("""{"metric":"total"}""") == ("", Map.empty))
+  }
+
+  test("suspectEntries: load-spiked entries and uncorrected 2x-over-history inflation") {
+    val results = Seq("spiked" -> 1.0, "inflated" -> 3.0, "fine" -> 1.0, "fail" -> -1.0)
+    val loadAt = Map("spiked" -> 30.0, "inflated" -> 5.0, "fine" -> 5.0, "fail" -> 40.0)
+    val prev = Map("inflated" -> 1.0, "fine" -> 0.9)
+    // spiked: load sample above the ceiling; inflated: final value still
+    // 3x its committed history under a contended run (the re-probe did
+    // not rescue it); fine: neither; fail: no bogus suspect for a crash
+    val got = Bench.suspectEntries(results, loadAt, spikeMax = 24.0,
+      prev, contendedMidrun = true)
+    assert(got == Seq("inflated", "spiked"))
+    // on an uncontended run, history deltas alone are not suspicion —
+    // they are real regressions the judge SHOULD see
+    val calm = Bench.suspectEntries(results, Map.empty, 24.0, prev, contendedMidrun = false)
+    assert(calm.isEmpty)
+  }
+
   test("midrunSpikeMax accounts for Spark's own load, never below the idle gate") {
     // Spark itself drives 1-min load to 10-18 on an idle 32-core host — a
     // mid-run sample can only indict an EXTERNAL intruder beyond that
