@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scaling proof-point (round-12; VERDICT r11 ask 3).
+  *
+  * SCALING.md argues the 100-TB posture from plan shapes; this main
+  * MEASURES it: the five heaviest operators from the bench ledger
+  * (pipeline_clean, graph_pagerank, dedup_keep, graph_components,
+  * dedup_clusters) run against self-scaled copies of the sf0.1 corpus at
+  * ×1/×8/×32 and the per-row cost is recorded. Near-constant s/row across
+  * factors is the near-linearity evidence; the ×1 point additionally
+  * separates fixed job overhead (which dominates at sf0.1 — the r10/r11
+  * plan audits called these queries "job-count-bound, not data-bound")
+  * from marginal per-row cost.
+  *
+  * Corpus self-scaling is NOT naive replication. A bare ×k union makes
+  * every document a near-duplicate of its k−1 replicas, so near-dup
+  * candidate pairs grow ~k² and the measurement would conflate "more
+  * data" with "radically denser duplicates". Instead each replica i:
+  *   - offsets doc_id by a multiple of 75 (replicating, not fusing, the
+  *     synthetic component structure graph_components derives from
+  *     doc_id mod 5 / mod 3 arithmetic);
+  *   - rewrites every non-stopword word through a per-replica BIJECTIVE
+  *     letter substitution (affine map j→(a·j+b) mod 26 on the alphabet,
+  *     distinct (a,b) per replica). A bijection on words is a bijection
+  *     on shingles, so every pairwise shingle-Jaccard relationship WITHIN
+  *     a replica is preserved exactly — near-dup density per replica is
+  *     sf0.1's density — while shingles never collide ACROSS replicas
+  *     (a shared shingle would need all its words to be substitution
+  *     fixed points, i.e. all-stopword or letterless). Word lengths,
+  *     digits, punctuation and spaces are untouched and stopwords map to
+  *     themselves, so langId's stopword ratio, punctRatio, tokenCount,
+  *     meanTokenLen and n_chars are preserved to the character — every
+  *     quality gate in pipeline_clean passes the identical per-replica
+  *     fraction. (A first attempt reordered words by a salted hash; that
+  *     CANONICALIZES order, so docs with merely-similar word multisets
+  *     collapsed into near-identical sequences and ×2 data produced ~20×
+  *     candidate pairs. The bijection has no such failure mode — it is
+  *     similarity-preserving, not similarity-creating.)
+  * lineitem (graph_pagerank's edge source) offsets l_suppkey/l_partkey
+  * by i·2²⁴ — k disjoint copies of the supplier→part graph, keeping
+  * degree distribution and component diameter constant (PageRank rounds
+  * and pointer-jump depth are diameter-bound, so the expected scaling is
+  * linear in edges, not super-linear).
+  *
+  * Timing mirrors Bench: noop sink (forces every output column), each
+  * (query, factor) runs twice and keeps the min, factors ascend so JIT /
+  * codegen warm-up is paid at the cheapest factor. Output: one JSON line
+  * with per-(query, factor) seconds plus input row counts; loadavg at
+  * start/end for the same host-noise provenance the bench carries.
+  *
+  * Env: SPARK_GRAFT_SCALE_BASE (default /root/testdata/sf0.1),
+  * SPARK_GRAFT_SCALE_FACTORS (default "1,8,32"),
+  * SPARK_GRAFT_SCALE_OUT (default /tmp/graft-scale),
+  * SPARK_GRAFT_SCALE_QUERIES (default the five heaviest),
+  * SPARK_GRAFT_SCALE_REGEN=1 forces corpus regeneration.
+  */
+object Scale {
+
+  /** Per-salt bijective letter substitution for the alphabet: the affine
+    * permutation j → (a·j + b) mod 26 with `a` coprime to 26 and (a,b)
+    * distinct per salt (supports 300+ distinct non-identity replicas). */
+  def letterPerm(salt: Int): String = {
+    val coprimes = Seq(3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val a = coprimes((salt - 1) % coprimes.size)
+    val b = 1 + (salt * 7) % 25 // b>0 so even a-cycle fixed points move
+    (0 until 26).map(j => ('a' + (a * j + b) % 26).toChar).mkString
+  }
+
+  /** Deterministic per-salt text rewrite: every whitespace token that is
+    * not an English stopword has its letters mapped through
+    * [[letterPerm]] (both cases, consistently); stopwords, digits,
+    * punctuation and spacing pass through unchanged. salt=0 is the
+    * identity (the ×1 corpus is a byte-identical rewrite of the base
+    * through the same writer path). */
+  def perturbText(text: Column, salt: Int): Column =
+    if (salt == 0) text
+    else {
+      val lower = letterPerm(salt)
+      val from = ('a' to 'z').mkString + ('A' to 'Z').mkString
+      val to = lower + lower.toUpperCase
+      val sw = array(operators.TextAnalysis.StopwordsEn.map(lit): _*)
+      array_join(
+        transform(split(text, " ", -1),
+          w => when(array_contains(sw, w), w).otherwise(translate(w, from, to))),
+        " ")
+    }
+
+  /** Replicate documents ×k with re-keyed ids and per-replica word
+    * reorder. The id offset is the smallest multiple of 75 above the max
+    * id so the mod-5/mod-15 arithmetic graph_components builds from
+    * doc_id replicates cleanly instead of fusing across replicas. */
+  def scaleDocuments(docs: DataFrame, k: Int): DataFrame = {
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val off = ((maxId / 75) + 1) * 75
+    (0 until k).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * off)).as("doc_id"),
+        perturbText(col("text"), i).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Replicate lineitem ×k as disjoint graph copies: both join keys shift
+    * by i·2²⁴ (far above sf0.1's key ranges AND the +1e6 node-space split
+    * graph_pagerank applies to partkey, so replica node spaces never
+    * collide). Non-key columns pass through unchanged. */
+  def scaleLineitem(li: DataFrame, k: Int): DataFrame = {
+    val off = 1L << 24
+    (0 until k).map { i =>
+      li.withColumn("l_suppkey", col("l_suppkey") + lit(i * off))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * off))
+    }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
+    val outBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft-scale")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,8,32")
+      .split(",").map(_.trim.toInt).filter(_ >= 1).sorted.toSeq
+    val queryNames = sys.env.getOrElse("SPARK_GRAFT_SCALE_QUERIES",
+        "dedup_clusters,dedup_keep,graph_components,graph_pagerank,pipeline_clean")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq.sorted
+    val regen = sys.env.get("SPARK_GRAFT_SCALE_REGEN").contains("1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def loadAvg(): Double = {
+      val v = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      if (v.isNaN) -1.0 else v
+    }
+    val loadStart = loadAvg()
+
+    // --- corpus generation (idempotent: skip factors already on disk) ---
+    val baseDocs = spark.read.parquet(s"$base/documents.parquet")
+    val baseLi = spark.read.parquet(s"$base/lineitem.parquet")
+    factors.foreach { f =>
+      val dir = s"$outBase/x$f"
+      val marker = new java.io.File(s"$dir/_GRAFT_SCALE_DONE")
+      if (regen || !marker.isFile) {
+        System.err.println(s"[scale] generating ×$f corpus under $dir")
+        // repartition before write so the scaled tables land as multiple
+        // files — scan parallelism then comes from the layout itself, the
+        // way a real multi-TB table's would, instead of from buildTable's
+        // single-file fallback repartition
+        val parts = math.max(4, math.min(32, f * 4))
+        scaleDocuments(baseDocs, f).repartition(parts)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        scaleLineitem(baseLi, f).repartition(parts)
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        marker.createNewFile()
+      }
+    }
+    val rowCounts = factors.map { f =>
+      f -> Map(
+        "documents" -> spark.read.parquet(s"$outBase/x$f/documents.parquet").count(),
+        "lineitem" -> spark.read.parquet(s"$outBase/x$f/lineitem.parquet").count())
+    }.toMap
+
+    // --- timed runs: factors ascend; per (query, factor) min of 2 ---
+    def resetSessionStorage(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    val fns = SparkEntry.queries
+    val missing = queryNames.filterNot(fns.contains)
+    require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
+    // one untimed warm-up at the SMALLEST factor per query: pays JIT +
+    // codegen once where data is cheapest, mirroring Bench's warm-up rule
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Map[Int, Double]]
+    queryNames.foreach { name => times(name) = Map.empty }
+    factors.zipWithIndex.foreach { case (f, fi) =>
+      val dir = s"$outBase/x$f"
+      queryNames.foreach { name =>
+        val sec =
+          try {
+            if (fi == 0)
+              fns(name)(spark, dir).write.format("noop").mode("overwrite").save()
+            val runs = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              fns(name)(spark, dir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            }
+            runs.min
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[scale] $name ×$f FAILED: ${e.getMessage}")
+              -1.0
+          } finally resetSessionStorage()
+        System.err.println(f"[scale] $name ×$f: $sec%.2f s")
+        times(name) = times(name) + (f -> sec)
+      }
+    }
+
+    val loadEnd = loadAvg()
+    def jnum(d: Double): String = f"$d%.3f"
+    val qJson = queryNames.map { name =>
+      val per = factors.map(f => s""""x$f":${jnum(times(name)(f))}""").mkString(",")
+      s""""$name":{$per}"""
+    }.mkString(",")
+    val rowsJson = factors.map { f =>
+      s""""x$f":{"documents":${rowCounts(f)("documents")},"lineitem":${rowCounts(f)("lineitem")}}"""
+    }.mkString(",")
+    println(s"""{"metric":"scale_linearity","base":"$base","factors":[${factors.mkString(",")}],""" +
+      s""""queries":{$qJson},"rows":{$rowsJson},""" +
+      s""""loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadEnd)}}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the scaling measurement (Scale.scala) depends on. The
+  * ×k corpora are only valid linearity evidence if replication neither
+  * creates nor destroys near-duplicate structure and leaves every
+  * pipeline_clean quality gate deciding identically per replica — these
+  * tests pin exactly those properties, so a future edit to the
+  * perturbation cannot silently turn the measurement super-linear (the
+  * failure mode the first hash-reorder design hit: canonicalizing word
+  * order manufactured intra-replica near-dups and ×2 data produced ~20×
+  * candidate pairs).
+  */
+class ScaleHarnessSpec extends SparkTestBase {
+
+  // ------------------------------------------------- letter permutation
+
+  test("letterPerm is a bijection on a-z for every salt, identity for none") {
+    for (salt <- 1 to 64) {
+      val p = Scale.letterPerm(salt)
+      assert(p.length == 26 && p.toSet.size == 26 && p.forall(c => c >= 'a' && c <= 'z'),
+        s"salt=$salt must permute the alphabet")
+      assert(p != ('a' to 'z').mkString, s"salt=$salt must not be the identity")
+    }
+  }
+
+  test("distinct salts give distinct permutations across the bench factor range") {
+    val perms = (1 to 32).map(Scale.letterPerm)
+    assert(perms.distinct.size == perms.size,
+      "two replicas sharing a permutation would be mutual near-dups")
+  }
+
+  // --------------------------------------------------- text perturbation
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("perturbText preserves every quality-gate statistic to the character") {
+    val base = docs.limit(64).select(col("doc_id"), col("text"))
+    def stats(c: org.apache.spark.sql.Column) = struct(
+      length(c).as("len"),
+      size(split(c, " ", -1)).as("words"),
+      operators.TextAnalysis.stopwordRatio(c).as("swr"),
+      operators.TextAnalysis.punctRatio(c).as("punct"))
+    val rows = base.select(
+        stats(col("text")).as("orig"),
+        stats(Scale.perturbText(col("text"), 3)).as("pert"))
+      .filter(col("orig") =!= col("pert"))
+    assert(rows.count() == 0,
+      "perturbation must preserve length, word count, stopword and punct ratios exactly")
+  }
+
+  test("perturbText kills cross-replica shingle overlap but is intra-replica similarity-preserving") {
+    val base = docs.limit(48).select(col("doc_id"), col("text"))
+    def shingles(c: org.apache.spark.sql.Column) =
+      operators.Dedup.wordShingles(c, 5)
+    // cross-replica: the SAME doc under salts 1 and 2 shares no shingles
+    // (a shared shingle would need all its words substitution-fixed)
+    val cross = base.select(
+        array_intersect(shingles(Scale.perturbText(col("text"), 1)),
+                        shingles(Scale.perturbText(col("text"), 2))).as("common"))
+      .filter(size(col("common")) > 0)
+    assert(cross.count() == 0, "replicas must share zero shingles")
+    // intra-replica: a bijection on words is a bijection on shingles, so
+    // every pairwise |A∩B| and |A∪B| — hence Jaccard — is preserved
+    val a = base.select(col("doc_id").as("ida"), shingles(col("text")).as("sa"),
+      shingles(Scale.perturbText(col("text"), 1)).as("pa"))
+    val b = base.select(col("doc_id").as("idb"), shingles(col("text")).as("sb"),
+      shingles(Scale.perturbText(col("text"), 1)).as("pb"))
+    val drift = a.crossJoin(b).filter(col("ida") < col("idb"))
+      .select(
+        size(array_intersect(col("sa"), col("sb"))).as("i0"),
+        size(array_intersect(col("pa"), col("pb"))).as("i1"),
+        size(array_union(col("sa"), col("sb"))).as("u0"),
+        size(array_union(col("pa"), col("pb"))).as("u1"))
+      .filter(col("i0") =!= col("i1") || col("u0") =!= col("u1"))
+    assert(drift.count() == 0,
+      "pairwise shingle intersections/unions must survive the substitution exactly")
+  }
+
+  // ------------------------------------------------------ id replication
+
+  test("scaleDocuments: disjoint ids, exact ×k row count, identical per-replica gate fraction") {
+    val base = docs.limit(300).select("doc_id", "text", "lang", "source", "n_chars")
+    val k = 3
+    val scaled = Scale.scaleDocuments(base, k)
+    assert(scaled.count() == base.count() * k)
+    assert(scaled.select("doc_id").distinct().count() == base.count() * k,
+      "re-keyed ids must not collide across replicas")
+    // every replica passes pipeline_clean's language/quality gates at the
+    // same rate — the property that keeps the ×k workload k× the work
+    val off = scaled.agg(max(col("doc_id"))).head().getLong(0) / k + 1
+    val perReplica = scaled
+      .withColumn("rep", (col("doc_id") / lit(off)).cast("int"))
+      .withColumn("keep", operators.TextAnalysis.stopwordRatio(col("text")) >= 0.01)
+      .groupBy("rep").agg(avg(col("keep").cast("double")).as("frac"))
+      .select("frac").distinct()
+    assert(perReplica.count() == 1, "gate fraction must be identical per replica")
+  }
+
+  test("scaleLineitem: replica key spaces never collide, degree structure replicated") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(2000)
+    val k = 3
+    val scaled = Scale.scaleLineitem(li, k)
+    assert(scaled.count() == li.count() * k)
+    // each replica's key range sits in its own 2^24 window
+    val windows = scaled.select((col("l_suppkey") / lit(1L << 24)).cast("long").as("w"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(windows.size == k, s"expected $k disjoint key windows, got $windows")
+    // degree distribution (graph_pagerank's cost driver) is replicated, not fused
+    val baseDeg = li.groupBy("l_suppkey").count()
+      .groupBy("count").count().orderBy("count")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val repDeg = scaled.groupBy("l_suppkey").count()
+      .groupBy("count").count().orderBy("count")
+      .collect().map(r => (r.getLong(0), r.getLong(1) / k)).toSeq
+    assert(repDeg == baseDeg, "per-replica degree histogram must equal the base")
+  }
+}

@@ -270,10 +270,12 @@ class Round10OpsSpec extends SparkTestBase {
     // token array (the optimized plan aliases split() to toks upstream)
     assert(plan.contains("explode(filter(toks"),
       s"explode should consume the term-pruned array:\n$plan")
-    // and the k-bound pushes below the global window (GlobalLimit before
-    // the rank) so the single-partition sort sees k·P rows, not all docs
-    assert(plan.contains("GlobalLimit"),
-      s"top-k should be limit-pushed below the window:\n$plan")
+    // and the k-bound engages group-limit pushdown on the (round-12)
+    // qid-partitioned window, so no upstream partition forwards more
+    // than k rows into the rank — the single-partition GlobalLimit the
+    // old unpartitioned plan needed is gone along with that plan
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k should engage window group-limit pushdown:\n$plan")
   }
 
   test("winsorize: exact-decomposition mean == brute-force clamped mean, partitioning-invariant") {
