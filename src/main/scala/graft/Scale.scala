@@ -43,7 +43,10 @@ import org.apache.spark.sql.functions._
   * by i·2²⁴ — k disjoint copies of the supplier→part graph, keeping
   * degree distribution and component diameter constant (PageRank rounds
   * and pointer-jump depth are diameter-bound, so the expected scaling is
-  * linear in edges, not super-linear).
+  * linear in edges, not super-linear). embeddings (the similarity/ANN
+  * family's corpus) get a per-replica sign-flip transform — see
+  * [[scaleEmbeddings]] — which replicates intra-replica cosine structure
+  * BIT-exactly while decorrelating replicas.
   *
   * Timing mirrors Bench: noop sink (forces every output column), each
   * (query, factor) runs twice and keeps the min, factors ascend so JIT /
@@ -115,6 +118,72 @@ object Scale {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic ±1 sign pattern for a replica. salt=0 is all-ones (the
+    * identity transform); other salts flip each coordinate independently
+    * by a splitmix-style bit mix of (salt, j), so any two replicas differ
+    * in ~dim/2 coordinates. */
+  def signVec(salt: Int, dim: Int): Seq[Float] =
+    if (salt == 0) Seq.fill(dim)(1.0f)
+    else (0 until dim).map { j =>
+      var z = salt.toLong * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0f else -1.0f
+    }
+
+  /** Replicate embeddings ×k with re-keyed ids and a per-replica sign-flip
+    * transform v'_j = s_j·v_j. Sign flips — unlike a coordinate
+    * permutation — keep the dot-product summation ORDER unchanged, and
+    * s_j² = 1 exactly in IEEE float, so every intra-replica pairwise dot
+    * product (hence cosine, hence near-dup pair and exact-top-k structure)
+    * is BIT-IDENTICAL to the base corpus; cross-replica cosines collapse
+    * toward 0 (a surviving 0.9-cosine pair would need the two replicas'
+    * sign patterns to agree on essentially all the pair's mass — with
+    * ~dim/2 independent flips that never happens at dim 64). Norms are
+    * exactly preserved, so IVF/PQ normalization and LSH hyperplane margins
+    * see the replica exactly as they see the base. */
+  def scaleEmbeddings(emb: DataFrame, k: Int): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val off = ((maxId / 1000) + 1) * 1000
+    (0 until k).map { i =>
+      val signs = array(signVec(i, dim).map(lit): _*)
+      emb.select(
+        (col("vec_id") + lit(i * off)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else zip_with(col("embedding"), signs, (v, s) => (v * s).cast("float")))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Scaled-PARAMETER query variants: the oracle rows hold index
+    * parameters fixed (they must — the oracle is pinned), so at ×32 their
+    * per-bucket occupancy grows and the documented quadratic-in-occupancy
+    * term surfaces (dedup_semantic: C=8 clusters of n/8 vectors each →
+    * B_c² per cluster grows 1024×). These variants apply the tuning rules
+    * SCALING.md states — SemDeDup C ∝ n ("pick C ~ corpus/√target"),
+    * SRP-LSH signature bits + log₂(growth) to hold bucket occupancy
+    * constant — so the measurement tests the RULE, not the fixed-C
+    * strawman. Centroids are a deterministic hash-ordered sample of the
+    * scaled corpus (spread across replicas, like a k-means sample would
+    * be). */
+  def scaledQueries: Map[String, (SparkSession, String, Int) => DataFrame] = Map(
+    "dedup_semantic_ctuned" -> ((s, dir, f) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = emb.orderBy(xxhash64(col("vec_id"))).limit(8 * f)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      operators.Similarity.semanticDedup(emb, cents, thresholdMicro = 450000L)
+    }),
+    "dedup_embedding_lsh_htuned" -> ((s, dir, f) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val copies = emb.withColumn("vec_id", col("vec_id") + lit(10000000L))
+      val h = 8 + (31 - Integer.numberOfLeadingZeros(math.max(1, f)))
+      operators.Similarity.nearDupPairsLSH(emb.unionByName(copies),
+        threshold = 0.9, dim = 64, tables = 8, planesPerTable = h)
+    }))
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
     val outBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft-scale")
@@ -145,30 +214,32 @@ object Scale {
     }
     val loadStart = loadAvg()
 
-    // --- corpus generation (idempotent: skip factors already on disk) ---
-    val baseDocs = spark.read.parquet(s"$base/documents.parquet")
-    val baseLi = spark.read.parquet(s"$base/lineitem.parquet")
+    // --- corpus generation (idempotent: per-table markers, so adding a
+    // table to the harness regenerates only that table in existing dirs) ---
+    val gen: Map[String, (DataFrame, Int) => DataFrame] = Map(
+      "documents" -> ((df, f) => scaleDocuments(df, f)),
+      "lineitem" -> ((df, f) => scaleLineitem(df, f)),
+      "embeddings" -> ((df, f) => scaleEmbeddings(df, f)))
     factors.foreach { f =>
       val dir = s"$outBase/x$f"
-      val marker = new java.io.File(s"$dir/_GRAFT_SCALE_DONE")
-      if (regen || !marker.isFile) {
-        System.err.println(s"[scale] generating ×$f corpus under $dir")
-        // repartition before write so the scaled tables land as multiple
-        // files — scan parallelism then comes from the layout itself, the
-        // way a real multi-TB table's would, instead of from buildTable's
-        // single-file fallback repartition
-        val parts = math.max(4, math.min(32, f * 4))
-        scaleDocuments(baseDocs, f).repartition(parts)
-          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-        scaleLineitem(baseLi, f).repartition(parts)
-          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-        marker.createNewFile()
+      gen.foreach { case (tab, scale) =>
+        val marker = new java.io.File(s"$dir/_GRAFT_SCALE_DONE_$tab")
+        if (regen || !marker.isFile) {
+          System.err.println(s"[scale] generating ×$f $tab under $dir")
+          // repartition before write so the scaled tables land as multiple
+          // files — scan parallelism then comes from the layout itself, the
+          // way a real multi-TB table's would, instead of from buildTable's
+          // single-file fallback repartition
+          val parts = math.max(4, math.min(32, f * 4))
+          scale(spark.read.parquet(s"$base/$tab.parquet"), f).repartition(parts)
+            .write.mode("overwrite").parquet(s"$dir/$tab.parquet")
+          marker.createNewFile()
+        }
       }
     }
     val rowCounts = factors.map { f =>
-      f -> Map(
-        "documents" -> spark.read.parquet(s"$outBase/x$f/documents.parquet").count(),
-        "lineitem" -> spark.read.parquet(s"$outBase/x$f/lineitem.parquet").count())
+      f -> gen.keys.map(tab =>
+        tab -> spark.read.parquet(s"$outBase/x$f/$tab.parquet").count()).toMap
     }.toMap
 
     // --- timed runs: factors ascend; per (query, factor) min of 2 ---
@@ -176,7 +247,13 @@ object Scale {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    val fns = SparkEntry.queries
+    val entryFns = SparkEntry.queries
+    // a name resolves to the oracle query (fixed index parameters) or to
+    // a scaled-parameter variant that also receives the factor
+    val fns: Map[String, (SparkSession, String, Int) => DataFrame] =
+      entryFns.map { case (n, q) =>
+        n -> ((s: SparkSession, d: String, _: Int) => q(s, d))
+      } ++ scaledQueries
     val missing = queryNames.filterNot(fns.contains)
     require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
     // one untimed warm-up at the SMALLEST factor per query: pays JIT +
@@ -189,10 +266,10 @@ object Scale {
         val sec =
           try {
             if (fi == 0)
-              fns(name)(spark, dir).write.format("noop").mode("overwrite").save()
+              fns(name)(spark, dir, f).write.format("noop").mode("overwrite").save()
             val runs = (1 to 2).map { _ =>
               val t0 = System.nanoTime()
-              fns(name)(spark, dir).write.format("noop").mode("overwrite").save()
+              fns(name)(spark, dir, f).write.format("noop").mode("overwrite").save()
               (System.nanoTime() - t0) / 1e9
             }
             runs.min
@@ -213,7 +290,9 @@ object Scale {
       s""""$name":{$per}"""
     }.mkString(",")
     val rowsJson = factors.map { f =>
-      s""""x$f":{"documents":${rowCounts(f)("documents")},"lineitem":${rowCounts(f)("lineitem")}}"""
+      val per = rowCounts(f).toSeq.sortBy(_._1)
+        .map { case (t, n) => s""""$t":$n""" }.mkString(",")
+      s""""x$f":{$per}"""
     }.mkString(",")
     println(s"""{"metric":"scale_linearity","base":"$base","factors":[${factors.mkString(",")}],""" +
       s""""queries":{$qJson},"rows":{$rowsJson},""" +

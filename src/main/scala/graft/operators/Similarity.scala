@@ -182,21 +182,24 @@ object Similarity {
     * no BroadcastNestedLoopJoin, no CartesianProduct, no driver-side
     * anything. For the high-similarity regime (true near-duplicates,
     * cosine ≥ ~0.9) use [[nearDupPairsLSH]], which IS subquadratic. */
-  /** Nearest-plan-literal-centroid assignment: (vec_id, v, cluster) with
-    * a micro-quantized integer argmax — similarities quantize to micro
+  /** Nearest-centroid assignment: (vec_id, v, cluster) with a
+    * micro-quantized integer argmax — similarities quantize to micro
     * units (round(cos·10⁶) as BIGINT) BEFORE the argmax, so assignment
     * is an exact integer decision reproducible across engines,
     * partitionings and retries (a raw double argmax could flip on 1-ulp
     * evaluation-order differences); ties: first max wins
     * (array_position). Zero exchanges: a codegen'd projection that
-    * splits with the scan. Zero vectors (cosine NaN) are a precondition
-    * violation — embed-before-assign pipelines never emit them. */
+    * splits with the scan. Centroids ride [[cellSimsFn]]'s hybrid — plan
+    * literals at the default handful, ONE broadcast above the threshold —
+    * so the documented SemDeDup tuning rule (C grows with the corpus)
+    * never puts a corpus-scaled centroid table into the plan. Zero
+    * vectors (cosine NaN) are a precondition violation —
+    * embed-before-assign pipelines never emit them. */
   def assignClusters(vectors: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
     require(centroids.nonEmpty, "assignClusters needs at least one centroid")
+    val simsTo = cellSimsFn(vectors.sparkSession, centroids.map(_.toArray).toArray)
     val v = vectors.select(col("vec_id"), dvec(col("embedding")).as("v"))
-    val simq = centroids.map(c =>
-      round(cosine(col("v"), array(c.map(lit(_)): _*)) * 1e6).cast("long"))
-    v.withColumn("sims", array(simq: _*))
+    v.withColumn("sims", transform(simsTo(col("v")), s => round(s * 1e6).cast("long")))
       .withColumn("cluster", expr("array_position(sims, array_max(sims))").cast("bigint"))
       .select(col("vec_id"), col("v"), col("cluster"))
   }

@@ -98,6 +98,35 @@ class ScaleHarnessSpec extends SparkTestBase {
     assert(perReplica.count() == 1, "gate fraction must be identical per replica")
   }
 
+  test("scaleEmbeddings: intra-replica dot products bit-identical, cross-replica cosines collapse") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
+    val k = 3
+    val scaled = Scale.scaleEmbeddings(emb, k)
+    assert(scaled.count() == emb.count() * k)
+    assert(scaled.select("vec_id").distinct().count() == emb.count() * k)
+    val off = scaled.agg(max(col("vec_id"))).head().getLong(0) / k / 1000 * 1000 + 1000
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0f), (acc, x) => acc + x)
+    // intra-replica: dot(T v, T w) = Σ s_j² v_j w_j with s_j² = 1 EXACTLY
+    // in IEEE float and unchanged summation order ⇒ bit-identical floats
+    val rep = scaled.filter(col("vec_id") >= off && col("vec_id") < 2 * off)
+      .select((col("vec_id") - lit(off)).as("vec_id"), col("embedding").as("pe"))
+    val base = emb.select(col("vec_id"), col("embedding").as("be"))
+    val pairsDrift = base.join(rep, "vec_id").as("x")
+      .crossJoin(base.join(rep, "vec_id").toDF("vid2", "be2", "pe2"))
+      .filter(col("vec_id") < col("vid2"))
+      .filter(dot(col("be"), col("be2")) =!= dot(col("pe"), col("pe2")))
+    assert(pairsDrift.count() == 0,
+      "sign flips must preserve every pairwise dot product bit-exactly")
+    // cross-replica: the SAME vector in replicas 0 and 1 must not be a
+    // near-dup of itself — its cosine collapses toward 0
+    val norms = base.select(col("vec_id"), sqrt(dot(col("be"), col("be"))).as("n"))
+    val cross = base.join(rep, "vec_id").join(norms, "vec_id")
+      .select((dot(col("be"), col("pe")) / (col("n") * col("n"))).as("cos"))
+      .filter(abs(col("cos")) > 0.75)
+    assert(cross.count() == 0, "cross-replica self-cosine must collapse below near-dup range")
+  }
+
   test("scaleLineitem: replica key spaces never collide, degree structure replicated") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(2000)
     val k = 3
