@@ -262,6 +262,16 @@ object Scale {
     queryNames.foreach { name => times(name) = Map.empty }
     factors.zipWithIndex.foreach { case (f, fi) =>
       val dir = s"$outBase/x$f"
+      // the documented operating rule, applied: shuffle partitions scale
+      // WITH the data so per-partition state (sort runs, shuffled-hash
+      // build sides) stays bounded — a ×32 corpus on ×1 partitions makes
+      // every reducer hold 32× the state, and a pinned shuffled-hash
+      // build dies hard there instead of spilling (measured: the
+      // dedup_substring gram join at ×32/32 partitions). AQE's partition
+      // coalescing shrinks the excess at small factors, so over-providing
+      // is safe in the same config.
+      val shufP = math.max(cpus.toInt, cpus.toInt * f / 4)
+      spark.conf.set("spark.sql.shuffle.partitions", shufP.toString)
       queryNames.foreach { name =>
         val sec =
           try {

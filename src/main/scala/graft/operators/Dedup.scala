@@ -200,9 +200,16 @@ object Dedup {
         posexplode(ColumnBridge.column(
           graft.functions.CharGramHashes(ColumnBridge.expression(text), k))))
       .select(col("d"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
-    val pairs = grams.as("a").hint("shuffle_hash").join(grams.as("b"),
-        col("a.h") === col("b.h") && col("a.d") === col("b.d") && col("a.p") > col("b.p"))
-      .select(col("a.d").as("d"), col("a.p").as("p1"), col("b.p").as("p2"))
+    // postings, not a self-join — same reasoning as duplicateRuns (the
+    // gram stream is O(corpus characters); no join strategy is safe on
+    // it), and here the posting key is (d, h): repeats are sought WITHIN
+    // a document, so lists never span documents and the group state is
+    // one document's positions for one gram
+    val pairs = grams.groupBy(col("d"), col("h"))
+      .agg(collect_list(col("p")).as("ps"))
+      .select(col("d"), col("ps"), explode(col("ps")).as("p1"))
+      .select(col("d"), col("p1"), explode(col("ps")).as("p2"))
+      .filter(col("p1") > col("p2"))
       .withColumn("diff", col("p1") - col("p2"))
     val w = Window.partitionBy(col("d"), col("diff")).orderBy(col("p1"))
     val runs = pairs
@@ -456,23 +463,35 @@ object Dedup {
         posexplode(ColumnBridge.column(
           graft.functions.CharGramHashes(ColumnBridge.expression(text), k))))
       .select(col("d"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
-    // mega-gram cap (0 = off): a gram occurring at B positions corpus-wide
-    // joins into B² pairs — licence headers / boilerplate shared by many
-    // documents are quadratic AND low-signal, the same B² valve as LSH
-    // mega-buckets (lshCandidates.maxBucketSize). Dropping a capped gram
-    // can only SPLIT or SHORTEN reported runs through boilerplate, never
-    // invent one; one partial-agg'd count on the join key pays for it.
-    val grams =
-      if (maxPositionsPerGram <= 0) grams0
-      else grams0.join(
-        grams0.groupBy(col("h")).count()
-          .filter(col("count") <= maxPositionsPerGram).select(col("h")),
-        "h")
-    // shuffle-hash: the position stream is exploded (corpus-sized × k
-    // overlap) — broadcasting it regresses and sorting it twice for SMJ
-    // is the dominant cost; a hash join on the 8-byte key is the shape
-    val pairs = grams.as("a").hint("shuffle_hash").join(grams.as("b"),
-        col("a.h") === col("b.h") && col("a.d") < col("b.d"))
+    // POSTINGS, not a self-join (round 12). The obvious grams⋈grams
+    // equi-join on h has a build/sort side of O(corpus CHARACTERS) rows,
+    // and no join strategy survives that at scale with fixed memory:
+    // a pinned shuffled-hash build cannot spill and dies once per-task
+    // maps exceed the execution pool ("Can't acquire … to build hash
+    // relation", measured at ×32 corpus), while UNhinted the planner
+    // broadcasts — Catalyst's size estimate after Generate + narrow
+    // projection is wildly below the true exploded volume, so the
+    // estimate-driven choice is a corpus-sized broadcast (also measured
+    // at ×32). The inverted-index shape sidesteps the gamble: ONE
+    // exchange of the gram stream into groupBy(h) postings lists
+    // (sort-based aggregation spills gracefully at any size), then pair
+    // enumeration is a per-row explode of each list — half the shuffled
+    // volume of the self-join, zero strategy decisions on corpus-sized
+    // frames. A gram at B corpus-wide positions still yields B² pairs —
+    // licence headers / boilerplate are quadratic AND low-signal — so
+    // the mega-gram cap (0 = off) drops lists above the cap, the same
+    // B² valve as LSH mega-buckets; dropping a capped gram can only
+    // SPLIT or SHORTEN reported runs through boilerplate, never invent
+    // one. Generate streams the pairs (never materializes B² rows).
+    val lists0 = grams0.groupBy(col("h"))
+      .agg(collect_list(struct(col("d"), col("p"))).as("ps"))
+    val lists =
+      if (maxPositionsPerGram <= 0) lists0
+      else lists0.filter(size(col("ps")) <= maxPositionsPerGram)
+    val pairs = lists
+      .select(col("ps"), explode(col("ps")).as("a"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .filter(col("a.d") < col("b.d"))
       .select(col("a.d").as("d1"), col("b.d").as("d2"),
         col("a.p").as("p1"), col("b.p").as("p2"))
       .withColumn("diff", col("p1") - col("p2"))
