@@ -270,6 +270,17 @@ object Similarity {
                       dim: Int, tables: Int = 8, planesPerTable: Int = 8): DataFrame = {
     val ps = planes(dim, tables, planesPerTable)
     val v = corpus.select(col("vec_id"), dvec(col("embedding")).as("v"))
+    // Vectors RIDE the band exchange on purpose — measured, do not "slim"
+    // this into an ids-only candidate join + vector re-attach (round 12):
+    // annTopK's dedup-on-ids discipline wins there because its candidates
+    // are per-query top-k BOUNDED, but pair enumeration's candidates are
+    // corpus-proportional, so the ids-first variant shuffles O(candidates)
+    // rows through a distinct AND re-shuffles the corpus vectors through
+    // two attach joins — measured 19× slower on a ×32 corpus (14s → 265s
+    // at fixed signature bits; 3s → 13s even occupancy-tuned). Here the
+    // verify is a codegen'd filter streaming straight out of the band
+    // join: vectors move through exactly ONE exchange, and only SURVIVORS
+    // (not candidates) pay the distinct.
     val bucketed = v.select(
       col("vec_id"), col("v"),
       explode(array((0 until tables).map(t =>
