@@ -176,6 +176,16 @@ object Scale {
         .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
       operators.Similarity.semanticDedup(emb, cents, thresholdMicro = 450000L)
     }),
+    "dedup_edit_btuned" -> ((s, dir, f) => {
+      // the editDistancePairs scaladoc rule ("pick the block key so
+      // candidates/block fit a task"): widen the prefix key as common
+      // first tokens accumulate members — blockTokens 1→2 splits the
+      // stopword-initial mega-blocks whose pairs otherwise grow ~f²
+      val bt = if (f >= 8) 2 else 1
+      operators.Dedup.editDistancePairs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", col("text"),
+        minSim = 0.8, blockTokens = bt)
+    }),
     "dedup_embedding_lsh_htuned" -> ((s, dir, f) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val copies = emb.withColumn("vec_id", col("vec_id") + lit(10000000L))
@@ -189,9 +199,13 @@ object Scale {
     val outBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft-scale")
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,8,32")
       .split(",").map(_.trim.toInt).filter(_ >= 1).sorted.toSeq
-    val queryNames = sys.env.getOrElse("SPARK_GRAFT_SCALE_QUERIES",
-        "dedup_clusters,dedup_keep,graph_components,graph_pagerank,pipeline_clean")
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq.sorted
+    val queriesEnv = sys.env.getOrElse("SPARK_GRAFT_SCALE_QUERIES",
+      "dedup_clusters,dedup_keep,graph_components,graph_pagerank,pipeline_clean")
+    // "all" = every SparkEntry query (the full-suite robustness sweep:
+    // does ANYTHING fail to complete against a scaled corpus?)
+    val queryNames =
+      if (queriesEnv.trim == "all") SparkEntry.queries.keys.toSeq.sorted
+      else queriesEnv.split(",").map(_.trim).filter(_.nonEmpty).toSeq.sorted
     val regen = sys.env.get("SPARK_GRAFT_SCALE_REGEN").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
@@ -236,13 +250,28 @@ object Scale {
           marker.createNewFile()
         }
       }
+      // tables the harness does not scale (dims, events) symlink to the
+      // base copies, so EVERY SparkEntry query can run against a scaled
+      // dir — the full-suite robustness sweep needs the whole schema
+      val baseDir = new java.io.File(base)
+      Option(baseDir.listFiles()).getOrElse(Array.empty)
+        .filter(f0 => f0.getName.endsWith(".parquet"))
+        .filterNot(f0 => gen.contains(f0.getName.stripSuffix(".parquet")))
+        .foreach { src =>
+          val link = java.nio.file.Paths.get(dir, src.getName)
+          if (!java.nio.file.Files.exists(link))
+            java.nio.file.Files.createSymbolicLink(link, src.toPath.toAbsolutePath)
+        }
     }
     val rowCounts = factors.map { f =>
       f -> gen.keys.map(tab =>
         tab -> spark.read.parquet(s"$outBase/x$f/$tab.parquet").count()).toMap
     }.toMap
 
-    // --- timed runs: factors ascend; per (query, factor) min of 2 ---
+    // --- timed runs: factors ascend; per (query, factor) min of N
+    // (SPARK_GRAFT_SCALE_RUNS, default 2; 1 = single-pass robustness
+    // sweep where completion, not timing precision, is the question) ---
+    val nRuns = sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.toInt).getOrElse(2)
     def resetSessionStorage(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
@@ -275,9 +304,9 @@ object Scale {
       queryNames.foreach { name =>
         val sec =
           try {
-            if (fi == 0)
+            if (fi == 0 && nRuns > 1)
               fns(name)(spark, dir, f).write.format("noop").mode("overwrite").save()
-            val runs = (1 to 2).map { _ =>
+            val runs = (1 to nRuns).map { _ =>
               val t0 = System.nanoTime()
               fns(name)(spark, dir, f).write.format("noop").mode("overwrite").save()
               (System.nanoTime() - t0) / 1e9
