@@ -78,6 +78,38 @@ class ScaleHarnessSpec extends SparkTestBase {
       "pairwise shingle intersections/unions must survive the substitution exactly")
   }
 
+  // --------------------------------------------- tuned-variant anchoring
+
+  test("scaled-parameter variants at factor 1 match their oracle-parameter twins") {
+    // at f=1 the tuning rules are the oracle parameters (blockTokens=1,
+    // H=8), so the variants must reproduce the oracle rows bit-for-bit —
+    // anchoring the tuned curves to the correctness-checked queries
+    val dir = sfDir
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val editOracle = SparkEntry.queries("dedup_edit")(spark, dir)
+    val editTuned = Scale.scaledQueries("dedup_edit_btuned")(spark, dir, 1)
+    assert(rows(editTuned) == rows(editOracle))
+    val lshOracle = SparkEntry.queries("dedup_embedding_lsh")(spark, dir)
+    val lshTuned = Scale.scaledQueries("dedup_embedding_lsh_htuned")(spark, dir, 1)
+    // the tuned variant offsets its duplicate copies differently (1e7 vs
+    // 1e6) — normalize before comparing the pair sets
+    def pairs(df: org.apache.spark.sql.DataFrame, off: Long) =
+      df.collect().map(r => (r.getLong(0) % off, r.getLong(1) % off)).sorted.toSeq
+    assert(pairs(lshTuned, 10000000L) == pairs(lshOracle, 1000000L))
+  }
+
+  test("dedup_semantic_ctuned: deterministic, keeps one representative per dropped pair") {
+    val dir = sfDir
+    val a = Scale.scaledQueries("dedup_semantic_ctuned")(spark, dir, 2)
+    val b = Scale.scaledQueries("dedup_semantic_ctuned")(spark, dir, 2)
+    val ra = a.collect().map(_.getLong(0)).sorted.toSeq
+    assert(ra == b.collect().map(_.getLong(0)).sorted.toSeq,
+      "hash-sampled centroids must make the tuned variant run-deterministic")
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(ra.nonEmpty && ra.size <= n)
+  }
+
   // ------------------------------------------------------ id replication
 
   test("scaleDocuments: disjoint ids, exact ×k row count, identical per-replica gate fraction") {
