@@ -1641,6 +1641,15 @@ object SparkEntry {
           Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // temperature (α) source resampling — mT5/XLM-R mixture flattening
+    // as a downsample-only deterministic filter; rates derive from the
+    // per-source counts (rarest source keeps 100%), micro-quantized so
+    // the one pow() step pins identically across engines
+    "pipeline_temperature" -> ((s, dir) =>
+      operators.Curation.temperatureSample(table(s, dir, "documents"),
+          col("lang"), col("doc_id"), alpha = 0.3)
+        .select(col("doc_id"), col("lang"))),
+
     // deterministic training-order shuffle: sharded pseudo-random
     // permutation (one exchange on the shard, parallel windows — never a
     // global row_number)
@@ -3172,6 +3181,15 @@ object SparkEntry {
       SELECT doc_id, lang, source FROM documents
       WHERE (((doc_id % 1000003) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0
             < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END""",
+
+    // the same draw; rate = (n_min/n_source)^(1-alpha) micro-quantized
+    "pipeline_temperature" -> """
+      WITH c AS (SELECT lang AS s, COUNT(*) AS n FROM documents GROUP BY 1),
+      r AS (SELECT s, ROUND(POW((SELECT MIN(n) FROM c)::DOUBLE / n, 0.7) * 1e6)
+                   AS rate_micro FROM c)
+      SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.s
+      WHERE (((d.doc_id % 1000003) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0
+            < rate_micro / 1e6""",
 
     "pipeline_shuffle" -> """
       WITH t AS (SELECT doc_id,

@@ -166,6 +166,36 @@ object Curation {
                        rates: Map[String, Double], default: Double = 0.0): DataFrame =
     df.filter(lcgUniform(key) < rateOf(stratum, rates, default))
 
+  /** Temperature-based source resampling (the multilingual/mixture
+    * α-sampling of mT5 / XLM-R: target share q_i ∝ p_i^α flattens the
+    * head and lifts the tail as α → 0; α = 1 keeps natural proportions).
+    * Downsample-only formulation: per-stratum keep rate
+    * r_i = (n_min/n_i)^(1−α) — the RAREST stratum keeps everything and
+    * larger strata shed mass toward the tempered distribution, so no row
+    * is ever duplicated (repetition policy stays with the training loop,
+    * where epochs belong). Unlike [[stratifiedSample]] the rates come
+    * from the DATA: one partial-agg'd count per stratum (a few rows),
+    * the min via a broadcast cross-join (never an unpartitioned window),
+    * rates broadcast-joined back, and the keep decision is the same
+    * pure-function-of-key draw — retry/partitioning/engine-invariant.
+    * The one float step (pow) is pinned by micro-quantizing the rate to
+    * 1e-6 before the compare, the same pinned-float discipline as BM25.
+    * Corpus-side cost: ONE pre-aggregated count pass + a codegen'd
+    * broadcast-join filter — nothing corpus-sized shuffles at 100 TB. */
+  def temperatureSample(df: DataFrame, stratum: Column, key: Column,
+                        alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val counts = df.groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .withColumn("__rate_micro",
+        round(pow(col("__nmin").cast("double") / col("__n"), 1.0 - alpha) * 1e6))
+      .select(col("__s"), col("__rate_micro"))
+    df.join(broadcast(rates), stratum === col("__s"))
+      .filter(lcgUniform(key) < col("__rate_micro") / 1e6)
+      .drop("__s", "__rate_micro")
+  }
+
   /** Deterministic train/val/test assignment: thresholds over the same
     * pure-function-of-key draw as [[stratifiedSample]], so every row gets
     * exactly one split, membership survives retries/repartitioning, and

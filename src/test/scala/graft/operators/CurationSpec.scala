@@ -40,6 +40,29 @@ class CurationSpec extends SparkTestBase {
     assert(viaBroadcast == viaShuffle)
   }
 
+  test("temperatureSample: alpha=1 keeps everything, rarest lang survives whole, tail lifts") {
+    val n = docs.count()
+    // alpha = 1 → every rate is (n_min/n_i)^0 = 1 → identity
+    assert(Curation.temperatureSample(docs, col("lang"), col("doc_id"), 1.0).count() == n)
+    val sampled = Curation.temperatureSample(docs, col("lang"), col("doc_id"), 0.3)
+    val before = docs.groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val after = sampled.groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val rarest = before.minBy(_._2)._1
+    assert(after(rarest) == before(rarest), "the rarest lang must keep every row")
+    // tempering flattens: the biggest source's share must DROP toward the tail's
+    val biggest = before.maxBy(_._2)._1
+    val shareBefore = before(biggest).toDouble / n
+    val shareAfter = after(biggest).toDouble / after.values.sum
+    assert(shareAfter < shareBefore,
+      s"head share must shrink: $shareBefore -> $shareAfter")
+    // deterministic under repartitioning (pure function of the key)
+    val again = Curation.temperatureSample(docs.repartition(7), col("lang"), col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == sampled.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("stratifiedSample: deterministic, stratum-scoped, rate-monotone") {
     val rates = Map("en" -> 0.5, "de" -> 0.25)
     val once = Curation.stratifiedSample(docs, col("lang"), col("doc_id"), rates)
