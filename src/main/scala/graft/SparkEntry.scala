@@ -1641,6 +1641,13 @@ object SparkEntry {
           Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // pretraining chunking: long documents → overlapping fixed-length
+    // token windows (window 32, stride 16); last chunk = first window
+    // reaching the end, every token covered, zero exchanges
+    "pipeline_chunks" -> ((s, dir) =>
+      operators.TextAnalysis.tokenChunks(table(s, dir, "documents"),
+        "doc_id", col("text"), window = 32, stride = 16)),
+
     // temperature (α) source resampling — mT5/XLM-R mixture flattening
     // as a downsample-only deterministic filter; rates derive from the
     // per-source counts (rarest source keeps 100%), micro-quantized so
@@ -3181,6 +3188,18 @@ object SparkEntry {
       SELECT doc_id, lang, source FROM documents
       WHERE (((doc_id % 1000003) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0
             < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END""",
+
+    // sliding token windows: k in 0..max(0, ceil((len-32)/16)); DuckDB
+    // list slicing is 1-based inclusive like Spark's slice
+    "pipeline_chunks" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      k AS (SELECT doc_id, toks, len(toks) AS n,
+                   unnest(generate_series(0, greatest(0, (len(toks) - 32 + 16 - 1) // 16))) AS chunk_id
+            FROM t)
+      SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+             len(toks[chunk_id * 16 + 1 : least(chunk_id * 16 + 32, n)])::BIGINT AS n_tokens,
+             array_to_string(toks[chunk_id * 16 + 1 : least(chunk_id * 16 + 32, n)], ' ') AS chunk_text
+      FROM k""",
 
     // the same draw; rate = (n_min/n_source)^(1-alpha) micro-quantized
     "pipeline_temperature" -> """

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -63,6 +63,39 @@ object TextAnalysis {
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Fixed-length TOKEN windows with stride — the standard pretraining
+    * chunking pass (long documents → overlapping `window`-token training
+    * examples, consecutive windows `stride` tokens apart; stride <
+    * window = sliding overlap, stride == window = disjoint blocks).
+    * Complements [[chunkText]], which windows by CHARACTERS: character
+    * chunks serve byte-budgeted storage/transport, token chunks serve
+    * sequence-length-budgeted training where the unit is the token. One
+    * row per (doc, chunk_id) with the chunk's token count and re-joined
+    * text. Chunk k covers tokens [k·stride+1, k·stride+window]; the last
+    * chunk is the FIRST one whose window reaches the document end (no
+    * fully-contained suffix chunks), so every token lands in ≥1 chunk
+    * and only a sub-window document produces a short chunk (padding is
+    * the training loop's policy, not ours).
+    * Scale shape: ZERO exchanges — one `transform(sequence)` explode
+    * that splits with the scan; output volume is the deliberate
+    * window/stride duplication factor, nothing else. */
+  def tokenChunks(df: DataFrame, id: String, text: Column,
+                  window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val toks = split(text, " ", -1)
+    // ceil((len - window)/stride) in exact integer form, floored at 0
+    val kMax = greatest(lit(0),
+      floor((size(toks) - lit(window) + lit(stride) - lit(1)).cast("double") / lit(stride))
+        .cast("int"))
+    df.select(col(id),
+        posexplode(transform(sequence(lit(0), kMax), k =>
+          slice(toks, k * stride + 1, lit(window)))).as(Seq("chunk_id", "__c")))
+      .select(col(id), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("__c")).cast("long").as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
   def wordTokenCount(text: Column): Column = size(wordTokens(text)).cast("long")
 
   /** Fraction of whitespace tokens that are English stopwords. */

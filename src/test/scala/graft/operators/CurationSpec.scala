@@ -40,6 +40,35 @@ class CurationSpec extends SparkTestBase {
     assert(viaBroadcast == viaShuffle)
   }
 
+  test("tokenChunks: coverage, stride alignment, no suffix chunks, disjoint at stride==window") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
+      (2L, (1 to 32).map(i => s"u$i").mkString(" ")),  // exactly one window
+      (3L, "a b c")                                     // sub-window doc
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenChunks(fixture, "doc_id", col("text"), 32, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: kMax = ceil((100-32)/16) = 5 → chunks 0..5; chunk k starts at token 16k+1
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == (0L to 5L))
+    d1.foreach { case (_, k, n, txt) =>
+      assert(txt.split(" ").head == s"t${k * 16 + 1}", s"chunk $k start")
+      assert(n == math.min(32, 100 - k * 16), s"chunk $k length")
+    }
+    // every token covered exactly: union of chunks == the token set
+    assert(d1.flatMap(_._4.split(" ")).toSet == (1 to 100).map(i => s"t$i").toSet)
+    // doc 2: one full window; doc 3: one short chunk (padding is the loop's job)
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 32L, (1 to 32).map(i => s"u$i").mkString(" "))))
+    assert(got.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 3L, "a b c")))
+    // stride == window → disjoint exact partition of the token stream
+    val disjoint = TextAnalysis.tokenChunks(fixture.filter($"doc_id" === 1L),
+        "doc_id", col("text"), 32, 32)
+      .collect().map(r => (r.getLong(1), r.getString(3))).sortBy(_._1)
+    assert(disjoint.map(_._2).mkString(" ") == (1 to 100).map(i => s"t$i").mkString(" "))
+  }
+
   test("temperatureSample: alpha=1 keeps everything, rarest lang survives whole, tail lifts") {
     val n = docs.count()
     // alpha = 1 → every rate is (n_min/n_i)^0 = 1 → identity
