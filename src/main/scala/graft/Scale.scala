@@ -57,7 +57,11 @@ import org.apache.spark.sql.functions._
   * Env: SPARK_GRAFT_SCALE_BASE (default /root/testdata/sf0.1),
   * SPARK_GRAFT_SCALE_FACTORS (default "1,8,32"),
   * SPARK_GRAFT_SCALE_OUT (default /tmp/graft-scale),
-  * SPARK_GRAFT_SCALE_QUERIES (default the five heaviest),
+  * SPARK_GRAFT_SCALE_QUERIES (default the five heaviest; "all" = every
+  * SparkEntry query — the full-suite robustness sweep; names in
+  * [[scaledQueries]] select tuned-parameter variants),
+  * SPARK_GRAFT_SCALE_RUNS (default 2 = min-of-2 with warm-up; 1 =
+  * single-pass, for sweeps where completion is the question),
   * SPARK_GRAFT_SCALE_REGEN=1 forces corpus regeneration.
   */
 object Scale {
