@@ -68,7 +68,12 @@ object Scale {
 
   /** Per-salt bijective letter substitution for the alphabet: the affine
     * permutation j → (a·j + b) mod 26 with `a` coprime to 26 and (a,b)
-    * distinct per salt (supports 300+ distinct non-identity replicas). */
+    * distinct per salt. The (a, b) cycle lengths are 11 and 25, so there
+    * are exactly lcm(11,25) = 275 distinct non-identity permutations —
+    * salts 275 apart reuse a permutation and those replicas become
+    * mutual exact near-dups; the harness's replica budget must stay
+    * ≤ 275 (spec-pinned: all 275 are pairwise distinct, salt 276
+    * repeats salt 1). */
   def letterPerm(salt: Int): String = {
     val coprimes = Seq(3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     val a = coprimes((salt - 1) % coprimes.size)
@@ -81,7 +86,23 @@ object Scale {
     * [[letterPerm]] (both cases, consistently); stopwords, digits,
     * punctuation and spacing pass through unchanged. salt=0 is the
     * identity (the ×1 corpus is a byte-identical rewrite of the base
-    * through the same writer path). */
+    * through the same writer path).
+    *
+    * A translated token that LANDS in the stopword set (the permutation
+    * preimage of e.g. "the" is a plausible 3-letter token) would shift
+    * stopwordRatio/langId for that replica, making the "quality gates
+    * decide identically per replica" invariant probabilistic — so such a
+    * token is re-translated (up to three more times) until it leaves the
+    * set. Same length, so meanTokenLen stays exact. The chained map is
+    * PROVABLY injective on tokens: out(x)=t1(x) colliding with
+    * out(y)=t2(y) requires x = t1(y) ∈ SW (contradiction — stopwords
+    * pass through), and likewise for every level pair; outputs of the
+    * remap are ∉ SW by construction so they cannot collide with
+    * pass-through stopwords. The final `otherwise(t4)` arm is provably
+    * ∉ SW for every salt in the [[replicaSalt]] schedule: the longest
+    * stopword→stopword run under any non-cycle permutation is 2 hops
+    * (spec-pinned exhaustively over all 275 permutations), so t1,t2,t3
+    * ∈ SW implies a 3-hop run — impossible outside [[SwCycleSalts]]. */
   def perturbText(text: Column, salt: Int): Column =
     if (salt == 0) text
     else {
@@ -89,11 +110,38 @@ object Scale {
       val from = ('a' to 'z').mkString + ('A' to 'Z').mkString
       val to = lower + lower.toUpperCase
       val sw = array(operators.TextAnalysis.StopwordsEn.map(lit): _*)
+      def tr(c: Column): Column = translate(c, from, to)
       array_join(
-        transform(split(text, " ", -1),
-          w => when(array_contains(sw, w), w).otherwise(translate(w, from, to))),
+        transform(split(text, " ", -1), w => {
+          val t1 = tr(w)
+          val t2 = tr(t1)
+          val t3 = tr(t2)
+          when(array_contains(sw, w), w)
+            .when(!array_contains(sw, t1), t1)
+            .when(!array_contains(sw, t2), t2)
+            .when(!array_contains(sw, t3), t3)
+            .otherwise(tr(t3))
+        }),
         " ")
     }
+
+  /** Salts whose affine permutation CYCLES within the stopword set
+    * (e.g. salt 77 maps "by"→"or"→… back into SW forever): bounded
+    * re-translation can never escape for these, so the replica schedule
+    * skips them. The set is a fixed function of the fixed stopword list
+    * and the 275-permutation family — exhaustively re-derived and
+    * pinned by ScaleHarnessSpec. */
+  val SwCycleSalts: Set[Int] = Set(77, 143, 275)
+
+  /** Replica index → gate-exact salt: the i-th member of 1..275 with the
+    * [[SwCycleSalts]] removed (272 usable non-identity replicas); i=0 is
+    * the identity. For harness factors ≤ 64 this is the identity mapping
+    * on 0..63 (the first skipped salt is 77). */
+  def replicaSalt(i: Int): Int = {
+    require(i >= 0 && i <= 272, s"replica index beyond the 272-replica budget: $i")
+    if (i == 0) 0
+    else (1 to 275).iterator.filterNot(SwCycleSalts).drop(i - 1).next()
+  }
 
   /** Replicate documents ×k with re-keyed ids and per-replica word
     * reorder. The id offset is the smallest multiple of 75 above the max
@@ -105,7 +153,7 @@ object Scale {
     (0 until k).map { i =>
       docs.select(
         (col("doc_id") + lit(i * off)).as("doc_id"),
-        perturbText(col("text"), i).as("text"),
+        perturbText(col("text"), replicaSalt(i)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
   }
@@ -181,14 +229,41 @@ object Scale {
       operators.Similarity.semanticDedup(emb, cents, thresholdMicro = 450000L)
     }),
     "dedup_edit_btuned" -> ((s, dir, f) => {
-      // the editDistancePairs scaladoc rule ("pick the block key so
-      // candidates/block fit a task"): widen the prefix key as common
-      // first tokens accumulate members — blockTokens 1→2 splits the
-      // stopword-initial mega-blocks whose pairs otherwise grow ~f²
+      // the MANUAL widen-the-prefix rule, kept as the reference curve for
+      // the now-default self-tuning blocking (round 13): blockTokens 1→2
+      // splits the stopword-initial mega-blocks whose pairs otherwise
+      // grow ~f². maxBlockSize=0 disables the automatic re-blocking so
+      // this variant measures the hand rule ALONE — the sweep's plain
+      // dedup_edit entry measures the self-tuning default on the same
+      // corpus, so the two curves should now track each other.
       val bt = if (f >= 8) 2 else 1
       operators.Dedup.editDistancePairs(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", col("text"),
-        minSim = 0.8, blockTokens = bt)
+        minSim = 0.8, blockTokens = bt, maxBlockSize = 0)
+    }),
+    "dedup_substring_capped" -> ((s, dir, f) =>
+      // the round-13 pre-filtered mega-gram cap: postings lists are now
+      // bounded BEFORE collect_list builds them (a capped gram never
+      // enters the aggregation), so this point measures the bounded-state
+      // path the ADVICE fix claims spills gracefully at any size
+      operators.Dedup.duplicateRuns(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", col("text"), k = 40, minRunLen = 80, maxPositionsPerGram = 64)),
+    "mm_phash_capped" -> ((s, dir, f) => {
+      // dhashNearDups with the round-13 band-bucket valve engaged: the
+      // unvalved ×32 sweep entry (431s) is the duplicate-class regime a
+      // real web-image corpus hits on logos/blank pages — the cap bounds
+      // candidate enumeration per (band_idx, band_val) bucket the same
+      // drop-only-weakens way as Dedup.lshCandidates. Compare against the
+      // sweep's mm_phash_keep entry, which solves the same regime
+      // structurally (classes-not-pairs) instead of by dropping.
+      implicit val sp: SparkSession = s
+      val media = operators.Multimodal.pngMedia(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id",
+        lit(16) + col("n_chars") % 64, lit(16) + (col("n_chars") * 7) % 48,
+        gradient = true)
+      val hashes = operators.Multimodal.imageDhash(media)
+      operators.Multimodal.dhashNearDups(hashes, "media_id", maxDist = 3,
+        maxBucketSize = 256)
     }),
     "dedup_embedding_lsh_htuned" -> ((s, dir, f) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -337,7 +412,12 @@ object Scale {
         .map { case (t, n) => s""""$t":$n""" }.mkString(",")
       s""""x$f":{$per}"""
     }.mkString(",")
-    println(s"""{"metric":"scale_linearity","base":"$base","factors":[${factors.mkString(",")}],""" +
+    // mode marker (round 13): a single-pass sweep answers "does it
+    // COMPLETE at scale" — its per-query numbers are not min-of-N bench
+    // timings and must not be quoted as such; the record says which it is.
+    val mode = if (nRuns >= 2) "timing" else "robustness"
+    println(s"""{"metric":"scale_linearity","mode":"$mode","runs_per_point":$nRuns,""" +
+      s""""base":"$base","factors":[${factors.mkString(",")}],""" +
       s""""queries":{$qJson},"rows":{$rowsJson},""" +
       s""""loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadEnd)}}""")
     spark.stop()

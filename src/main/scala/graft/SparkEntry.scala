@@ -2276,6 +2276,24 @@ object SparkEntry {
       operators.Multimodal.dhashNearDups(hashes, "media_id", maxDist = 3)
     }),
 
+    // the image-dedup REDUCE (round 13): classes-not-pairs keep/drop over
+    // the same real PNG → ImageIO → dHash path — identical hashes
+    // collapse to one representative BEFORE pair enumeration (linear in
+    // duplicate-class size where the pair surface is quadratic), near-dup
+    // hash classes merge by connected components, and every image gets
+    // (rep, keep). Oracle replays the pixel path analytically, then the
+    // class collapse + transitive closure as a recursive CTE.
+    "mm_phash_keep" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = operators.Multimodal.pngMedia(
+        table(s, dir, "documents"), "doc_id",
+        lit(16) + col("n_chars") % 64, lit(16) + (col("n_chars") * 7) % 48,
+        gradient = true)
+      val hashes = operators.Multimodal.imageDhash(media)
+      operators.Multimodal.dhashDedupKeep(hashes, "media_id", maxDist = 3)
+        .select(col("id").as("media_id"), col("rep"), col("keep"))
+    }),
+
     // REAL multi-frame video decode: one JDK-encoded animated GIF per
     // document (dims + frame count from n_chars, constant-gray frames
     // seeded by doc_id), read back frame-by-frame through ImageIO — the
@@ -4438,6 +4456,52 @@ object SparkEntry {
                   bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) AS BIGINT) AS hamming
       FROM cand JOIN hh a ON cand.id_a = a.doc_id JOIN hh c ON cand.id_b = c.doc_id
       WHERE hamming <= 3""",
+
+    // same analytic hash derivation, then the classes-not-pairs reduce:
+    // identical hashes collapse to min-id class reps, near-dup links
+    // (Hamming ≤ 3) among DISTINCT hashes only, transitive closure by
+    // recursive CTE, cluster rep = min class rep = min id overall
+    "mm_phash_keep" -> """
+      WITH RECURSIVE p AS (
+        SELECT doc_id, 16 + n_chars % 64 AS w, 16 + (n_chars * 7) % 48 AS h,
+               doc_id % 256 AS base
+        FROM documents),
+      cells AS (
+        SELECT doc_id, gy, gx,
+               ((gx * w // 9) * 7 + (gy * h // 8) * 13 + base) % 256 AS l,
+               (((gx + 1) * w // 9) * 7 + (gy * h // 8) * 13 + base) % 256 AS lr
+        FROM p
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gy)
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gx)),
+      bits AS (
+        SELECT doc_id, gy * 8 + gx AS bit, CASE WHEN lr > l THEN 1 ELSE 0 END AS b
+        FROM cells),
+      hh AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN bit // 16 = 0 THEN b * (1 << (bit % 16)) ELSE 0 END) AS BIGINT) AS b0,
+          CAST(sum(CASE WHEN bit // 16 = 1 THEN b * (1 << (bit % 16)) ELSE 0 END) AS BIGINT) AS b1,
+          CAST(sum(CASE WHEN bit // 16 = 2 THEN b * (1 << (bit % 16)) ELSE 0 END) AS BIGINT) AS b2,
+          CAST(sum(CASE WHEN bit // 16 = 3 THEN b * (1 << (bit % 16)) ELSE 0 END) AS BIGINT) AS b3
+        FROM bits GROUP BY doc_id),
+      cls AS (
+        SELECT b0, b1, b2, b3, min(doc_id) AS crep
+        FROM hh GROUP BY b0, b1, b2, b3),
+      pr AS (
+        SELECT x.crep AS id_a, y.crep AS id_b
+        FROM cls x JOIN cls y ON x.crep < y.crep
+        WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+              bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                UNION SELECT id_b, id_a FROM pr),
+      reach(src, dst) AS (
+        SELECT crep, crep FROM cls
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      crep2 AS (SELECT src AS crep, min(dst) AS rep FROM reach GROUP BY src)
+      SELECT h.doc_id AS media_id, c2.rep, h.doc_id = c2.rep AS keep
+      FROM hh h
+      JOIN cls c ON h.b0 = c.b0 AND h.b1 = c.b1 AND h.b2 = c.b2 AND h.b3 = c.b3
+      JOIN crep2 c2 ON c.crep = c2.crep""",
 
     // frame f is constant gray (f·37 + id) mod 256; feature i samples
     // frame ⌊i·n/8⌋, and round(g/255·255) recovers g exactly

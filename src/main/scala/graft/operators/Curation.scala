@@ -181,7 +181,17 @@ object Curation {
     * The one float step (pow) is pinned by micro-quantizing the rate to
     * 1e-6 before the compare, the same pinned-float discipline as BM25.
     * Corpus-side cost: ONE pre-aggregated count pass + a codegen'd
-    * broadcast-join filter — nothing corpus-sized shuffles at 100 TB. */
+    * broadcast-join filter — nothing corpus-sized shuffles at 100 TB.
+    *
+    * NULL-stratum contract (deliberate divergence from
+    * [[stratifiedSample]], which keeps NULL-stratum rows at the default
+    * rate): rows whose stratum is NULL are DROPPED — the inner rate
+    * join's equality predicate is null-rejecting, so they match no rate
+    * row. Rationale: the rates here are derived FROM the
+    * strata, so a row with no stratum has no defined p_i to temper;
+    * callers who want NULLs to form their own stratum should coalesce to
+    * a sentinel before calling. This matches the oracle's inner-join
+    * semantics. */
   def temperatureSample(df: DataFrame, stratum: Column, key: Column,
                         alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")

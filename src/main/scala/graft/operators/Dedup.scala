@@ -479,15 +479,28 @@ object Dedup {
     // volume of the self-join, zero strategy decisions on corpus-sized
     // frames. A gram at B corpus-wide positions still yields B² pairs —
     // licence headers / boilerplate are quadratic AND low-signal — so
-    // the mega-gram cap (0 = off) drops lists above the cap, the same
-    // B² valve as LSH mega-buckets; dropping a capped gram can only
-    // SPLIT or SHORTEN reported runs through boilerplate, never invent
-    // one. Generate streams the pairs (never materializes B² rows).
-    val lists0 = grams0.groupBy(col("h"))
+    // the mega-gram cap (0 = off) drops those grams, the same B² valve
+    // as LSH mega-buckets; dropping a capped gram can only SPLIT or
+    // SHORTEN reported runs through boilerplate, never invent one. The
+    // cap is applied BEFORE the postings lists are built (round 13):
+    // collect_list cannot spill WITHIN one group, so filtering after
+    // aggregation would still buffer a boilerplate gram's B entries in
+    // one group's state — instead the gram stream is semi-joined against
+    // the (partial-aggregatable, constant-state) per-gram count, and the
+    // capped grams never enter the aggregation. The semi-join shuffles
+    // the gram stream on h — the exchange the postings groupBy needs
+    // anyway, so the surviving-gram aggregation reuses its partitioning
+    // and the big-exchange count is unchanged. Every postings list is
+    // then ≤ cap entries by construction. Generate streams the pairs
+    // (never materializes B² rows).
+    val survivors =
+      if (maxPositionsPerGram <= 0) grams0
+      else grams0.join(
+        grams0.groupBy(col("h")).count()
+          .filter(col("count") <= maxPositionsPerGram).select(col("h")),
+        "h")
+    val lists = survivors.groupBy(col("h"))
       .agg(collect_list(struct(col("d"), col("p"))).as("ps"))
-    val lists =
-      if (maxPositionsPerGram <= 0) lists0
-      else lists0.filter(size(col("ps")) <= maxPositionsPerGram)
     val pairs = lists
       .select(col("ps"), explode(col("ps")).as("a"))
       .select(col("a"), explode(col("ps")).as("b"))
@@ -602,23 +615,69 @@ object Dedup {
     * model scores low here.
     *
     * Scale shape: the self-join shuffles on the block key — never
-    * all-pairs; block width is capped by construction (the length band
-    * divides every prefix bucket), and the length pre-filter
-    * |len_a − len_b| ≤ (1−minSim)·max(len) prunes before the O(L²)
-    * verify, which is the standard Levenshtein bound (distance ≥ length
-    * difference). At 100 TB the verify cost is O(candidates)·O(L²) —
-    * pick the block key so candidates/block fit a task, exactly the
-    * LSH mega-bucket discipline. */
+    * all-pairs; the length pre-filter |len_a − len_b| ≤ (1−minSim)·max(len)
+    * prunes before the O(L²) verify, which is the standard Levenshtein
+    * bound (distance ≥ length difference).
+    *
+    * Blocking is SELF-TUNING (round 13): a fixed `blockTokens` prefix is
+    * ~f² in the corpus growth factor — stopword-initial mega-blocks
+    * accumulate members linearly and pairs quadratically (measured: 223.5s
+    * at a ×32 corpus with the fixed 1-token key; 14.4s with a 2-token
+    * key — SCALING.md). Rather than make the widen-the-prefix rule caller
+    * homework, the operator derives the effective key from the data: one
+    * partial-agg'd count of block sizes per widening level; blocks within
+    * `maxBlockSize` keep their key, oversized blocks re-block by a
+    * one-token-longer prefix, up to `maxWiden` extra tokens. The decision
+    * is per block VALUE, so both members of any pair see the same key.
+    * The final level assigns unconditionally — widening only, never
+    * dropping: a block still oversized after `maxWiden` extra tokens is
+    * docs sharing a long prefix AND a length band, i.e. true near-dup
+    * mass whose pair output is inherently quadratic. Widening can only
+    * DROP pairs that disagree somewhere inside the widened prefix — at
+    * blockTokens+w agreeing tokens and a shared length band, such pairs
+    * are overwhelmingly below any useful `minSim` anyway; pairs agreeing
+    * through the widened prefix are kept identically (spec-pinned equal
+    * to the fixed-blocking pair set at the bench SF, where no block
+    * exceeds the default cap). `maxBlockSize = 0` disables tuning (the
+    * fixed-key reference path). Each level's count is one
+    * partial-aggregatable exchange over the shrinking oversized
+    * remainder — level 0 sees the corpus, later levels only mega-block
+    * rows. */
   def editDistancePairs(docs: DataFrame, id: String, text: Column,
                         minSim: Double, blockTokens: Int = 1,
-                        lenBand: Int = 64): DataFrame = {
+                        lenBand: Int = 64, maxBlockSize: Int = 256,
+                        maxWiden: Int = 3): DataFrame = {
     require(minSim > 0 && minSim <= 1, s"minSim in (0,1], got $minSim")
+    require(maxWiden >= 0, s"maxWiden must be >= 0, got $maxWiden")
     val spark = docs.sparkSession
-    val keyed = docs.select(col(id), text.as("t"))
-      .withColumn("__blk", concat_ws("|",
-        concat_ws(" ", slice(split(col("t"), " "), 1, blockTokens)),
-        floor(length(col("t")) / lit(lenBand)).cast("long").cast("string")))
+    def blkKey(widen: Int): Column = concat_ws("|",
+      concat_ws(" ", slice(split(col("t"), " "), 1, blockTokens + widen)),
+      floor(length(col("t")) / lit(lenBand)).cast("long").cast("string"))
+    val base = docs.select(col(id), text.as("t"))
       .withColumn("__len", length(col("t")))
+    val keyed =
+      if (maxBlockSize <= 0 || maxWiden == 0) base.withColumn("__blk", blkKey(0))
+      else {
+        // level w: rows whose level-w block is within the cap are
+        // assigned; the rest re-key one token wider. A single-token doc's
+        // key is IDENTICAL at every level (slice past the end is a
+        // no-op), so equal key strings across levels imply equal level-0
+        // keys — the per-value decision stays consistent and cross-level
+        // key collisions cannot pair rows that a single level would not.
+        var remaining = base
+        val assigned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        for (w <- 0 until maxWiden) {
+          val withK = remaining.withColumn("__blk", blkKey(w))
+          val cnt = withK.groupBy(col("__blk")).count()
+          assigned += withK.join(
+            cnt.filter(col("count") <= maxBlockSize).select(col("__blk")), "__blk")
+          remaining = withK.join(
+            cnt.filter(col("count") > maxBlockSize).select(col("__blk")), "__blk")
+            .drop("__blk")
+        }
+        assigned += remaining.withColumn("__blk", blkKey(maxWiden))
+        assigned.reduce(_ unionByName _)
+      }
     // Distribute the verify by block key: with a broadcast build side the
     // probe side would otherwise keep the scan's split count — for a
     // single small file that is ONE task doing every Levenshtein

@@ -581,11 +581,24 @@ object Multimodal {
     * is pigeonhole-EXACT candidate generation, not an LSH probability.
     * Scale shape is the SimHash discipline: explode ×4, shuffle on
     * (band_idx, band_value), per-bucket self-join, distinct pair set —
-    * never all-pairs. A degenerate band value (e.g. flat images hashing
-    * to band 0) widens one bucket; cap it the way
-    * [[Dedup.minhashNearDups]] caps mega-buckets if a real corpus hits
-    * it. */
-  def dhashNearDups(hashes: DataFrame, idCol: String, maxDist: Int)
+    * never all-pairs.
+    *
+    * `maxBucketSize` (0 = off) is the same B² valve as
+    * [[Dedup.lshCandidates]]: a (band_idx, band_value) bucket with B
+    * members generates B² candidates, and on a real web-image corpus the
+    * degenerate buckets (logos, blank pages, boilerplate frames hashing
+    * to a handful of values) are quadratic AND low-signal. The size
+    * filter is one partial-aggregated count on the key the join shuffles
+    * on anyway; dropping a capped bucket can only SPLIT or SHRINK
+    * reported clusters (a genuinely-near pair keeps its other three
+    * bands' chances — only pairs whose EVERY agreeing band is capped are
+    * lost), never invent a pair. NOTE the pigeonhole-exactness guarantee
+    * is what capping trades away: run exact whole-hash dedup first (or
+    * use [[dhashDedupKeep]], which collapses identical hashes before any
+    * pair is enumerated, so the mega-class regime never reaches this
+    * join). */
+  def dhashNearDups(hashes: DataFrame, idCol: String, maxDist: Int,
+                    maxBucketSize: Int = 0)
       (implicit spark: SparkSession): DataFrame = {
     require(maxDist >= 0 && maxDist < 4,
       s"banded exactness holds for maxDist < 4 (bands=4), got $maxDist")
@@ -599,9 +612,16 @@ object Multimodal {
       hashes.select(col(idCol).as("id"),
         col("b0"), col("b1"), col("b2"), col("b3"))
         .filter(col("b0").isNotNull))
-    val banded = withId.select(col("id"),
+    val banded0 = withId.select(col("id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("band_idx", "band_val")))
+    val banded =
+      if (maxBucketSize <= 0) banded0
+      else banded0.join(
+        banded0.groupBy(col("band_idx"), col("band_val")).count()
+          .filter(col("count") <= maxBucketSize)
+          .select(col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
@@ -619,6 +639,62 @@ object Multimodal {
     cand.join(ha, "id_a").join(hb, "id_b")
       .select(col("id_a"), col("id_b"), ham.cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** Keep/drop decision per image — the CLASSES-not-pairs image dedup
+    * (round 13): returns `(id, rep, keep)` for EVERY input row, where
+    * `rep` is the minimum id of the row's near-dup cluster (exact-hash
+    * classes merged transitively across Hamming ≤ `maxDist` links) and
+    * `keep = (id == rep)` — what a dedup pipeline actually writes out.
+    *
+    * This is the output shape that stays LINEAR where [[dhashNearDups]]
+    * is quadratic: a duplicate class of B byte-identical hashes (logos,
+    * blank pages — the dominant class on a real web-image corpus) yields
+    * B·(B−1)/2 pairs but only B keep rows. The collapse is EXACT, not an
+    * approximation — the near-dup relation is a function of the hash
+    * value alone, so identical hashes have identical neighborhoods and
+    * one representative per distinct hash participates in pair
+    * enumeration on behalf of its whole class:
+    *   1. group by the 64-bit hash → (class rep = min id, members);
+    *      linear, one partial-agg'd exchange;
+    *   2. [[dhashNearDups]] over the DISTINCT-hash reps only (the
+    *      pigeonhole-exact banded join, with `maxBucketSize` available
+    *      as the residual valve for band-level degeneracy among
+    *      *distinct* hashes);
+    *   3. connected components over the rep graph
+    *      ([[Dedup.nearDupClusters]] — log-diameter pointer jumping);
+    *   4. every id re-joins its class rep, then its cluster rep; since
+    *      the class rep is the class MIN id, the cluster min over reps
+    *      is the cluster min over ids.
+    * Rows whose bands are NULL (payloads no reader accepts) cannot be
+    * perceptually compared and are kept as their own singletons. */
+  def dhashDedupKeep(hashes: DataFrame, idCol: String, maxDist: Int,
+                     maxBucketSize: Int = 0)
+      (implicit spark: SparkSession): DataFrame = {
+    val withId = hashes.select(col(idCol).as("id"),
+      col("b0"), col("b1"), col("b2"), col("b3"))
+    val imgs = withId.filter(col("b0").isNotNull)
+    // distinct-hash classes: bounded tiny frame (one row per distinct
+    // 64-bit hash) feeding pair enumeration AND the final re-join — the
+    // same return-one-small-checkpointed-frame contract dhashNearDups
+    // documents for the hash frame itself
+    val classes = Checkpoints.checkpoint(
+      imgs.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
+        .agg(min(col("id")).as("crep")))
+    val repPairs = dhashNearDups(
+      classes.select(col("crep").as("id"), col("b0"), col("b1"), col("b2"), col("b3")),
+      "id", maxDist, maxBucketSize)
+      .select(col("id_a"), col("id_b"))
+    val clusters = Dedup.nearDupClusters(
+      classes.select(col("crep").as("id")), "id", repPairs)
+    val kept = imgs
+      .join(classes, Seq("b0", "b1", "b2", "b3"))
+      .join(clusters.select(col("id").as("crep"), col("rep")), "crep")
+      .select(col("id"), col("rep"))
+    val nulls = withId.filter(col("b0").isNull)
+      .select(col("id"), col("id").as("rep"))
+    kept.unionByName(nulls)
+      .select(col("id"), col("rep"), (col("id") === col("rep")).as("keep"))
   }
 
   /** Wrap any (id, string) DataFrame as a media table — used by tests and

@@ -265,10 +265,24 @@ object Similarity {
     * (1-(1-acos(c)/π)^H)^L. With the default L=8×H=8: ≥ 0.998 at c=0.95,
     * and EXACTLY 1 for identical vectors (equal vectors hash to equal
     * buckets deterministically — byte-duplicate embeddings are always
-    * found, which is the dominant near-dup class in web-scale corpora). */
+    * found, which is the dominant near-dup class in web-scale corpora).
+    *
+    * `planesPerTable = 0` derives H from the corpus itself (round 13):
+    * fixed signature bits mean bucket occupancy — and with it the
+    * verify-stage candidate count — grows linearly with the corpus,
+    * which is the measured ×32 blow-up the +log₂(growth) tuning rule
+    * fixed by hand (12.4× → 3.4× wall, SCALING.md). [[deriveSrpPlanes]]
+    * holds expected occupancy constant instead: H = ⌈log₂(n / target)⌉,
+    * i.e. every doubling of the corpus adds one signature bit. The
+    * count() is one cheap partial-agg'd job producing a driver-side
+    * scalar at plan-build — the same bounded-metadata class as the IVF
+    * centroid sample. Recall moves with H as the contract above states;
+    * identical vectors stay recall-1 at any H. */
   def nearDupPairsLSH(corpus: DataFrame, threshold: Double,
                       dim: Int, tables: Int = 8, planesPerTable: Int = 8): DataFrame = {
-    val ps = planes(dim, tables, planesPerTable)
+    val h = if (planesPerTable > 0) planesPerTable
+            else deriveSrpPlanes(corpus.count())
+    val ps = planes(dim, tables, h)
     val v = corpus.select(col("vec_id"), dvec(col("embedding")).as("v"))
     // Vectors RIDE the band exchange on purpose — measured, do not "slim"
     // this into an ids-only candidate join + vector re-attach (round 12):
@@ -615,6 +629,22 @@ object Similarity {
     * recall ≈ 1-(1-p)^L even when neighbors are weak. */
   val HyperPlanes = 4
   val Tables = 4
+
+  /** Occupancy-constant SRP signature width: the smallest H with
+    * expected bucket occupancy n/2^H ≤ `targetOccupancy`, i.e.
+    * H = ⌈log₂(n / target)⌉ — every corpus doubling adds one bit, which
+    * is exactly the measured +log₂(growth) tuning rule (SCALING.md:
+    * 12.4× → 3.4× wall at a ×32 corpus). target=16 reproduces the
+    * hand-tuned widths on the scale harness corpora (H=8 at the 4k-row
+    * ×1 corpus, +1 per octave). Clamped to [4, 24]: below 4 bits every
+    * bucket is a mega-bucket regardless of n, above 24 the per-vector
+    * signature cost exceeds any occupancy benefit at feasible corpus
+    * sizes (2^24 buckets ≈ 16M — past that, add tables, not bits). */
+  def deriveSrpPlanes(n: Long, targetOccupancy: Int = 16): Int = {
+    require(targetOccupancy > 0, s"targetOccupancy must be > 0, got $targetOccupancy")
+    val buckets = math.max(1.0, n.toDouble / targetOccupancy)
+    math.min(24, math.max(4, math.ceil(math.log(buckets) / math.log(2.0)).toInt))
+  }
 
   /** Deterministic pseudo-random hyperplanes per (table, plane). */
   private def planes(dim: Int, tables: Int = Tables, perTable: Int = HyperPlanes): Array[Array[Array[Double]]] = {

@@ -98,6 +98,21 @@ class BenchReprobeSpec extends AnyFunSuite {
     assert(calm.isEmpty)
   }
 
+  test("stillInflated: second-pass set is exactly the entries >2x history by >0.5s") {
+    val results = Seq(
+      "still_bad" -> 5.34,  // r12's curation_decontam_spans shape: 3.4x history
+      "barely" -> 1.9,      // <2x history — not re-probed
+      "tiny" -> 0.9,        // 3x history but only +0.6... (0.9-0.3=0.6 > 0.5 → included)
+      "noise" -> 0.7,       // 2.3x history but +0.4 absolute — below the floor
+      "new" -> 9.0,         // no history — nothing to compare
+      "fail" -> -1.0)       // crashes are not timing artifacts
+    val prev = Map("still_bad" -> 1.55, "barely" -> 1.0, "tiny" -> 0.3,
+      "noise" -> 0.3, "fail" -> 1.0)
+    assert(Bench.stillInflated(results, prev) == Seq("still_bad", "tiny"))
+    // and with no history at all, the second pass never fires
+    assert(Bench.stillInflated(results, Map.empty).isEmpty)
+  }
+
   test("midrunSpikeMax accounts for Spark's own load, never below the idle gate") {
     // Spark itself drives 1-min load to 10-18 on an idle 32-core host — a
     // mid-run sample can only indict an EXTERNAL intruder beyond that

@@ -25,10 +25,64 @@ class ScaleHarnessSpec extends SparkTestBase {
     }
   }
 
-  test("distinct salts give distinct permutations across the bench factor range") {
-    val perms = (1 to 32).map(Scale.letterPerm)
+  test("distinct salts give distinct permutations up to the documented 275 bound") {
+    // (a, b) cycles have periods 11 and 25 → exactly lcm = 275 distinct
+    // permutations; the scaladoc's replica budget is pinned here at the
+    // full documented limit, not just the bench factor range
+    val perms = (1 to 275).map(Scale.letterPerm)
     assert(perms.distinct.size == perms.size,
       "two replicas sharing a permutation would be mutual near-dups")
+    assert(Scale.letterPerm(276) == Scale.letterPerm(1),
+      "salt 276 must wrap to salt 1 — the documented period is 275")
+  }
+
+  test("SwCycleSalts is exactly the set of permutations with stopword runs the remap cannot escape") {
+    // perturbText re-translates a token that lands in the stopword set up
+    // to three more times; the otherwise(t4) arm is provably ∉ SW iff the
+    // longest SW→SW run under the salt's permutation is ≤ 2 hops. Derive
+    // the max run exhaustively for all 275 permutations and pin both the
+    // cycle set and the ≤2 bound for every scheduled salt.
+    val sw = operators.TextAnalysis.StopwordsEn.toSet
+    def maxRun(salt: Int): Int = {
+      val p = Scale.letterPerm(salt)
+      def tr(s: String) = s.map(c => if (c >= 'a' && c <= 'z') p(c - 'a') else c)
+      sw.map { s =>
+        var d = 0; var t = tr(s)
+        while (sw.contains(t) && d < 40) { d += 1; t = tr(t) }
+        d
+      }.max
+    }
+    val cyclic = (1 to 275).filter(maxRun(_) >= 3).toSet
+    assert(cyclic == Scale.SwCycleSalts,
+      s"derived cycle set $cyclic must match the hardcoded schedule exclusions")
+    // and every scheduled salt needs at most the t4 arm
+    val scheduled = (1 to 272).map(Scale.replicaSalt)
+    assert(scheduled.forall(maxRun(_) <= 2))
+    assert(scheduled.distinct.size == 272 &&
+      scheduled.forall(s => s >= 1 && s <= 275 && !Scale.SwCycleSalts(s)),
+      "replicaSalt must enumerate exactly the 272 non-cycle salts")
+    assert((0 to 63).forall(i => Scale.replicaSalt(i) == i),
+      "the harness factor range must keep the identity salt mapping")
+  }
+
+  test("perturbText remaps translated tokens that land in the stopword set — corpus-wide, many salts") {
+    // the r12 design translated blindly, so the permutation PREIMAGE of a
+    // stopword (a plausible 3-letter token) shifted stopwordRatio for
+    // that replica; the remap keeps the stopword token count of every
+    // document exact. Checked over the whole sf0.001 corpus at 8 salts.
+    val sw = array(operators.TextAnalysis.StopwordsEn.map(lit): _*)
+    def swCount(c: org.apache.spark.sql.Column) =
+      size(filter(split(c, " ", -1), t => array_contains(sw, t)))
+    // 54, 62, 147, 263 are the depth-2 salts — they exercise the deepest
+    // (t3/t4) remap arms; the rest sample the schedule broadly
+    for (salt <- Seq(1, 2, 3, 31, 54, 62, 63, 147, 263)) {
+      val drift = docs.select(
+          swCount(col("text")).as("n0"),
+          swCount(Scale.perturbText(col("text"), salt)).as("n1"))
+        .filter(col("n0") =!= col("n1"))
+      assert(drift.count() == 0,
+        s"salt=$salt changes some document's stopword token count")
+    }
   }
 
   // --------------------------------------------------- text perturbation

@@ -270,10 +270,14 @@ class Round10OpsSpec extends SparkTestBase {
     // token array (the optimized plan aliases split() to toks upstream)
     assert(plan.contains("explode(filter(toks"),
       s"explode should consume the term-pruned array:\n$plan")
-    // and the k-bound engages group-limit pushdown on the (round-12)
-    // qid-partitioned window, so no upstream partition forwards more
-    // than k rows into the rank — the single-partition GlobalLimit the
-    // old unpartitioned plan needed is gone along with that plan
+    // and the k-bound engages group-limit pushdown on the qid-partitioned
+    // window. NOTE on provenance: bm25TopK has delegated to the
+    // qid-partitioned bm25TopKMulti since the multi-query operator landed,
+    // so the GlobalLimit this assertion previously looked for had already
+    // left the plan then — the old assertion was stale, not tracking a
+    // round-12 plan change; round 12 merely corrected it to the shape the
+    // delegated plan actually has (WindowGroupLimit, no single-partition
+    // GlobalLimit).
     assert(plan.contains("WindowGroupLimit"),
       s"top-k should engage window group-limit pushdown:\n$plan")
   }

@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Round-13 operator specs: the dhash B²-valve + classes-not-pairs image
+  * dedup, self-tuning edit-distance blocking, and occupancy-derived SRP
+  * signature bits. */
+class Round13OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+  private implicit def sp: org.apache.spark.sql.SparkSession = spark
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  // ------------------------------------------------------ dhashDedupKeep
+
+  test("dhashDedupKeep equals brute-force min-id-per-cluster on hand-built hashes") {
+    // exact-dup class {1,2,3} (identical hashes), near-dup 4 (hamming 1
+    // to the class hash), far hash 9, and an undecodable row 7 (null
+    // bands) that must be kept as its own singleton
+    val hs = Seq(
+      (1L, Some(1), Some(2), Some(3), Some(4)),
+      (2L, Some(1), Some(2), Some(3), Some(4)),
+      (3L, Some(1), Some(2), Some(3), Some(4)),
+      (4L, Some(1), Some(2), Some(3), Some(5)), // band 3: 4^5 = 1 bit
+      (9L, Some(8), Some(8), Some(8), Some(8)),
+      (7L, None, None, None, None)
+    ).toDF("media_id", "b0", "b1", "b2", "b3")
+    val got = Multimodal.dhashDedupKeep(hs, "media_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (9L, 9L, true), (7L, 7L, true)))
+  }
+
+  test("dhashDedupKeep output is linear and consistent: one row per id, one keep per cluster") {
+    val media = Multimodal.pngMedia(
+      docs, "doc_id",
+      lit(16) + col("n_chars") % 64, lit(16) + (col("n_chars") * 7) % 48,
+      gradient = true)
+    val hashes = Multimodal.imageDhash(media)
+    val keep = Multimodal.dhashDedupKeep(hashes, "media_id", maxDist = 3)
+    val rows = keep.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == docs.count(), "exactly one keep row per input image")
+    assert(rows.map(_._1).distinct.length == rows.length, "ids unique")
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (rep, members) =>
+      assert(members.count(_._3) == 1, s"cluster $rep must keep exactly one")
+      assert(members.filter(_._3).head._1 == rep, "the kept id is the rep")
+      assert(members.map(_._1).min == rep, "rep is the cluster min id")
+    }
+    // consistency with the pair surface: every near-dup pair must land in
+    // the same cluster (the keep reduce can merge transitively, never split)
+    val pairs = Multimodal.dhashNearDups(hashes, "media_id", maxDist = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val repOf = rows.map(t => t._1 -> t._2).toMap
+    pairs.foreach { case (a, b) =>
+      assert(repOf(a) == repOf(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
+  // ------------------------------------------------- dhashNearDups valve
+
+  test("dhashNearDups maxBucketSize: capped pairs are a subset; only capped-band pairs drop") {
+    // band 0 is degenerate (all six hashes share b0=100 → bucket size 6,
+    // over cap 4). Pair (1,2) also agrees on bands 1 and 3 → survives;
+    // (5,6) also agrees on band 3 → survives; (3,4) agrees ONLY on the
+    // capped band 0 (hamming 3 spread across bands 1,2,3) → the
+    // documented drop.
+    val hs = Seq(
+      (1L, 100, 7, 1, 1), (2L, 100, 7, 2, 1),        // hamming 2 (1^2 = 2 bits)
+      (3L, 100, 20, 30, 40), (4L, 100, 21, 31, 41),  // hamming 3, one bit per band 1..3
+      (5L, 100, 50, 60, 70), (6L, 100, 51, 61, 70)   // hamming 2
+    ).toDF("media_id", "b0", "b1", "b2", "b3")
+    val uncapped = Multimodal.dhashNearDups(hs, "media_id", maxDist = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Multimodal.dhashNearDups(hs, "media_id", maxDist = 3, maxBucketSize = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((1L, 2L), (3L, 4L), (5L, 6L)), s"fixture sanity: $uncapped")
+    assert(capped.subsetOf(uncapped), "capping must never invent a pair")
+    assert(capped == Set((1L, 2L), (5L, 6L)),
+      "cap keeps exactly the pairs that agree on an uncapped band")
+  }
+
+  test("dhashDedupKeep on a mega duplicate class stays linear in the class (pairs would be quadratic)") {
+    // 200 identical hashes + 1 near-dup: the pair surface is C(200,2)+200
+    // rows; the keep surface is 201 rows and only ONE rep enters the join
+    val mega = (1L to 200L).map(i => (i, 10, 20, 30, 40)) :+ ((201L, 10, 20, 30, 41))
+    val hs = mega.toDF("media_id", "b0", "b1", "b2", "b3")
+    val keep = Multimodal.dhashDedupKeep(hs, "media_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(keep.length == 201)
+    assert(keep.forall(_._2 == 1L), "everything clusters to rep 1")
+    assert(keep.count(_._3) == 1 && keep.find(_._3).get._1 == 1L)
+  }
+
+  // ------------------------------------- editDistancePairs self-tuning
+
+  test("editDistancePairs: self-tuning default equals fixed blocking at the bench SF") {
+    def pairs(cap: Int) = Dedup.editDistancePairs(
+        docs, "doc_id", col("text"), minSim = 0.8, maxBlockSize = cap)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(256) == pairs(0),
+      "no sf0.001 block exceeds the default cap, so the pair sets must be identical")
+  }
+
+  test("editDistancePairs: oversized blocks re-key wider; kept pairs agree through the widened prefix") {
+    // 12 filler docs bloat the ("the" | band) level-0 block past cap 4;
+    // the true near-dup pair (1,2) agrees on the first TWO tokens and
+    // must survive re-blocking; (3,4) differs at token 2 (still sim >=
+    // 0.8 — only 4 of 46 chars differ) and is the documented drop
+    val fill = (10L to 21L).map(i =>
+      (i, s"the filler$i zzzz yyyy xxxx wwww vvvv uuuu $i"))
+    val d = (Seq(
+      (1L, "the alpha beta gamma delta epsilon zeta etaX"),
+      (2L, "the alpha beta gamma delta epsilon zeta etaY"),
+      (3L, "the aaaa cccc dddd eeee ffff gggg hhhh iiii j"),
+      (4L, "the bbbb cccc dddd eeee ffff gggg hhhh iiii j")
+    ) ++ fill).toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.editDistancePairs(
+        d, "doc_id", col("text"), minSim = 0.8, maxBlockSize = cap, maxWiden = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = run(0)
+    val tuned = run(4)
+    assert(fixed.contains((1L, 2L)) && fixed.contains((3L, 4L)),
+      s"fixture sanity: both pairs clear minSim under fixed blocking: $fixed")
+    assert(tuned.subsetOf(fixed), "re-blocking must never invent a pair")
+    assert(tuned.contains((1L, 2L)),
+      "a pair agreeing through the widened prefix must survive")
+    assert(!tuned.contains((3L, 4L)),
+      "a pair disagreeing inside the widened prefix is the documented drop")
+    // and every dropped pair disagrees within the first two tokens
+    val texts = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (fixed -- tuned).foreach { case (a, b) =>
+      val ta = texts(a).split(" ").take(2).mkString(" ")
+      val tb = texts(b).split(" ").take(2).mkString(" ")
+      assert(ta != tb, s"dropped pair ($a,$b) agrees on the widened prefix — must not drop")
+    }
+  }
+
+  test("editDistancePairs: final widening level assigns unconditionally (widen-only, never drop)") {
+    // every doc identical except the last char: blocks stay oversized at
+    // EVERY level (same prefix at any width, same length band) — the
+    // final level must still pair them all rather than dropping the block
+    val d = (1L to 8L).map(i => (i, s"same same same same same same same $i"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(
+        d, "doc_id", col("text"), minSim = 0.8, maxBlockSize = 2, maxWiden = 2)
+      .select("id_a", "id_b").count()
+    assert(got == 8L * 7 / 2, "true near-dup mass must never be dropped by the tuner")
+  }
+
+  // ------------------------------------------------- derived SRP planes
+
+  test("deriveSrpPlanes: +1 bit per corpus octave, matches the hand-tuned widths, clamps") {
+    // the scale-harness corpus (dedup_embedding_lsh_htuned) is 4000·f
+    // rows; the hand rule was H = 8 + log2(f) — derived must reproduce it
+    for ((f, h) <- Seq(1 -> 8, 8 -> 11, 32 -> 13, 64 -> 14))
+      assert(Similarity.deriveSrpPlanes(4000L * f) == h,
+        s"f=$f: derived must equal the measured hand tuning $h")
+    assert(Similarity.deriveSrpPlanes(1L) == 4, "floor clamp")
+    assert(Similarity.deriveSrpPlanes(1L << 40) == 24, "ceiling clamp")
+    // monotone: more data never means fewer bits
+    val hs = Seq(100L, 1000L, 10000L, 100000L, 1000000L).map(n => Similarity.deriveSrpPlanes(n))
+    assert(hs == hs.sorted)
+  }
+
+  test("nearDupPairsLSH(planesPerTable=0) is bit-identical to the explicitly-derived width") {
+    val n = emb.count()
+    val h = Similarity.deriveSrpPlanes(n)
+    def pairs(p: Int) = Similarity.nearDupPairsLSH(emb, threshold = 0.9, dim = 64,
+        tables = 8, planesPerTable = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(0) == pairs(h))
+  }
+}
