@@ -493,12 +493,21 @@ object Dedup {
     // and the big-exchange count is unchanged. Every postings list is
     // then ≤ cap entries by construction. Generate streams the pairs
     // (never materializes B² rows).
+    // the merge hint is load-bearing: the count side is one row per
+    // DISTINCT gram hash — corpus-sized, and Catalyst's post-aggregation
+    // size estimate is far below its true volume, so unhinted the planner
+    // broadcasts it (measured OOM at a ×32 corpus — the same
+    // estimate-driven gamble the postings rewrite removed from the pair
+    // join). Sort-merge spills both sides gracefully, and its output is
+    // hash-partitioned AND sorted on h, which the downstream sort-based
+    // postings aggregation reuses directly.
     val survivors =
       if (maxPositionsPerGram <= 0) grams0
       else grams0.join(
         grams0.groupBy(col("h")).count()
-          .filter(col("count") <= maxPositionsPerGram).select(col("h")),
-        "h")
+          .filter(col("count") <= maxPositionsPerGram).select(col("h"))
+          .hint("merge"),
+        Seq("h"), "left_semi")
     val lists = survivors.groupBy(col("h"))
       .agg(collect_list(struct(col("d"), col("p"))).as("ps"))
     val pairs = lists
@@ -639,10 +648,10 @@ object Dedup {
     * through the widened prefix are kept identically (spec-pinned equal
     * to the fixed-blocking pair set at the bench SF, where no block
     * exceeds the default cap). `maxBlockSize = 0` disables tuning (the
-    * fixed-key reference path). Each level's count is one
-    * partial-aggregatable exchange over the shrinking oversized
-    * remainder — level 0 sees the corpus, later levels only mega-block
-    * rows. */
+    * fixed-key reference path). Cost of the tuner: ONE
+    * partial-aggregatable count of the corpus at the widest key (every
+    * narrower level is a rollup sum over that count table), and one
+    * equi-join of the corpus against the derived decision map. */
   def editDistancePairs(docs: DataFrame, id: String, text: Column,
                         minSim: Double, blockTokens: Int = 1,
                         lenBand: Int = 64, maxBlockSize: Int = 256,
@@ -658,25 +667,43 @@ object Dedup {
     val keyed =
       if (maxBlockSize <= 0 || maxWiden == 0) base.withColumn("__blk", blkKey(0))
       else {
-        // level w: rows whose level-w block is within the cap are
-        // assigned; the rest re-key one token wider. A single-token doc's
-        // key is IDENTICAL at every level (slice past the end is a
-        // no-op), so equal key strings across levels imply equal level-0
-        // keys — the per-value decision stays consistent and cross-level
-        // key collisions cannot pair rows that a single level would not.
-        var remaining = base
-        val assigned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-        for (w <- 0 until maxWiden) {
-          val withK = remaining.withColumn("__blk", blkKey(w))
-          val cnt = withK.groupBy(col("__blk")).count()
-          assigned += withK.join(
-            cnt.filter(col("count") <= maxBlockSize).select(col("__blk")), "__blk")
-          remaining = withK.join(
-            cnt.filter(col("count") > maxBlockSize).select(col("__blk")), "__blk")
-            .drop("__blk")
+        // The widest key DETERMINES every narrower key (tokens cannot
+        // contain the split character, so equal widest keys share all
+        // prefixes and the length band) — one narrow count aggregation at
+        // the widest key is therefore enough: per-level block sizes are
+        // rollup sums over it, computed on the (distinct-keys-sized)
+        // count table, never by re-scanning the corpus per level. The
+        // identical aggregation subplan under each rollup shares its
+        // shuffle via exchange reuse. The effective key per widest-key
+        // value is the NARROWEST level whose block is within the cap,
+        // the widest level unconditionally as the fallback (widen-only,
+        // never drop: a block still oversized at every width is docs
+        // sharing a long prefix and a length band — true near-dup mass
+        // whose pair output is inherently quadratic). Level-count
+        // equivalence with the iterative formulation holds because all
+        // rows sharing a level-w key share every narrower key too, so a
+        // block either survives to level w whole or not at all. Rows
+        // then join the (widest key → effective key) decision map ONCE —
+        // the text column rides a single extra exchange, not one per
+        // level.
+        val kmax = s"__k$maxWiden"
+        val lvls = (0 to maxWiden).map(w => blkKey(w).as(s"__k$w"))
+        val aggs = (0 until maxWiden).map(w => max(col(s"__k$w")).as(s"__k$w")) :+
+          count(lit(1)).as("__c")
+        val cnts = base.select(lvls: _*)
+          .groupBy(col(kmax))
+          .agg(aggs.head, aggs.tail: _*)
+        val mapping = (0 until maxWiden).foldLeft(cnts) { (m, w) =>
+          m.join(cnts.groupBy(col(s"__k$w")).agg(sum(col("__c")).as(s"__c$w")),
+            s"__k$w")
         }
-        assigned += remaining.withColumn("__blk", blkKey(maxWiden))
-        assigned.reduce(_ unionByName _)
+        val eff = (0 until maxWiden).foldRight(col(kmax)) { (w, alt) =>
+          when(col(s"__c$w") <= maxBlockSize, col(s"__k$w")).otherwise(alt)
+        }
+        val decision = mapping.select(col(kmax), eff.as("__blk"))
+        base.withColumn(kmax, blkKey(maxWiden))
+          .join(decision, kmax)
+          .drop(kmax)
       }
     // Distribute the verify by block key: with a broadcast build side the
     // probe side would otherwise keep the scan's split count — for a

@@ -685,8 +685,17 @@ object Multimodal {
       classes.select(col("crep").as("id"), col("b0"), col("b1"), col("b2"), col("b3")),
       "id", maxDist, maxBucketSize)
       .select(col("id_a"), col("id_b"))
+    // hash near-dup graphs CHAIN: ≤ maxDist steps at a time can walk far
+    // across the 64-bit Hamming lattice (smoothly-varying corpora produce
+    // components whose diameter grows with the corpus — measured > 2^10
+    // at a 5k-image gradient fixture), so give the pointer-jumping
+    // fixpoint more headroom than the text-cluster default: 2 jumps per
+    // round and enough rounds for any physically-possible diameter.
+    // Converged rounds exit early, so the headroom costs nothing on
+    // shallow graphs.
     val clusters = Dedup.nearDupClusters(
-      classes.select(col("crep").as("id")), "id", repPairs)
+      classes.select(col("crep").as("id")), "id", repPairs,
+      maxIters = 40, jumps = 2)
     val kept = imgs
       .join(classes, Seq("b0", "b1", "b2", "b3"))
       .join(clusters.select(col("id").as("crep"), col("rep")), "crep")

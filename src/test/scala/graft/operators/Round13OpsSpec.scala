@@ -96,6 +96,27 @@ class Round13OpsSpec extends SparkTestBase {
     assert(keep.count(_._3) == 1 && keep.find(_._3).get._1 == 1L)
   }
 
+  test("capping only splits or shrinks reported clusters, never merges or invents") {
+    // same degenerate-band fixture as above, pushed through the keep
+    // reduce: each capped cluster must be a SUBSET of an uncapped cluster
+    // (fewer candidate edges can only refine the partition)
+    val hs = Seq(
+      (1L, 100, 7, 1, 1), (2L, 100, 7, 2, 1),
+      (3L, 100, 20, 30, 40), (4L, 100, 21, 31, 41),
+      (5L, 100, 50, 60, 70), (6L, 100, 51, 61, 70)
+    ).toDF("media_id", "b0", "b1", "b2", "b3")
+    def clusters(cap: Int): Map[Long, Set[Long]] =
+      Multimodal.dhashDedupKeep(hs, "media_id", maxDist = 3, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._2).map { case (rep, m) => rep -> m.map(_._1).toSet }
+    val un = clusters(0).values.toSeq
+    val capped = clusters(4).values.toSeq
+    capped.foreach { c =>
+      assert(un.exists(u => c.subsetOf(u)),
+        s"capped cluster $c is not contained in any uncapped cluster $un")
+    }
+  }
+
   // ------------------------------------- editDistancePairs self-tuning
 
   test("editDistancePairs: self-tuning default equals fixed blocking at the bench SF") {
