@@ -648,10 +648,13 @@ object Dedup {
     * through the widened prefix are kept identically (spec-pinned equal
     * to the fixed-blocking pair set at the bench SF, where no block
     * exceeds the default cap). `maxBlockSize = 0` disables tuning (the
-    * fixed-key reference path). Cost of the tuner: ONE
-    * partial-aggregatable count of the corpus at the widest key (every
-    * narrower level is a rollup sum over that count table), and one
-    * equi-join of the corpus against the derived decision map. */
+    * fixed-key reference path). Cost of the tuner: one eager narrow
+    * count probe at plan build; when no block exceeds the cap (the
+    * common, well-blocked case) that is the WHOLE cost and the fixed
+    * path's plan ships unchanged. Only when a mega-block exists does the
+    * full machinery engage: one count of the corpus at the widest key
+    * (every narrower level is a rollup sum over that count table) plus
+    * one equi-join of the corpus against the derived decision map. */
   def editDistancePairs(docs: DataFrame, id: String, text: Column,
                         minSim: Double, blockTokens: Int = 1,
                         lenBand: Int = 64, maxBlockSize: Int = 256,
@@ -664,8 +667,20 @@ object Dedup {
       floor(length(col("t")) / lit(lenBand)).cast("long").cast("string"))
     val base = docs.select(col(id), text.as("t"))
       .withColumn("__len", length(col("t")))
+    // eager plan-build probe (one partial-agg'd count job, driver-side
+    // scalar — the same bounded-metadata class as deriveSrpPlanes'
+    // corpus count): when NO level-0 block exceeds the cap, the fixed
+    // key is already the tuned key and the decision-map join would be a
+    // corpus-wide exchange bought for nothing. Well-blocked corpora —
+    // the common case — pay one narrow count pass and keep the fixed
+    // path's plan shape exactly.
+    def tuningNeeded: Boolean = {
+      val m = base.groupBy(blkKey(0)).count().agg(max(col("count"))).head()
+      !m.isNullAt(0) && m.getLong(0) > maxBlockSize
+    }
     val keyed =
-      if (maxBlockSize <= 0 || maxWiden == 0) base.withColumn("__blk", blkKey(0))
+      if (maxBlockSize <= 0 || maxWiden == 0 || !tuningNeeded)
+        base.withColumn("__blk", blkKey(0))
       else {
         // The widest key DETERMINES every narrower key (tokens cannot
         // contain the split character, so equal widest keys share all
