@@ -378,6 +378,56 @@ object Dedup {
     * would otherwise surface the unknown ids in the output (pairs from
     * the near-dup operators over the same corpus satisfy this by
     * construction). */
+  /** Hybrid connected components — the [[graft.operators.TextAnalysis]]
+    * bpeLearn discipline applied to clustering: when BOTH the node and
+    * edge counts fit a bounded driver budget, union-find runs locally in
+    * milliseconds (zero fixpoint rounds, zero checkpoints) and the
+    * labels return as one small frame; past the budget it falls back to
+    * the distributed pointer-jumping fixpoint unchanged. The intended
+    * callers are METADATA-sized graphs — distinct perceptual hashes,
+    * cluster representatives — where the graph is orders of magnitude
+    * smaller than the corpus but its DIAMETER can be large (a Hamming
+    * chain over distinct hashes measured > 2^10 at a 5k-image corpus),
+    * exactly where per-round fixpoint cost dominates and local
+    * union-find is O(E α(N)). The two probes (a count and a
+    * limit-bounded edge collect) are plan-build driver scalars, the same
+    * bounded-metadata class as IVF centroid sampling. Results are
+    * spec-pinned identical to the distributed path. */
+  def nearDupClustersHybrid(ids: DataFrame, idCol: String, pairs: DataFrame,
+                            localLimit: Int = 2000000,
+                            maxIters: Int = 10,
+                            checkpointDir: Option[String] = None,
+                            jumps: Int = 1): DataFrame = {
+    val spark = ids.sparkSession
+    val n = ids.count()
+    if (n <= localLimit) {
+      // edges collect is LIMIT-bounded: an edge set past the budget
+      // aborts the collect at localLimit+1 rows and falls back — the
+      // driver never holds more than the budget either way
+      val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .limit(localLimit + 1).collect()
+      if (edges.length <= localLimit) {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.getOrDefault(c, c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+          r
+        }
+        edges.foreach { e =>
+          val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb)) // min-id root
+        }
+        val labels = ids.select(col(idCol).cast("long").as("id")).collect()
+          .map(r => (r.getLong(0), find(r.getLong(0))))
+        import spark.implicits._
+        return labels.toSeq.toDF("id", "rep")
+      }
+    }
+    nearDupClusters(ids, idCol, pairs, maxIters, checkpointDir, jumps)
+  }
+
   def nearDupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
                       maxIters: Int = 10,
                       checkpointDir: Option[String] = None,

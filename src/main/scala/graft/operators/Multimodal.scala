@@ -688,12 +688,14 @@ object Multimodal {
     // hash near-dup graphs CHAIN: ≤ maxDist steps at a time can walk far
     // across the 64-bit Hamming lattice (smoothly-varying corpora produce
     // components whose diameter grows with the corpus — measured > 2^10
-    // at a 5k-image gradient fixture), so give the pointer-jumping
-    // fixpoint more headroom than the text-cluster default: 2 jumps per
-    // round and enough rounds for any physically-possible diameter.
-    // Converged rounds exit early, so the headroom costs nothing on
-    // shallow graphs.
-    val clusters = Dedup.nearDupClusters(
+    // at a 5k-image gradient fixture), which is the worst case for a
+    // per-round fixpoint (measured: 16s of rounds at sf0.1, 13% of the
+    // whole bench ledger). The rep graph is METADATA-sized — one node
+    // per distinct hash — so the hybrid components run driver-local
+    // union-find inside a bounded budget and only fall back to the
+    // pointer-jumping fixpoint (with deep-chain headroom: 2 jumps, 40
+    // rounds, free when converged early) past it.
+    val clusters = Dedup.nearDupClustersHybrid(
       classes.select(col("crep").as("id")), "id", repPairs,
       maxIters = 40, jumps = 2)
     val kept = imgs

@@ -117,6 +117,29 @@ class Round13OpsSpec extends SparkTestBase {
     }
   }
 
+  test("nearDupClustersHybrid: local union-find == distributed fixpoint, fallback intact") {
+    // real pair surface: minhash near-dups over the corpus
+    val d = docs
+    val pairs = Dedup.minhashNearDups(d, "doc_id", col("text"), 3, 0.8)
+      .select(col("id_a"), col("id_b"))
+    val ids = d.select(col("doc_id"))
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dist = labels(Dedup.nearDupClusters(ids, "doc_id", pairs))
+    val local = labels(Dedup.nearDupClustersHybrid(ids, "doc_id", pairs))
+    assert(local == dist, "driver-local union-find must reproduce the fixpoint labels")
+    // localLimit=0 forces the distributed fallback through the hybrid API
+    val fb = labels(Dedup.nearDupClustersHybrid(ids, "doc_id", pairs, localLimit = 0))
+    assert(fb == dist)
+    // deep chain (diameter 300 — past the default 2^10-safe regime is
+    // exercised in dhashDedupKeep; here the point is exact equality on a
+    // long path, the fixpoint's worst shape)
+    val chainIds = (1L to 300L).toDF("id")
+    val chainPairs = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val lc = labels(Dedup.nearDupClustersHybrid(chainIds, "id", chainPairs))
+    assert(lc.forall(_._2 == 1L), "one chain, one min-id cluster")
+  }
+
   // ------------------------------------- editDistancePairs self-tuning
 
   test("editDistancePairs: self-tuning default equals fixed blocking at the bench SF") {
