@@ -149,12 +149,19 @@ object Dedup {
       explode(transform(sequence(lit(0), lit(MinhashBands - 1)), b =>
         struct(b.as("band"), slice(col("sig"), b * MinhashRows + 1, lit(MinhashRows)).as("key")))).as("bb"))
       .select(col(id), col("bb"))
+    // merge hint, round 13: the bucket-count side is one row per DISTINCT
+    // band bucket — corpus-sized (unlike dhash's 16-bit band space, which
+    // is structurally bounded and broadcast-safe) — and Catalyst's
+    // post-aggregation estimate would happily broadcast it (the exact
+    // OOM duplicateRuns measured at a ×32 corpus on its gram counts).
+    // Sort-merge spills both sides at any size.
     val pruned =
       if (maxBucketSize <= 0) bucketed
       else bucketed.join(
         bucketed.groupBy(col("bb")).count()
-          .filter(col("count") <= maxBucketSize).select(col("bb")),
-        "bb")
+          .filter(col("count") <= maxBucketSize).select(col("bb"))
+          .hint("merge"),
+        Seq("bb"), "left_semi")
     val a = pruned.select(col(id).as("id_a"), col("bb").as("bb_a"))
     val b = pruned.select(col(id).as("id_b"), col("bb").as("bb_b"))
     a.hint("shuffle_hash") // hash beats two sorts of the exploded band rows
