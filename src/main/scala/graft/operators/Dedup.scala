@@ -361,7 +361,11 @@ object Dedup {
     * extra jumps are pure per-round job overhead; callers clustering
     * high-diameter graphs raise it. Shuffles per round: 1 groupBy +
     * `jumps` self-joins, no driver-side union-find,
-    * no full closure materialization. Each round materializes eagerly
+    * no full closure materialization. The fixpoint iterates over PAIRED
+    * ids only (round 13): ids with no incident pair are their own rep by
+    * definition and fold back in at the end, so each round's exchanges
+    * carry the near-dup graph (≤ 2·|pairs| rows), never the corpus id
+    * space — at real dedup rates that is most of the round cost gone. Each round materializes eagerly
     * (Checkpoints.checkpoint) so lineage stays flat, and superseded
     * rounds are RELEASED as soon as the next one lands — only the final
     * (id, rep) frame outlives the call (an un-released checkpoint taxes
@@ -440,10 +444,34 @@ object Dedup {
                       checkpointDir: Option[String] = None,
                       jumps: Int = 1): DataFrame = {
     require(jumps >= 1, s"jumps must be >= 1, got $jumps")
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // The edge list is MATERIALIZED once (round 13): `pairs` is usually
+    // the whole upstream near-dup pipeline (shingle → LSH → verify), and
+    // an un-checkpointed edge frame re-runs that pipeline in EVERY
+    // round's neighbor join — the fixpoint's real per-round cost at any
+    // scale. Edges are ≤ 2·|pairs| narrow rows, squarely inside the
+    // bounded-small-frame checkpoint contract; released before return.
+    val edges = Checkpoints.checkpoint(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
+      checkpointDir)
+    // Singleton fast path (round 13): an id with no incident pair is its
+    // own rep by definition and can never change — the fixpoint need not
+    // carry it through every round's exchange. The iterating frame
+    // shrinks from |corpus| to |paired ids| (≤ 2·|pairs|; at real dedup
+    // rates a small fraction of the corpus), so each round shuffles the
+    // near-dup GRAPH, not the whole id space — at 100 TB that is the
+    // round-cost difference between the graph and the corpus. One narrow
+    // semi/anti split up front (8-byte ids, against the materialized
+    // edges — the pairs pipeline never re-evaluates); singletons
+    // re-enter the result as (id, id) with no per-round cost.
+    val keyed = ids.select(col(idCol).as("id"))
+    val pairedIds = edges.select(col("src").as("id")).distinct()
+    val singletons = Checkpoints.checkpoint(
+      keyed.join(pairedIds, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("rep")), checkpointDir)
     var labels = Checkpoints.checkpoint(
-      ids.select(col(idCol).as("id"), col(idCol).as("rep")), checkpointDir)
+      keyed.join(pairedIds, Seq("id"), "left_semi")
+        .select(col("id"), col("id").as("rep")), checkpointDir)
     var iters = 0
     var converged = false
     while (iters < maxIters && !converged) {
@@ -483,7 +511,13 @@ object Dedup {
         s"nearDupClusters did not converge within $maxIters rounds — " +
           "component diameter exceeds 2^maxIters or `pairs` references ids " +
           "missing from `ids`; the partial labels would split clusters")
-    labels
+    // fold singletons back in and keep the one-result-frame contract:
+    // the union materializes once, its parts release immediately
+    val out = Checkpoints.checkpoint(labels.unionByName(singletons), checkpointDir)
+    Checkpoints.release(labels)
+    Checkpoints.release(singletons)
+    Checkpoints.release(edges)
+    out
   }
 
   // ------------------------------------------------------------ substring runs
