@@ -398,7 +398,11 @@ object Similarity {
     *
     * Centroids are a deterministic id-sample of the corpus (the C lowest
     * vec_ids). A k-means pass would tighten cell boundaries but not the
-    * plan shape, which is what matters at 100 TB. Recall characteristics
+    * plan shape, which is what matters at 100 TB. At production C the
+    * corpus-side assignment cost is O(n·C) — the same term
+    * [[assignClustersHier]] removes for SemDeDup (measured ×128); an
+    * index build at C ≳ 10⁴ should assign through the hierarchical
+    * kernel and keep the probe/scan stages unchanged. Recall characteristics
     * differ from LSH: a byte-identical duplicate ALWAYS shares the
     * query's best cell (equal vectors, equal assignment) and is always
     * found; weakly-similar neighbors spread across cells, so P/C bounds
