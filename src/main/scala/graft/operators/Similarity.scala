@@ -744,8 +744,17 @@ object Similarity {
     * (qid, vec_id) pair, exact cosine on the survivors only. Output
     * (qid, vec_id, sim). */
   def lshCandidates(corpus: DataFrame, queries: DataFrame, dim: Int,
-                    tables: Int = Tables): DataFrame = {
-    val ps = planes(dim, tables)
+                    tables: Int = Tables,
+                    planesPerTable: Int = HyperPlanes): DataFrame = {
+    // planesPerTable = 0 ⇒ occupancy-derived width (round 13, the same
+    // [[deriveSrpPlanes]] rule as nearDupPairsLSH): fixed bits mean the
+    // per-query candidate fraction L(H+1)/2^H stops shrinking as the
+    // corpus grows — one plan-build count keeps expected bucket occupancy
+    // (and with it per-query verify work) constant instead. The Hamming-1
+    // multiprobe widens with H automatically (H+1 probes per table).
+    val perTable = if (planesPerTable > 0) planesPerTable
+                   else deriveSrpPlanes(corpus.count())
+    val ps = planes(dim, tables, perTable)
     def tableBuckets(v: Column): Column =
       array((0 until tables).map(t => struct(lit(t).as("t"), srpBucket(v, ps(t)).as("b"))): _*)
     // corpus: one row per (table, bucket) — ids + bucket key only, the
@@ -757,10 +766,10 @@ object Similarity {
         val b = srpBucket(v, ps(t))
         concat(
           array(struct(lit(t).as("t"), b.as("b"))),
-          transform(sequence(lit(0), lit(HyperPlanes - 1)), j =>
+          transform(sequence(lit(0), lit(perTable - 1)), j =>
             struct(lit(t).as("t"),
               b.bitwiseXOR(element_at(
-                array((0 until HyperPlanes).map(i => lit(1L << i)): _*), j + 1)).as("b"))))
+                array((0 until perTable).map(i => lit(1L << i)): _*), j + 1)).as("b"))))
       }: _*))
     val q = queries.select(col("vec_id").as("qid"), dvec(col("embedding")).as("qv"))
       .select(col("qid"), col("qv"), explode(probes(col("qv"))).as("tb"))
@@ -780,8 +789,9 @@ object Similarity {
     * Per-query work is ~corpus × L(H+1)/2^H instead of the full corpus —
     * the knob that makes 100 TB ANN feasible. */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              tables: Int = Tables): DataFrame = {
-    val scored = lshCandidates(corpus, queries, dim, tables)
+              tables: Int = Tables,
+              planesPerTable: Int = HyperPlanes): DataFrame = {
+    val scored = lshCandidates(corpus, queries, dim, tables, planesPerTable)
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("vec_id"))

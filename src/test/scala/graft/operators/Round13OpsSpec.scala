@@ -262,4 +262,17 @@ class Round13OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs(0) == pairs(h))
   }
+
+  test("annTopK(planesPerTable=0) derives the same width and keeps the recall contract") {
+    val qs = emb.limit(8)
+    val h = Similarity.deriveSrpPlanes(emb.count())
+    def rows(p: Int) = Similarity.annTopK(emb, qs, k = 5, dim = 64, planesPerTable = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rows(0) == rows(h),
+      "derived width must equal the explicit one through the multiprobe path too")
+    // self-hit: every query's own vector is always a candidate (equal
+    // vectors share every bucket) and ranks first
+    val self = rows(0).filter(_._2 == 1L)
+    assert(self.forall { case (qid, _, vid) => qid == vid })
+  }
 }
