@@ -186,6 +186,39 @@ class Round13OpsSpec extends SparkTestBase {
     }
   }
 
+  test("property: tuner pairs are a subset of fixed; drops always disagree inside the widened prefix") {
+    // randomized corpora over a tiny vocabulary (forces shared prefixes
+    // and near-dup mass), deterministic seed. Invariants:
+    //   1. tuned ⊆ fixed (re-blocking never invents a pair);
+    //   2. a dropped pair disagrees somewhere within the first
+    //      blockTokens+maxWiden tokens — rows agreeing on the whole
+    //      widened prefix share every level's key and can never separate;
+    //   3. cap ≥ corpus size ⇒ tuned == fixed exactly.
+    val vocab = Vector("the", "cat", "dog", "sat", "ran", "x1", "x2", "x3")
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (trial <- 1 to 4) {
+      val docs = (1L to 60L).map { i =>
+        val n = 6 + rnd.nextInt(4)
+        (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      def pairs(cap: Int) = Dedup.editDistancePairs(
+          docs, "doc_id", col("text"), minSim = 0.7, maxBlockSize = cap, maxWiden = 3)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fixed = pairs(0)
+      val tuned = pairs(4)
+      assert(tuned.subsetOf(fixed), s"trial $trial: tuner invented pairs")
+      val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      (fixed -- tuned).foreach { case (a, b) =>
+        val pa = texts(a).split(" ").take(4).mkString(" ")
+        val pb = texts(b).split(" ").take(4).mkString(" ")
+        assert(pa != pb,
+          s"trial $trial: dropped pair ($a,$b) agrees through the widened prefix")
+      }
+      assert(pairs(10000) == fixed, s"trial $trial: a never-engaging cap must be a no-op")
+    }
+  }
+
   test("editDistancePairs: final widening level assigns unconditionally (widen-only, never drop)") {
     // every doc identical except the last char: blocks stay oversized at
     // EVERY level (same prefix at any width, same length band) — the
