@@ -220,11 +220,23 @@ object Similarity {
     * [[assignClusters]] bit-for-bit (spec-pinned). */
   def assignClustersHier(vectors: DataFrame, centroids: Seq[Seq[Double]],
                          supers: Int): DataFrame = {
-    require(centroids.nonEmpty, "assignClustersHier needs at least one centroid")
-    require(supers >= 1 && supers <= centroids.length,
-      s"supers must be in [1, ${centroids.length}], got $supers")
-    val spark = vectors.sparkSession
-    val cents = centroids.map(_.toArray).toArray
+    val assign = hierAssignFn(vectors.sparkSession,
+      centroids.map(_.toArray).toArray, supers)
+    vectors.select(col("vec_id"), dvec(col("embedding")).as("v"),
+      assign(dvec(col("embedding"))).as("cluster"))
+  }
+
+  /** Builder for the two-level assignment column over a fixed centroid
+    * table — the hierarchical counterpart of [[cellSimsFn]], shared by
+    * [[assignClustersHier]] and [[ivfTopK]]'s index build. One broadcast
+    * per call; the index construction (stride-sampled supers, per-super
+    * member lists) is driver-side O(C·S·dim) bounded metadata. */
+  private[graft] def hierAssignFn(spark: org.apache.spark.sql.SparkSession,
+                                  cents: Array[Array[Double]],
+                                  supers: Int): Column => Column = {
+    require(cents.nonEmpty, "hierAssignFn needs at least one centroid")
+    require(supers >= 1 && supers <= cents.length,
+      s"supers must be in [1, ${cents.length}], got $supers")
     val dim = cents(0).length
     val c = cents.length
     def micro(cos: Double): Long =
@@ -268,9 +280,8 @@ object Similarity {
     for (ci <- 0 until c) System.arraycopy(cents(ci), 0, centFlat, ci * dim, dim)
     val bc = spark.sparkContext.broadcast(
       graft.functions.CellHierIndex(superFlat, centFlat, memberOff, memberIdx))
-    val assign: Column = ColumnBridge.column(graft.functions.CellAssignHier(
-      ColumnBridge.expression(dvec(col("embedding"))), bc, nSup, c, dim))
-    vectors.select(col("vec_id"), dvec(col("embedding")).as("v"), assign.as("cluster"))
+    v => ColumnBridge.column(graft.functions.CellAssignHier(
+      ColumnBridge.expression(v), bc, nSup, c, dim))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -400,15 +411,17 @@ object Similarity {
     * vec_ids). A k-means pass would tighten cell boundaries but not the
     * plan shape, which is what matters at 100 TB. At production C the
     * corpus-side assignment cost is O(n·C) — the same term
-    * [[assignClustersHier]] removes for SemDeDup (measured ×128); an
-    * index build at C ≳ 10⁴ should assign through the hierarchical
-    * kernel and keep the probe/scan stages unchanged. Recall characteristics
+    * [[assignClustersHier]] removes for SemDeDup (measured ×128); pass
+    * `superCells ≈ √C` to build the index through the hierarchical
+    * kernel (probe/scan stages unchanged; flat assignment's always-found
+    * self-hit becomes a measured recall statement). Recall characteristics
     * differ from LSH: a byte-identical duplicate ALWAYS shares the
     * query's best cell (equal vectors, equal assignment) and is always
     * found; weakly-similar neighbors spread across cells, so P/C bounds
     * their hit rate — the sim_ivf oracle emits both contracts as data. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              cells: Int = 16, probes: Int = 4, refineIters: Int = 0): DataFrame = {
+              cells: Int = 16, probes: Int = 4, refineIters: Int = 0,
+              superCells: Int = 0): DataFrame = {
     val sampled: Array[Array[Double]] = corpus
       .orderBy(col("vec_id")).limit(cells)
       .select(dvec(col("embedding")).as("v"))
@@ -419,9 +432,18 @@ object Similarity {
     val simsTo = cellSimsFn(corpus.sparkSession, cents)
     // 1-based argmax; ties take the lowest cell id (array_position is first-match)
     def bestCell(v: Column): Column = array_position(simsTo(v), array_max(simsTo(v)))
-
+    // superCells > 0: the corpus-side index build assigns through the
+    // two-level kernel (O((S + C/S)·dim)/row — the executable form of
+    // the production-C advice above). Query probing stays flat (queries
+    // are few; their O(|q|·C) is noise). CAVEAT, documented: hierarchical
+    // assignment can park a corpus vector outside the query's P probed
+    // cells, so the always-found self-hit contract of flat assignment
+    // becomes a (measured) recall statement — the standard IVF trade.
+    val assignCell: Column => Column =
+      if (superCells > 0) hierAssignFn(corpus.sparkSession, cents, superCells)
+      else v => bestCell(v)
     val e = corpus.select(col("vec_id"), dvec(col("embedding")).as("v"))
-      .withColumn("cell", bestCell(col("v")))
+      .withColumn("cell", assignCell(col("v")))
     val qv = queries.select(col("vec_id").as("qid"), dvec(col("embedding")).as("qv"))
     // probe list: the P nearest centroids per query (query side is tiny)
     val qprobe = qv

@@ -296,6 +296,23 @@ class Round13OpsSpec extends SparkTestBase {
     assert(pairs(0) == pairs(h))
   }
 
+  test("ivfTopK(superCells): identity grouping equals flat; sqrt(C) build keeps measured recall") {
+    val qs = emb.limit(8)
+    def rows(sup: Int) = Similarity.ivfTopK(emb, qs, k = 5, cells = 16,
+        probes = 4, superCells = sup)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val flat = rows(0)
+    assert(rows(16) == flat,
+      "supers == cells must reproduce the flat index build exactly on well-separated sims")
+    val hier = rows(4)
+    assert(hier == rows(4).sorted && hier.nonEmpty, "deterministic")
+    // recall vs the flat index: the sqrt(C) build may park corpus vectors
+    // outside the probed cells, but on the clustered synthetic embeddings
+    // the overlap stays high — reported as an assertion with slack
+    val overlap = hier.toSet.intersect(flat.toSet).size.toDouble / flat.size
+    assert(overlap >= 0.5, f"hier index recall vs flat collapsed: $overlap%.2f")
+  }
+
   test("annTopK(planesPerTable=0) derives the same width and keeps the recall contract") {
     val qs = emb.limit(8)
     val h = Similarity.deriveSrpPlanes(emb.count())
