@@ -136,6 +136,67 @@ object Bench {
   def midrunSpikeMax(loadMax: Double, cpus: Int): Double =
     math.max(loadMax, cpus * 0.75)
 
+  /** Median of a query's raw timed runs (first-pass runs + any probes).
+    * The ledger VALUE stays the min — history is a floor, and no amount of
+    * probing makes a slow plan fast — but the median sits next to it so
+    * sub-2× drift (r12/r13 finding: entries creeping 1.4-1.8× with zero
+    * code change never trip the suspect factor) is visible without
+    * tightening the suspect rule. Failures (-1) are excluded; empty →
+    * -1. Even-length medians take the lower-middle element, not the
+    * mean: a run time is a sample, and averaging two samples from a
+    * bimodal (idle vs contended) distribution fabricates a value neither
+    * run produced. */
+  def medianOf(runs: Seq[Double]): Double = {
+    val ok = runs.filter(_ >= 0).sorted
+    if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
+  }
+
+  /** Per-query drift baseline from the rolling history window (round 14,
+    * judge ask 3): a query gets a baseline only when it appears in EVERY
+    * window entry and the window is STABLE (max/min ≤ `stabilityFactor`)
+    * — an entry that already bounces round-to-round self-flags forever
+    * under any fixed threshold and carries no drift signal. Baseline =
+    * median of the window (lower-middle for even windows). */
+  def driftBaseline(window: Seq[Map[String, Double]],
+                    stabilityFactor: Double = 1.3): Map[String, Double] = {
+    if (window.isEmpty) return Map.empty
+    window.flatMap(_.keys).distinct.flatMap { name =>
+      val vs = window.flatMap(_.get(name)).filter(_ >= 0)
+      if (vs.size == window.size && vs.max <= vs.min * stabilityFactor)
+        Some(name -> medianOf(vs))
+      else None
+    }.toMap
+  }
+
+  /** Entries whose FINAL ledger min drifted above `factor`× a stable
+    * history baseline (and by > `minDeltaSec` absolute). Deliberately
+    * BELOW the 2.0 suspect/re-probe factor: this is the band r12
+    * predicted would stay invisible and r13 then measured (sim_ivf
+    * 0.89→1.57 with zero code change). Drift is an ANNOTATION, not a
+    * failure — it tells the judge "this moved, and no probe corrected
+    * it" so sub-2× creep can be adjudicated instead of silently
+    * accumulating across rounds. */
+  def driftEntries(results: Seq[(String, Double)],
+                   baseline: Map[String, Double],
+                   factor: Double = 1.4,
+                   minDeltaSec: Double = 0.4): Seq[String] =
+    results.filter { case (name, sec) =>
+      sec >= 0 && baseline.get(name).exists(b =>
+        b >= 0 && sec > b * factor && sec - b > minDeltaSec)
+    }.map(_._1).sorted
+
+  /** Parse BENCH_HISTORY.jsonl (one {"sf":…,"queries":{…}} line per
+    * completed full run, newest LAST) into the drift window: the last
+    * `window` same-sf entries, newest first. Malformed lines are
+    * skipped — the file is append-only across rounds and a partial write
+    * must not poison the whole history. */
+  def parseHistoryWindow(lines: Seq[String], sfDir: String,
+                         window: Int = 3): Seq[Map[String, Double]] =
+    lines.flatMap { line =>
+      val (sf, qs) = parsePrevLedger(line)
+      if (sf == sfDir && qs.nonEmpty) Some(qs) else None
+    }.takeRight(window).reverse
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -216,6 +277,9 @@ object Bench {
     // across rounds, this column answers "was the host busy right then"
     // without a judge re-measure (round-10 follow-up to the r9 adjudication)
     val loadAt = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // every raw timed run per query (first pass + both re-probes) — the
+    // per-query MEDIAN published next to the min (round 14, judge ask 3)
+    val rawRuns = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val firstPass = ordered.map { case (name, fn) =>
       // failures are a visible -1 sentinel, never a bogus near-zero time
       val sec =
@@ -226,6 +290,7 @@ object Bench {
             run(fn)
             (System.nanoTime() - t0) / 1e9
           }
+          rawRuns(name) = times.toVector
           times.min
         } catch {
           case e: Throwable =>
@@ -268,6 +333,7 @@ object Bench {
             System.err.println(s"[bench] reprobe $name FAILED: ${e.getMessage}")
             -1.0
         } finally resetSessionStorage()
+      if (sec >= 0) rawRuns(name) = rawRuns.getOrElse(name, Vector.empty) :+ sec
       name -> sec
     }.toMap
     val (results1, reprobeImproved) = mergeReprobe(firstPass, probes)
@@ -303,6 +369,7 @@ object Bench {
                 System.err.println(s"[bench] reprobe2 $name FAILED: ${e.getMessage}")
                 -1.0
             } finally resetSessionStorage()
+          if (sec >= 0) rawRuns(name) = rawRuns.getOrElse(name, Vector.empty) :+ sec
           name -> sec
         }.toMap
       }
@@ -320,6 +387,24 @@ object Bench {
     // numbers a judge should attribute to host noise, not plan changes
     val suspects = suspectEntries(results, loadAt.toMap, spikeMax,
       prevLedger, contendedMidrun)
+    // sub-2× drift annotation (round 14, judge ask 3): the rolling
+    // history window lives in BENCH_HISTORY.jsonl (appended per full
+    // run); before that file accumulates, the previous round's committed
+    // detail ledger seeds a 1-entry window so drift can fire immediately
+    val historyPath = sys.env.getOrElse("SPARK_GRAFT_HISTORY", "BENCH_HISTORY.jsonl")
+    val historyWindow: Seq[Map[String, Double]] = {
+      val f = new java.io.File(historyPath)
+      val fromFile =
+        if (!f.isFile) Seq.empty
+        else parseHistoryWindow(
+          scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq, sfDir)
+      if (fromFile.nonEmpty) fromFile
+      else if (prevLedger.nonEmpty) Seq(prevLedger) else Seq.empty
+    }
+    val drift = driftEntries(results, driftBaseline(historyWindow))
+    val medians = results.map { case (k, _) =>
+      k -> medianOf(rawRuns.getOrElse(k, Vector.empty))
+    }
     // Locale.ROOT: the default-locale f-interpolator would emit "62,000" on
     // comma-decimal locales and corrupt the JSON line.
     def fmt(v: Double): String =
@@ -335,7 +420,7 @@ object Bench {
     // n_queries counts only the queries inside the total; failures are
     // separate so total/n_queries stay mutually consistent
     val host =
-      s""""host":{"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadAvg())},"cpus":$nCpus,"other_java_procs_start":$javaProcsStart,"other_java_procs_end":${otherJavaProcs()},"contended":$contended,"contended_midrun":$contendedMidrun,"load_spikes_midrun":$loadSpikes,"reprobe_n":${reprobeNames.size},"reprobe_improved":$reprobeImproved,"reprobe2_n":${surviving2.size},"reprobe2_improved":$reprobe2Improved,"history_n":${prevLedger.size},"n_suspect":${suspects.size}}"""
+      s""""host":{"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadAvg())},"cpus":$nCpus,"other_java_procs_start":$javaProcsStart,"other_java_procs_end":${otherJavaProcs()},"contended":$contended,"contended_midrun":$contendedMidrun,"load_spikes_midrun":$loadSpikes,"reprobe_n":${reprobeNames.size},"reprobe_improved":$reprobeImproved,"reprobe2_n":${surviving2.size},"reprobe2_improved":$reprobe2Improved,"history_n":${prevLedger.size},"n_suspect":${suspects.size},"drift_window_n":${historyWindow.size},"n_drift":${drift.size}}"""
     // A SPARK_GRAFT_ONLY dev run writes a PARTIAL total; without a marker a
     // stale partial ledger is indistinguishable from a full run. Record the
     // restriction list verbatim (empty field when unrestricted).
@@ -353,17 +438,37 @@ object Bench {
       s"\"$n\":{\"before\":${fmt(results1BySec(n))},\"probe\":${fmt(probes2(n))}}"
     }.mkString("{", ",", "}")
     val suspectJson = suspects.map(s => s"\"$s\"").mkString("[", ",", "]")
+    // drift detail carries the evidence inline (ledger min vs stable
+    // baseline) so the annotation is adjudicable without re-deriving it
+    val baselineMap = driftBaseline(historyWindow)
+    val driftDetail = drift.map { n =>
+      s"\"$n\":{\"min\":${fmt(results.toMap.getOrElse(n, -1.0))},\"median\":${fmt(medians.toMap.getOrElse(n, -1.0))},\"baseline\":${fmt(baselineMap.getOrElse(n, -1.0))}}"
+    }.mkString("{", ",", "}")
+    val medianDetail = medians.map { case (k, v) => s"\"$k\":${fmt(v)}" }
+      .mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,$host$onlyField,"queries":$detail,"loadavg_after":$loadDetail,"reprobe":$reprobeDetail,"reprobe2":$reprobe2Detail,"suspects":$suspectJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,$host$onlyField,"queries":$detail,"medians":$medianDetail,"loadavg_after":$loadDetail,"reprobe":$reprobeDetail,"reprobe2":$reprobe2Detail,"suspects":$suspectJson,"drift":$driftDetail,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detailJson) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // append this run to the rolling drift history — FULL runs only (a
+    // SPARK_GRAFT_ONLY dev slice would poison the window with partial
+    // coverage and cold-cache minima for the queries it does carry)
+    if (only.isEmpty) {
+      try {
+        val w = new java.io.FileWriter(historyPath, true)
+        try w.write(s"""{"sf":"$sfDir","queries":$detail}\n""") finally w.close()
+      } catch { case e: Throwable => System.err.println(s"[bench] history append failed: ${e.getMessage}") }
+    }
     // stdout line: bounded to ~1500 chars so it survives tail-capture intact.
     // "queries" holds the slowest entries that fit; the rest are summarized.
     val budget = 1500
     val bySlowest = results.filter(_._2 >= 0).sortBy(-_._2) ++ results.filter(_._2 < 0)
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,$host$onlyField,"sf":"$sfDir","detail_file":"BENCH_DETAIL.json","queries":{"""
+    // drift names ride the stdout line (bounded to 8 — the full detail
+    // with evidence is in the detail file); an empty list is explicit
+    val driftStdout = drift.take(8).map(s => s"\"$s\"").mkString("[", ",", "]")
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nOk,"n_failed":$nFailed,$host$onlyField,"drift":$driftStdout,"sf":"$sfDir","detail_file":"BENCH_DETAIL.json","queries":{"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + 60 // reserve for closing braces + omitted field
     for ((k, v) <- bySlowest) {

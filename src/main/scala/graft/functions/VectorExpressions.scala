@@ -702,8 +702,17 @@ case class CellAssignHier(child: Expression,
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "cell_assign_hier"
+  // NaN guard (round-14 ADVICE): a zero-norm input vector (or zero-norm
+  // centroid) makes the cosine NaN, and BigDecimal.valueOf(NaN) THROWS.
+  // The flat kernel (assignClusters) null-skips NaN sims: a NaN centroid
+  // never wins the argmax, and an all-NaN row (zero-norm input) assigns
+  // NULL. Long.MinValue as the sentinel replicates that exactly — the
+  // strict `>` argmax never selects it, and when every candidate carries
+  // it the assignment stays -1 → NULL. Identity-grouping bit-equality
+  // with the flat argmax therefore holds on degenerate inputs too.
   private def micro(cos: Double): Long =
-    java.math.BigDecimal.valueOf(cos * 1e6)
+    if (java.lang.Double.isNaN(cos)) Long.MinValue
+    else java.math.BigDecimal.valueOf(cos * 1e6)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]

@@ -666,14 +666,25 @@ object Multimodal {
     *   4. every id re-joins its class rep, then its cluster rep; since
     *      the class rep is the class MIN id, the cluster min over reps
     *      is the cluster min over ids.
-    * Rows whose bands are NULL (payloads no reader accepts) cannot be
-    * perceptually compared and are kept as their own singletons. */
+    * Rows with ANY band NULL (payloads no reader accepts; partial
+    * hashes from arbitrary caller frames) cannot be perceptually
+    * compared and are kept as their own singletons — every input row
+    * appears in the output exactly once. */
   def dhashDedupKeep(hashes: DataFrame, idCol: String, maxDist: Int,
                      maxBucketSize: Int = 0)
       (implicit spark: SparkSession): DataFrame = {
     val withId = hashes.select(col(idCol).as("id"),
       col("b0"), col("b1"), col("b2"), col("b3"))
-    val imgs = withId.filter(col("b0").isNotNull)
+    // ANY-band-null takes the singleton path (round-14 ADVICE):
+    // [[imageDhash]] emits bands all-or-none, but this is a public API
+    // over arbitrary hash frames, and a row with b0 set but another band
+    // null would pass a b0-only filter, group fine (groupBy is
+    // null-safe), then vanish at the null-REJECTING equi-re-join on
+    // (b0..b3) — silently violating the one-output-row-per-input
+    // contract. A partial hash cannot be perceptually compared anyway.
+    val anyBandNull = col("b0").isNull || col("b1").isNull ||
+      col("b2").isNull || col("b3").isNull
+    val imgs = withId.filter(!anyBandNull)
     // distinct-hash classes: bounded tiny frame (one row per distinct
     // 64-bit hash) feeding pair enumeration AND the final re-join — the
     // same return-one-small-checkpointed-frame contract dhashNearDups
@@ -702,7 +713,7 @@ object Multimodal {
       .join(classes, Seq("b0", "b1", "b2", "b3"))
       .join(clusters.select(col("id").as("crep"), col("rep")), "crep")
       .select(col("id"), col("rep"))
-    val nulls = withId.filter(col("b0").isNull)
+    val nulls = withId.filter(anyBandNull)
       .select(col("id"), col("id").as("rep"))
     kept.unionByName(nulls)
       .select(col("id"), col("rep"), (col("id") === col("rep")).as("keep"))

@@ -199,7 +199,14 @@ object Similarity {
     require(centroids.nonEmpty, "assignClusters needs at least one centroid")
     val simsTo = cellSimsFn(vectors.sparkSession, centroids.map(_.toArray).toArray)
     val v = vectors.select(col("vec_id"), dvec(col("embedding")).as("v"))
-    v.withColumn("sims", transform(simsTo(col("v")), s => round(s * 1e6).cast("long")))
+    // NaN cosines (zero-norm vector or centroid) become NULL micro sims
+    // (round-14 ADVICE): under Spark 4's default ANSI mode the bare
+    // round(NaN·1e6).cast(long) THROWS CAST_OVERFLOW. A null sim is
+    // skipped by array_max, so a zero-norm CENTROID simply never wins;
+    // a zero-norm INPUT (all sims null) gets a NULL cluster — the
+    // degrade contract [[graft.functions.CellAssignHier]] replicates.
+    v.withColumn("sims", transform(simsTo(col("v")),
+        s => round(nanvl(s, lit(null).cast("double")) * 1e6).cast("long")))
       .withColumn("cluster", expr("array_position(sims, array_max(sims))").cast("bigint"))
       .select(col("vec_id"), col("v"), col("cluster"))
   }
@@ -239,8 +246,12 @@ object Similarity {
       s"supers must be in [1, ${cents.length}], got $supers")
     val dim = cents(0).length
     val c = cents.length
+    // NaN → micro 0, matching CellAssignHier's kernel guard (round-14
+    // ADVICE): a zero-norm centroid otherwise crashes the driver-side
+    // member-list build where the flat path degrades (NaN casts to 0)
     def micro(cos: Double): Long =
-      java.math.BigDecimal.valueOf(cos * 1e6)
+      if (java.lang.Double.isNaN(cos)) 0L
+      else java.math.BigDecimal.valueOf(cos * 1e6)
         .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
     def cosArr(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -314,7 +325,10 @@ object Similarity {
     val b = assigned.select(col("cluster"), col("vec_id").as("id_b"), col("v").as("vb"))
     val dropped = a.join(b, Seq("cluster")) // equi-join on cluster: C balanced tasks
       .filter(col("id_a") < col("id_b"))
-      .filter(round(cosine(col("va"), col("vb")) * 1e6).cast("long") >= lit(thresholdMicro))
+      // nanvl: a NaN pair cosine (zero-norm vector that still landed in a
+      // cluster) must FAIL the threshold, not throw under ANSI casting
+      .filter(round(nanvl(cosine(col("va"), col("vb")), lit(-2.0)) * 1e6)
+        .cast("long") >= lit(thresholdMicro))
       .select(col("id_b").as("vec_id")).distinct()
     assigned.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster"))

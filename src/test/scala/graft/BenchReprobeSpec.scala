@@ -121,4 +121,52 @@ class BenchReprobeSpec extends AnyFunSuite {
     // a user-raised gate above the self-load ceiling wins
     assert(Bench.midrunSpikeMax(30.0, 32) == 30.0)
   }
+
+  test("medianOf: lower-middle sample, failures excluded, empty is -1") {
+    assert(Bench.medianOf(Seq(3.0, 1.0, 2.0)) == 2.0)
+    // even length: the LOWER middle sample, never a fabricated mean
+    assert(Bench.medianOf(Seq(1.0, 9.0)) == 1.0)
+    assert(Bench.medianOf(Seq(4.0, 1.0, 9.0, 2.0)) == 2.0)
+    assert(Bench.medianOf(Seq(-1.0, 5.0, -1.0)) == 5.0)
+    assert(Bench.medianOf(Seq(-1.0)) == -1.0)
+    assert(Bench.medianOf(Nil) == -1.0)
+  }
+
+  test("driftBaseline: only queries stable across the whole window get a baseline") {
+    val window = Seq(
+      Map("stable" -> 1.0, "bouncy" -> 1.0, "partial" -> 1.0, "failed" -> 1.0),
+      Map("stable" -> 1.1, "bouncy" -> 2.0, "failed" -> -1.0),
+      Map("stable" -> 0.95, "bouncy" -> 1.2, "partial" -> 1.0))
+    val base = Bench.driftBaseline(window)
+    assert(base.keySet == Set("stable"), s"got $base")
+    assert(base("stable") == 1.0) // median of (1.0, 1.1, 0.95)
+    // single-entry window: trivially stable
+    val one = Bench.driftBaseline(Seq(Map("q" -> 2.0)))
+    assert(one == Map("q" -> 2.0))
+    assert(Bench.driftBaseline(Nil).isEmpty)
+  }
+
+  test("driftEntries: the sub-2x band the suspect factor misses (r13's sim_* creep)") {
+    // the exact r13 numbers: sim_ivf 0.89→1.57 and sim_ivf_refined
+    // 1.29→2.12 must flag; a +0.3s wobble on a 0.5s query must not
+    val results = Seq("sim_ivf" -> 1.57, "sim_ivf_refined" -> 2.12,
+      "wobble" -> 0.8, "steady" -> 1.0, "fail" -> -1.0)
+    val base = Map("sim_ivf" -> 0.89, "sim_ivf_refined" -> 1.29,
+      "wobble" -> 0.5, "steady" -> 1.05, "fail" -> 1.0)
+    assert(Bench.driftEntries(results, base) == Seq("sim_ivf", "sim_ivf_refined"))
+    assert(Bench.driftEntries(results, Map.empty).isEmpty)
+  }
+
+  test("parseHistoryWindow: same-sf lines only, last N, newest first, junk skipped") {
+    val lines = Seq(
+      """{"sf":"/d/sf0.1","queries":{"a":1.0}}""",
+      "not json at all",
+      """{"sf":"/d/sf0.01","queries":{"a":9.0}}""",
+      """{"sf":"/d/sf0.1","queries":{"a":2.0}}""",
+      """{"sf":"/d/sf0.1","queries":{"a":3.0}}""",
+      """{"sf":"/d/sf0.1","queries":{"a":4.0}}""")
+    val w = Bench.parseHistoryWindow(lines, "/d/sf0.1", window = 3)
+    assert(w.map(_("a")) == Seq(4.0, 3.0, 2.0))
+    assert(Bench.parseHistoryWindow(lines, "/d/sf9").isEmpty)
+  }
 }
