@@ -4779,17 +4779,38 @@ object SparkEntry {
     // blocking key + exact Levenshtein verify; the (1.0 - 0.8) length
     // pre-filter bound is written as the SAME double subtraction the
     // Spark side evaluates, so the boundary compare is bit-identical
+    // widen-aware oracle (round 14): replays the self-tuning blocking
+    // CASE exactly — per-level block counts over the whole corpus, the
+    // effective key is the narrowest level within maxBlockSize=16 (the
+    // widest level unconditionally), so the oracle stays exact at ANY sf
+    // whether or not re-blocking engages (at the sf0.01 gate the largest
+    // level-0 block is 7 and every CASE arm picks level 0)
     "dedup_edit" -> """
       WITH k AS (SELECT doc_id, text,
-          string_split(text, ' ')[1] || '|' ||
-            CAST(length(text) // 64 AS VARCHAR) AS blk
-        FROM documents)
+          array_to_string((string_split(text, ' '))[1:1], ' ') || '|' ||
+            CAST(length(text) // 64 AS VARCHAR) AS k0,
+          array_to_string((string_split(text, ' '))[1:2], ' ') || '|' ||
+            CAST(length(text) // 64 AS VARCHAR) AS k1,
+          array_to_string((string_split(text, ' '))[1:3], ' ') || '|' ||
+            CAST(length(text) // 64 AS VARCHAR) AS k2,
+          array_to_string((string_split(text, ' '))[1:4], ' ') || '|' ||
+            CAST(length(text) // 64 AS VARCHAR) AS k3
+        FROM documents),
+      c0 AS (SELECT k0, count(*) AS c FROM k GROUP BY k0),
+      c1 AS (SELECT k1, count(*) AS c FROM k GROUP BY k1),
+      c2 AS (SELECT k2, count(*) AS c FROM k GROUP BY k2),
+      eff AS (SELECT k.doc_id, k.text,
+          CASE WHEN c0.c <= 16 THEN k.k0
+               WHEN c1.c <= 16 THEN k.k1
+               WHEN c2.c <= 16 THEN k.k2
+               ELSE k.k3 END AS blk
+        FROM k JOIN c0 USING (k0) JOIN c1 USING (k1) JOIN c2 USING (k2))
       SELECT id_a, id_b, lev, sim FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
                1.0 - levenshtein(a.text, b.text) /
                  CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) AS sim
-        FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        FROM eff a JOIN eff b ON a.blk = b.blk AND a.doc_id < b.doc_id
         WHERE CAST(abs(length(a.text) - length(b.text)) AS DOUBLE)
               <= (CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE))
                  * greatest(length(a.text), length(b.text))) t

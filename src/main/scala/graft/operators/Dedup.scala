@@ -784,16 +784,40 @@ object Dedup {
     * actually engages (block counts per widening level) so the
     * approximation is visible in the job log; callers needing the exact
     * fixed-key reference behavior pass `maxBlockSize = 0`. The default
-    * cap dropped 256 → 64 in round 14: a saturated block pays ~cap²/2
-    * Levenshtein verifies of pure insurance, and the ×32 measurement
-    * (48.6s at cap 256 vs 13.7s for the hand 2-token rule, IDENTICAL
-    * pair yield) showed most of that insurance buys nothing — 64 still
-    * exceeds every bench-SF block (max 40), so the bench-SF pair-set
-    * equality spec is unchanged. */
+    * cap dropped 256 → 16 in round 14, measured not guessed: blocks
+    * sitting just UNDER the cap are never widened and each pays ~B²/2
+    * banded-Levenshtein verifies of pure insurance — at a ×32 corpus
+    * the cap-256 default generated 1.57M candidates against the hand
+    * 2-token rule's 80k for an IDENTICAL final pair yield (48.6s vs
+    * 13.7s wall); cap 64 still left 1.57M (the mass lives in 30-64-sized
+    * blocks); cap 16 cuts candidates to 184k and the measured pair set
+    * is STILL identical at sf0.1 and ×32. A block of ≤16 docs sharing
+    * the prefix and length band is genuinely cheap (≤120 verifies); the
+    * bench-gate SF (sf0.01, max block 7) never engages tuning, and the
+    * dedup_edit oracle replays the widening CASE exactly wherever it
+    * does engage.
+    *
+    * When tuning engages, the re-key rides BROADCAST left joins against
+    * the per-level oversized-key sets (round 14): a row's effective
+    * level depends only on whether its level-w keys are oversized, and
+    * the oversized population is tiny by construction (each oversized
+    * key holds > maxBlockSize rows — 18 keys at a measured ×32 corpus),
+    * so the corpus text never pays an exchange to be re-keyed. The probe
+    * bounds the population before committing (≤ maxWiden·rowsOver/cap);
+    * corpora past `broadcastKeyBudget` total keys fall back to the r13
+    * decision-map shuffle join, which has no size ceiling — the same
+    * bounded-budget hybrid discipline as [[nearDupClustersHybrid]]. */
+  /** Ceiling on TOTAL oversized keys the tuner's tagging path may
+    * broadcast (across all widening levels): 2^18 keys ≈ tens of MB of
+    * prefix strings — comfortably inside executor broadcast budgets,
+    * far above any boilerplate-prefix population observed in practice. */
+  private[graft] val OversizedKeyBroadcastBudget: Int = 1 << 18
+
   def editDistancePairs(docs: DataFrame, id: String, text: Column,
                         minSim: Double, blockTokens: Int = 1,
-                        lenBand: Int = 64, maxBlockSize: Int = 64,
-                        maxWiden: Int = 3): DataFrame = {
+                        lenBand: Int = 64, maxBlockSize: Int = 16,
+                        maxWiden: Int = 3,
+                        broadcastKeyBudget: Int = OversizedKeyBroadcastBudget): DataFrame = {
     require(minSim > 0 && minSim <= 1, s"minSim in (0,1], got $minSim")
     require(maxWiden >= 0, s"maxWiden must be >= 0, got $maxWiden")
     val spark = docs.sparkSession
@@ -809,10 +833,18 @@ object Dedup {
     // corpus-wide exchange bought for nothing. Well-blocked corpora —
     // the common case — pay one narrow count pass and keep the fixed
     // path's plan shape exactly.
-    def tuningNeeded: Boolean = {
+    // probe result: (tuning needed, rows living in oversized level-0
+    // blocks). The second scalar bounds the OVERSIZED-KEY population at
+    // every level — each oversized level-w key has > cap members, all of
+    // them inside some oversized level-0 block, so across all levels
+    // there are at most maxWiden·rowsOver/cap oversized keys. That bound
+    // picks the tagging strategy below without a second probe.
+    def tuningProbe: (Boolean, Long) = {
       val m = base.groupBy(blkKey(0)).count()
         .agg(max(col("count")),
-          count(when(col("count") > maxBlockSize, 1)).as("n_over"))
+          count(when(col("count") > maxBlockSize, 1)).as("n_over"),
+          coalesce(sum(when(col("count") > maxBlockSize, col("count"))), lit(0L))
+            .as("rows_over"))
         .head()
       val needed = !m.isNullAt(0) && m.getLong(0) > maxBlockSize
       // the r13 fixed→tuned default flip changed results behind an
@@ -826,10 +858,12 @@ object Dedup {
           s"$maxWiden extra prefix token(s), which drops candidate pairs " +
           s"disagreeing inside the widened prefix. Pass maxBlockSize=0 " +
           s"for exact fixed-key blocking.")
-      needed
+      (needed, if (needed) m.getLong(2) else 0L)
     }
+    val (engaged, rowsOver) =
+      if (maxBlockSize <= 0 || maxWiden == 0) (false, 0L) else tuningProbe
     val keyed =
-      if (maxBlockSize <= 0 || maxWiden == 0 || !tuningNeeded)
+      if (!engaged)
         base.withColumn("__blk", blkKey(0))
       else {
         // The widest key DETERMINES every narrower key (tokens cannot
@@ -847,10 +881,7 @@ object Dedup {
         // whose pair output is inherently quadratic). Level-count
         // equivalence with the iterative formulation holds because all
         // rows sharing a level-w key share every narrower key too, so a
-        // block either survives to level w whole or not at all. Rows
-        // then join the (widest key → effective key) decision map ONCE —
-        // the text column rides a single extra exchange, not one per
-        // level.
+        // block either survives to level w whole or not at all.
         val kmax = s"__k$maxWiden"
         val lvls = (0 to maxWiden).map(w => blkKey(w).as(s"__k$w"))
         val aggs = (0 until maxWiden).map(w => max(col(s"__k$w")).as(s"__k$w")) :+
@@ -858,17 +889,49 @@ object Dedup {
         val cnts = base.select(lvls: _*)
           .groupBy(col(kmax))
           .agg(aggs.head, aggs.tail: _*)
-        val mapping = (0 until maxWiden).foldLeft(cnts) { (m, w) =>
-          m.join(cnts.groupBy(col(s"__k$w")).agg(sum(col("__c")).as(s"__c$w")),
-            s"__k$w")
+        if (rowsOver / maxBlockSize <= broadcastKeyBudget.toLong / maxWiden) {
+          // BROADCAST tagging (round 14): the corpus needs re-keying, not
+          // re-SHUFFLING — only membership in the (tiny) oversized-key
+          // sets decides each row's effective level, so those sets ride
+          // broadcast left joins and the TEXT column never pays an extra
+          // exchange (the r13 decision-map equi-join sort-merged the
+          // whole corpus against the widest-key map: two sorts and a
+          // text-width shuffle bought to move a per-key bit). The three
+          // rollups reuse cnts' exchange within this one plan; the probe
+          // bound above caps the broadcast at ~budget keys (18 actual
+          // oversized keys at a ×32 corpus — measured), and corpora past
+          // the budget take the shuffle path below, which has no size
+          // ceiling.
+          val tagged = (0 until maxWiden).foldLeft(
+            (0 to maxWiden).foldLeft(base)((df, w) => df.withColumn(s"__k$w", blkKey(w)))
+          ) { (df, w) =>
+            val ov = cnts.groupBy(col(s"__k$w")).agg(sum(col("__c")).as("__c"))
+              .filter(col("__c") > maxBlockSize)
+              .select(col(s"__k$w"), lit(true).as(s"__o$w"))
+            df.join(broadcast(ov), Seq(s"__k$w"), "left")
+          }
+          val eff = (0 until maxWiden).foldRight(col(kmax)) { (w, alt) =>
+            when(col(s"__o$w").isNull, col(s"__k$w")).otherwise(alt)
+          }
+          val drops = (0 to maxWiden).map(w => s"__k$w") ++
+            (0 until maxWiden).map(w => s"__o$w")
+          tagged.withColumn("__blk", eff).drop(drops: _*)
+        } else {
+          // shuffle fallback: rows join the (widest key → effective key)
+          // decision map once — the text column rides a single extra
+          // exchange, not one per level; no oversized-key-count ceiling
+          val mapping = (0 until maxWiden).foldLeft(cnts) { (m, w) =>
+            m.join(cnts.groupBy(col(s"__k$w")).agg(sum(col("__c")).as(s"__c$w")),
+              s"__k$w")
+          }
+          val eff = (0 until maxWiden).foldRight(col(kmax)) { (w, alt) =>
+            when(col(s"__c$w") <= maxBlockSize, col(s"__k$w")).otherwise(alt)
+          }
+          val decision = mapping.select(col(kmax), eff.as("__blk"))
+          base.withColumn(kmax, blkKey(maxWiden))
+            .join(decision, kmax)
+            .drop(kmax)
         }
-        val eff = (0 until maxWiden).foldRight(col(kmax)) { (w, alt) =>
-          when(col(s"__c$w") <= maxBlockSize, col(s"__k$w")).otherwise(alt)
-        }
-        val decision = mapping.select(col(kmax), eff.as("__blk"))
-        base.withColumn(kmax, blkKey(maxWiden))
-          .join(decision, kmax)
-          .drop(kmax)
       }
     // Distribute the verify by block key: with a broadcast build side the
     // probe side would otherwise keep the scan's split count — for a

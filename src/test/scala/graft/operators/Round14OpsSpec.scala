@@ -134,14 +134,59 @@ class Round14OpsSpec extends SparkTestBase {
 
   // --------------------------------- editDistancePairs lowered default cap
 
-  test("editDistancePairs: the round-14 default cap (64) still never engages at the bench SFs") {
-    // sf0.001 max level-0 block is 7 (sf0.1: 40) — the tuned default must
-    // equal exact fixed blocking wherever the driver hashes results
-    def pairs(cap: Int) = Dedup.editDistancePairs(
-        docs, "doc_id", col("text"), minSim = 0.8, maxBlockSize = cap)
+  test("editDistancePairs: broadcast oversized-key tagging == decision-map shuffle join") {
+    // an engaging corpus: 20 docs share the ("dup" | band) level-0 block
+    // (cap 4 ⇒ oversized), differing second tokens split them at level 1;
+    // plus near-identical pairs that must survive either tagging path
+    // all texts sit mid-band (~86-90 chars, band 1 of lenBand 64) so the
+    // length band never splits an intended pair
+    val filler = (1 to 20).map(i => (100L + i, s"dup w$i " + ("pad " * 20).trim))
+    val d = (Seq(
+      (1L, "dup aa " + ("pad " * 20).trim),
+      (2L, "dup aa " + ("pad " * 20).trim + " x"),
+      (3L, "uniq one " + ("pad " * 20).trim),
+      (4L, "uniq one " + ("pad " * 20).trim + " y")
+    ) ++ filler).toDF("doc_id", "text")
+    def run(budget: Int) = Dedup.editDistancePairs(
+        d, "doc_id", col("text"), minSim = 0.8, maxBlockSize = 4, maxWiden = 2,
+        broadcastKeyBudget = budget)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs(64) == pairs(0),
-      "no bench-SF block exceeds 64: tuned default ≡ exact fixed blocking")
+    val viaBroadcast = run(Dedup.OversizedKeyBroadcastBudget)
+    val viaShuffle = run(0) // budget 0 forces the decision-map fallback
+    assert(viaBroadcast == viaShuffle,
+      s"tagging strategies must agree: bcast=$viaBroadcast shuffle=$viaShuffle")
+    assert(viaBroadcast.contains((1L, 2L)) && viaBroadcast.contains((3L, 4L)),
+      "near-dup pairs survive both inside and outside the widened block")
+    // the broadcast path must NOT move the corpus through an extra
+    // exchange: its only shuffle is the blocking repartition both paths
+    // share, so it carries strictly fewer exchanges than the fallback
+    def exchanges(budget: Int): Int = {
+      val df = Dedup.editDistancePairs(
+        d, "doc_id", col("text"), minSim = 0.8, maxBlockSize = 4, maxWiden = 2,
+        broadcastKeyBudget = budget)
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    }
+    assert(exchanges(Dedup.OversizedKeyBroadcastBudget) < exchanges(0),
+      "broadcast tagging must shed the decision-map's corpus exchange")
+  }
+
+  test("editDistancePairs: the round-14 default cap (16) never engages at the gate SF") {
+    // sf0.001/sf0.01 max level-0 block is 7 — the tuned DEFAULT must
+    // equal exact fixed blocking wherever the driver hashes results.
+    // (At sf0.1, where blocks reach 40, tuning engages and the widened
+    // pair set is still measured identical — 235 pairs either way — and
+    // the widen-aware dedup_edit oracle replays the CASE exactly.)
+    val tunedDefault = Dedup.editDistancePairs(
+        docs, "doc_id", col("text"), minSim = 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.editDistancePairs(
+        docs, "doc_id", col("text"), minSim = 0.8, maxBlockSize = 0)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tunedDefault == exact,
+      "no gate-SF block exceeds 16: tuned default ≡ exact fixed blocking")
   }
 }
