@@ -225,7 +225,11 @@ object Scale {
     // the C ∝ n rule WITH hierarchical assignment — S ≈ √C two-level
     // search keeps assignment O(n·√C) where flat is O(n·C) = O(f²). This
     // is what a production corpus runs; quote THIS curve for the 100-TB
-    // posture.
+    // posture. NOTE the name also exists in SparkEntry as the fixed-C
+    // HASH-ORACLE twin (literal centroids, superCells = 3) — per the
+    // stated override rule, harness runs select THIS scaled variant,
+    // Verify/the driver gate run the oracle row; the same
+    // fixed-vs-scaled pairing as dedup_semantic / dedup_semantic_ctuned.
     "dedup_semantic_hier" -> ((s, dir, f) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val cents = emb.orderBy(xxhash64(col("vec_id"))).limit(8 * f)
@@ -259,13 +263,9 @@ object Scale {
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", col("text"),
         minSim = 0.8, blockTokens = bt, maxBlockSize = 0)
     }),
-    "dedup_substring_capped" -> ((s, dir, f) =>
-      // the round-13 pre-filtered mega-gram cap: postings lists are now
-      // bounded BEFORE collect_list builds them (a capped gram never
-      // enters the aggregation), so this point measures the bounded-state
-      // path the ADVICE fix claims spills gracefully at any size
-      operators.Dedup.duplicateRuns(s.read.parquet(s"$dir/documents.parquet"),
-        "doc_id", col("text"), k = 40, minRunLen = 80, maxPositionsPerGram = 64)),
+    // (dedup_substring_capped moved to SparkEntry in round 14 — same
+    // parameters, now ALSO under the hash oracle; harness runs resolve
+    // it through the entry map)
     "mm_phash_capped" -> ((s, dir, f) => {
       // dhashNearDups with the round-13 band-bucket valve engaged: the
       // unvalved ×32 sweep entry (431s) is the duplicate-class regime a

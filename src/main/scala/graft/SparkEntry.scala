@@ -1787,6 +1787,17 @@ object SparkEntry {
       operators.Dedup.duplicateRuns(table(s, dir, "documents"),
         "doc_id", col("text"), k = 40, minRunLen = 80)),
 
+    // the CAPPED substring-dedup configuration (round 14) — the mega-gram
+    // valve a 100-TB run has engaged (boilerplate grams at B corpus-wide
+    // positions are B² pairs of low-signal work) under the hash oracle
+    // with the same parameters the ×256 scale curve measures: grams at
+    // > 64 positions are dropped BEFORE postings lists form, and the
+    // oracle replays the cap (count per gram ≤ 64) so the row is exact
+    // at any SF whether or not any gram saturates.
+    "dedup_substring_capped" -> ((s, dir) =>
+      operators.Dedup.duplicateRuns(table(s, dir, "documents"),
+        "doc_id", col("text"), k = 40, minRunLen = 80, maxPositionsPerGram = 64)),
+
     // intra-document repeats: ≥20-char substrings occurring twice in the
     // SAME document — the self-repetition/boilerplate half of the
     // substring-dedup story
@@ -1895,6 +1906,20 @@ object SparkEntry {
       operators.Similarity.semanticDedup(
         table(s, dir, "embeddings"), SemCentroids, thresholdMicro = 450000L)),
 
+    // SemDeDup through the HIERARCHICAL assignment kernel (round 14) —
+    // the headline production configuration (C ∝ n with S = ⌈√C⌉) under
+    // the hash oracle, not just specs and scale curves: superCells = 3
+    // over the 8 literal centroids is a genuine two-level search
+    // (stride-sampled supers 0/2/4, per-super member lists). The oracle
+    // replays the WHOLE two-level argmax independently in SQL — super
+    // member assignment from the centroid literals, then per-vector
+    // super argmax and member argmax with the kernel's first-max-wins
+    // tie rule — so a kernel defect in either level breaks the hash.
+    "dedup_semantic_hier" -> ((s, dir) =>
+      operators.Similarity.semanticDedup(
+        table(s, dir, "embeddings"), SemCentroids, thresholdMicro = 450000L,
+        superCells = 3)),
+
     // subquadratic SRP-LSH near-dup path (high-similarity regime): the
     // corpus is doubled with byte-identical copies; identical vectors hash
     // to identical buckets in every table, so recall on the duplicated
@@ -1903,6 +1928,20 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       val copies = emb.withColumn("vec_id", col("vec_id") + lit(1000000))
       operators.Similarity.nearDupPairsLSH(emb.unionByName(copies), threshold = 0.9, dim = 64)
+    }),
+
+    // the same pair operator with the OCCUPANCY-DERIVED signature width
+    // (round 14): planesPerTable = 0 sizes H from one corpus count — the
+    // configuration the +log₂(growth) scale rule actually ships. The
+    // byte-identical-duplicate contract is width-INDEPENDENT (equal
+    // vectors share every bucket at any H), so the exact oracle
+    // transfers verbatim; threshold 0.9 keeps chance near-dups out at
+    // the driver SFs exactly as the fixed-width row does.
+    "dedup_embedding_lsh_derived" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val copies = emb.withColumn("vec_id", col("vec_id") + lit(1000000))
+      operators.Similarity.nearDupPairsLSH(emb.unionByName(copies), threshold = 0.9,
+        dim = 64, planesPerTable = 0)
     }),
 
     // --- similarity search ----------------------------------------------
@@ -3442,6 +3481,31 @@ object SparkEntry {
              CAST(e1 - s1 + 40 AS BIGINT) AS run_len
       FROM runs WHERE e1 - s1 + 40 >= 80""",
 
+    // the uncapped replay with one extra CTE: grams above 64 positions
+    // corpus-wide are dropped before pairing, exactly as the semi-joined
+    // count filter does on the Spark side
+    "dedup_substring_capped" -> """
+      WITH pos AS (
+        SELECT doc_id AS d,
+               unnest(generate_series(1, len(text) - 40 + 1))::BIGINT AS p, text
+        FROM documents WHERE len(text) >= 40),
+      g0 AS (SELECT d, p, substr(text, p, 40) AS gr FROM pos),
+      gc AS (SELECT gr FROM g0 GROUP BY gr HAVING count(*) <= 64),
+      g AS (SELECT g0.d, g0.p, g0.gr FROM g0 JOIN gc USING (gr)),
+      pairs AS (
+        SELECT a.d AS d1, b.d AS d2, a.p AS p1, b.p AS p2, a.p - b.p AS diff
+        FROM g a JOIN g b ON a.gr = b.gr AND a.d < b.d),
+      isl AS (
+        SELECT d1, d2, diff, p1,
+               p1 - row_number() OVER (PARTITION BY d1, d2, diff ORDER BY p1) AS i
+        FROM pairs),
+      runs AS (
+        SELECT d1, d2, diff, min(p1) AS s1, max(p1) AS e1
+        FROM isl GROUP BY d1, d2, diff, i)
+      SELECT d1, d2, s1 AS start1, s1 - diff AS start2,
+             CAST(e1 - s1 + 40 AS BIGINT) AS run_len
+      FROM runs WHERE e1 - s1 + 40 >= 80""",
+
     "dedup_substring_self" -> """
       WITH pos AS (
         SELECT doc_id AS d,
@@ -4065,6 +4129,65 @@ object SparkEntry {
       SELECT vec_id, cluster FROM a WHERE vec_id NOT IN (SELECT vec_id FROM d)"""
     },
 
+    // the two-level coarse search replayed INDEPENDENTLY of the kernel:
+    // super member lists are re-derived here (plain Scala argmax over
+    // the centroid literals — not hierAssignFn), the per-vector super
+    // and member argmaxes run in SQL over micro-quantized cosine
+    // literals with list_position's first-match = the kernel's
+    // first-max-wins tie rule, members ascending = ties to lowest cell
+    "dedup_semantic_hier" -> {
+      def lst(c: Seq[Double]) = c.mkString("[", ", ", "]")
+      def micro(c: Seq[Double]) =
+        s"CAST(round(1e6 * list_cosine_similarity(v, ${lst(c)})) AS BIGINT)"
+      val cents = SemCentroids
+      val nC = cents.length
+      val supers = 3
+      val stride = math.max(1, nC / supers)
+      val superIdx = (0 until nC by stride).take(supers)
+      // independent member-list replay (matches hierAssignFn's contract,
+      // re-derived from scratch): supers anchor their own list; every
+      // other centroid joins its nearest super, micro-cosine first-max
+      def microScala(a: Seq[Double], b: Seq[Double]): Long = {
+        val dot = a.lazyZip(b).map(_ * _).sum
+        val cos = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+        java.math.BigDecimal.valueOf(cos * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      }
+      val anchor = superIdx.zipWithIndex.toMap
+      val members = Array.fill(supers)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      (0 until nC).foreach { ci =>
+        anchor.get(ci) match {
+          case Some(s) => members(s) += ci
+          case None =>
+            val best = superIdx.indices.maxBy(s =>
+              (microScala(cents(ci), cents(superIdx(s))), -s))
+            members(best) += ci
+        }
+      }
+      val ssims = superIdx.map(si => micro(cents(si))).mkString("[", ", ", "]")
+      val arms = superIdx.indices.map { s =>
+        val ms = members(s).sorted.toSeq
+        val msims = ms.map(ci => micro(cents(ci))).mkString("[", ", ", "]")
+        val ids = ms.map(_ + 1).mkString("[", ", ", "]")
+        s"WHEN ${s + 1} THEN CAST(($ids)[list_position($msims, list_max($msims))] AS BIGINT)"
+      }.mkString(" ")
+      s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      vs AS (
+        SELECT vec_id, v,
+               CAST(list_position(ssims, list_max(ssims)) AS BIGINT) AS sbest
+        FROM (SELECT vec_id, v, $ssims AS ssims FROM e)),
+      a AS (
+        SELECT vec_id, v, CASE sbest $arms END AS cluster FROM vs),
+      d AS (
+        SELECT DISTINCT y.vec_id
+        FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        WHERE CAST(round(1e6 * list_cosine_similarity(x.v, y.v)) AS BIGINT) >= 450000)
+      SELECT vec_id, cluster FROM a WHERE vec_id NOT IN (SELECT vec_id FROM d)"""
+    },
+
     // same centroid-argmax CTE as dedup_semantic; the quota draw is the
     // lcg integer replayed verbatim
     "curation_cluster_sample" -> {
@@ -4089,6 +4212,9 @@ object SparkEntry {
     },
 
     "dedup_embedding_lsh" ->
+      "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings",
+
+    "dedup_embedding_lsh_derived" ->
       "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings",
 
     "sim_ann_lsh" ->
