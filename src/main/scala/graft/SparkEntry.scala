@@ -2392,6 +2392,27 @@ object SparkEntry {
         .select(col("id").as("media_id"), col("rep"), col("keep"))
     }),
 
+    // the keep reduce WITH the residual band-bucket valve engaged
+    // (round 14): maxBucketSize = 16 over the DISTINCT-hash class reps —
+    // the last spec-only valve configuration, now under the hash oracle.
+    // The cap genuinely bites at every driver SF (13/11 class-band
+    // buckets exceed 16 at sf0.001/sf0.01), so the row pins the
+    // engaged-valve semantics, not a no-op: the oracle replays banding,
+    // the bucket cap, the Hamming verify, and the transitive closure —
+    // capping drops LINKS between classes (clusters split/shrink, the
+    // spec-pinned drop-only direction), never a row.
+    "mm_phash_keep_capped" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = operators.Multimodal.pngMedia(
+        table(s, dir, "documents"), "doc_id",
+        lit(16) + col("n_chars") % 64, lit(16) + (col("n_chars") * 7) % 48,
+        gradient = true)
+      val hashes = operators.Multimodal.imageDhash(media)
+      operators.Multimodal.dhashDedupKeep(hashes, "media_id", maxDist = 3,
+        maxBucketSize = 16)
+        .select(col("id").as("media_id"), col("rep"), col("keep"))
+    }),
+
     // REAL multi-frame video decode: one JDK-encoded animated GIF per
     // document (dims + frame count from n_chars, constant-gray frames
     // seeded by doc_id), read back frame-by-frame through ImageIO — the
@@ -4693,6 +4714,68 @@ object SparkEntry {
         FROM cls x JOIN cls y ON x.crep < y.crep
         WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
               bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                UNION SELECT id_b, id_a FROM pr),
+      reach(src, dst) AS (
+        SELECT crep, crep FROM cls
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      crep2 AS (SELECT src AS crep, min(dst) AS rep FROM reach GROUP BY src)
+      SELECT h.doc_id AS media_id, c2.rep, h.doc_id = c2.rep AS keep
+      FROM hh h
+      JOIN cls c ON h.b0 = c.b0 AND h.b1 = c.b1 AND h.b2 = c.b2 AND h.b3 = c.b3
+      JOIN crep2 c2 ON c.crep = c2.crep""",
+
+    // keep with the band-bucket valve: the class-rep links come from
+    // CAPPED band buckets (16-bit band values shared by ≤ 16 distinct
+    // hashes) instead of all class pairs — banding + cap + Hamming
+    // verify + transitive closure all replayed
+    "mm_phash_keep_capped" -> """
+      WITH RECURSIVE p AS (
+        SELECT doc_id, 16 + n_chars % 64 AS w, 16 + (n_chars * 7) % 48 AS h,
+               doc_id % 256 AS base
+        FROM documents),
+      cells AS (
+        SELECT doc_id, gy, gx,
+               ((gx * w // 9) * 7 + (gy * h // 8) * 13 + base) % 256 AS l,
+               (((gx + 1) * w // 9) * 7 + (gy * h // 8) * 13 + base) % 256 AS lr
+        FROM p
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gy)
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gx)),
+      bits AS (
+        SELECT doc_id, gy * 8 + gx AS bit, CASE WHEN lr > l THEN 1 ELSE 0 END AS b
+        FROM cells),
+      hh AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN bit // 16 = 0 THEN b * (1 << (bit % 16)) ELSE 0 END) AS BIGINT) AS b0,
+          CAST(sum(CASE WHEN bit // 16 = 1 THEN b * (1 << (bit % 16)) ELSE 0 END) AS BIGINT) AS b1,
+          CAST(sum(CASE WHEN bit // 16 = 2 THEN b * (1 << (bit % 16)) ELSE 0 END) AS BIGINT) AS b2,
+          CAST(sum(CASE WHEN bit // 16 = 3 THEN b * (1 << (bit % 16)) ELSE 0 END) AS BIGINT) AS b3
+        FROM bits GROUP BY doc_id),
+      cls AS (
+        SELECT b0, b1, b2, b3, min(doc_id) AS crep
+        FROM hh GROUP BY b0, b1, b2, b3),
+      cb AS (
+        SELECT crep, band_idx, val FROM (
+          SELECT crep, 0 AS band_idx, b0 AS val FROM cls UNION ALL
+          SELECT crep, 1, b1 FROM cls UNION ALL
+          SELECT crep, 2, b2 FROM cls UNION ALL
+          SELECT crep, 3, b3 FROM cls) t),
+      okb AS (
+        SELECT band_idx, val FROM cb
+        GROUP BY band_idx, val HAVING count(*) <= 16),
+      cbf AS (
+        SELECT cb.crep, cb.band_idx, cb.val
+        FROM cb JOIN okb ON cb.band_idx = okb.band_idx AND cb.val = okb.val),
+      cand AS (
+        SELECT DISTINCT x.crep AS ia, y.crep AS ib
+        FROM cbf x JOIN cbf y
+          ON x.band_idx = y.band_idx AND x.val = y.val AND x.crep < y.crep),
+      pr AS (
+        SELECT ia AS id_a, ib AS id_b
+        FROM cand JOIN cls a ON cand.ia = a.crep JOIN cls c ON cand.ib = c.crep
+        WHERE bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1)) +
+              bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) <= 3),
       edges AS (SELECT id_a AS src, id_b AS dst FROM pr
                 UNION SELECT id_b, id_a FROM pr),
       reach(src, dst) AS (
