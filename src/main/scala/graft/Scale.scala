@@ -372,6 +372,18 @@ object Scale {
     def resetSessionStorage(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // Broadcast residue (round 14): unlike persisted RDDs, finished
+      // queries' broadcast blocks (centroid tables, probe lists, BPE
+      // vocabularies, oversized-key sets) are reclaimed only when the
+      // ContextCleaner notices their driver references are GC'd — and a
+      // 200-query single-JVM sweep can allocate its way into an OOM
+      // before any full GC happens (measured: the ×64 all-queries sweep
+      // killed an 8 GB JVM at query ~160 with heap full of torrent
+      // blocks; every operator alone completes in the same heap). One
+      // explicit GC per query keeps the cleaner's queue drained — a
+      // harness-hygiene cost (~100ms/query), irrelevant to the measured
+      // per-query walls and decisive for sweep survival.
+      System.gc()
     }
     val entryFns = SparkEntry.queries
     // a name resolves to the oracle query (fixed index parameters) or to
