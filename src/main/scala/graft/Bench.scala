@@ -209,6 +209,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.unionOutputPartitioning", "false") // Spark 4.1 union claim/exec mismatch; see Checkpoints.scala
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // noop sink forces FULL evaluation of every output column — a bare

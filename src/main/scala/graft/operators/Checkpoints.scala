@@ -17,6 +17,37 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Checkpoints {
 
+  /** Bisect hooks for the round-14 serialized-checkpoint finding, kept
+    * as the permanent regression harness (StatsInvarianceSpec sweeps
+    * {storage level} × {stats scale} × {raw leaf} over a pinned operator
+    * set and asserts identical results; production code never sets
+    * these — defaults = shipped behavior).
+    *
+    * Root cause (round 15, pinned): NOT a checkpoint defect. Spark
+    * 4.1.2's `spark.sql.unionOutputPartitioning` (default TRUE) lets
+    * `UnionExec.outputPartitioning` claim the children's common hash
+    * partitioning; under AQE, `EnsureRequirements` then elides the
+    * exchange a downstream aggregate/window needs (reachable through a
+    * BroadcastHashJoin's stream-side partitioning expansion), but at
+    * execution the same node builds a FLAT `UnionRDD` (partitions = sum
+    * of children, verified on the executed RDD lineage) instead of the
+    * partition-zipped `SQLPartitioningAwareUnionRDD` the claim requires
+    * — so each hash group is split across tasks: duplicate
+    * `row_number()==1` winners, under-aggregated `max()`. Serialized
+    * checkpoint storage merely shrank the measured truthful stats enough
+    * to flip one step-3 join to broadcast, exposing the shape; any stats
+    * change (AQE threshold, CBO, a Spark upgrade) could do the same with
+    * plain MEMORY_AND_DISK. Every graft session builder therefore sets
+    * `spark.sql.unionOutputPartitioning=false`; library users bringing
+    * their own session on Spark 4.1.x should do the same. AQE off or
+    * `spark.sql.execution.broadcastHashJoin.outputPartitioningExpandLimit=0`
+    * also restore correctness (measured); the flag is the narrowest
+    * fence. Repro recipe in NOTES.md round-15. */
+  private[graft] var storage: org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+  private[graft] var statsScale: Long = 1L
+  private[graft] var rawLeaf: Boolean = false
+
   /** Truncate lineage eagerly. With `dir` set this is a RELIABLE
     * checkpoint (blocks re-readable from storage after executor loss —
     * `localCheckpoint` data dies with its executor, which on a real
@@ -29,7 +60,7 @@ object Checkpoints {
       case Some(d) =>
         df.sparkSession.sparkContext.setCheckpointDir(d)
         df.checkpoint(eager = true)
-      case None => df.localCheckpoint(eager = true)
+      case None => df.localCheckpoint(eager = true, storageLevel = storage)
     }
     // Spark preserves the ORIGINAL plan's statistics through checkpoint;
     // iterative self-joins then square sizeInBytes per round until the
@@ -42,9 +73,11 @@ object Checkpoints {
     // default stats when the blocks aren't block-manager-tracked
     // (reliable checkpoints live in files). release() walks the short
     // dependency chain to the persisted RDD underneath.
+    if (rawLeaf) return ck
     val measured = persistedRddId(ck).flatMap(
       org.apache.spark.sql.graft.ColumnBridge.persistedBytes(ck.sparkSession, _))
-    org.apache.spark.sql.graft.ColumnBridge.freshLeaf(ck, measured.map(BigInt(_)))
+    org.apache.spark.sql.graft.ColumnBridge.freshLeaf(
+      ck, measured.map(BigInt(_) * statsScale))
   }
 
   /** Id of the persisted RDD underneath a checkpointed frame's leaf, if

@@ -19,6 +19,7 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
     // the JqPathCompile rewrite must stay interpreter-equivalent, and the
     // whole spec surface is the regression net for that
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.unionOutputPartitioning", "false") // Spark 4.1 union claim/exec mismatch; see Checkpoints.scala
     .getOrCreate()
 
   def sfDir = "/root/testdata/sf0.001"
