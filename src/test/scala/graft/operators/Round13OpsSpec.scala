@@ -152,11 +152,13 @@ class Round13OpsSpec extends SparkTestBase {
   }
 
   test("editDistancePairs: oversized blocks re-key wider; kept pairs agree through the widened prefix") {
-    // 12 filler docs bloat the ("the" | band) level-0 block past cap 4;
-    // the true near-dup pair (1,2) agrees on the first TWO tokens and
-    // must survive re-blocking; (3,4) differs at token 2 (still sim >=
-    // 0.8 — only 4 of 46 chars differ) and is the documented drop
-    val fill = (10L to 21L).map(i =>
+    // 14 filler docs bloat the ("the" | band) level-0 block past cap 4
+    // AND past the round-15 engagement floor (largest 18 > 4x cap = 16,
+    // excess pairs 153 > 4n = 72, so re-keying genuinely engages); the
+    // true near-dup pair (1,2) agrees on the first TWO tokens and must
+    // survive re-blocking; (3,4) differs at token 2 (still sim >= 0.8 —
+    // only 4 of 46 chars differ) and is the documented drop
+    val fill = (10L to 23L).map(i =>
       (i, s"the filler$i zzzz yyyy xxxx wwww vvvv uuuu $i"))
     val d = (Seq(
       (1L, "the alpha beta gamma delta epsilon zeta etaX"),
