@@ -231,4 +231,17 @@ class ScaleHarnessSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1) / k)).toSeq
     assert(repDeg == baseDeg, "per-replica degree histogram must equal the base")
   }
+
+  test("queryRoles: every tagged row and its twin resolve to runnable queries") {
+    // the sweep artifact's self-adjudication tags (round 15, judge ask 4)
+    // must never name a query that no longer exists — a renamed twin
+    // would silently orphan the tag
+    val known = graft.SparkEntry.queries.keySet ++ graft.Scale.scaledQueries.keySet
+    graft.Scale.queryRoles.foreach { case (name, (role, twin)) =>
+      assert(known.contains(name), s"tagged row $name is not a known query")
+      assert(known.contains(twin), s"$name's twin $twin is not a known query")
+      assert(Set("strawman-quadratic", "rule-test").contains(role),
+        s"$name carries an undocumented role $role")
+    }
+  }
 }
