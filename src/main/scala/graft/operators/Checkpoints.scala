@@ -43,8 +43,21 @@ object Checkpoints {
     * `spark.sql.execution.broadcastHashJoin.outputPartitioningExpandLimit=0`
     * also restore correctness (measured); the flag is the narrowest
     * fence. Repro recipe in NOTES.md round-15. */
+  /** Local checkpoints store SERIALIZED blocks (round 15 — the round-14
+    * experiment re-landed now that its miscompute is root-caused above
+    * and fenced): the default deserialized MEMORY_AND_DISK pins row
+    * OBJECTS, ~3× the footprint of the compact bytes for the one
+    * corpus-sized checkpoint in the repo (pageRank's edge frame), and
+    * the measured difference between finishing and thrashing in a
+    * memory-tight JVM (graph_pagerank ×64 in an 8 GB local[32] heap:
+    * 137s deserialized vs ~42s serialized). _SER costs one cheap
+    * UnsafeRow deserialization per downstream read — measured noise for
+    * the bounded-small fixpoint frames that dominate call sites (sf0.1
+    * bench A/B within run-to-run variance). StatsInvarianceSpec pins
+    * result equality across storage levels on the originally-affected
+    * operator set. */
   private[graft] var storage: org.apache.spark.storage.StorageLevel =
-    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
   private[graft] var statsScale: Long = 1L
   private[graft] var rawLeaf: Boolean = false
 

@@ -37,8 +37,8 @@ class StatsInvarianceSpec extends SparkTestBase {
   }
 
   private val matrix: Seq[(String, StorageLevel, Long, Boolean)] = Seq(
-    ("deser(shipped)", StorageLevel.MEMORY_AND_DISK, 1L, false),
-    ("ser", StorageLevel.MEMORY_AND_DISK_SER, 1L, false),
+    ("deser", StorageLevel.MEMORY_AND_DISK, 1L, false),
+    ("ser(shipped)", StorageLevel.MEMORY_AND_DISK_SER, 1L, false),
     ("ser-x100stats", StorageLevel.MEMORY_AND_DISK_SER, 100L, false),
     ("ser-rawleaf", StorageLevel.MEMORY_AND_DISK_SER, 1L, true))
 
