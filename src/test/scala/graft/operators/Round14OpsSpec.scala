@@ -30,10 +30,17 @@ class Round14OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(labels.forall(_._2 == 1L), "complete graph: one min-id cluster")
     assert(labels.map(_._1).toSeq == (1L to n).toSeq)
+    // Accumulators double-count on task retries/speculative execution
+    // (round-15 ADVICE), so exact equality can flake on a loaded host. A
+    // SECOND evaluation of the whole pipeline lands at exactly 2×; a
+    // rare retry re-adds one task's partition (≪ edgeCount here). The
+    // strict < 2× upper bound catches the regression this test exists
+    // for while tolerating retries.
     val edgeCount = n.toLong * (n - 1) / 2
-    assert(acc.value == edgeCount,
+    assert(acc.value >= edgeCount && acc.value < 2 * edgeCount,
       s"pairs must evaluate exactly once (checkpoint materialization): " +
-        s"expected $edgeCount bump calls, saw ${acc.value}")
+        s"expected ~$edgeCount bump calls (retries tolerated, 2x = " +
+        s"re-evaluation), saw ${acc.value}")
   }
 
   test("nearDupClustersHybrid evaluates the pairs pipeline ONCE on the local path too") {
@@ -45,7 +52,10 @@ class Round14OpsSpec extends SparkTestBase {
     val labels = Dedup.nearDupClustersHybrid(ids, "id", pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(labels.forall(_._2 == 1L))
-    assert(acc.value == 19L, s"expected 19 bump calls, saw ${acc.value}")
+    // same retry-tolerant bound as above: 2x = the re-evaluation this
+    // test guards against; a retry re-adds at most one small partition
+    assert(acc.value >= 19L && acc.value < 38L,
+      s"expected ~19 bump calls (2x = re-evaluation), saw ${acc.value}")
   }
 
   // ------------------------------- leak-free exits (fixpoint + hybrid)
