@@ -2517,7 +2517,11 @@ object SparkEntry {
     }),
 
     // edit-distance near-dup under blocking-key candidates (record-linkage
-    // shape): first-token + length-band blocks, exact Levenshtein verify
+    // shape): first-token + length-band blocks, exact Levenshtein verify.
+    // The oracle SQL replays the FULL tuner decision: the round-15
+    // engagement floor (largest block > 4×cap AND excess pairs > 4×rows,
+    // else the fixed key) and, when engaged, the per-level widen CASE —
+    // so the row stays exact at any SF whichever branch the probe takes.
     "dedup_edit" -> ((s, dir) =>
       operators.Dedup.editDistancePairs(
         table(s, dir, "documents"), "doc_id", col("text"), minSim = 0.8)),
@@ -5005,11 +5009,17 @@ object SparkEntry {
           array_to_string((string_split(text, ' '))[1:4], ' ') || '|' ||
             CAST(length(text) // 64 AS VARCHAR) AS k3
         FROM documents),
-      c0 AS (SELECT k0, count(*) AS c FROM k GROUP BY k0),
+      c0 AS (SELECT k0, count(*) AS c,
+                    max(count(*)) OVER () AS mx,
+                    sum(CASE WHEN count(*) > 16
+                        THEN count(*)*(count(*)-1)//2 ELSE 0 END) OVER () AS pov,
+                    sum(count(*)) OVER () AS n
+             FROM k GROUP BY k0),
       c1 AS (SELECT k1, count(*) AS c FROM k GROUP BY k1),
       c2 AS (SELECT k2, count(*) AS c FROM k GROUP BY k2),
       eff AS (SELECT k.doc_id, k.text,
-          CASE WHEN c0.c <= 16 THEN k.k0
+          CASE WHEN c0.mx <= 4*16 OR c0.pov <= 4*c0.n THEN k.k0
+               WHEN c0.c <= 16 THEN k.k0
                WHEN c1.c <= 16 THEN k.k1
                WHEN c2.c <= 16 THEN k.k2
                ELSE k.k3 END AS blk
