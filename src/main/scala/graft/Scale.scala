@@ -309,7 +309,8 @@ object Scale {
     "dedup_substring" -> ("strawman-quadratic", "dedup_substring_capped"),
     "dedup_semantic_ctuned" -> ("rule-test", "dedup_semantic_hier"),
     "dedup_edit_btuned" -> ("rule-test", "dedup_edit"),
-    "dedup_embedding_lsh_htuned" -> ("rule-test", "dedup_embedding_lsh_derived"))
+    "dedup_embedding_lsh_htuned" -> ("rule-test", "dedup_embedding_lsh_derived"),
+    "sim_ivf_hier_p1" -> ("rule-test", "sim_ivf_hier"))
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
