@@ -307,6 +307,7 @@ object Scale {
     "dedup_embedding" -> ("strawman-quadratic", "dedup_embedding_lsh_derived"),
     "dedup_semantic" -> ("strawman-quadratic", "dedup_semantic_hier"),
     "dedup_substring" -> ("strawman-quadratic", "dedup_substring_capped"),
+    "dedup_simhash" -> ("strawman-quadratic", "dedup_simhash_capped"),
     "dedup_semantic_ctuned" -> ("rule-test", "dedup_semantic_hier"),
     "dedup_edit_btuned" -> ("rule-test", "dedup_edit"),
     "dedup_embedding_lsh_htuned" -> ("rule-test", "dedup_embedding_lsh_derived"),

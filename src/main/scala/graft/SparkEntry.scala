@@ -1569,6 +1569,25 @@ object SparkEntry {
       operators.Dedup.simhashNearDups(
         table(s, dir, "documents"), "doc_id", col("text"), n = 3, threshold = 0.8)),
 
+    // the valve-engaged production configuration of the row above
+    // (round 15): simhashNearDups was the LAST quadratic candidate
+    // surface without a bucket cap (minhash/LSH, dhash and the embedding
+    // paths all grew theirs in earlier rounds) — the ×256 sweep priced
+    // that gap at 299s where the minhash twin rides its cap. Same
+    // oracle-compatibility argument as mm_phash_dedup's engaged cap: the
+    // bucket-size valve is a no-op at the driver's gate SFs (measured
+    // largest block-pair bucket: 10 at sf0.001, 11 at sf0.01, 59 even at
+    // the sf0.1 bench corpus — all far under 256), so the brute-force
+    // all-pairs oracle contract (recall = 1 at
+    // jaccard ≥ 0.8, Hamming ≤ 12 pigeonhole) is checked UNWEAKENED;
+    // at web scale the cap drops only boilerplate-saturated buckets
+    // (drop-only-weakens, exact-dedup-first order documented on the
+    // operator).
+    "dedup_simhash_capped" -> ((s, dir) =>
+      operators.Dedup.simhashNearDups(
+        table(s, dir, "documents"), "doc_id", col("text"), n = 3, threshold = 0.8,
+        maxBucketSize = 256)),
+
     // CAPSTONE (round 5): the end-to-end corpus-cleaning run a
     // training-data pipeline actually executes — language gate →
     // punctuation quality gate → exact dedup (hash-keyed, min-id keep) →
@@ -4055,6 +4074,24 @@ object SparkEntry {
       SELECT src AS doc_id, min(dst) AS rep FROM reach GROUP BY src""",
 
     "dedup_simhash" -> """
+      WITH sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(s) >= 3
+          THEN [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]
+          ELSE [] END) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+      SELECT id_a, id_b, j FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(a.shingles || b.shingles)) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+      WHERE j >= 0.8""",
+
+    // identical brute-force contract as dedup_simhash: the cap is a
+    // measured no-op at the gate SFs (largest bucket 11 ≪ 256 at
+    // sf0.01), so the capped run must STILL find every true pair —
+    // recall = 1 is checked unweakened, and any over-dropping valve bug
+    // (pruning a bucket it shouldn't) breaks the hash here
+    "dedup_simhash_capped" -> """
       WITH sh AS (
         SELECT doc_id, list_distinct(CASE WHEN len(s) >= 3
           THEN [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]

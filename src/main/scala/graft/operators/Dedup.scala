@@ -301,7 +301,8 @@ object Dedup {
   val SimhashHammingGuarantee: Int = SimhashBlockWidths.length - 2
 
   def simhashNearDups(docs: DataFrame, id: String, text: Column,
-                      n: Int, threshold: Double): DataFrame = {
+                      n: Int, threshold: Double,
+                      maxBucketSize: Int = 0): DataFrame = {
     val shingled = docs.select(col(id), wordShingles(text, n).as("sh"))
     val sketched = shingled.select(col(id), col("sh"), simhash64(col("sh")).as("simhash"))
     val offsets = SimhashBlockWidths.scanLeft(0)(_ + _)
@@ -315,8 +316,24 @@ object Dedup {
       yield (i, j)).zipWithIndex.map { case ((i, j), p) =>
         lit(p.toLong * 4096L) + block(i) * 64L + block(j)
       }
-    val blocked = sketched.select(
+    val blocked0 = sketched.select(
       col(id), col("simhash"), explode(array(pairKeys: _*)).as("bb"))
+    // `maxBucketSize` (0 = off) is the same B² valve as [[lshCandidates]]
+    // / Multimodal.dhashNearDups: at a FIXED key space (91 block pairs ×
+    // ≤2^12 value combos = ≤372,736 buckets, structurally bounded like
+    // dhash's band space — the count frame is broadcast-safe at any
+    // corpus size) per-bucket occupancy grows linearly with the corpus,
+    // so bucket-collision candidates grow quadratically. Dropping
+    // saturated buckets bounds the self-join; the pigeonhole guarantee
+    // weakens ONLY for pairs whose every intact block pair sits in a
+    // dropped bucket — boilerplate-shaped mass, the same caveat (and the
+    // same run-exact-dedup-first order) lshCandidates documents.
+    val blocked =
+      if (maxBucketSize <= 0) blocked0
+      else blocked0.join(
+        blocked0.groupBy(col("bb")).count()
+          .filter(col("count") <= maxBucketSize).select(col("bb")),
+        Seq("bb"), "left_semi")
     val a = blocked.select(col(id).as("id_a"), col("simhash").as("sim_a"), col("bb").as("bb_a"))
     val b = blocked.select(col(id).as("id_b"), col("simhash").as("sim_b"), col("bb").as("bb_b"))
     // prune bucket collisions with a cheap codegen'd Hamming filter before

@@ -127,4 +127,67 @@ class Round15OpsSpec extends SparkTestBase {
     assert(tunedBlocks.count() < fixedCands,
       "engaged widening must cut the candidate space of the mega-block")
   }
+
+  // ------------------------------------- simhash bucket valve (round 15)
+
+  private def simhashPairs(df: org.apache.spark.sql.DataFrame,
+                           cap: Int): Set[(Long, Long)] =
+    Dedup.simhashNearDups(df, "doc_id", col("text"), n = 3, threshold = 0.8,
+        maxBucketSize = cap)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("simhash valve: no-op at the gate corpus, with occupancy headroom") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(simhashPairs(docs, 256) == simhashPairs(docs, 0),
+      "cap 256 must not change the pair set on the gate corpus")
+    // pin the headroom the dedup_simhash_capped oracle comment claims:
+    // the largest block-pair bucket sits far under the shipped cap
+    val largest = docs
+      .select(col("doc_id"), Dedup.simhash64(
+        Dedup.wordShingles(col("text"), 3)).as("simhash"))
+      .select(explode(array((0 until 14).flatMap(i => (i + 1 until 14).map { j =>
+        val offs = Dedup.SimhashBlockWidths.scanLeft(0)(_ + _)
+        val p = (0 until 14).flatMap(a => (a + 1 until 14).map((a, _))).indexOf((i, j))
+        lit(p.toLong * 4096L) +
+          (shiftright(col("simhash"), offs(i)) bitwiseAND
+            lit((1L << Dedup.SimhashBlockWidths(i)) - 1L)) * 64L +
+          (shiftright(col("simhash"), offs(j)) bitwiseAND
+            lit((1L << Dedup.SimhashBlockWidths(j)) - 1L))
+      }): _*)).as("bb"))
+      .groupBy("bb").count().agg(max("count")).head().getLong(0)
+    assert(largest <= 64, s"gate-corpus occupancy crept toward the cap: $largest")
+  }
+
+  test("simhash valve: saturated buckets drop, small buckets survive") {
+    // 40 byte-identical docs share EVERY block-pair bucket (the
+    // boilerplate mega-cluster the valve exists for — and the reason the
+    // documented pipeline order runs exactDedup first); one genuine
+    // near-dup pair lives in size-2 buckets and must survive the cap
+    val mega = (0L until 40L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val near = Seq(
+      (100L, "one two three four five six seven eight nine ten eleven twelve"),
+      (101L, "one two three four five six seven eight nine ten eleven swap"))
+    val d = spark.createDataFrame(mega ++ near).toDF("doc_id", "text")
+    val uncapped = simhashPairs(d, 0)
+    val capped = simhashPairs(d, 16)
+    assert(uncapped.contains((100L, 101L)) && uncapped.exists(_._2 < 40L),
+      "uncapped finds both the near pair and the mega-cluster pairs")
+    assert(capped.contains((100L, 101L)),
+      "pairs in small buckets must survive the valve")
+    assert(!capped.exists(_._2 < 40L),
+      "every bucket of the 40-identical cluster is saturated and dropped")
+  }
+
+  test("simhash valve off keeps the unvalved plan (no semi-join stage)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    def planOf(cap: Int) = Dedup.simhashNearDups(
+      docs, "doc_id", col("text"), n = 3, threshold = 0.8,
+      maxBucketSize = cap).queryExecution.executedPlan.toString
+    assert(!planOf(0).contains("LeftSemi"),
+      "cap 0 must not pay the bucket-count semi join")
+    assert(planOf(16).contains("LeftSemi"),
+      "an engaged cap prunes via one left-semi on the bucket key")
+  }
 }
