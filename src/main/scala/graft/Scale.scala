@@ -283,6 +283,23 @@ object Scale {
       operators.Multimodal.dhashNearDups(hashes, "media_id", maxDist = 3,
         maxBucketSize = 256)
     }),
+    "stream_neardup_hashed" -> ((s, dir, f) => {
+      // the documented 100-TB state trade of the streaming near-dup
+      // (round 15): same declaration as the oracle row but with shingles
+      // hashed to longs for the verify payload — candidates identical
+      // (band keys still derive from string minhash), j exact absent a
+      // 64-bit in-bucket collision. The string-payload default is the
+      // bit-exact contract; THIS is what a real multi-TB tail deploys
+      // (measured: the string path's scale tail is GC over the 16×-corpus
+      // small-string state, not algorithmic).
+      implicit val sp: SparkSession = s
+      streaming.NearDupStream.nearDupPairs(
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("ts",
+            lit(1700000000L * 1000000000L) + col("doc_id") * lit(1000000000L)),
+        "doc_id", "ts", col("text"), n = 3, threshold = 0.75,
+        hashShingles = true)
+    }),
     "dedup_embedding_lsh_htuned" -> ((s, dir, f) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val copies = emb.withColumn("vec_id", col("vec_id") + lit(10000000L))

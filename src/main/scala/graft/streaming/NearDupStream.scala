@@ -49,12 +49,15 @@ import graft.operators.Dedup
 object NearDupStream {
 
   /** One exploded (band-bucket, doc) row. `ts` keeps exact nanos; the
-    * derived `event_time` column exists only for the watermark. */
-  final case class BandedDoc(bkey: String, doc_id: Long, ts: Long,
-                             event_time: java.sql.Timestamp, sh: Seq[String])
+    * derived `event_time` column exists only for the watermark. Generic
+    * in the shingle element: `String` on the default (bit-exact) path,
+    * `Long` when `hashShingles` trades the ~2⁻⁶⁴-per-pair collision risk
+    * for ~8× lighter shuffle/state (see [[nearDupPairs]]). */
+  final case class BandedDoc[E](bkey: String, doc_id: Long, ts: Long,
+                                event_time: java.sql.Timestamp, sh: Seq[E])
   /** Bucket state entry: one retained exemplar. Shingles are stored
     * distinct, so `sh.size` is the set cardinality. */
-  final case class Exemplar(doc_id: Long, t_us: Long, sh: Seq[String])
+  final case class Exemplar[E](doc_id: Long, t_us: Long, sh: Seq[E])
   /** Verified near-dup pair, id_a < id_b, j = |A∩B|/|A∪B| exact. */
   final case class NearDupPair(id_a: Long, id_b: Long, j: Double)
 
@@ -68,28 +71,49 @@ object NearDupStream {
     * @param horizonMicros how long an exemplar stays eligible for pairing
     * @param maxBucketSize 0 = unbounded; else retain at most this many
     *                      exemplars per (band, bucket)
+    * @param hashShingles  false (default) shuffles and stores STRING
+    *                      shingles — streaming j is bit-identical to the
+    *                      batch/oracle value on ANY corpus. true hashes
+    *                      each shingle to a long (xxhash64) before the
+    *                      band explode: candidates are unchanged (band
+    *                      keys still come from the string minhash), and
+    *                      |A∩B|/|A∪B| over hashed sets equals the exact
+    *                      value unless two distinct shingles of the same
+    *                      bucket collide in 64 bits (~2⁻⁶⁴ per pair) —
+    *                      the 100-TB trade the state-size note above
+    *                      describes, measured ~3× wall at a ×256 corpus
+    *                      (the string path's tail is GC over billions of
+    *                      small strings, not algorithmic: the banding's
+    *                      batch twin holds ~1.9×/octave on the same
+    *                      corpus while string-state streaming pays 3.3×).
     */
   def nearDupPairs(docs: DataFrame, id: String, tsCol: String, text: Column,
                    n: Int = 3, threshold: Double = 0.8,
                    watermarkDelay: String = "10 minutes",
                    horizonMicros: Long = 3600L * 1000000L,
-                   maxBucketSize: Int = 0)
+                   maxBucketSize: Int = 0,
+                   hashShingles: Boolean = false)
                   (implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
     val streaming = docs.isStreaming
-    val horizonMs = math.max(1L, horizonMicros / 1000L)
 
     // shingle + signature once per doc, then explode to one row per band
-    // with a compact string bucket key "band:sigSlice"
+    // with a compact string bucket key "band:sigSlice". The signature —
+    // hence every band key, hence the candidate set — always comes from
+    // the STRING shingles; hashShingles only changes the verify payload.
     val base = docs.select(
         col(id).cast("long").as("doc_id"),
         col(tsCol).cast("long").as("ts"),
         Dedup.wordShingles(text, n).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", Dedup.minhashSignature(col("sh")))
+      // hash BEFORE the band explode: a payload expression in the same
+      // projection as the generator would re-hash every shingle once per
+      // band (16×) instead of once per doc
+      .withColumn("shp",
+        if (hashShingles) transform(col("sh"), s => xxhash64(s)) else col("sh"))
     val banded = base.select(
         col("doc_id"), col("ts"),
-        EventStreams.eventTime(col("ts")).as("event_time"), col("sh"),
+        EventStreams.eventTime(col("ts")).as("event_time"), col("shp").as("sh"),
         explode(transform(sequence(lit(0), lit(Dedup.MinhashBands - 1)), b =>
           concat_ws(":", b.cast("string"),
             concat_ws(",", transform(
@@ -99,19 +123,35 @@ object NearDupStream {
     val watermarked =
       if (streaming) banded.withWatermark("event_time", watermarkDelay) else banded
 
+    if (hashShingles)
+      runPairs[Long](watermarked, streaming, threshold, horizonMicros, maxBucketSize)
+    else
+      runPairs[String](watermarked, streaming, threshold, horizonMicros, maxBucketSize)
+  }
+
+  /** The stateful pair engine, generic in the shingle element type (the
+    * two instantiations differ only in the verify payload's encoding —
+    * candidate generation, state lifecycle and emission are one code
+    * path, so the hashed variant can never drift semantically). */
+  private def runPairs[E: scala.reflect.runtime.universe.TypeTag](
+      watermarked: DataFrame, streaming: Boolean, threshold: Double,
+      horizonMicros: Long, maxBucketSize: Int)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val horizonMs = math.max(1L, horizonMicros / 1000L)
     val timeoutConf =
       if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
 
-    val pairs = watermarked.as[BandedDoc]
+    val pairs = watermarked.as[BandedDoc[E]]
       .groupByKey(_.bkey)
-      .flatMapGroupsWithState[List[Exemplar], NearDupPair](
+      .flatMapGroupsWithState[List[Exemplar[E]], NearDupPair](
         OutputMode.Append, timeoutConf) {
-        (_: String, rows: Iterator[BandedDoc], state: GroupState[List[Exemplar]]) =>
+        (_: String, rows: Iterator[BandedDoc[E]], state: GroupState[List[Exemplar[E]]]) =>
           def wmMs = if (streaming) state.getCurrentWatermarkMs() else Long.MinValue
-          def prune(ex: List[Exemplar]): List[Exemplar] =
+          def prune(ex: List[Exemplar[E]]): List[Exemplar[E]] =
             if (!streaming) ex
             else ex.filter(e => e.t_us / 1000L + horizonMs > wmMs)
-          def arm(ex: List[Exemplar]): Unit = if (streaming && ex.nonEmpty)
+          def arm(ex: List[Exemplar[E]]): Unit = if (streaming && ex.nonEmpty)
             state.setTimeoutTimestamp(
               math.max(ex.iterator.map(_.t_us / 1000L).max + horizonMs, wmMs + 1L))
           if (state.hasTimedOut) {
@@ -122,8 +162,8 @@ object NearDupStream {
             var exemplars = prune(state.getOption.getOrElse(Nil))
             // cache the set view of each exemplar across arrivals in this
             // invocation (state stores Seq for the encoder's sake)
-            val setOf = scala.collection.mutable.HashMap.empty[Long, Set[String]]
-            def exSet(e: Exemplar): Set[String] =
+            val setOf = scala.collection.mutable.HashMap.empty[Long, Set[E]]
+            def exSet(e: Exemplar[E]): Set[E] =
               setOf.getOrElseUpdate(e.doc_id, e.sh.toSet)
             val out = List.newBuilder[NearDupPair]
             // doc-id order within the invocation makes the batch backfill

@@ -359,6 +359,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("nearDupPairs: hashed verify payload reproduces the exact pair list") {
+    implicit val s = spark
+    val base = 1700000000L * 1000000000L
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("ts", lit(base) + col("doc_id") * lit(1000000000L))
+    def run(hashed: Boolean) = NearDupStream.nearDupPairs(
+        docs, "doc_id", "ts", col("text"), n = 3, threshold = 0.75,
+        hashShingles = hashed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = run(false)
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    // candidates are identical by construction (band keys derive from the
+    // string minhash either way); j over hashed sets equals the exact
+    // value on any corpus without an in-bucket 64-bit shingle collision —
+    // including every driver fixture, pinned here tuple-for-tuple
+    assert(run(true) == exact,
+      "hashShingles must reproduce the exact pairs AND j values")
+  }
+
   test("nearDupPairs: exemplars past the horizon are evicted, inside it they pair") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
