@@ -1963,6 +1963,22 @@ object SparkEntry {
         dim = 64, planesPerTable = 0)
     }),
 
+    // the fixed-width operator WITH its round-16 `maxBucketSize` valve —
+    // the configuration that survives a growing corpus at fixed signature
+    // bits (the `dedup_simhash_capped` playbook, r15 verdict ask #1). The
+    // cap is a measured NO-OP at every driver SF (largest (table,bucket)
+    // occupancy on this doubled corpus: 64 at sf0.1, 24 at sf0.001 —
+    // pinned by Round16OpsSpec's headroom test), so this row sits under
+    // the UNWEAKENED exact oracle: every byte-identical pair, nothing
+    // else. At sweep scale the cap engages and bounds the bucket
+    // self-join (the 4.56×/octave ×256 tail this valve exists for).
+    "dedup_embedding_lsh_capped" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val copies = emb.withColumn("vec_id", col("vec_id") + lit(1000000))
+      operators.Similarity.nearDupPairsLSH(emb.unionByName(copies), threshold = 0.9,
+        dim = 64, maxBucketSize = 256)
+    }),
+
     // --- similarity search ----------------------------------------------
     "sim_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -4300,6 +4316,9 @@ object SparkEntry {
       "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings",
 
     "dedup_embedding_lsh_derived" ->
+      "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings",
+
+    "dedup_embedding_lsh_capped" ->
       "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings",
 
     "sim_ann_lsh" ->

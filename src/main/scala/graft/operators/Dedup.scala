@@ -321,19 +321,35 @@ object Dedup {
     // `maxBucketSize` (0 = off) is the same B² valve as [[lshCandidates]]
     // / Multimodal.dhashNearDups: at a FIXED key space (91 block pairs ×
     // ≤2^12 value combos = ≤372,736 buckets, structurally bounded like
-    // dhash's band space — the count frame is broadcast-safe at any
-    // corpus size) per-bucket occupancy grows linearly with the corpus,
-    // so bucket-collision candidates grow quadratically. Dropping
+    // dhash's band space) per-bucket occupancy grows linearly with the
+    // corpus, so bucket-collision candidates grow quadratically. Dropping
     // saturated buckets bounds the self-join; the pigeonhole guarantee
     // weakens ONLY for pairs whose every intact block pair sits in a
     // dropped bucket — boilerplate-shaped mass, the same caveat (and the
     // same run-exact-dedup-first order) lshCandidates documents.
+    //
+    // Round 16 (r15 finding #3): the bounded key space means the
+    // OVER-limit bucket set is bounded driver metadata at any corpus
+    // size — the IVF-centroid class — so instead of left-semi-joining
+    // the corpus-sized explode against the under-limit bucket list, one
+    // partial-agg'd probe job collects the hot keys. When the cap is a
+    // measured no-op (every driver SF today) the hot set is empty and
+    // the main plan is EXACTLY the uncapped plan — the capped oracle
+    // row pays one narrow probe, not a second corpus-wide join. When
+    // engaged, an InSet filter (O(1)/row, codegen'd, ≤372,736 longs ≈
+    // 3 MB task metadata) replaces the join: one exchange fewer on the
+    // n×91-row explode. The probe re-evaluates the shingle→simhash
+    // lineage once — the standard recompute-narrow-projections trade
+    // ([[minhashNearDups]] documents why these frames are not persisted).
     val blocked =
       if (maxBucketSize <= 0) blocked0
-      else blocked0.join(
-        blocked0.groupBy(col("bb")).count()
-          .filter(col("count") <= maxBucketSize).select(col("bb")),
-        Seq("bb"), "left_semi")
+      else {
+        val hot = blocked0.groupBy(col("bb")).count()
+          .filter(col("count") > maxBucketSize).select(col("bb"))
+          .collect().map(_.getLong(0)).toSeq
+        if (hot.isEmpty) blocked0
+        else blocked0.filter(!col("bb").isInCollection(hot))
+      }
     val a = blocked.select(col(id).as("id_a"), col("simhash").as("sim_a"), col("bb").as("bb_a"))
     val b = blocked.select(col(id).as("id_b"), col("simhash").as("sim_b"), col("bb").as("bb_b"))
     // prune bucket collisions with a cheap codegen'd Hamming filter before

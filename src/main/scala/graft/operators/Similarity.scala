@@ -384,9 +384,39 @@ object Similarity {
     * count() is one cheap partial-agg'd job producing a driver-side
     * scalar at plan-build — the same bounded-metadata class as the IVF
     * centroid sample. Recall moves with H as the contract above states;
-    * identical vectors stay recall-1 at any H. */
+    * identical vectors stay recall-1 at any H.
+    *
+    * `maxBucketSize` (0 = off) is the same B² valve as
+    * [[graft.operators.Dedup.lshCandidates]] / `simhashNearDups`
+    * (round 16): at FIXED signature width the key space is tables·2^H
+    * buckets, so per-bucket occupancy — and with it the candidate count —
+    * grows linearly with the corpus and the bucket self-join quadratically
+    * (the measured 4.56×/octave `dedup_embedding_lsh` ×256 tail).
+    * Dropping saturated buckets bounds the join. CAVEAT, same as the text
+    * valves: byte-identical mega-clusters collide in EVERY table, so a
+    * capped run assumes exact duplicates were removed first
+    * ([[graft.operators.Dedup.exactDedup]] — the pipeline order is
+    * exact-then-near); genuinely-near pairs keep their other tables'
+    * chances. The derived-width path needs no cap — it holds occupancy
+    * constant by construction — but accepts one for uniformity. */
+  /** Per-(table, bucket) occupancy of the SRP banding — the valve's
+    * engagement diagnostic: `max(count)` vs `maxBucketSize` decides
+    * whether a given cap is a no-op on a given corpus, which is exactly
+    * the headroom contract the capped oracle row pins in its spec. */
+  private[graft] def srpBucketCounts(corpus: DataFrame, dim: Int,
+      tables: Int = 8, planesPerTable: Int = 8): DataFrame = {
+    val h = if (planesPerTable > 0) planesPerTable
+            else deriveSrpPlanes(corpus.count())
+    val ps = planes(dim, tables, h)
+    corpus.select(dvec(col("embedding")).as("v"))
+      .select(explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), srpBucket(col("v"), ps(t)).as("b"))): _*)).as("tb"))
+      .groupBy(col("tb")).count()
+  }
+
   def nearDupPairsLSH(corpus: DataFrame, threshold: Double,
-                      dim: Int, tables: Int = 8, planesPerTable: Int = 8): DataFrame = {
+                      dim: Int, tables: Int = 8, planesPerTable: Int = 8,
+                      maxBucketSize: Int = 0): DataFrame = {
     val h = if (planesPerTable > 0) planesPerTable
             else deriveSrpPlanes(corpus.count())
     val ps = planes(dim, tables, h)
@@ -406,8 +436,23 @@ object Similarity {
       col("vec_id"), col("v"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), srpBucket(col("v"), ps(t)).as("b"))): _*)).as("tb"))
-    val a = bucketed.select(col("vec_id").as("id_a"), col("v").as("va"), col("tb").as("tb_a"))
-    val b = bucketed.select(col("vec_id").as("id_b"), col("v").as("vb"), col("tb").as("tb_b"))
+    // valve: one partial-agg'd count on the key the self-join shuffles on
+    // anyway. Fixed width ⇒ the count frame is one row per occupied
+    // (table, bucket) of a STRUCTURALLY BOUNDED space (2048 at the
+    // default 8×8) — broadcast-safe at any corpus size, like simhash's
+    // block space. Derived width tracks the corpus (≈ n/occupancy keys),
+    // so force the spill-safe merge join there, as lshCandidates does
+    // for its corpus-sized bucket space.
+    val pruned =
+      if (maxBucketSize <= 0) bucketed
+      else {
+        val keep = bucketed.groupBy(col("tb")).count()
+          .filter(col("count") <= maxBucketSize).select(col("tb"))
+        bucketed.join(if (planesPerTable > 0) keep else keep.hint("merge"),
+          Seq("tb"), "left_semi")
+      }
+    val a = pruned.select(col("vec_id").as("id_a"), col("v").as("va"), col("tb").as("tb_a"))
+    val b = pruned.select(col("vec_id").as("id_b"), col("v").as("vb"), col("tb").as("tb_b"))
     a.hint("shuffle_hash") // hash beats sorting the exploded table rows
       .join(b, col("tb_a") === col("tb_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("va"), col("vb"))

@@ -34,8 +34,10 @@ import graft.operators.Dedup
   *  - Per band the shuffle carries the doc's shingle set once (16 bands
   *    by default): the price of one-pass in-state exact verification.
   *    State stores STRING shingles so streaming j is bit-identical to the
-  *    batch/oracle value; a deployment that can take ~2⁻⁶⁴-per-pair
-  *    collision risk can hash shingles to longs for ~8× smaller state.
+  *    batch/oracle value; a deployment that can take the hashed-payload
+  *    collision risk (birthday-shaped, see [[nearDupPairs]]'s
+  *    `hashShingles` doc for the aggregate bound) can hash shingles to
+  *    longs for ~8× smaller state.
   *  - `maxBucketSize` is the mega-bucket valve (boilerplate shingles
   *    hashing together): arrivals beyond the cap still VERIFY against the
   *    retained exemplars but are not retained themselves, so a degenerate
@@ -51,13 +53,15 @@ object NearDupStream {
   /** One exploded (band-bucket, doc) row. `ts` keeps exact nanos; the
     * derived `event_time` column exists only for the watermark. Generic
     * in the shingle element: `String` on the default (bit-exact) path,
-    * `Long` when `hashShingles` trades the ~2⁻⁶⁴-per-pair collision risk
+    * `Long` when `hashShingles` trades a birthday-bounded collision risk
     * for ~8× lighter shuffle/state (see [[nearDupPairs]]). */
-  final case class BandedDoc[E](bkey: String, doc_id: Long, ts: Long,
-                                event_time: java.sql.Timestamp, sh: Seq[E])
+  private[streaming] final case class BandedDoc[E](
+      bkey: String, doc_id: Long, ts: Long,
+      event_time: java.sql.Timestamp, sh: Seq[E])
   /** Bucket state entry: one retained exemplar. Shingles are stored
     * distinct, so `sh.size` is the set cardinality. */
-  final case class Exemplar[E](doc_id: Long, t_us: Long, sh: Seq[E])
+  private[streaming] final case class Exemplar[E](
+      doc_id: Long, t_us: Long, sh: Seq[E])
   /** Verified near-dup pair, id_a < id_b, j = |A∩B|/|A∪B| exact. */
   final case class NearDupPair(id_a: Long, id_b: Long, j: Double)
 
@@ -78,9 +82,18 @@ object NearDupStream {
     *                      band explode: candidates are unchanged (band
     *                      keys still come from the string minhash), and
     *                      |A∩B|/|A∪B| over hashed sets equals the exact
-    *                      value unless two distinct shingles of the same
-    *                      bucket collide in 64 bits (~2⁻⁶⁴ per pair) —
-    *                      the 100-TB trade the state-size note above
+    *                      value unless two distinct shingles of the pair's
+    *                      UNION collide in 64 bits. That risk is
+    *                      birthday-shaped, not per-shingle-pair: a pair
+    *                      whose union holds S distinct shingles miscounts
+    *                      with probability ≲ S²·2⁻⁶⁵ (≈ 3·10⁻¹² at
+    *                      S = 10⁴, i.e. book-length docs), and corpus-wide
+    *                      it scales with the number of VERIFIED pairs —
+    *                      ≈ P·S²·2⁻⁶⁵, so even 10⁹ verified book-length
+    *                      pairs expect < 0.003 miscounted j values (and a
+    *                      miscount shifts j by one set element, flipping
+    *                      only threshold-boundary pairs). That is the
+    *                      100-TB trade the state-size note above
     *                      describes, measured ~3× wall at a ×256 corpus
     *                      (the string path's tail is GC over billions of
     *                      small strings, not algorithmic: the banding's

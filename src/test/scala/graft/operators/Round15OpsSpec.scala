@@ -180,14 +180,44 @@ class Round15OpsSpec extends SparkTestBase {
       "every bucket of the 40-identical cluster is saturated and dropped")
   }
 
-  test("simhash valve off keeps the unvalved plan (no semi-join stage)") {
+  // round 16 (r15 finding #3 + ADVICE): the valve is now a driver-probed
+  // InSet filter, and the no-op case (empty hot set) runs the EXACT
+  // uncapped plan — no join, no filter. Asserted on the optimized
+  // LOGICAL plan (typed node collection), not a substring of the
+  // executed-plan string, per the r15 ADVICE on format brittleness.
+  private def hotFilterCount(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet, Not}
+    df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.exists {
+          case Not(_: In) | Not(_: InSet) => true
+          case _ => false
+        } => f
+    }.size
+  }
+
+  test("simhash valve: no-op cap compiles to the exact uncapped plan") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
-    def planOf(cap: Int) = Dedup.simhashNearDups(
-      docs, "doc_id", col("text"), n = 3, threshold = 0.8,
-      maxBucketSize = cap).queryExecution.executedPlan.toString
-    assert(!planOf(0).contains("LeftSemi"),
-      "cap 0 must not pay the bucket-count semi join")
-    assert(planOf(16).contains("LeftSemi"),
-      "an engaged cap prunes via one left-semi on the bucket key")
+    def q(cap: Int) = Dedup.simhashNearDups(
+      docs, "doc_id", col("text"), n = 3, threshold = 0.8, maxBucketSize = cap)
+    assert(hotFilterCount(q(0)) == 0, "cap 0 must not add a hot-bucket filter")
+    // 50 distinct docs, cap 256: no block-pair bucket can be saturated,
+    // so the probe finds an empty hot set and the plan is unchanged
+    assert(hotFilterCount(q(256)) == 0,
+      "a no-op cap must run the uncapped plan (probe only, no filter)")
+    assert(q(256).queryExecution.optimizedPlan.sameResult(
+             q(0).queryExecution.optimizedPlan),
+      "no-op capped plan must be result-identical to the uncapped plan")
+  }
+
+  test("simhash valve: an engaged cap prunes via NOT-IN on the bucket key") {
+    val mega = (0L until 40L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val d = spark.createDataFrame(mega).toDF("doc_id", "text")
+    val engaged = Dedup.simhashNearDups(
+      d, "doc_id", col("text"), n = 3, threshold = 0.8, maxBucketSize = 16)
+    // both the a-side and b-side of the self-join carry the pushed filter
+    assert(hotFilterCount(engaged) >= 1,
+      "an engaged cap must filter hot buckets out of the explode")
   }
 }
