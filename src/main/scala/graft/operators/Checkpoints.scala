@@ -56,8 +56,15 @@ object Checkpoints {
     * bench A/B within run-to-run variance). StatsInvarianceSpec pins
     * result equality across storage levels on the originally-affected
     * operator set. */
+  /** A/B knob (round 16, judge ask #2): `SPARK_GRAFT_CKPT_STORAGE=deser`
+    * flips local-checkpoint blocks back to deserialized MEMORY_AND_DISK
+    * so the SER-vs-deserialized cost question can be measured on any
+    * harness run without a code edit. Unset (production) = SER, the
+    * shipped default documented above. */
   private[graft] var storage: org.apache.spark.storage.StorageLevel =
-    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    if (sys.env.get("SPARK_GRAFT_CKPT_STORAGE").contains("deser"))
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
   private[graft] var statsScale: Long = 1L
   private[graft] var rawLeaf: Boolean = false
 

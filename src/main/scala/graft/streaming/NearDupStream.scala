@@ -108,7 +108,25 @@ object NearDupStream {
                    hashShingles: Boolean = false)
                   (implicit spark: SparkSession): DataFrame = {
     val streaming = docs.isStreaming
+    val banded = bandedFrame(docs, id, tsCol, text, n, hashShingles)
+    val watermarked =
+      if (streaming) banded.withWatermark("event_time", watermarkDelay) else banded
 
+    if (hashShingles)
+      runPairs[Long](watermarked, streaming, threshold, horizonMicros, maxBucketSize)
+    else
+      runPairs[String](watermarked, streaming, threshold, horizonMicros, maxBucketSize)
+  }
+
+  /** The stateless front half of [[nearDupPairs]] — shingle + minhash
+    * once per doc, then explode to one `(bkey, doc_id, ts, event_time,
+    * sh)` row per band. Exposed for the scale harness's stage
+    * decomposition (graft.tools.StreamNearDupDecompose measures this
+    * projection, its bucket occupancy, and the stateful engine
+    * separately); production callers use [[nearDupPairs]]. */
+  private[graft] def bandedFrame(docs: DataFrame, id: String, tsCol: String,
+                                 text: Column, n: Int,
+                                 hashShingles: Boolean): DataFrame = {
     // shingle + signature once per doc, then explode to one row per band
     // with a compact string bucket key "band:sigSlice". The signature —
     // hence every band key, hence the candidate set — always comes from
@@ -124,7 +142,7 @@ object NearDupStream {
       // band (16×) instead of once per doc
       .withColumn("shp",
         if (hashShingles) transform(col("sh"), s => xxhash64(s)) else col("sh"))
-    val banded = base.select(
+    base.select(
         col("doc_id"), col("ts"),
         EventStreams.eventTime(col("ts")).as("event_time"), col("shp").as("sh"),
         explode(transform(sequence(lit(0), lit(Dedup.MinhashBands - 1)), b =>
@@ -133,13 +151,6 @@ object NearDupStream {
               slice(col("sig"), b * Dedup.MinhashRows + 1, lit(Dedup.MinhashRows)),
               _.cast("string")))))).as("bkey"))
       .select(col("bkey"), col("doc_id"), col("ts"), col("event_time"), col("sh"))
-    val watermarked =
-      if (streaming) banded.withWatermark("event_time", watermarkDelay) else banded
-
-    if (hashShingles)
-      runPairs[Long](watermarked, streaming, threshold, horizonMicros, maxBucketSize)
-    else
-      runPairs[String](watermarked, streaming, threshold, horizonMicros, maxBucketSize)
   }
 
   /** The stateful pair engine, generic in the shingle element type (the
