@@ -437,19 +437,35 @@ object Similarity {
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), srpBucket(col("v"), ps(t)).as("b"))): _*)).as("tb"))
     // valve: one partial-agg'd count on the key the self-join shuffles on
-    // anyway. Fixed width ⇒ the count frame is one row per occupied
-    // (table, bucket) of a STRUCTURALLY BOUNDED space (2048 at the
-    // default 8×8) — broadcast-safe at any corpus size, like simhash's
-    // block space. Derived width tracks the corpus (≈ n/occupancy keys),
-    // so force the spill-safe merge join there, as lshCandidates does
-    // for its corpus-sized bucket space.
+    // anyway. Fixed width ⇒ the space is STRUCTURALLY BOUNDED (tables·2^H,
+    // 2048 at the default 8×8), so the OVER-limit key set is bounded
+    // driver metadata at any corpus size — probe it once at plan build
+    // (the simhash probe-gate, r15 finding #3): an empty hot set (every
+    // driver SF — the capped oracle row's measured-no-op contract) leaves
+    // the main plan EXACTLY the uncapped plan, and an engaged cap filters
+    // with a codegen'd InSet on a packed (table<<H | bucket) long instead
+    // of a second corpus-wide join. The no-op case still pays ONE extra
+    // evaluation of the narrow count projection (vector column pruned by
+    // Catalyst; the sf0.1 ledger prices it ≈ +0.7s) — irreducible without
+    // pinning working-set blocks, which the Checkpoints lifecycle rule
+    // forbids. Derived width tracks the corpus (≈ n/occupancy keys, NOT
+    // driver metadata), so it keeps the spill-safe merge semi-join, as
+    // lshCandidates does for its corpus-sized bucket space.
     val pruned =
       if (maxBucketSize <= 0) bucketed
-      else {
+      else if (planesPerTable > 0 && tables.toLong * (1L << h) <= (1L << 22)) {
+        val hot = bucketed.groupBy(col("tb")).count()
+          .filter(col("count") > maxBucketSize)
+          .select(col("tb.t"), col("tb.b")).collect()
+          .map(r => (r.getInt(0).toLong << h) | r.getLong(1)).toSeq
+        if (hot.isEmpty) bucketed
+        else bucketed.filter(
+          !(col("tb.t").cast("long") * lit(1L << h) + col("tb.b"))
+            .isInCollection(hot))
+      } else {
         val keep = bucketed.groupBy(col("tb")).count()
           .filter(col("count") <= maxBucketSize).select(col("tb"))
-        bucketed.join(if (planesPerTable > 0) keep else keep.hint("merge"),
-          Seq("tb"), "left_semi")
+        bucketed.join(keep.hint("merge"), Seq("tb"), "left_semi")
       }
     val a = pruned.select(col("vec_id").as("id_a"), col("v").as("va"), col("tb").as("tb_a"))
     val b = pruned.select(col("vec_id").as("id_b"), col("v").as("vb"), col("tb").as("tb_b"))

@@ -63,7 +63,7 @@ class Round16OpsSpec extends SparkTestBase {
       case j: Join if j.joinType == LeftSemi => j
     }.size
 
-  test("lsh pair valve plan shape: cap 0 has no semi-join, engaged cap one") {
+  test("lsh pair valve plan shape: fixed width probe-gates, derived width semi-joins") {
     val corpus = doubled(
       spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select("vec_id", "embedding").limit(50))
@@ -72,12 +72,45 @@ class Round16OpsSpec extends SparkTestBase {
       maxBucketSize = cap)
     assert(leftSemiCount(q(0)) == 0,
       "cap 0 must not pay the bucket-count semi join")
-    assert(leftSemiCount(q(16)) >= 1,
-      "an engaged cap prunes via a left-semi on the (table, bucket) key")
-    // derived-width path accepts the cap too (merge-hinted count side —
-    // its bucket space is corpus-sized, not broadcast-safe)
+    // fixed width = bounded (table, bucket) space ⇒ the over-limit set is
+    // probed at plan build (the simhash probe-gate): a no-op cap leaves
+    // the main plan with NO semi-join — it IS the uncapped plan
+    assert(leftSemiCount(q(16)) == 0,
+      "the fixed-width valve must probe-gate, not semi-join, the main plan")
+    // derived-width bucket space is corpus-sized (not driver metadata) —
+    // it keeps the spill-safe merge semi-join
     assert(leftSemiCount(q(16, planesPerTable = 0)) >= 1,
-      "the derived-width path's valve compiles to the same semi-join")
+      "the derived-width path's valve compiles to a semi-join")
+  }
+
+  private def hotFilterCount(df: DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet, Not}
+    df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.exists {
+          case Not(_: In) | Not(_: InSet) => true
+          case _ => false
+        } => f
+    }.size
+  }
+
+  test("lsh pair valve: no-op cap is the exact uncapped plan; engaged cap a NOT-IN") {
+    val corpus = doubled(
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding").limit(50))
+    def q(df: DataFrame, cap: Int) = Similarity.nearDupPairsLSH(
+      df, threshold = 0.9, dim = 64, maxBucketSize = cap)
+    // 100 vectors (50 + identical twins): no (table, bucket) reaches 256,
+    // so the probe's hot set is empty and the plan is unchanged
+    assert(hotFilterCount(q(corpus, 256)) == 0,
+      "a no-op cap must run the uncapped plan (probe only, no filter)")
+    assert(q(corpus, 256).queryExecution.optimizedPlan.sameResult(
+             q(corpus, 0).queryExecution.optimizedPlan),
+      "no-op capped plan must be result-identical to the uncapped plan")
+    val u = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val mega = (0L until 40L).map(i => (i, u)).toDF("vec_id", "embedding")
+    assert(hotFilterCount(q(mega, 16)) >= 1,
+      "an engaged cap must filter hot buckets out of the band explode")
   }
 
   test("lsh pair valve: capped result is a subset of uncapped") {
