@@ -66,20 +66,45 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
-  /** Per-salt bijective letter substitution for the alphabet: the affine
-    * permutation j → (a·j + b) mod 26 with `a` coprime to 26 and (a,b)
-    * distinct per salt. The (a, b) cycle lengths are 11 and 25, so there
-    * are exactly lcm(11,25) = 275 distinct non-identity permutations —
-    * salts 275 apart reuse a permutation and those replicas become
-    * mutual exact near-dups; the harness's replica budget must stay
-    * ≤ 275 (spec-pinned: all 275 are pairwise distinct, salt 276
-    * repeats salt 1). */
-  def letterPerm(salt: Int): String = {
-    val coprimes = Seq(3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-    val a = coprimes((salt - 1) % coprimes.size)
-    val b = 1 + (salt * 7) % 25 // b>0 so even a-cycle fixed points move
-    (0 until 26).map(j => ('a' + (a * j + b) % 26).toChar).mkString
-  }
+  /** Per-salt bijective letter substitution for the alphabet. Salts
+    * 1..275: the affine permutation j → (a·j + b) mod 26 with `a`
+    * coprime to 26 and (a,b) distinct per salt — the (a, b) cycle
+    * lengths are 11 and 25, so the affine family holds exactly
+    * lcm(11,25) = 275 distinct non-identity permutations (spec-pinned
+    * pairwise distinct). Salts ≥ 276 (round 16, the ×512 frontier —
+    * ×k needs k−1 non-identity replicas and the affine family caps the
+    * harness at ×273): a seeded Fisher–Yates shuffle of the alphabet,
+    * splitmix64-keyed by the salt. EVERY invariant the perturbation
+    * proof uses is a property of "bijection on letters, identity on
+    * non-letters", not of affinity, so any alphabet permutation
+    * qualifies — [[replicaSalt]] admits an extended salt to the
+    * schedule only after the same two checks the affine family passed
+    * (stopword-escape run ≤ 2 hops; distinct from every permutation
+    * already scheduled, affine ones included). */
+  def letterPerm(salt: Int): String =
+    if (salt >= 276) {
+      val arr = ('a' to 'z').toArray
+      var z = salt.toLong * 0x9E3779B97F4A7C15L
+      def next(): Long = {
+        z += 0x9E3779B97F4A7C15L
+        var x = z
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        x ^ (x >>> 31)
+      }
+      var i = 25
+      while (i >= 1) {
+        val j = java.lang.Math.floorMod(next(), (i + 1).toLong).toInt
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+        i -= 1
+      }
+      new String(arr)
+    } else {
+      val coprimes = Seq(3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+      val a = coprimes((salt - 1) % coprimes.size)
+      val b = 1 + (salt * 7) % 25 // b>0 so even a-cycle fixed points move
+      (0 until 26).map(j => ('a' + (a * j + b) % 26).toChar).mkString
+    }
 
   /** Deterministic per-salt text rewrite: every whitespace token that is
     * not an English stopword has its letters mapped through
@@ -101,8 +126,10 @@ object Scale {
     * pass-through stopwords. The final `otherwise(t4)` arm is provably
     * ∉ SW for every salt in the [[replicaSalt]] schedule: the longest
     * stopword→stopword run under any non-cycle permutation is 2 hops
-    * (spec-pinned exhaustively over all 275 permutations), so t1,t2,t3
-    * ∈ SW implies a 3-hop run — impossible outside [[SwCycleSalts]]. */
+    * (spec-pinned exhaustively over all 275 affine permutations, and
+    * enforced as an ADMISSION check on every extended salt ≥ 276), so
+    * t1,t2,t3 ∈ SW implies a 3-hop run — impossible for any scheduled
+    * salt. */
   def perturbText(text: Column, salt: Int): Column =
     if (salt == 0) text
     else {
@@ -133,14 +160,59 @@ object Scale {
     * pinned by ScaleHarnessSpec. */
   val SwCycleSalts: Set[Int] = Set(77, 143, 275)
 
-  /** Replica index → gate-exact salt: the i-th member of 1..275 with the
-    * [[SwCycleSalts]] removed (272 usable non-identity replicas); i=0 is
-    * the identity. For harness factors ≤ 64 this is the identity mapping
-    * on 0..63 (the first skipped salt is 77). */
+  /** Hard ceiling on schedulable replicas — a practicality bound (the
+    * extended Fisher–Yates space is ~26! deep), sized two octaves past
+    * the ×512 frontier. */
+  val MaxReplicas: Int = 2048
+
+  /** Extended (salt ≥ 276) members of the replica schedule, admitted by
+    * the SAME checks the affine family is spec-pinned to: (a) the
+    * stopword-escape property — no SW→SW run of 3+ hops, so
+    * [[perturbText]]'s final remap arm is provably ∉ SW (the affine
+    * family's [[SwCycleSalts]] exclusion, applied per candidate); (b)
+    * pairwise distinctness against EVERY scheduled permutation, affine
+    * ones included (two replicas sharing a permutation would be mutual
+    * exact near-dups — the failure the 275-budget guard existed to
+    * prevent); (c) non-identity. Deterministic: candidates are probed in
+    * salt order, so the schedule is a pure function of the stopword list.
+    */
+  private lazy val extendedSalts: Vector[Int] = {
+    val sw = operators.TextAnalysis.StopwordsEn.toSet
+    def maxRun(p: String): Int = {
+      def tr(s: String) = s.map(c => if (c >= 'a' && c <= 'z') p(c - 'a') else c)
+      sw.iterator.map { s =>
+        var d = 0; var t = tr(s)
+        while (sw.contains(t) && d < 40) { d += 1; t = tr(t) }
+        d
+      }.max
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    (1 to 275).filterNot(SwCycleSalts).foreach(s => seen += letterPerm(s))
+    val need = MaxReplicas - 1 - seen.size // non-identity slots beyond affine
+    val out = Vector.newBuilder[Int]
+    var salt = 276
+    var accepted = 0
+    val identity = ('a' to 'z').mkString
+    while (accepted < need) {
+      val p = letterPerm(salt)
+      if (p != identity && !seen.contains(p) && maxRun(p) <= 2) {
+        seen += p; out += salt; accepted += 1
+      }
+      salt += 1
+    }
+    out.result()
+  }
+
+  /** Replica index → gate-exact salt: i=0 is the identity; 1..272 walk
+    * the affine family (1..275 minus [[SwCycleSalts]]); 273 and up walk
+    * [[extendedSalts]]. For harness factors ≤ 64 this is the identity
+    * mapping on 0..63 (the first skipped salt is 77). */
   def replicaSalt(i: Int): Int = {
-    require(i >= 0 && i <= 272, s"replica index beyond the 272-replica budget: $i")
+    require(i >= 0 && i < MaxReplicas,
+      s"replica index beyond the $MaxReplicas-replica budget: $i")
     if (i == 0) 0
-    else (1 to 275).iterator.filterNot(SwCycleSalts).drop(i - 1).next()
+    else if (i <= 272) (1 to 275).iterator.filterNot(SwCycleSalts).drop(i - 1).next()
+    else extendedSalts(i - 273)
   }
 
   /** Replicate documents ×k with re-keyed ids and per-replica word

@@ -47,6 +47,20 @@ import graft.operators.Dedup
   *    stateful operator downstream of `flatMapGroupsWithState`, so the
   *    streaming contract is an idempotent sink keyed on the pair (the
   *    standard exactly-once-by-key sink pattern).
+  *  - SIZE STATE-STORE PARTITIONS TO THROUGHPUT, NOT CORPUS.
+  *    `spark.sql.shuffle.partitions` at the query's FIRST start pins its
+  *    state-partition count for the checkpoint's lifetime, and every
+  *    micro-batch runs one task per state partition (store load +
+  *    commit + maintenance) regardless of how few arrivals it carries —
+  *    a round-16 decomposition measured per-micro-batch wall as a
+  *    near-pure function of that count on this operator (~2s/batch at
+  *    64 partitions, ~19s at 1024, IDENTICAL state and arrival rate;
+  *    with partitions scaled to corpus size the engine's wall went f²
+  *    while state — horizon-bounded — stayed flat at every factor).
+  *    The batch operating rule "shuffle partitions ∝ data size" is
+  *    exactly wrong here: pick partitions for one micro-batch's rows
+  *    (arrivals/sec × trigger interval, ~100k–1M banded rows per task
+  *    wave), which is corpus-independent for a stable ingest rate.
   */
 object NearDupStream {
 

@@ -61,6 +61,21 @@ object StreamNearDupDecompose {
       .split(",").map(_.trim.toInt).filter(_ >= 1).sorted.toSeq
     val chunkDocs = sys.env.getOrElse("SPARK_GRAFT_DECOMP_CHUNK", "20000").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Stage selection (csv of band,occ,sort,batch,stream) — the first
+    // ×64/×128 run of this tool showed the batch stages settle in minutes
+    // while the streaming stage costs ~chunks × batch-duration; probing a
+    // single stage at a chosen factor should not pay for the other four.
+    val stages = sys.env.getOrElse("SPARK_GRAFT_DECOMP_STAGES",
+      "band,occ,sort,batch,stream").split(",").map(_.trim).toSet
+    // The streaming engine's state-store partition count is pinned by
+    // spark.sql.shuffle.partitions at query start. The harness scales
+    // shuffle partitions with the factor (the batch operating rule), which
+    // for a FIXED-size micro-batch multiplies per-batch task count by f —
+    // the suspected f² term (chunks ∝ f × per-batch cost ∝ f). This knob
+    // sets the streaming stage's partition count independently so the
+    // causality is testable: 0 = inherit the scaled value (the original
+    // behavior), else the fixed count a throughput-sized deployment uses.
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_DECOMP_STREAM_PARTS", "0").toInt
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -105,70 +120,83 @@ object StreamNearDupDecompose {
         docs, "doc_id", "ts", col("text"), n = 3, hashShingles = true)
 
       // 1. banding projection alone (warm once, then timed)
-      noop(banded)
-      val (_, bandS) = timed(noop(banded))
+      val bandS = if (!stages("band")) 0.0 else {
+        noop(banded)
+        timed(noop(banded))._2
+      }
 
       // 2. occupancy of the band-bucket space: the batch engine verifies
       // each arrival against every retained exemplar in its bucket, so
       // total verifications = Σ c·(c−1)/2 over per-bucket counts c.
-      val occ = banded.groupBy("bkey").count()
-        .agg(count(lit(1)).as("n_buckets"), sum("count").as("arrivals"),
-          max("count").as("max_c"),
-          percentile_approx(col("count"), lit(0.99), lit(10000)).as("p99_c"),
-          sum(col("count") * (col("count") - 1) / 2).as("verify_pairs"))
-        .head()
-      val nBuckets = occ.getLong(0)
-      val arrivals = occ.getLong(1)
-      val maxC = occ.getLong(2)
-      val p99C = occ.getLong(3)
-      val verifyPairs = occ.getDouble(4)
+      val (nBuckets, arrivals, maxC, p99C, verifyPairs) =
+        if (!stages("occ")) (0L, 0L, 0L, 0L, 0.0) else {
+          val occ = banded.groupBy("bkey").count()
+            .agg(count(lit(1)).as("n_buckets"), sum("count").as("arrivals"),
+              max("count").as("max_c"),
+              percentile_approx(col("count"), lit(0.99), lit(10000)).as("p99_c"),
+              sum(col("count") * (col("count") - 1) / 2).as("verify_pairs"))
+            .head()
+          (occ.getLong(0), occ.getLong(1), occ.getLong(2), occ.getLong(3),
+            occ.getDouble(4))
+        }
 
       // 3. shuffle + sort of the payload by bucket key — the physical
       // prep the stateful operator needs before any state logic runs
-      val shuffled = banded.repartition(col("bkey")).sortWithinPartitions("bkey")
-      val (_, sortS) = timed(noop(shuffled))
+      val sortS = if (!stages("sort")) 0.0 else {
+        val shuffled = banded.repartition(col("bkey")).sortWithinPartitions("bkey")
+        timed(noop(shuffled))._2
+      }
 
       // 4. the sweep's measured configuration: full batch run + GC delta
-      val gc0 = gcMillis()
-      val (_, batchS) = timed(noop(
-        graft.streaming.NearDupStream.nearDupPairs(
-          docs, "doc_id", "ts", col("text"), n = 3, threshold = 0.75,
-          hashShingles = true)))
-      val gcBatchMs = gcMillis() - gc0
+      val (batchS, gcBatchMs) = if (!stages("batch")) (0.0, 0L) else {
+        val gc0 = gcMillis()
+        val (_, s) = timed(noop(
+          graft.streaming.NearDupStream.nearDupPairs(
+            docs, "doc_id", "ts", col("text"), n = 3, threshold = 0.75,
+            hashShingles = true)))
+        (s, gcMillis() - gc0)
+      }
 
       // 5. the streaming engine on the same corpus, event-time order
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
-      val out = graft.streaming.NearDupStream.nearDupPairs(
-        stream.toDF(), "doc_id", "ts", col("text"), n = 3, threshold = 0.75,
-        hashShingles = true)
-      val qname = s"decomp_x$f"
-      val q = out.writeStream.format("noop")
-        .option("checkpointLocation", s"/tmp/graft-decomp-ckpt/$qname")
-        .queryName(qname).start()
       val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
       val stateBytes = scala.collection.mutable.ArrayBuffer.empty[Long]
       val batchMs = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val gcS0 = gcMillis()
-      val (_, streamS) = timed {
-        docs.select(col("doc_id"), col("ts"), col("text"))
-          .orderBy("doc_id").as[Doc].toLocalIterator().asScala
-          .grouped(chunkDocs).foreach { chunk =>
-            stream.addData(chunk)
-            q.processAllAvailable()
-            Option(q.lastProgress).foreach { p =>
-              if (p.stateOperators.nonEmpty) {
-                val so = p.stateOperators(0)
-                stateRows += so.numRowsTotal
-                stateBytes += so.memoryUsedBytes
-                batchMs += p.batchDuration.toDouble
+      val (streamS, gcStreamMs, streamP) = if (!stages("stream")) (0.0, 0L, 0) else {
+        val p0 = spark.conf.get("spark.sql.shuffle.partitions")
+        val sp0 = if (streamParts > 0) streamParts else p0.toInt
+        spark.conf.set("spark.sql.shuffle.partitions", sp0.toString)
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+        val out = graft.streaming.NearDupStream.nearDupPairs(
+          stream.toDF(), "doc_id", "ts", col("text"), n = 3, threshold = 0.75,
+          hashShingles = true)
+        val qname = s"decomp_x${f}_p$sp0"
+        val q = out.writeStream.format("noop")
+          .option("checkpointLocation", s"/tmp/graft-decomp-ckpt/$qname")
+          .queryName(qname).start()
+        val gcS0 = gcMillis()
+        val (_, s) = timed {
+          docs.select(col("doc_id"), col("ts"), col("text"))
+            .orderBy("doc_id").as[Doc].toLocalIterator().asScala
+            .grouped(chunkDocs).foreach { chunk =>
+              stream.addData(chunk)
+              q.processAllAvailable()
+              Option(q.lastProgress).foreach { p =>
+                if (p.stateOperators.nonEmpty) {
+                  val so = p.stateOperators(0)
+                  stateRows += so.numRowsTotal
+                  stateBytes += so.memoryUsedBytes
+                  batchMs += p.batchDuration.toDouble
+                }
               }
             }
-          }
-        q.processAllAvailable()
+          q.processAllAvailable()
+        }
+        val gcMs = gcMillis() - gcS0
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", p0)
+        (s, gcMs, sp0)
       }
-      val gcStreamMs = gcMillis() - gcS0
-      q.stop()
 
       val m = Map(
         "band_s" -> bandS, "sort_s" -> sortS, "batch_s" -> batchS,
@@ -181,7 +209,8 @@ object StreamNearDupDecompose {
         "state_rows_final" -> (if (stateRows.isEmpty) 0.0 else stateRows.last.toDouble),
         "state_mb_peak" -> (if (stateBytes.isEmpty) 0.0 else stateBytes.max / 1e6),
         "batch_ms_mean" -> (if (batchMs.isEmpty) 0.0 else batchMs.sum / batchMs.size),
-        "batch_ms_last" -> (if (batchMs.isEmpty) 0.0 else batchMs.last))
+        "batch_ms_last" -> (if (batchMs.isEmpty) 0.0 else batchMs.last),
+        "stream_parts" -> streamP.toDouble)
       lines += f -> m
       val kv = m.toSeq.sortBy(_._1).map { case (k, v) => f""""$k":${"%.3f".format(v)}""" }
       println(s"""{"metric":"stream_neardup_decomp","factor":$f,${kv.mkString(",")}}""")

@@ -32,8 +32,35 @@ class ScaleHarnessSpec extends SparkTestBase {
     val perms = (1 to 275).map(Scale.letterPerm)
     assert(perms.distinct.size == perms.size,
       "two replicas sharing a permutation would be mutual near-dups")
-    assert(Scale.letterPerm(276) == Scale.letterPerm(1),
-      "salt 276 must wrap to salt 1 — the documented period is 275")
+  }
+
+  test("the extended (Fisher-Yates) schedule keeps every replica-validity invariant through x512") {
+    // round 16: the ×512 frontier needs 511 non-identity replicas and the
+    // affine family holds only 272 usable ones; salts ≥ 276 are seeded
+    // alphabet shuffles admitted by the same checks. Pin, over the whole
+    // ×512 schedule: bijectivity, non-identity, pairwise distinctness
+    // (affine and extended together), and the ≤2-hop stopword-escape
+    // property perturbText's final remap arm depends on.
+    val sw = operators.TextAnalysis.StopwordsEn.toSet
+    def maxRun(p: String): Int = {
+      def tr(s: String) = s.map(c => if (c >= 'a' && c <= 'z') p(c - 'a') else c)
+      sw.map { s =>
+        var d = 0; var t = tr(s)
+        while (sw.contains(t) && d < 40) { d += 1; t = tr(t) }
+        d
+      }.max
+    }
+    val identity = ('a' to 'z').mkString
+    val perms = (1 until 512).map(i => Scale.letterPerm(Scale.replicaSalt(i)))
+    assert(perms.forall(p => p.length == 26 && p.toSet.size == 26),
+      "every scheduled salt must permute the alphabet")
+    assert(!perms.contains(identity), "no scheduled salt may be the identity")
+    assert(perms.distinct.size == perms.size,
+      "two replicas sharing a permutation would be mutual exact near-dups")
+    assert(perms.forall(maxRun(_) <= 2),
+      "every scheduled salt must keep the stopword-escape bound the remap arm needs")
+    assert(Scale.replicaSalt(0) == 0, "replica 0 stays the identity corpus")
+    assertThrows[IllegalArgumentException](Scale.replicaSalt(Scale.MaxReplicas))
   }
 
   test("SwCycleSalts is exactly the set of permutations with stopword runs the remap cannot escape") {
