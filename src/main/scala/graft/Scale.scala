@@ -62,6 +62,10 @@ import org.apache.spark.sql.functions._
   * [[scaledQueries]] select tuned-parameter variants),
   * SPARK_GRAFT_SCALE_RUNS (default 2 = min-of-2 with warm-up; 1 =
   * single-pass, for sweeps where completion is the question),
+  * SPARK_GRAFT_SCALE_VARBAR / SPARK_GRAFT_SCALE_MAXRUNS (default
+  * 1.5 / 4 — the round-17 variance-aware anchor rule: a point whose
+  * same-session runs span more than the bar escalates to min-of-3/4,
+  * and every point's band + run count land in the artifact),
   * SPARK_GRAFT_SCALE_REGEN=1 forces corpus regeneration.
   */
 object Scale {
@@ -522,10 +526,22 @@ object Scale {
       } ++ scaledQueries
     val missing = queryNames.filterNot(fns.contains)
     require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
+    // variance-aware anchors (round 17, r16 verdict ask #4): slopes read
+    // off a noisy anchor have false-tailed stream_neardup_hashed twice —
+    // its ×256 point spanned 16.9–40.8 s boot-to-boot on identical code.
+    // Mechanical rule, applied to EVERY row: after the scheduled runs,
+    // if max/min across this (query, factor)'s same-session runs exceeds
+    // the bar, keep escalating (min-of-3, min-of-4, …) up to the run
+    // cap; the final band and run count are recorded per point in the
+    // artifact, so every reported slope carries its anchor confidence.
+    val varBar = sys.env.get("SPARK_GRAFT_SCALE_VARBAR").map(_.toDouble).getOrElse(1.5)
+    val maxRuns = sys.env.get("SPARK_GRAFT_SCALE_MAXRUNS").map(_.toInt).getOrElse(4)
     // one untimed warm-up at the SMALLEST factor per query: pays JIT +
     // codegen once where data is cheapest, mirroring Bench's warm-up rule
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Map[Int, Double]]
-    queryNames.foreach { name => times(name) = Map.empty }
+    // per (query, factor): (max/min band across runs, runs taken)
+    val bands = scala.collection.mutable.LinkedHashMap.empty[String, Map[Int, (Double, Int)]]
+    queryNames.foreach { name => times(name) = Map.empty; bands(name) = Map.empty }
     factors.zipWithIndex.foreach { case (f, fi) =>
       val dir = s"$outBase/x$f"
       // the documented operating rule, applied: shuffle partitions scale
@@ -543,11 +559,22 @@ object Scale {
           try {
             if (fi == 0 && nRuns > 1)
               fns(name)(spark, dir, f).write.format("noop").mode("overwrite").save()
-            val runs = (1 to nRuns).map { _ =>
+            def once(): Double = {
               val t0 = System.nanoTime()
               fns(name)(spark, dir, f).write.format("noop").mode("overwrite").save()
               (System.nanoTime() - t0) / 1e9
             }
+            val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
+            (1 to nRuns).foreach(_ => runs += once())
+            // variance escalation: only in timing mode (nRuns >= 2 — a
+            // single-pass robustness sweep asks "completes?", not "how fast")
+            while (nRuns > 1 && runs.size < maxRuns &&
+                   runs.max / runs.min > varBar) {
+              System.err.println(
+                f"[scale] $name ×$f band ${runs.max / runs.min}%.2f > $varBar%.2f — escalating to min-of-${runs.size + 1}")
+              runs += once()
+            }
+            bands(name) = bands(name) + (f -> (runs.max / runs.min, runs.size))
             runs.min
           } catch {
             case e: Throwable =>
@@ -562,7 +589,16 @@ object Scale {
     val loadEnd = loadAvg()
     def jnum(d: Double): String = f"$d%.3f"
     val qJson = queryNames.map { name =>
-      val per = factors.map(f => s""""x$f":${jnum(times(name)(f))}""").mkString(",")
+      val per = factors.map { f =>
+        val base = s""""x$f":${jnum(times(name)(f))}"""
+        // anchor-confidence fields (r16 verdict ask #4): band = max/min
+        // across this point's same-session runs, runs = how many it took
+        bands(name).get(f) match {
+          case Some((band, n)) if n >= 2 =>
+            s"""$base,"x${f}_band":${jnum(band)},"x${f}_runs":$n"""
+          case _ => base
+        }
+      }.mkString(",")
       val role = queryRoles.get(name)
         .map { case (r, twin) => s""","role":"$r","twin":"$twin"""" }.getOrElse("")
       s""""$name":{$per$role}"""
@@ -596,6 +632,7 @@ object Scale {
     }
     val tailsJson = tails.map(n => s""""$n"""").mkString(",")
     println(s"""{"metric":"scale_linearity","mode":"$mode","gc_mode":"$gcMode","runs_per_point":$nRuns,""" +
+      s""""variance_bar":${jnum(varBar)},"max_runs_per_point":$maxRuns,""" +
       s""""base":"$base","factors":[${factors.mkString(",")}],""" +
       s""""queries":{$qJson},"rows":{$rowsJson},""" +
       s""""tail_bar_per_octave":$tailBar,"tails_pending_retake":[$tailsJson],""" +

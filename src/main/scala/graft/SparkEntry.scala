@@ -199,6 +199,35 @@ object SparkEntry {
         expr("((doc_id * 2654435761L + j * 40503L) % 1000003L) % n_docs").as("dst"))
   }
 
+  /** Corpus-level ANN oracle contract (round 17, r16 verdict ask #7).
+    *
+    * The pre-r17 per-qid booleans (`recall@5 ≥ cut` for every query)
+    * rested on a FIXTURE ARTIFACT: centroid/codebook seeds were the
+    * first K vectors by id, and the query set is `vec_id < 10` — the
+    * queries WERE the centroids, so per-query recall was privileged.
+    * De-biasing the seeds (hash-ordered pool + farthest-point/Lloyd,
+    * [[graft.operators.Similarity.seedSample]]) exposed the real
+    * per-query recall distribution of these small index configurations
+    * (16 cells / 4 probes): mins of 1–2, too variable to pin per qid
+    * without the cut going vacuous. The honest replacement is the
+    * corpus-level MACRO contract this helper computes — total hits
+    * against the exact top-5 across the 10 queries (macro recall@5),
+    * plus the self-hit count — each cut ~20% under the minimum measured
+    * at sf0.001/0.01/0.1 (AnnRecallProbe; per-row tables in the query
+    * comments). One row out: (recall_ok, self_ok). */
+  private def annAggContract(exact: DataFrame, ann: DataFrame,
+                             recallSumCut: Long, selfHitsCut: Long): DataFrame = {
+    val hits = exact.join(
+        ann.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
+        Seq("qid", "vec_id"), "left")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("rsum"))
+    val self = ann.filter(col("rnk") === 1)
+      .agg(sum(when(col("vec_id") === col("qid"), 1L).otherwise(0L)).as("selfhits"))
+    hits.crossJoin(self).select(
+      (col("rsum") >= recallSumCut).as("recall_ok"),
+      (col("selfhits") >= selfHitsCut).as("self_ok"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // identity: canonical re-serialization of the whole document (§2.2)
@@ -1942,11 +1971,16 @@ object SparkEntry {
     // subquadratic SRP-LSH near-dup path (high-similarity regime): the
     // corpus is doubled with byte-identical copies; identical vectors hash
     // to identical buckets in every table, so recall on the duplicated
-    // pairs is deterministically 1 and the oracle is exact
+    // pairs is deterministically 1 and the oracle is exact.
+    // planesPerTable = 8 is PINNED (round 17): this row is the
+    // strawman-tagged uncapped FIXED-width configuration — the API
+    // default flipped to the derived width (r16 verdict ask #3), so the
+    // old default lives on here explicitly as the rule-test curve.
     "dedup_embedding_lsh" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val copies = emb.withColumn("vec_id", col("vec_id") + lit(1000000))
-      operators.Similarity.nearDupPairsLSH(emb.unionByName(copies), threshold = 0.9, dim = 64)
+      operators.Similarity.nearDupPairsLSH(emb.unionByName(copies), threshold = 0.9,
+        dim = 64, planesPerTable = 8)
     }),
 
     // the same pair operator with the OCCUPANCY-DERIVED signature width
@@ -1956,6 +1990,8 @@ object SparkEntry {
     // vectors share every bucket at any H), so the exact oracle
     // transfers verbatim; threshold 0.9 keeps chance near-dups out at
     // the driver SFs exactly as the fixed-width row does.
+    // planesPerTable = 0 is now ALSO the API default (round 17) — this
+    // row oracles exactly what a plain caller gets
     "dedup_embedding_lsh_derived" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val copies = emb.withColumn("vec_id", col("vec_id") + lit(1000000))
@@ -1976,7 +2012,7 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       val copies = emb.withColumn("vec_id", col("vec_id") + lit(1000000))
       operators.Similarity.nearDupPairsLSH(emb.unionByName(copies), threshold = 0.9,
-        dim = 64, maxBucketSize = 256)
+        dim = 64, planesPerTable = 8, maxBucketSize = 256)
     }),
 
     // --- similarity search ----------------------------------------------
@@ -2025,39 +2061,32 @@ object SparkEntry {
     // deterministic self-hit contract (identical vector ⇒ same cell ⇒
     // always found at rank 1). Measured hits: 4-5/5 at sf0.01, 5/5 at
     // sf0.1 — the ≥4-of-5 cut has the same margin sim_ann_lsh uses.
+    // round 17: corpus-level macro contract (see [[annAggContract]] —
+    // the per-qid cuts rested on the biased first-K-by-id seeds).
+    // Measured macro recall@5 sums with trained centroids:
+    // 30/31/31 at sf0.001/0.01/0.1 → cut ≥ 24; self-hit is structural
+    // for the flat build (the query's own copy assigns to the cell the
+    // query probes first) → = 10.
     "sim_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 10)
       val ivf = operators.Similarity.ivfTopK(emb, qs, k = 5)
       val exact = operators.Similarity.cosineTopK(emb, qs, k = 5)
-      val selfHit = ivf.filter(col("rnk") === 1)
-        .select(col("qid"), (col("vec_id") === col("qid")).as("self_ok"))
-      exact.join(ivf.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
-          Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg((sum(coalesce(col("hit"), lit(0L))) >= 4).as("recall_ok"))
-        .join(selfHit, "qid")
+      annAggContract(exact, ivf, recallSumCut = 24, selfHitsCut = 10)
     }),
 
-    // IVF with ONE Lloyd refinement pass (round 11): the refined
-    // centroids are bit-deterministic — the Lloyd step accumulates
-    // micro-unit integer sums (decimal(38,0), order-independent) and
-    // divides once on the driver — so refinement is now inside the hash
-    // oracle, closing the round-10 "refineIters>0 is oracle-excluded"
-    // residual. Same recall/self-hit contract as sim_ivf; the ≥4-of-5
-    // cut and the self-hit both measured green at sf0.01 and sf0.1.
+    // IVF with ONE distributed Lloyd refinement pass (round 11): the
+    // refined centroids are bit-deterministic — the Lloyd step
+    // accumulates micro-unit integer sums (decimal(38,0),
+    // order-independent) and divides once on the driver — so refinement
+    // is inside the hash oracle. Round 17: corpus-level macro contract;
+    // measured sums 32/29/33 → cut ≥ 24, self = 10 (structural).
     "sim_ivf_refined" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 10)
       val ivf = operators.Similarity.ivfTopK(emb, qs, k = 5, refineIters = 1)
       val exact = operators.Similarity.cosineTopK(emb, qs, k = 5)
-      val selfHit = ivf.filter(col("rnk") === 1)
-        .select(col("qid"), (col("vec_id") === col("qid")).as("self_ok"))
-      exact.join(ivf.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
-          Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg((sum(coalesce(col("hit"), lit(0L))) >= 4).as("recall_ok"))
-        .join(selfHit, "qid")
+      annAggContract(exact, ivf, recallSumCut = 24, selfHitsCut = 10)
     }),
 
     // IVF built through the HIERARCHICAL assignment kernel (round 14,
@@ -2075,18 +2104,16 @@ object SparkEntry {
     // to the same cell the query probes first — measured 10/10 at
     // sf0.001/0.01/0.1, pinned exactly. Both booleans are stable
     // (deterministic kernel, deterministic stride-sampled supers).
+    // Round 17: corpus-level macro contract; measured sums 30/33/32 →
+    // cut ≥ 24. Self-hit under the hier build is MEASURED (two-level
+    // assignment may park a vector outside the probed cells): 10/10 at
+    // every driver SF → cut ≥ 9, margin 1.
     "sim_ivf_hier" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 10)
       val ivf = operators.Similarity.ivfTopK(emb, qs, k = 5, superCells = 4)
       val exact = operators.Similarity.cosineTopK(emb, qs, k = 5)
-      val selfHit = ivf.filter(col("rnk") === 1)
-        .select(col("qid"), (col("vec_id") === col("qid")).as("self_ok"))
-      exact.join(ivf.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
-          Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg((sum(coalesce(col("hit"), lit(0L))) >= 2).as("recall_ok"))
-        .join(selfHit, "qid")
+      annAggContract(exact, ivf, recallSumCut = 24, selfHitsCut = 9)
     }),
 
     // the single-probe hier build kept as the RULE-TEST strawman
@@ -2097,19 +2124,19 @@ object SparkEntry {
     // under the hash gate. Cut ≥1 = margin 1 under ITS observed
     // minimum; the sharp self-hit contract holds at any P (identical
     // vectors co-assign).
+    // Round 17: corpus-level macro contract; measured sums 26/28/26 →
+    // cut ≥ 20. P=1 parking loss is REAL with de-biased seeds — the
+    // query's corpus copy can hier-assign outside the probed cells
+    // (self-hits measured 8/9/10 across SFs → cut ≥ 7): exactly the
+    // strawman behavior this rule-test row exists to keep measurable
+    // against the superProbes=3 default above.
     "sim_ivf_hier_p1" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 10)
       val ivf = operators.Similarity.ivfTopK(emb, qs, k = 5,
         superCells = 4, superProbes = 1)
       val exact = operators.Similarity.cosineTopK(emb, qs, k = 5)
-      val selfHit = ivf.filter(col("rnk") === 1)
-        .select(col("qid"), (col("vec_id") === col("qid")).as("self_ok"))
-      exact.join(ivf.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
-          Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg((sum(coalesce(col("hit"), lit(0L))) >= 1).as("recall_ok"))
-        .join(selfHit, "qid")
+      annAggContract(exact, ivf, recallSumCut = 20, selfHitsCut = 7)
     }),
 
     // SRP-LSH ANN with the DERIVED signature width (round 14, judge
@@ -2134,42 +2161,33 @@ object SparkEntry {
     }),
 
     // PQ compressed-code ANN (third index family): exact re-rank of an
-    // ADC candidate set; recall + deterministic self-hit as data.
-    // Measured recall@5 with the sampled codebooks: 3-5/5 at sf0.01 and
-    // sf0.1 — the ≥2 cut has margin 1 below the observed minimum. All PQ
-    // arithmetic is per-row left-to-right, so the booleans are exact.
+    // ADC candidate set; recall + self-hit as data. Round 17:
+    // Lloyd-TRAINED codebooks (pool k-means per subspace) replaced
+    // sampled codewords; corpus-level macro contract, measured sums
+    // 38/38/37 → cut ≥ 30 — the strongest recall floor in the family,
+    // which is what trained books buy. Self measured 10/10 everywhere
+    // → = 10. All PQ arithmetic is per-row left-to-right, so the
+    // booleans are exact.
     "sim_pq" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 10)
       val pq = operators.Similarity.pqTopK(emb, qs, k = 5)
       val exact = operators.Similarity.cosineTopK(emb, qs, k = 5)
-      val selfHit = pq.filter(col("rnk") === 1)
-        .select(col("qid"), (col("vec_id") === col("qid")).as("self_ok"))
-      exact.join(pq.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
-          Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg((sum(coalesce(col("hit"), lit(0L))) >= 2).as("recall_ok"))
-        .join(selfHit, "qid")
+      annAggContract(exact, pq, recallSumCut = 30, selfHitsCut = 10)
     }),
 
     // IVF-PQ composed ANN (the billion-vector production index): coarse
     // cells bound WHICH codes a query scans, PQ bounds WHAT a scan reads;
     // exact re-rank of the ADC candidates, recall contract as data like
-    // sim_ivf/sim_pq. Measured recall@5 with sampled centroids+codebooks:
-    // 3-5/5 at sf0.001..0.1 — the ≥2 cut keeps margin 1 below the
-    // observed minimum.
+    // sim_ivf/sim_pq. Round 17: trained centroids + codebooks,
+    // corpus-level macro contract; measured sums 28/31/35 → cut ≥ 22,
+    // self measured 10/10 everywhere → = 10.
     "sim_ivfpq" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 10)
       val ivfpq = operators.Similarity.ivfPqTopK(emb, qs, k = 5)
       val exact = operators.Similarity.cosineTopK(emb, qs, k = 5)
-      val selfHit = ivfpq.filter(col("rnk") === 1)
-        .select(col("qid"), (col("vec_id") === col("qid")).as("self_ok"))
-      exact.join(ivfpq.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
-          Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg((sum(coalesce(col("hit"), lit(0L))) >= 2).as("recall_ok"))
-        .join(selfHit, "qid")
+      annAggContract(exact, ivfpq, recallSumCut = 22, selfHitsCut = 10)
     }),
 
     // IVF-PQ with BY-RESIDUAL coding (FAISS `IVFx,PQy` default): codes
@@ -2177,20 +2195,18 @@ object SparkEntry {
     // so the same codebook budget quantizes finer; scoring adds the
     // separable cell term dot(q, ĉ) back via a broadcast per (qid, probed
     // cell) scalar, leaving the corpus scan shape identical to sim_ivfpq.
-    // Same recall/self-hit contract as the non-residual row; the spec
-    // additionally pins recall ≥ the non-residual path at fixed rerank.
+    // Same contract family as the non-residual row (round 17: measured
+    // sums 29/32/30 → cut ≥ 22, self = 10). With only 10 queries the
+    // residual-vs-raw ordering is noise-bounded (±5 hits across SFs);
+    // the spec pins near-parity with slack, not strict superiority — the
+    // pre-r17 "residual ≥ raw" pin was another artifact of the biased
+    // seeds.
     "sim_ivfpq_residual" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 10)
       val ivfpq = operators.Similarity.ivfPqTopK(emb, qs, k = 5, residual = true)
       val exact = operators.Similarity.cosineTopK(emb, qs, k = 5)
-      val selfHit = ivfpq.filter(col("rnk") === 1)
-        .select(col("qid"), (col("vec_id") === col("qid")).as("self_ok"))
-      exact.join(ivfpq.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
-          Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg((sum(coalesce(col("hit"), lit(0L))) >= 2).as("recall_ok"))
-        .join(selfHit, "qid")
+      annAggContract(exact, ivfpq, recallSumCut = 22, selfHitsCut = 10)
     }),
 
     // --- text analysis ---------------------------------------------------
@@ -4324,33 +4340,37 @@ object SparkEntry {
     "sim_ann_lsh" ->
       "SELECT DISTINCT vec_id AS qid, true AS recall_ok FROM embeddings WHERE vec_id < 10",
 
+    // round 17: the IVF/PQ family oracles are corpus-level macro
+    // contracts (one row: recall_ok, self_ok) — see annAggContract for
+    // why the per-qid booleans were retired with the biased seeds
     "sim_ivf" ->
-      "SELECT DISTINCT vec_id AS qid, true AS recall_ok, true AS self_ok FROM embeddings WHERE vec_id < 10",
+      "SELECT true AS recall_ok, true AS self_ok",
 
     "sim_ivf_refined" ->
-      "SELECT DISTINCT vec_id AS qid, true AS recall_ok, true AS self_ok FROM embeddings WHERE vec_id < 10",
+      "SELECT true AS recall_ok, true AS self_ok",
 
     // hier-build IVF: self-hit is a MEASURED contract here (two-level
     // assignment may park a vector outside the probed cells) — observed
-    // 5/5 at every driver SF, pinned as data like the recall booleans
+    // 10/10 at every driver SF, cut >= 9
     "sim_ivf_hier" ->
-      "SELECT DISTINCT vec_id AS qid, true AS recall_ok, true AS self_ok FROM embeddings WHERE vec_id < 10",
+      "SELECT true AS recall_ok, true AS self_ok",
 
-    // the P=1 rule-test strawman: its own (weaker) floor is also stable
+    // the P=1 rule-test strawman: parking loss is real (self-hits 8-10
+    // of 10 across SFs, cut >= 7)
     "sim_ivf_hier_p1" ->
-      "SELECT DISTINCT vec_id AS qid, true AS recall_ok, true AS self_ok FROM embeddings WHERE vec_id < 10",
+      "SELECT true AS recall_ok, true AS self_ok",
 
     "sim_ann_lsh_derived" ->
       "SELECT DISTINCT vec_id AS qid, true AS recall_ok FROM embeddings WHERE vec_id < 10",
 
     "sim_pq" ->
-      "SELECT DISTINCT vec_id AS qid, true AS recall_ok, true AS self_ok FROM embeddings WHERE vec_id < 10",
+      "SELECT true AS recall_ok, true AS self_ok",
 
     "sim_ivfpq" ->
-      "SELECT DISTINCT vec_id AS qid, true AS recall_ok, true AS self_ok FROM embeddings WHERE vec_id < 10",
+      "SELECT true AS recall_ok, true AS self_ok",
 
     "sim_ivfpq_residual" ->
-      "SELECT DISTINCT vec_id AS qid, true AS recall_ok, true AS self_ok FROM embeddings WHERE vec_id < 10",
+      "SELECT true AS recall_ok, true AS self_ok",
 
     // --- similarity search ----------------------------------------------
     // mirrors the Int8QuantStats kernel's documented edge contract

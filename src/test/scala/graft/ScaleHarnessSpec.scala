@@ -101,8 +101,12 @@ class ScaleHarnessSpec extends SparkTestBase {
     def swCount(c: org.apache.spark.sql.Column) =
       size(filter(split(c, " ", -1), t => array_contains(sw, t)))
     // 54, 62, 147, 263 are the depth-2 salts — they exercise the deepest
-    // (t3/t4) remap arms; the rest sample the schedule broadly
-    for (salt <- Seq(1, 2, 3, 31, 54, 62, 63, 147, 263)) {
+    // (t3/t4) remap arms; the rest sample the schedule broadly. The two
+    // replicaSalt entries push EXTENDED (Fisher–Yates, salt ≥ 276) salts
+    // through the same corpus-wide check — before r17 only affine salts
+    // ever ran end-to-end (ADVICE r16)
+    for (salt <- Seq(1, 2, 3, 31, 54, 62, 63, 147, 263,
+                     Scale.replicaSalt(273), Scale.replicaSalt(511))) {
       val drift = docs.select(
           swCount(col("text")).as("n0"),
           swCount(Scale.perturbText(col("text"), salt)).as("n1"))
@@ -123,25 +127,36 @@ class ScaleHarnessSpec extends SparkTestBase {
       size(split(c, " ", -1)).as("words"),
       operators.TextAnalysis.stopwordRatio(c).as("swr"),
       operators.TextAnalysis.punctRatio(c).as("punct"))
-    val rows = base.select(
-        stats(col("text")).as("orig"),
-        stats(Scale.perturbText(col("text"), 3)).as("pert"))
-      .filter(col("orig") =!= col("pert"))
-    assert(rows.count() == 0,
-      "perturbation must preserve length, word count, stopword and punct ratios exactly")
+    // salt 3 = affine family; replicaSalt(273) = first extended
+    // (Fisher–Yates) salt — the gate-statistic invariant is a property of
+    // "bijection on letters, identity elsewhere", so it must hold for
+    // both families end-to-end (ADVICE r16)
+    for (salt <- Seq(3, Scale.replicaSalt(273))) {
+      val rows = base.select(
+          stats(col("text")).as("orig"),
+          stats(Scale.perturbText(col("text"), salt)).as("pert"))
+        .filter(col("orig") =!= col("pert"))
+      assert(rows.count() == 0,
+        s"salt=$salt: perturbation must preserve length, word count, stopword and punct ratios exactly")
+    }
   }
 
   test("perturbText kills cross-replica shingle overlap but is intra-replica similarity-preserving") {
     val base = docs.limit(48).select(col("doc_id"), col("text"))
     def shingles(c: org.apache.spark.sql.Column) =
       operators.Dedup.wordShingles(c, 5)
-    // cross-replica: the SAME doc under salts 1 and 2 shares no shingles
-    // (a shared shingle would need all its words substitution-fixed)
-    val cross = base.select(
-        array_intersect(shingles(Scale.perturbText(col("text"), 1)),
-                        shingles(Scale.perturbText(col("text"), 2))).as("common"))
-      .filter(size(col("common")) > 0)
-    assert(cross.count() == 0, "replicas must share zero shingles")
+    // cross-replica: the SAME doc under two distinct salts shares no
+    // shingles (a shared shingle would need all its words
+    // substitution-fixed). The (1, extended) pair checks an affine ×
+    // Fisher–Yates replica boundary — the kind a ×512 sweep actually
+    // crosses (ADVICE r16)
+    for ((sa, sb) <- Seq((1, 2), (1, Scale.replicaSalt(511)))) {
+      val cross = base.select(
+          array_intersect(shingles(Scale.perturbText(col("text"), sa)),
+                          shingles(Scale.perturbText(col("text"), sb))).as("common"))
+        .filter(size(col("common")) > 0)
+      assert(cross.count() == 0, s"salts ($sa,$sb): replicas must share zero shingles")
+    }
     // intra-replica: a bijection on words is a bijection on shingles, so
     // every pairwise |A∩B| and |A∪B| — hence Jaccard — is preserved
     val a = base.select(col("doc_id").as("ida"), shingles(col("text")).as("sa"),

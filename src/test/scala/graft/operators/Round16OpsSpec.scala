@@ -15,9 +15,12 @@ class Round16OpsSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  // planesPerTable = 8 pinned throughout: this suite documents the
+  // FIXED-width valve semantics; the API default flipped to the derived
+  // width in round 17 (Round17OpsSpec covers the default caller)
   private def pairsOf(df: DataFrame, cap: Int): Set[(Long, Long)] =
     Similarity.nearDupPairsLSH(df, threshold = 0.9, dim = 64,
-        maxBucketSize = cap)
+        planesPerTable = 8, maxBucketSize = cap)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
   private def doubled(base: DataFrame): DataFrame =
@@ -31,7 +34,7 @@ class Round16OpsSpec extends SparkTestBase {
       "cap 256 must not change the pair set on the gate corpus")
     // pin the headroom the dedup_embedding_lsh_capped oracle comment
     // claims: the largest (table, bucket) occupancy sits at ≤ cap/4
-    val largest = Similarity.srpBucketCounts(corpus, dim = 64)
+    val largest = Similarity.srpBucketCounts(corpus, dim = 64, planesPerTable = 8)
       .agg(max("count")).head().getLong(0)
     assert(largest <= 64, s"gate-corpus occupancy crept toward the cap: $largest")
   }
@@ -99,7 +102,7 @@ class Round16OpsSpec extends SparkTestBase {
       spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select("vec_id", "embedding").limit(50))
     def q(df: DataFrame, cap: Int) = Similarity.nearDupPairsLSH(
-      df, threshold = 0.9, dim = 64, maxBucketSize = cap)
+      df, threshold = 0.9, dim = 64, planesPerTable = 8, maxBucketSize = cap)
     // 100 vectors (50 + identical twins): no (table, bucket) reaches 256,
     // so the probe's hot set is empty and the plan is unchanged
     assert(hotFilterCount(q(corpus, 256)) == 0,
