@@ -608,7 +608,20 @@ object Dedup {
     * LSH mega-buckets; run exact whole-doc dedup first and pick k above
     * the boilerplate length. */
   def duplicateRuns(docs: DataFrame, id: String, text: Column,
-                    k: Int, minRunLen: Int, maxPositionsPerGram: Int = 0): DataFrame = {
+                    k: Int, minRunLen: Int, maxPositionsPerGram: Int = 0): DataFrame =
+    duplicateRunFrames(docs, id, text, k, minRunLen, maxPositionsPerGram).confirmed
+
+  /** The stage frames of [[duplicateRuns]], exposed for stage-level cost
+    * profiling (round 17, r16 verdict ask #6 — HeavyRowsProfile times
+    * each frame to a noop sink per factor): gram stream → cap-surviving
+    * stream → postings lists → merged runs → byte-confirmed output.
+    * `confirmed` IS the operator's return frame. */
+  private[graft] final case class DuplicateRunStages(
+      grams: DataFrame, survivors: DataFrame, lists: DataFrame,
+      runs: DataFrame, confirmed: DataFrame)
+
+  private[graft] def duplicateRunFrames(docs: DataFrame, id: String, text: Column,
+                    k: Int, minRunLen: Int, maxPositionsPerGram: Int = 0): DuplicateRunStages = {
     require(k >= 1 && minRunLen >= k, s"need k>=1, minRunLen>=k; got k=$k minRunLen=$minRunLen")
     val grams0 = docs.select(col(id).as("d"),
         posexplode(ColumnBridge.column(
@@ -681,10 +694,11 @@ object Dedup {
     // few, so these joins carry the run list — never the gram stream)
     val t1 = docs.select(col(id).as("d1"), text.as("t1"))
     val t2 = docs.select(col(id).as("d2"), text.as("t2"))
-    runs.join(t1, "d1").join(t2, "d2")
+    val confirmed = runs.join(t1, "d1").join(t2, "d2")
       .filter(col("t1").substr(col("start1"), col("run_len")) ===
               col("t2").substr(col("start2"), col("run_len")))
       .select(col("d1"), col("d2"), col("start1"), col("start2"), col("run_len"))
+    DuplicateRunStages(grams0, survivors, lists, runs, confirmed)
   }
 
   // ------------------------------------------------------------ n-gram pairs

@@ -31,15 +31,19 @@ import scala.jdk.CollectionConverters._
   *                    a flat vocab kills "broadcast scales with corpus").
   *   4. `score_s`   — the scoring aggregate from the checkpointed frame
   *                    (broadcast-join model + groupBy(id)), noop sink.
-  *   5. `fused_s`   — the SHIPPED `ngramScoreSelf` end-to-end (the
-  *                    sweep's measured number), with the JVM GC-time
-  *                    delta (the heap-pressure instrument).
-  *   6. `twopass_s` — the checkpoint-free alternative the two-step API
-  *                    composes (`ngramLogProb(docs, ngramModel(docs))`):
-  *                    explodes the corpus twice but stores NOTHING
-  *                    corpus-scale. If fused's super-linear residual is
-  *                    the checkpoint storage, this curve is the bound —
-  *                    and the candidate plan change.
+  *   5. `fused_s`   — the PRE-r17 fused form end-to-end (checkpointed
+  *                    single gram pass), with the JVM GC-time delta
+  *                    (the heap-pressure instrument). This WAS the
+  *                    shipped ngramScoreSelf; after the flip below it
+  *                    is kept as the measured strawman.
+  *   6. `twopass_s` — the checkpoint-free two-pass composition
+  *                    (`ngramLogProb(docs, ngramModel(docs))`): explodes
+  *                    the corpus twice but stores NOTHING corpus-scale.
+  *                    The round-17 measurement (fused 32.5/118.3/221.9 s
+  *                    vs two-pass 16.7/30.0/79.5 s at ×128/×256/×512,
+  *                    checkpoint residency 5.3→21.3 GB linear, vocab
+  *                    flat at ~9-17k trigrams) made THIS the shipped
+  *                    `ngramScoreSelf`.
   *
   * Emits one JSON line per factor and a slopes summary line. Heap is
   * the runner's choice (SPARK_DRIVER_MEM via tools/run_main.sh), so the
@@ -170,20 +174,31 @@ object TextPplDecompose {
       }
       if (dg != null) graft.operators.Checkpoints.release(dg)
 
-      // 5. the shipped operator end-to-end + GC delta
+      // 5. the PRE-r17 fused form end-to-end + GC delta — kept as the
+      // measured strawman after the r17 flip (ngramScoreSelf is now the
+      // two-pass): one checkpointed gram pass feeding model fit + score
       val (fusedS, gcFusedMs) = if (!stages("fused")) (0.0, 0L) else {
         val gc0 = gcMillis()
-        val (_, s) = timed(noop(graft.operators.TextAnalysis.ngramScoreSelf(
-          docs, "doc_id", col("text"), n = n)))
+        val (_, s) = timed {
+          val dgF = graft.operators.Checkpoints.checkpoint(dgPlan)
+          val scored = graft.operators.Checkpoints.checkpoint(
+            dgF.join(broadcast(modelOf(dgF)), "g")
+              .groupBy(col("doc_id"))
+              .agg(sum(col("c")).as("n_grams"),
+                sum(col("c") * col("logp_micro")).as("logp_sum_micro")))
+          graft.operators.Checkpoints.release(dgF)
+          noop(scored)
+          graft.operators.Checkpoints.release(scored)
+        }
         (s, gcMillis() - gc0)
       }
 
-      // 6. the storage-free two-pass composition + GC delta
+      // 6. the storage-free two-pass composition + GC delta — THE
+      // SHIPPED ngramScoreSelf since round 17
       val (twopassS, gcTwopassMs) = if (!stages("twopass")) (0.0, 0L) else {
         val gc0 = gcMillis()
-        val (_, s) = timed(noop(graft.operators.TextAnalysis.ngramLogProb(
-          docs, "doc_id", col("text"),
-          graft.operators.TextAnalysis.ngramModel(docs, col("text"), n = n), n = n)))
+        val (_, s) = timed(noop(graft.operators.TextAnalysis.ngramScoreSelf(
+          docs, "doc_id", col("text"), n = n)))
         (s, gcMillis() - gc0)
       }
 

@@ -172,13 +172,30 @@ class ScaleOpsSpec extends SparkTestBase {
       s"worst prefixes: ${sums.filterNot(s => s > 0.999 && s < 1.001).take(3).mkString(",")}")
   }
 
-  test("ngramScoreSelf == two-step fit + score (the fused path changes cost, not results)") {
-    val model = TextAnalysis.ngramModel(docs, col("text"), n = 3)
-    val twoStep = TextAnalysis.ngramLogProb(docs, "doc_id", col("text"), model, n = 3)
+  test("ngramScoreSelf == the retired fused (checkpointed) form — the r17 flip changed cost, not results") {
+    // round 17 made the two-pass composition THE shipped ngramScoreSelf
+    // (TextPplDecompose: the fused form's corpus-scale checkpoint was
+    // its entire scale term). This pins the flip's no-result-change
+    // claim against the retired form, rebuilt inline as the strawman.
+    val dg = graft.operators.Checkpoints.checkpoint(
+      docs.select(col("doc_id"), explode(TextAnalysis.charGrams(col("text"), 3)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c")))
+    val counts = dg.groupBy(col("g")).agg(sum(col("c")).as("cg"))
+    val prefix = counts.groupBy(col("g").substr(1, 2).as("pre"))
+      .agg(sum(col("cg")).as("cp"))
+    val model = counts.join(prefix, col("g").substr(1, 2) === col("pre"))
+      .select(col("g"),
+        round(log(col("cg").cast("double") / col("cp").cast("double")) * 1e6)
+          .cast("long").as("logp_micro"))
+    val fused = dg.join(broadcast(model), "g")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(col("c") * col("logp_micro")).as("logp_sum_micro"))
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
-    val fused = TextAnalysis.ngramScoreSelf(docs, "doc_id", col("text"), n = 3)
+    graft.operators.Checkpoints.release(dg)
+    val shipped = TextAnalysis.ngramScoreSelf(docs, "doc_id", col("text"), n = 3)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
-    assert(fused == twoStep)
+    assert(shipped == fused)
   }
 
   test("ngramLogProb is partitioning-invariant (exact integer scores)") {
