@@ -613,11 +613,11 @@ object Dedup {
 
   /** The stage frames of [[duplicateRuns]], exposed for stage-level cost
     * profiling (round 17, r16 verdict ask #6 — HeavyRowsProfile times
-    * each frame to a noop sink per factor): gram stream → cap-surviving
-    * stream → postings lists → merged runs → byte-confirmed output.
+    * each frame to a noop sink per factor): gram stream →
+    * bounded postings lists → merged runs → byte-confirmed output.
     * `confirmed` IS the operator's return frame. */
   private[graft] final case class DuplicateRunStages(
-      grams: DataFrame, survivors: DataFrame, lists: DataFrame,
+      grams: DataFrame, lists: DataFrame,
       runs: DataFrame, confirmed: DataFrame)
 
   private[graft] def duplicateRunFrames(docs: DataFrame, id: String, text: Column,
@@ -645,35 +645,35 @@ object Dedup {
     // licence headers / boilerplate are quadratic AND low-signal — so
     // the mega-gram cap (0 = off) drops those grams, the same B² valve
     // as LSH mega-buckets; dropping a capped gram can only SPLIT or
-    // SHORTEN reported runs through boilerplate, never invent one. The
-    // cap is applied BEFORE the postings lists are built (round 13):
-    // collect_list cannot spill WITHIN one group, so filtering after
-    // aggregation would still buffer a boilerplate gram's B entries in
-    // one group's state — instead the gram stream is semi-joined against
-    // the (partial-aggregatable, constant-state) per-gram count, and the
-    // capped grams never enter the aggregation. The semi-join shuffles
-    // the gram stream on h — the exchange the postings groupBy needs
-    // anyway, so the surviving-gram aggregation reuses its partitioning
-    // and the big-exchange count is unchanged. Every postings list is
-    // then ≤ cap entries by construction. Generate streams the pairs
-    // (never materializes B² rows).
-    // the merge hint is load-bearing: the count side is one row per
-    // DISTINCT gram hash — corpus-sized, and Catalyst's post-aggregation
-    // size estimate is far below its true volume, so unhinted the planner
-    // broadcasts it (measured OOM at a ×32 corpus — the same
-    // estimate-driven gamble the postings rewrite removed from the pair
-    // join). Sort-merge spills both sides gracefully, and its output is
-    // hash-partitioned AND sorted on h, which the downstream sort-based
-    // postings aggregation reuses directly.
-    val survivors =
-      if (maxPositionsPerGram <= 0) grams0
-      else grams0.join(
-        grams0.groupBy(col("h")).count()
-          .filter(col("count") <= maxPositionsPerGram).select(col("h"))
-          .hint("merge"),
-        Seq("h"), "left_semi")
-    val lists = survivors.groupBy(col("h"))
-      .agg(collect_list(struct(col("d"), col("p"))).as("ps"))
+    // SHORTEN reported runs through boilerplate, never invent one.
+    //
+    // The capped postings build is ONE exchange (round 17, r16 verdict
+    // ask #6). History: collect_list cannot spill WITHIN one group, so
+    // round 13 pre-filtered the gram stream through a per-gram count +
+    // merge semi-join to keep a boilerplate gram's B entries out of one
+    // group's aggregation state. The round-17 stage profile priced that
+    // protection at roughly HALF the postings stage (23 s of a 46 s row
+    // at ×128) — paid in full even when NO gram saturates, which is the
+    // shipped configuration's common case. BoundedPostingsAgg removes
+    // the hazard at the source instead: a TypedImperativeAggregate whose
+    // per-group state is bounded by the cap ITSELF (≤ cap pairs; a
+    // saturated group degenerates to a tombstone and evaluates to NULL),
+    // so the mega-gram drop happens INSIDE the one aggregation exchange
+    // — no count branch, no second shuffle of the gram stream, map-side
+    // partials stay ≤ 16·cap bytes per gram, and sort-based fallback
+    // spills between groups exactly as collect_list's does. Kept/dropped
+    // is a pure function of the group's row count (partitioning-
+    // invariant), so the oracle's count-≤-cap replay is unchanged.
+    val lists =
+      if (maxPositionsPerGram <= 0)
+        grams0.groupBy(col("h"))
+          .agg(collect_list(struct(col("d"), col("p"))).as("ps"))
+      else
+        grams0.groupBy(col("h"))
+          .agg(ColumnBridge.column(graft.functions.BoundedPostingsAgg(
+              ColumnBridge.expression(col("d")), ColumnBridge.expression(col("p")),
+              maxPositionsPerGram).toAggregateExpression()).as("ps"))
+          .filter(col("ps").isNotNull)
     val pairs = lists
       .select(col("ps"), explode(col("ps")).as("a"))
       .select(col("a"), explode(col("ps")).as("b"))
@@ -698,7 +698,7 @@ object Dedup {
       .filter(col("t1").substr(col("start1"), col("run_len")) ===
               col("t2").substr(col("start2"), col("run_len")))
       .select(col("d1"), col("d2"), col("start1"), col("start2"), col("run_len"))
-    DuplicateRunStages(grams0, survivors, lists, runs, confirmed)
+    DuplicateRunStages(grams0, lists, runs, confirmed)
   }
 
   // ------------------------------------------------------------ n-gram pairs

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   *
   *   - `dedup_substring_capped` (254 s at ×512): times each stage frame
   *     of [[graft.operators.Dedup.duplicateRunFrames]] to a noop sink —
-  *     gram kernel+explode, cap semi-join, postings aggregation, run
-  *     merge window, byte-confirm — plus the volume counters that
-  *     explain them (positions, surviving positions, enumerated pairs,
-  *     runs, confirmed runs).
+  *     gram kernel+explode, bounded postings aggregation (round 17:
+  *     BoundedPostingsAgg, one exchange), run merge window,
+  *     byte-confirm — plus the RETIRED count+semi-join+collect_list
+  *     postings shape (`sub_lists_semi`) as the strawman, and the
+  *     volume counters that explain them (positions, surviving
+  *     positions, enumerated pairs, runs, confirmed runs).
   *   - `curation_ccnet_buckets` (227 s, contended anchor): the row is
   *     ngramScoreSelf (text_ppl's LM core — see TextPplDecompose for
   *     ITS internal stages) + an id-join + one language window; timing
@@ -21,8 +23,8 @@ import org.apache.spark.sql.functions._
   * Emits one JSON line per factor and a slopes summary. Env:
   * SPARK_GRAFT_SCALE_BASE / SPARK_GRAFT_SCALE_OUT,
   * SPARK_GRAFT_DECOMP_FACTORS (default "128,256,512"),
-  * SPARK_GRAFT_DECOMP_STAGES (csv of sub_grams,sub_surv,sub_lists,
-  * sub_runs,sub_full,ccnet_lm,ccnet_full), SPARK_GRAFT_CPUS. */
+  * SPARK_GRAFT_DECOMP_STAGES (csv of sub_grams,sub_lists_semi,
+  * sub_lists,sub_runs,sub_full,ccnet_lm,ccnet_full), SPARK_GRAFT_CPUS. */
 object HeavyRowsProfile {
 
   private def timed[A](body: => A): (A, Double) = {
@@ -37,7 +39,7 @@ object HeavyRowsProfile {
     val factors = sys.env.getOrElse("SPARK_GRAFT_DECOMP_FACTORS", "128,256,512")
       .split(",").map(_.trim.toInt).filter(_ >= 1).sorted.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val knownStages = Set("sub_grams", "sub_surv", "sub_lists", "sub_runs",
+    val knownStages = Set("sub_grams", "sub_lists_semi", "sub_lists", "sub_runs",
       "sub_full", "ccnet_lm", "ccnet_full")
     val stages = sys.env.getOrElse("SPARK_GRAFT_DECOMP_STAGES",
       knownStages.toSeq.sorted.mkString(",")).split(",").map(_.trim).toSet
@@ -83,21 +85,38 @@ object HeavyRowsProfile {
         docs, "doc_id", col("text"), k = 40, minRunLen = 80,
         maxPositionsPerGram = 64)
 
-      // volume counters priced once per factor, not per timed stage
+      // volume counters priced once per factor, not per timed stage;
+      // surviving positions / enumerated pairs derive from the per-gram
+      // counts with the cap applied (count ≤ 64 keeps all entries)
       def count1(df: DataFrame): Long = df.count()
       val positions = if (!stages("sub_grams")) 0L else count1(st.grams)
-      val survPos = if (!stages("sub_surv")) 0L else count1(st.survivors)
-      val pairsEnum =
-        if (!stages("sub_lists")) 0.0
-        else st.survivors.groupBy(col("h")).count()
-          .agg(sum(col("count") * (col("count") - 1) / 2)).head().getDouble(0)
+      val (survPos, pairsEnum) =
+        if (!stages("sub_lists")) (0L, 0.0)
+        else {
+          val r = st.grams.groupBy(col("h")).count()
+            .filter(col("count") <= 64)
+            .agg(sum(col("count")).as("sp"),
+              sum(col("count") * (col("count") - 1) / 2).as("pe")).head()
+          (r.getLong(0), r.getDouble(1))
+        }
       val nRuns = if (!stages("sub_runs")) 0L else count1(st.runs)
       val nConfirmed = if (!stages("sub_full")) 0L else count1(st.confirmed)
 
       def stage(name: String, df: => DataFrame): Double =
         if (!stages(name)) 0.0 else timed(noop(df))._2
       val subGramsS = stage("sub_grams", st.grams)
-      val subSurvS = stage("sub_surv", st.survivors)
+      // the RETIRED round-13 capped-postings shape (per-gram count +
+      // merge semi-join + collect_list), rebuilt inline as the measured
+      // strawman for the round-17 BoundedPostingsAgg single-exchange form
+      val subListsSemiS = stage("sub_lists_semi", {
+        val surv = st.grams.join(
+          st.grams.groupBy(col("h")).count()
+            .filter(col("count") <= 64).select(col("h"))
+            .hint("merge"),
+          Seq("h"), "left_semi")
+        surv.groupBy(col("h"))
+          .agg(collect_list(struct(col("d"), col("p"))).as("ps"))
+      })
       val subListsS = stage("sub_lists", st.lists)
       val subRunsS = stage("sub_runs", st.runs)
       val subFullS = stage("sub_full", st.confirmed)
@@ -108,7 +127,7 @@ object HeavyRowsProfile {
         graft.operators.Curation.ccnetBuckets(docs, "doc_id", col("text"), col("lang")))
 
       val m = Map(
-        "sub_grams_s" -> subGramsS, "sub_surv_s" -> subSurvS,
+        "sub_grams_s" -> subGramsS, "sub_lists_semi_s" -> subListsSemiS,
         "sub_lists_s" -> subListsS, "sub_runs_s" -> subRunsS,
         "sub_full_s" -> subFullS,
         "positions" -> positions.toDouble, "surv_positions" -> survPos.toDouble,
@@ -123,7 +142,7 @@ object HeavyRowsProfile {
     }
 
     if (lines.size >= 2) {
-      val keys = Seq("sub_grams_s", "sub_surv_s", "sub_lists_s", "sub_runs_s",
+      val keys = Seq("sub_grams_s", "sub_lists_semi_s", "sub_lists_s", "sub_runs_s",
         "sub_full_s", "positions", "surv_positions", "pairs_enum",
         "ccnet_lm_s", "ccnet_full_s")
       val slopes = keys.map { k =>
