@@ -412,6 +412,32 @@ object Scale {
     "dedup_embedding_lsh" -> ("strawman-quadratic", "dedup_embedding_lsh_capped"),
     "sim_ivf_hier_p1" -> ("rule-test", "sim_ivf_hier"))
 
+  /** Artifact JSON for one (query, factor) point: the min-of-N seconds,
+    * the anchor-confidence band/run-count pair when ≥2 runs were taken
+    * (r16 verdict ask #4), and — round 17 — the failure cause when the
+    * point died (`x{f}_err`), so a -1.0 can never be mute: the ×1024
+    * stream_neardup_hashed disk-full death dropped its own stderr line
+    * (PrintStream swallows IO errors on a full disk) and the artifact
+    * alone had to carry the evidence.
+    */
+  def pointJson(f: Int, sec: Double,
+                band: Option[(Double, Int)], err: Option[String]): String = {
+    def jnum(d: Double): String = f"$d%.3f"
+    val base = s""""x$f":${jnum(sec)}"""
+    val withBand = band match {
+      case Some((b, n)) if n >= 2 =>
+        s"""$base,"x${f}_band":${jnum(b)},"x${f}_runs":$n"""
+      case _ => base
+    }
+    err match {
+      case Some(m) =>
+        val esc = m.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+        s"""$withBand,"x${f}_err":"$esc""""
+      case None => withBand
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
     val outBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft-scale")
@@ -541,7 +567,16 @@ object Scale {
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Map[Int, Double]]
     // per (query, factor): (max/min band across runs, runs taken)
     val bands = scala.collection.mutable.LinkedHashMap.empty[String, Map[Int, (Double, Int)]]
-    queryNames.foreach { name => times(name) = Map.empty; bands(name) = Map.empty }
+    // per (query, factor): failure message. A failed point is recorded
+    // INSIDE the artifact, not only on stderr — the ×1024
+    // stream_neardup_hashed disk-full death proved stderr can be mute
+    // (the disk-full write to the log was itself dropped; PrintStream
+    // swallows IO errors), so an artifact reader could see -1.0 with no
+    // cause. Now the cause travels with the number.
+    val errs = scala.collection.mutable.LinkedHashMap.empty[String, Map[Int, String]]
+    queryNames.foreach { name =>
+      times(name) = Map.empty; bands(name) = Map.empty; errs(name) = Map.empty
+    }
     factors.zipWithIndex.foreach { case (f, fi) =>
       val dir = s"$outBase/x$f"
       // the documented operating rule, applied: shuffle partitions scale
@@ -579,6 +614,9 @@ object Scale {
           } catch {
             case e: Throwable =>
               System.err.println(s"[scale] $name ×$f FAILED: ${e.getMessage}")
+              val cls = e.getClass.getSimpleName
+              val msg = Option(e.getMessage).getOrElse("").take(160)
+              errs(name) = errs(name) + (f -> s"$cls: $msg")
               -1.0
           } finally resetSessionStorage()
         System.err.println(f"[scale] $name ×$f: $sec%.2f s")
@@ -590,14 +628,7 @@ object Scale {
     def jnum(d: Double): String = f"$d%.3f"
     val qJson = queryNames.map { name =>
       val per = factors.map { f =>
-        val base = s""""x$f":${jnum(times(name)(f))}"""
-        // anchor-confidence fields (r16 verdict ask #4): band = max/min
-        // across this point's same-session runs, runs = how many it took
-        bands(name).get(f) match {
-          case Some((band, n)) if n >= 2 =>
-            s"""$base,"x${f}_band":${jnum(band)},"x${f}_runs":$n"""
-          case _ => base
-        }
+        pointJson(f, times(name)(f), bands(name).get(f), errs(name).get(f))
       }.mkString(",")
       val role = queryRoles.get(name)
         .map { case (r, twin) => s""","role":"$r","twin":"$twin"""" }.getOrElse("")

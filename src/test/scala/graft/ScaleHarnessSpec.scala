@@ -286,4 +286,23 @@ class ScaleHarnessSpec extends SparkTestBase {
         s"$name carries an undocumented role $role")
     }
   }
+
+  test("pointJson: band fields only for >=2 runs, err field carries an escaped cause") {
+    // a clean min-of-1 point is just the number
+    assert(Scale.pointJson(512, 86.555, None, None) == """"x512":86.555""")
+    // a single run never emits a band (there is no spread to report)
+    assert(Scale.pointJson(512, 86.555, Some((1.0, 1)), None) == """"x512":86.555""")
+    // min-of-N carries its anchor confidence
+    assert(Scale.pointJson(256, 17.946, Some((1.06, 2)), None) ==
+      """"x256":17.946,"x256_band":1.060,"x256_runs":2""")
+    // a failed point records its cause INSIDE the artifact (round 17:
+    // the disk-full death whose stderr line was itself dropped), with
+    // JSON-hostile characters escaped/flattened
+    val j = Scale.pointJson(1024, -1.0,
+      None, Some("IOException: No space\nleft on \"device\" \\ path"))
+    assert(j == """"x1024":-1.000,"x1024_err":"IOException: No space left on \"device\" \\ path"""")
+    // the emitted fragment must parse as JSON when wrapped
+    val parsed = graft.json.JsonText.parse(s"{$j}")
+    assert(parsed.isInstanceOf[graft.json.JDoc])
+  }
 }
