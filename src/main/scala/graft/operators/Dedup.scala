@@ -518,25 +518,37 @@ object Dedup {
     // the Checkpoints scaladoc warns about). release() is an idempotent
     // unpersist, so the success path's eager releases and the finally's
     // sweep compose; only the returned `out` frame survives.
-    var singletons: DataFrame = null
+    var marked: DataFrame = null
     var labels: DataFrame = null
     var cur: DataFrame = null
     try {
       val keyed = ids.select(col(idCol).as("id"))
       val pairedIds = edges.select(col("src").as("id")).distinct()
-      singletons = Checkpoints.checkpoint(
-        keyed.join(pairedIds, Seq("id"), "left_anti")
-          .select(col("id"), col("id").as("rep")), checkpointDir)
-      labels = Checkpoints.checkpoint(
-        keyed.join(pairedIds, Seq("id"), "left_semi")
-          .select(col("id"), col("id").as("rep")), checkpointDir)
+      // ONE materialization feeds both sides of the singleton split
+      // (round 17, optimization): the semi/anti checkpoint pair each
+      // re-derived the pairedIds distinct and paid its own join +
+      // checkpoint job — a left join with a presence marker runs the
+      // distinct once, materializes once, and both consumers are narrow
+      // filters over the same blocks. Same total footprint (the two old
+      // frames partitioned the id space this one holds whole).
+      marked = Checkpoints.checkpoint(
+        keyed.join(pairedIds.withColumn("__p", lit(true)), Seq("id"), "left")
+          .select(col("id"), col("id").as("rep"),
+            coalesce(col("__p"), lit(false)).as("__p")),
+        checkpointDir)
+      val singletons = marked.filter(!col("__p")).select(col("id"), col("rep"))
+      labels = marked.filter(col("__p")).select(col("id"), col("rep"))
       var iters = 0
       var converged = false
       while (iters < maxIters && !converged) {
         // the round CARRIES each id's previous label as `prev` (neighbors
         // contribute null, so max(prev) is the id's own old label through
-        // the same single exchange) — the convergence check then reads the
-        // already-materialized round instead of paying a third join
+        // the same single exchange) — the convergence check then rides the
+        // final jump's checkpoint as an OBSERVED METRIC (round 17): the
+        // old `filter(rep =!= prev).limit(1).count()` was one more job per
+        // round over blocks the checkpoint action already scans; the
+        // observation evaluates the identical predicate on the identical
+        // materialized rows for free
         val viaNeighbors = edges.join(labels, edges("src") === labels("id"))
           .select(col("dst").as("id"), col("rep"),
             lit(null).cast("long").as("prev"))
@@ -547,19 +559,28 @@ object Dedup {
             .agg(min(col("rep")).as("rep"), max(col("prev")).as("prev")),
           checkpointDir)
         // pointer jumps: each materializes (the next jump reads it twice —
-        // as the table and as the lookup) and releases its predecessor
-        for (_ <- 1 to jumps) {
-          val jumped = Checkpoints.checkpoint(cur
+        // as the table and as the lookup) and releases its predecessor;
+        // the LAST jump carries the convergence observation (the old count
+        // read the post-jump frame, so observing any earlier one would
+        // flag hop-stable states whose jump still contracts a pointer)
+        var obs: org.apache.spark.sql.Observation = null
+        for (j <- 1 to jumps) {
+          val jumpedPlan = cur
             .join(cur.select(col("id").as("jid"), col("rep").as("jrep")),
               cur("rep") === col("jid"))
             .select(col("id"), least(col("rep"), col("jrep")).as("rep"),
-              col("prev")),
-            checkpointDir)
+              col("prev"))
+          val withObs = if (j < jumps) jumpedPlan else {
+            obs = org.apache.spark.sql.Observation()
+            jumpedPlan.observe(obs,
+              count(when(col("rep") =!= col("prev"), lit(1))).as("changed"))
+          }
+          val jumped = Checkpoints.checkpoint(withObs, checkpointDir)
           Checkpoints.release(cur)
           cur = jumped
         }
-        val changed = cur.filter(col("rep") =!= col("prev")).limit(1).count()
-        Checkpoints.release(labels)
+        val changed = obs.get("changed").asInstanceOf[Long]
+        if (iters > 0) Checkpoints.release(labels) // round 0's labels view rides `marked`
         labels = cur.select(col("id"), col("rep"))
         converged = changed == 0
         iters += 1
@@ -574,7 +595,7 @@ object Dedup {
       Checkpoints.checkpoint(labels.unionByName(singletons), checkpointDir)
     } finally {
       Checkpoints.release(edges)
-      if (singletons != null) Checkpoints.release(singletons)
+      if (marked != null) Checkpoints.release(marked)
       if (labels != null) Checkpoints.release(labels)
       if (cur != null) Checkpoints.release(cur)
     }

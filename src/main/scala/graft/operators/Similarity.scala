@@ -62,13 +62,25 @@ object Similarity {
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Cell counts below this ride as C×dim plan literals (bounded
-    * metadata, the right call at the default C=16); at or above, the
-    * centroid matrix ships ONCE as a broadcast variable consumed by one
-    * custom kernel ([[graft.functions.CellSims]]/[[graft.functions.CellVec]])
-    * — at a production C ≈ 16-64k the literal formulation would put
-    * hundreds of MB into the PLAN and analysis cost would dominate. Same
-    * hybrid literal/broadcast discipline as `TextAnalysis.bpeLearn`. */
-  private[graft] val CentroidBroadcastThreshold = 256
+    * metadata); at or above, the centroid matrix ships ONCE as a
+    * broadcast variable consumed by one custom kernel
+    * ([[graft.functions.CellSims]]/[[graft.functions.CellVec]]) — at a
+    * production C ≈ 16-64k the literal formulation would put hundreds of
+    * MB into the PLAN and analysis cost would dominate. Same hybrid
+    * literal/broadcast discipline as `TextAnalysis.bpeLearn`.
+    *
+    * Round 17 (optimization): 256 → 9. The r16 value parked the default
+    * C = 16 paths on the literal side, and the measured cost was not
+    * hypothetical-at-scale but real at the BENCH SF: each `simsTo` use
+    * inlines C cosine trees of dim literals each, the argmax doubles it,
+    * and the IVF-PQ residual row's plan text reached 350 KB (14k double
+    * literals, 163 inlined vec_cosine trees) — re-analyzed by Catalyst
+    * on every query construction (guide §7.3). Both paths are
+    * bit-identical (spec-pinned, CellSimsSpec/StatsInvarianceSpec), so
+    * the flip changes plan bytes only, never results. 9 keeps the
+    * 8-centroid SemDeDup fixture literal — those centroids are the
+    * SQL-expressible oracle contract and their plan cost is bounded. */
+  private[graft] val CentroidBroadcastThreshold = 9
 
   /** Builder for the per-row cell-similarity array over a fixed centroid
     * table: ONE broadcast per operator call (not per column use), shared
@@ -417,10 +429,9 @@ object Similarity {
       tables: Int = 8, planesPerTable: Int = 0): DataFrame = {
     val h = if (planesPerTable > 0) planesPerTable
             else deriveSrpPlanes(corpus.count())
-    val ps = planes(dim, tables, h)
+    val buckets = srpBucketsFn(corpus.sparkSession, dim, tables, h, probes = false)
     corpus.select(dvec(col("embedding")).as("v"))
-      .select(explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), srpBucket(col("v"), ps(t)).as("b"))): _*)).as("tb"))
+      .select(explode(buckets(col("v"))).as("tb"))
       .groupBy(col("tb")).count()
   }
 
@@ -429,7 +440,7 @@ object Similarity {
                       maxBucketSize: Int = 0): DataFrame = {
     val h = if (planesPerTable > 0) planesPerTable
             else deriveSrpPlanes(corpus.count())
-    val ps = planes(dim, tables, h)
+    val buckets = srpBucketsFn(corpus.sparkSession, dim, tables, h, probes = false)
     val v = corpus.select(col("vec_id"), dvec(col("embedding")).as("v"))
     // Vectors RIDE the band exchange on purpose — measured, do not "slim"
     // this into an ids-only candidate join + vector re-attach (round 12):
@@ -444,8 +455,7 @@ object Similarity {
     // (not candidates) pay the distinct.
     val bucketed = v.select(
       col("vec_id"), col("v"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), srpBucket(col("v"), ps(t)).as("b"))): _*)).as("tb"))
+      explode(buckets(col("v"))).as("tb"))
     // valve: one partial-agg'd count on the key the self-join shuffles on
     // anyway. Fixed width ⇒ the space is STRUCTURALLY BOUNDED (tables·2^H,
     // 2048 at the default 8×8), so the OVER-limit key set is bounded
@@ -1011,16 +1021,64 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes per (table, plane). */
-  private def planes(dim: Int, tables: Int = Tables, perTable: Int = HyperPlanes): Array[Array[Array[Double]]] = {
+  private[graft] def planes(dim: Int, tables: Int = Tables, perTable: Int = HyperPlanes): Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(0x9E3779B9L)
     Array.fill(tables, perTable)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Bucket id in table `t`: H sign bits of random projections. */
-  private def srpBucket(vec: Column, ps: Array[Array[Double]]): Column =
+  /** Bucket id in table `t`: H sign bits of random projections.
+    * LITERAL formulation — retained as the spec-pinned reference twin of
+    * the [[graft.functions.SrpBuckets]] kernel (SrpKernelSpec asserts
+    * bucket equality on every driver fixture); production paths use the
+    * kernel, whose plan is one node instead of tables·h·dim literals
+    * (round 17: the literal plans measured 146-243 KB of text and paid
+    * Catalyst re-analysis on every query construction, guide §7.3). */
+  private[graft] def srpBucket(vec: Column, ps: Array[Array[Double]]): Column =
     ps.zipWithIndex.map { case (p, j) =>
       when(dot(vec, array(p.map(lit): _*)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Builder for the one-kernel SRP banding column: flattens the plane
+    * matrix, ships it ONCE as a broadcast (the [[cellSimsFn]] hybrid
+    * discipline — hyperplane matrices are tables·h·dim doubles, always
+    * past the literal threshold at production widths), and returns the
+    * column factory. `probes = true` emits own-bucket + Hamming-1 probes
+    * per table (the query side); false emits one bucket per table. The
+    * `coalesce` keeps NULL vectors on the literal form's bucket-0 path —
+    * see [[graft.functions.SrpBuckets]]. */
+  private[graft] def srpBucketsFn(spark: org.apache.spark.sql.SparkSession,
+                                  dim: Int, tables: Int, perTable: Int,
+                                  probes: Boolean): Column => Column = {
+    val bc = srpPlanesBc.computeIfAbsent((spark, dim, tables, perTable), _ => {
+      val ps = planes(dim, tables, perTable)
+      val flat = new Array[Double](tables * perTable * dim)
+      var t = 0
+      while (t < tables) {
+        var j = 0
+        while (j < perTable) {
+          System.arraycopy(ps(t)(j), 0, flat, (t * perTable + j) * dim, dim)
+          j += 1
+        }
+        t += 1
+      }
+      spark.sparkContext.broadcast(flat)
+    })
+    v => ColumnBridge.column(graft.functions.SrpBuckets(
+      ColumnBridge.expression(coalesce(v, lit(Array.empty[Double]))),
+      bc, tables, perTable, dim, probes))
+  }
+
+  /** One broadcast per (session, dim, tables, h): the plane matrix is a
+    * PURE FUNCTION of its key (seeded PRNG, no corpus dependence), so
+    * sharing it across query constructions (a) keeps equal-config plans
+    * `sameResult`-identical — [[graft.functions.SrpBuckets]] equality is
+    * by broadcast id — and (b) skips a per-construction broadcast
+    * round-trip. Keyed on the session REFERENCE like
+    * `SparkEntry.tableMemo`; entries are ~32 KB and live for the process,
+    * the intended scope for a bench/verify/library JVM. */
+  private val srpPlanesBc = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Int, Int, Int),
+    org.apache.spark.broadcast.Broadcast[Array[Double]]]()
 
   /** The SRP-LSH candidate stage of [[annTopK]], exposed so other
     * re-rankers ([[mmrSelect]]) can swap their exact candidate scan for
@@ -1039,23 +1097,15 @@ object Similarity {
     // multiprobe widens with H automatically (H+1 probes per table).
     val perTable = if (planesPerTable > 0) planesPerTable
                    else deriveSrpPlanes(corpus.count())
-    val ps = planes(dim, tables, perTable)
-    def tableBuckets(v: Column): Column =
-      array((0 until tables).map(t => struct(lit(t).as("t"), srpBucket(v, ps(t)).as("b"))): _*)
+    // one-kernel banding (round 17): the plane matrix rides a broadcast,
+    // not tables·h·dim plan literals — see [[srpBucketsFn]]
+    val spark = corpus.sparkSession
+    val tableBuckets = srpBucketsFn(spark, dim, tables, perTable, probes = false)
     // corpus: one row per (table, bucket) — ids + bucket key only, the
     // vectors stay home and are re-joined onto the deduped candidates
     val e = corpus.select(col("vec_id"), explode(tableBuckets(dvec(col("embedding")))).as("tb"))
     // queries: per table, own bucket + every Hamming-1 probe
-    def probes(v: Column): Column =
-      flatten(array((0 until tables).map { t =>
-        val b = srpBucket(v, ps(t))
-        concat(
-          array(struct(lit(t).as("t"), b.as("b"))),
-          transform(sequence(lit(0), lit(perTable - 1)), j =>
-            struct(lit(t).as("t"),
-              b.bitwiseXOR(element_at(
-                array((0 until perTable).map(i => lit(1L << i)): _*), j + 1)).as("b"))))
-      }: _*))
+    val probes = srpBucketsFn(spark, dim, tables, perTable, probes = true)
     val q = queries.select(col("vec_id").as("qid"), dvec(col("embedding")).as("qv"))
       .select(col("qid"), col("qv"), explode(probes(col("qv"))).as("tb"))
     // dedup candidates on the narrow (qid, vec_id) pair — shuffling the
@@ -1145,36 +1195,36 @@ object Similarity {
     val cv = cand.join(e, "vec_id")
     val ca = cv.select(col("qid"), col("vec_id").as("id_a"), col("v").as("va"))
     val cb = cv.select(col("qid"), col("vec_id").as("id_b"), col("v").as("vb"))
-    val pairSim = Checkpoints.checkpoint(ca.join(cb, "qid")
+    val pairSim = ca.join(cb, "qid")
       .filter(col("id_a") =!= col("id_b"))
       .select(col("qid"), col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")) * 1e6).cast("long").as("s")))
-    // greedy: step 1 takes the most relevant; each later step re-scores
-    // the remainder against the selected set and takes the argmax
-    val wRel = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("vec_id").asc)
-    var selected = cand.withColumn("__r", row_number().over(wRel))
-      .filter(col("__r") === 1)
-      .select(col("qid"), col("vec_id"), lit(1L).as("sel_rank"))
-    var all = selected
-    for (step <- 2 to k) {
-      val remaining = cand.join(all.select(col("qid"), col("vec_id")),
-        Seq("qid", "vec_id"), "left_anti")
-      val penalty = remaining
-        .join(pairSim.withColumnRenamed("id_a", "vec_id"), Seq("qid", "vec_id"))
-        .join(all.select(col("qid"), col("vec_id").as("id_b")), Seq("qid", "id_b"))
-        .groupBy(col("qid"), col("vec_id"), col("rel"))
-        .agg(max(col("s")).as("pen"))
-      val wMmr = Window.partitionBy(col("qid"))
-        .orderBy((lit(lam) * col("rel") - lit(1000L - lam) * col("pen")).desc,
-          col("vec_id").asc)
-      val next = penalty.withColumn("__r", row_number().over(wMmr))
-        .filter(col("__r") === 1)
-        .select(col("qid"), col("vec_id"), lit(step.toLong).as("sel_rank"))
-      all = all.unionByName(next)
-    }
-    val out = Checkpoints.checkpoint(all)
+        round(cosine(col("va"), col("vb")) * 1e6).cast("long").as("s"))
+    // greedy trace in ONE bounded-state aggregate (round 17): everything
+    // past candidate generation is |q|·cands rows, so the k-step
+    // anti-join → join → join → groupBy → window → union loop (3
+    // exchanges per step, and a checkpointed pair matrix to keep it from
+    // re-deriving) collapses into one exchange on qid — relevance rows
+    // and pair rows union, group, and [[graft.functions.MmrGreedyAgg]]
+    // replays the exact integer selection (semantics spec-pinned, per-
+    // group state bounded by cands², MmrKernelSpec). ids ride as BIGINT
+    // — the cast is a no-op for the integral ids this operator serves.
+    val relRows = cand.select(col("qid").cast("long").as("qid"),
+      col("vec_id").cast("long").as("vec_id"), col("rel"),
+      lit(null).cast("long").as("id_b"), lit(null).cast("long").as("s"))
+    val pairRows = pairSim.select(col("qid").cast("long").as("qid"),
+      col("id_a").cast("long").as("vec_id"), lit(null).cast("long").as("rel"),
+      col("id_b").cast("long").as("id_b"), col("s"))
+    val traced = relRows.unionByName(pairRows)
+      .groupBy(col("qid"))
+      .agg(ColumnBridge.column(graft.functions.MmrGreedyAgg(
+        ColumnBridge.expression(col("vec_id")), ColumnBridge.expression(col("rel")),
+        ColumnBridge.expression(col("id_b")), ColumnBridge.expression(col("s")),
+        k, lam).toAggregateExpression()).as("trace"))
+    val out = Checkpoints.checkpoint(
+      traced.select(col("qid"), explode(col("trace")).as("tr"))
+        .select(col("qid"), col("tr.vec_id").as("vec_id"),
+          col("tr.sel_rank").as("sel_rank")))
     Checkpoints.release(cand)
-    Checkpoints.release(pairSim)
     out
   }
 
