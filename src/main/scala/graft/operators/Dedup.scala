@@ -523,18 +523,30 @@ object Dedup {
     var cur: DataFrame = null
     try {
       val keyed = ids.select(col(idCol).as("id"))
-      val pairedIds = edges.select(col("src").as("id")).distinct()
       // ONE materialization feeds both sides of the singleton split
       // (round 17, optimization): the semi/anti checkpoint pair each
-      // re-derived the pairedIds distinct and paid its own join +
-      // checkpoint job — a left join with a presence marker runs the
-      // distinct once, materializes once, and both consumers are narrow
-      // filters over the same blocks. Same total footprint (the two old
-      // frames partitioned the id space this one holds whole).
+      // re-derived a distinct over the edge endpoints and paid its own
+      // join + checkpoint job — a left join with a presence marker runs
+      // one aggregation, materializes once, and both consumers are
+      // narrow filters over the same blocks. Same total footprint (the
+      // two old frames partitioned the id space this one holds whole).
+      // The aggregation computes min(dst) instead of mere presence,
+      // which SEEDS labels with round 1's hop — min over self ∪
+      // neighbor ids, exactly what the first loop round would produce
+      // from the identity labels — so the fixpoint starts one round in:
+      // one fewer graph-sized hop+jump round at every scale, for the
+      // same exchange the presence distinct already paid. (Min-label
+      // propagation's fixpoint is invariant to starting k rounds ahead:
+      // labels stay within [component-min, id] and decrease
+      // monotonically; the unique hop-stable point is
+      // constant-per-component = the component min.)
+      val minNbr = edges.groupBy(col("src")).agg(min(col("dst")).as("__nbr0"))
+        .withColumnRenamed("src", "id")
       marked = Checkpoints.checkpoint(
-        keyed.join(pairedIds.withColumn("__p", lit(true)), Seq("id"), "left")
-          .select(col("id"), col("id").as("rep"),
-            coalesce(col("__p"), lit(false)).as("__p")),
+        keyed.join(minNbr, Seq("id"), "left")
+          .select(col("id"),
+            least(col("id"), coalesce(col("__nbr0"), col("id"))).as("rep"),
+            col("__nbr0").isNotNull.as("__p")),
         checkpointDir)
       val singletons = marked.filter(!col("__p")).select(col("id"), col("rep"))
       labels = marked.filter(col("__p")).select(col("id"), col("rep"))
