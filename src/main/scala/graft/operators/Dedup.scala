@@ -142,8 +142,18 @@ object Dedup {
     * filter is one partial-aggregated count on the bucket key the join
     * shuffles on anyway. */
   def lshCandidates(docs: DataFrame, id: String, shingleCol: String,
+                    maxBucketSize: Int = 0): DataFrame =
+    lshCandidatesFromSig(
+      docs.select(col(id), minhashSignature(col(shingleCol)).as("sig")),
+      id, maxBucketSize)
+
+  /** The banding + bucket self-join over an existing (id, sig) frame —
+    * split out (round 17) so [[minhashNearDups]] can band a MATERIALIZED
+    * signature frame: the self-join's two sides otherwise each
+    * re-evaluate the shingle + signature kernel pass (measured: no
+    * exchange/stage reuse fires across the aliased sides at runtime). */
+  private[graft] def lshCandidatesFromSig(sig: DataFrame, id: String,
                     maxBucketSize: Int = 0): DataFrame = {
-    val sig = docs.select(col(id), minhashSignature(col(shingleCol)).as("sig"))
     val bucketed = sig.select(
       col(id),
       explode(transform(sequence(lit(0), lit(MinhashBands - 1)), b =>
@@ -183,12 +193,28 @@ object Dedup {
     // many dedup passes over one corpus can scope a cache via
     // [[withShingles]], which guarantees release.
     val shingled = docs.select(col(id), wordShingles(text, n).as("sh"))
-    val cands = lshCandidates(shingled, id, "sh", maxBucketSize)
-    val sa = shingled.select(col(id).as("id_a"), col("sh").as("sh_a"))
-    val sb = shingled.select(col(id).as("id_b"), col("sh").as("sh_b"))
-    cands.join(sa, "id_a").join(sb, "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("j"))
-      .filter(col("j") >= threshold)
+    // Signatures MATERIALIZE once (round 17, optimization): the banding
+    // self-join's two sides each re-evaluated the shingle + signature
+    // kernel over the corpus (no exchange/stage reuse fires across the
+    // aliased sides — measured on the executed plan), so one narrow
+    // checkpoint (id + K longs, ~270 B/doc — an order smaller than the
+    // text) halves the most expensive pass. Released before return; the
+    // verified pair result is the operator's one surviving checkpointed
+    // frame (the nearDupClusters edge-frame contract). The shingle
+    // frame itself stays unpersisted — at 100 TB it is LARGER than the
+    // corpus (round-1 ADVICE); the verify joins recompute it, which is
+    // the documented scalable trade.
+    val sigCk = Checkpoints.checkpoint(
+      docs.select(col(id), minhashSignature(wordShingles(text, n)).as("sig")))
+    try {
+      val cands = lshCandidatesFromSig(sigCk, id, maxBucketSize)
+      val sa = shingled.select(col(id).as("id_a"), col("sh").as("sh_a"))
+      val sb = shingled.select(col(id).as("id_b"), col("sh").as("sh_b"))
+      Checkpoints.checkpoint(
+        cands.join(sa, "id_a").join(sb, "id_b")
+          .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("j"))
+          .filter(col("j") >= threshold))
+    } finally Checkpoints.release(sigCk)
   }
 
   /** Intra-document repeats — the other half of the Lee et al. dedup

@@ -108,21 +108,32 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val du = deg.select(col("node").as("u"), col("deg").as("du"))
     val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
-    val oriented = und.join(du, "u").join(dv, "v")
+    // The oriented edge list is MATERIALIZED once (round 17,
+    // optimization): it is read THREE times — both wedge sides and the
+    // closing semi-join — and each lazy reference re-executed the whole
+    // upstream (edge distinct + degree aggregate + two joins) and
+    // inlined it into the plan (the sf0.1 plan text carried the subtree
+    // 3×, 69 KB). Two longs per edge — the same bounded-narrow-frame
+    // checkpoint contract as nearDupClusters' edge frame; released
+    // before return, only the node-sized result survives.
+    val oriented = Checkpoints.checkpoint(und.join(du, "u").join(dv, "v")
       .select(
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("u"))
           .otherwise(col("v")).as("a"),
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
-          .otherwise(col("u")).as("b"))
-    val e1 = oriented.select(col("a"), col("b"))
-    val e2 = oriented.select(col("a").as("b"), col("b").as("c"))
-    val wedges = e1.join(e2, "b").select(col("a"), col("b"), col("c"))
-    val closing = oriented.select(col("a"), col("b").as("c"))
-    wedges.join(closing, Seq("a", "c"), "left_semi")
-      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+          .otherwise(col("u")).as("b")))
+    try {
+      val e1 = oriented.select(col("a"), col("b"))
+      val e2 = oriented.select(col("a").as("b"), col("b").as("c"))
+      val wedges = e1.join(e2, "b").select(col("a"), col("b"), col("c"))
+      val closing = oriented.select(col("a"), col("b").as("c"))
+      Checkpoints.checkpoint(
+        wedges.join(closing, Seq("a", "c"), "left_semi")
+          .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("triangles")))
+    } finally Checkpoints.release(oriented)
   }
 
   /** In/out degree per node — the cheap centrality for cut-offs. */
