@@ -229,9 +229,25 @@ object Dedup {
   def selfRepeatRuns(docs: DataFrame, id: String, text: Column,
                      k: Int, minRunLen: Int): DataFrame = {
     require(k >= 1 && minRunLen >= k, s"need k>=1, minRunLen>=k; got k=$k minRunLen=$minRunLen")
-    val grams = docs.select(col(id).as("d"),
+    // Co-partition by doc id ONCE above the gram explode (round 18, guide
+    // §2.3/§2.4; same move and same r17-root-cause fix as
+    // TextAnalysis.dupNgramStats): every downstream operator here
+    // clusters by a superset of {d} — the (d,h) postings aggregate, the
+    // (d,diff) island window, the (d,diff,isl) run rollup, and the
+    // byte-confirm join against the text — so ONE explicit-count
+    // (AQE-uncoalescible) hash(d) exchange of the compact doc rows
+    // replaces the gram-stream exchange, the window exchange, and both
+    // join exchanges; the O(corpus chars) gram stream never crosses the
+    // network. Both branches (grams, text) fork from the same
+    // repartitioned frame, so the doc shuffle is one reused exchange.
+    val spark = docs.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      docs.rdd.getNumPartitions)
+    val d0 = docs.select(col(id).as("d"), text.as("__t0"))
+      .repartition(parts, col("d"))
+    val grams = d0.select(col("d"),
         posexplode(ColumnBridge.column(
-          graft.functions.CharGramHashes(ColumnBridge.expression(text), k))))
+          graft.functions.CharGramHashes(ColumnBridge.expression(col("__t0")), k))))
       .select(col("d"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
     // postings, not a self-join — same reasoning as duplicateRuns (the
     // gram stream is O(corpus characters); no join strategy is safe on
@@ -253,7 +269,7 @@ object Dedup {
       .filter(col("run_len") >= minRunLen)
       .select(col("d"), col("s1").as("start1"),
         (col("s1") - col("diff")).as("start2"), col("run_len"))
-    val t = docs.select(col(id).as("d"), text.as("t"))
+    val t = d0.select(col("d"), col("__t0").as("t"))
     runs.join(t, "d")
       .filter(col("t").substr(col("start1"), col("run_len")) ===
               col("t").substr(col("start2"), col("run_len")))
@@ -330,7 +346,34 @@ object Dedup {
                       n: Int, threshold: Double,
                       maxBucketSize: Int = 0): DataFrame = {
     val shingled = docs.select(col(id), wordShingles(text, n).as("sh"))
-    val sketched = shingled.select(col(id), col("sh"), simhash64(col("sh")).as("simhash"))
+    // The (id, simhash) SKETCH is materialized once (round 18 — the same
+    // move [[minhashNearDups]] got in r17, and an order narrower still:
+    // id + ONE long per doc): without it the shingle→simhash kernel is
+    // re-evaluated by BOTH sides of the banded self-join AND (when
+    // maxBucketSize > 0) a third time by the valve's bucket-count probe —
+    // no stage reuse fires across the aliased sides (r17 plan-dump
+    // finding on the minhash twin). Shingles deliberately stay
+    // unpersisted (the documented 100 TB trade: the shingle frame is
+    // larger than the corpus); the verify joins recompute them. The
+    // returned pair frame is checkpointed so the sketch can be released
+    // before return — callers own the (bounded, pair-list-sized) result
+    // frame, as with minhashNearDups.
+    val sketchCk = Checkpoints.checkpoint(
+      shingled.select(col(id), simhash64(col("sh")).as("simhash")))
+    try {
+      Checkpoints.checkpoint(
+        simhashPairsPlan(sketchCk, shingled, id, threshold, maxBucketSize))
+    } finally Checkpoints.release(sketchCk)
+  }
+
+  /** The banded-self-join pair plan over an (id, simhash) sketch frame —
+    * LAZY (no checkpoint): [[simhashNearDups]] feeds it the materialized
+    * sketch and checkpoints the result; tests feed it a raw projection so
+    * plan-shape assertions (valve filter presence, no-op plan identity)
+    * can see the full lineage. */
+  private[graft] def simhashPairsPlan(sketched: DataFrame, shingled: DataFrame,
+                                      id: String, threshold: Double,
+                                      maxBucketSize: Int): DataFrame = {
     val offsets = SimhashBlockWidths.scanLeft(0)(_ + _)
     def block(b: Int): Column =
       shiftright_dyn(col("simhash"), lit(offsets(b))) bitwiseAND
@@ -364,9 +407,10 @@ object Dedup {
     // row pays one narrow probe, not a second corpus-wide join. When
     // engaged, an InSet filter (O(1)/row, codegen'd, ≤372,736 longs ≈
     // 3 MB task metadata) replaces the join: one exchange fewer on the
-    // n×91-row explode. The probe re-evaluates the shingle→simhash
-    // lineage once — the standard recompute-narrow-projections trade
-    // ([[minhashNearDups]] documents why these frames are not persisted).
+    // n×91-row explode. Since round 18 the probe (and both self-join
+    // sides) read the materialized (id, simhash) sketch, so it no longer
+    // re-evaluates the shingle→simhash kernel — its cost is one narrow
+    // aggregation over 16-byte rows.
     val blocked =
       if (maxBucketSize <= 0) blocked0
       else {
@@ -617,7 +661,30 @@ object Dedup {
           Checkpoints.release(cur)
           cur = jumped
         }
-        val changed = obs.get("changed").asInstanceOf[Long]
+        // Bounded wait on the observation (round-17 ADVICE): the eager
+        // checkpoint action has already completed by this line, so the
+        // metric is normally available immediately — but `obs.get` alone
+        // would block FOREVER if a Spark upgrade ever stopped Observation
+        // completing on this action shape (the exact risk ObsProbeSpec
+        // pins). On timeout, fall back to the pre-r17 existence probe
+        // over the materialized blocks — one extra cheap job, never a
+        // hang; the fallback only needs zero/nonzero, which `limit(1)`
+        // preserves.
+        val changed: Long = {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.DurationInt
+          import scala.concurrent.ExecutionContext.Implicits.global
+          try Await.result(Future(obs.get), 30.seconds)("changed")
+            .asInstanceOf[Long]
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup").warn(
+                "nearDupClusters: convergence observation did not complete " +
+                  "within 30s of its eager action — falling back to a " +
+                  "count probe over the checkpointed round")
+              cur.filter(col("rep") =!= col("prev")).limit(1).count()
+          }
+        }
         if (iters > 0) Checkpoints.release(labels) // round 0's labels view rides `marked`
         labels = cur.select(col("id"), col("rep"))
         converged = changed == 0

@@ -51,23 +51,46 @@ object Graph {
     require(scale > 0 && dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"need scale>0 and 0 <= dampNum/dampDen <= 1; got $scale, $dampNum/$dampDen")
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val eDeg = Checkpoints.checkpoint(e.join(outdeg, "src"), checkpointDir)
+    // Degree annotation by WINDOW count instead of aggregate+join (round
+    // 18, guide §2.4/§6): the join formulation derived the caller's edge
+    // frame twice (once per side) — two scans + two exchanges of the raw
+    // edges per construction; the window derives it once (one exchange on
+    // src + a partition-local sort). Same result: every edge row carries
+    // its source's out-degree.
+    val eDeg = Checkpoints.checkpoint(
+      e.withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))),
+      checkpointDir)
     val nodes = Checkpoints.checkpoint(
       eDeg.select(col("src").as("node"))
         .union(eDeg.select(col("dst").as("node"))).distinct(), checkpointDir)
     val base = lit(scale * (dampDen - dampNum) / dampDen)
     var ranks = nodes.withColumn("rank", lit(scale))
     var prev: Option[DataFrame] = None
+    // Per-iteration shape (round 18, guide §2.4): the previous form
+    // aggregated contributions on dst and LEFT-JOINED the node list back
+    // in (nodes with no in-edges must keep the base rank) — a
+    // SortMergeJoin whose nodes side re-exchanged + re-sorted EVERY round
+    // (the checkpoint's AQE-coalesced layout claim cannot match the
+    // aggregate side's partition count, measured r17: graph_pagerank 32
+    // Exchanges before AND after the layout work). The join is not needed:
+    // unioning one zero-contribution row per node into the aggregate
+    // computes the identical integer sum — sum(contribs ∪ {0}) ==
+    // coalesce(sum(contribs), 0) — so each round is ONE exchange (the
+    // contribution groupBy, map-side partial-aggregated as before) and
+    // zero joins/sorts on the rank side. `nodes` is distinct by
+    // construction, so exactly one zero row per node; a node with no
+    // in-edges aggregates to sum=0 → rank = base, as the left join's
+    // NULL-coalesce produced.
+    val zeros = nodes.select(col("node"), lit(0L).as("contrib"))
     for (_ <- 1 to iterations) {
       val contribs = eDeg
         .join(ranks, eDeg("src") === ranks("node"))
-        .select(col("dst"), expr("rank DIV deg").as("contrib"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
-      ranks = Checkpoints.checkpoint(nodes
-        .join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(col("node"),
-          (base + expr(s"coalesce(s, 0L) * $dampNum DIV $dampDen")).as("rank")),
+        .select(col("dst").as("node"), expr("rank DIV deg").as("contrib"))
+      ranks = Checkpoints.checkpoint(
+        contribs.union(zeros)
+          .groupBy(col("node"))
+          .agg((base + expr(s"sum(contrib) * $dampNum DIV $dampDen")).as("rank")),
         checkpointDir)
       prev.foreach(Checkpoints.release)
       prev = Some(ranks)

@@ -686,7 +686,24 @@ object TextAnalysis {
     * left joins are id-keyed. Docs too short for a gram keep 0s. */
   def dupNgramStats(docs: org.apache.spark.sql.DataFrame, id: String,
                     text: Column, nTop: Int = 2, nDup: Int = 3): org.apache.spark.sql.DataFrame = {
-    val base = docs.select(col(id), text.as("__t"))
+    // Co-partition by doc id ONCE, above the explodes (round 18, guide
+    // §2.3/§2.4): every downstream aggregate ((id,g) counts, per-id
+    // rollups) and both id-keyed joins cluster by a superset of {id}, so
+    // hash(id) satisfies all of them and the exploded GRAM streams never
+    // pay an exchange — only the compact doc rows move. The r17 attempt
+    // at this was measured 2× WORSE because a plain repartition("id")'s
+    // exchange was AQE-coalesced by its own (tiny) doc bytes to ONE
+    // partition, serializing the gram-sized work downstream; an explicit
+    // count (REPARTITION_BY_NUM — AQE never coalesces it) fixes that
+    // root cause. The count is scale-adaptive, not a local constant:
+    // the input's scan partitioning already reflects corpus bytes
+    // (maxPartitionBytes sizing), and the gram explode amplifies each
+    // doc's bytes only by the small factor n, so scan partitions floored
+    // by cluster parallelism keep per-task gram work bounded at any SF.
+    val spark = docs.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      docs.rdd.getNumPartitions)
+    val base = docs.select(col(id), text.as("__t")).repartition(parts, col(id))
     def gramCounts(n: Int) = base
       .select(col(id), explode(wordGrams(col("__t"), n)).as("g"))
       .groupBy(col(id), col("g")).agg(count(lit(1)).as("c"))

@@ -197,17 +197,28 @@ class Round15OpsSpec extends SparkTestBase {
     }.size
   }
 
+  // Since round 18 simhashNearDups returns a CHECKPOINTED pair frame (its
+  // (id, simhash) sketch is materialized once and released before return),
+  // so the public method's plan is one ExistingRDD leaf. The plan-shape
+  // assertions target the lazy plan-builder simhashPairsPlan — the exact
+  // pipeline the public method materializes — fed a raw (uncheckpointed)
+  // sketch projection so the full lineage is visible.
+  private def simhashPlan(d: org.apache.spark.sql.DataFrame, cap: Int) = {
+    val shingled = d.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+    val sketch = shingled.select(col("doc_id"), Dedup.simhash64(col("sh")).as("simhash"))
+    Dedup.simhashPairsPlan(sketch, shingled, "doc_id", 0.8, cap)
+  }
+
   test("simhash valve: no-op cap compiles to the exact uncapped plan") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
-    def q(cap: Int) = Dedup.simhashNearDups(
-      docs, "doc_id", col("text"), n = 3, threshold = 0.8, maxBucketSize = cap)
-    assert(hotFilterCount(q(0)) == 0, "cap 0 must not add a hot-bucket filter")
+    assert(hotFilterCount(simhashPlan(docs, 0)) == 0,
+      "cap 0 must not add a hot-bucket filter")
     // 50 distinct docs, cap 256: no block-pair bucket can be saturated,
     // so the probe finds an empty hot set and the plan is unchanged
-    assert(hotFilterCount(q(256)) == 0,
+    assert(hotFilterCount(simhashPlan(docs, 256)) == 0,
       "a no-op cap must run the uncapped plan (probe only, no filter)")
-    assert(q(256).queryExecution.optimizedPlan.sameResult(
-             q(0).queryExecution.optimizedPlan),
+    assert(simhashPlan(docs, 256).queryExecution.optimizedPlan.sameResult(
+             simhashPlan(docs, 0).queryExecution.optimizedPlan),
       "no-op capped plan must be result-identical to the uncapped plan")
   }
 
@@ -215,10 +226,8 @@ class Round15OpsSpec extends SparkTestBase {
     val mega = (0L until 40L).map(i =>
       (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
     val d = spark.createDataFrame(mega).toDF("doc_id", "text")
-    val engaged = Dedup.simhashNearDups(
-      d, "doc_id", col("text"), n = 3, threshold = 0.8, maxBucketSize = 16)
     // both the a-side and b-side of the self-join carry the pushed filter
-    assert(hotFilterCount(engaged) >= 1,
+    assert(hotFilterCount(simhashPlan(d, 16)) >= 1,
       "an engaged cap must filter hot buckets out of the explode")
   }
 }
