@@ -409,6 +409,50 @@ case class CharGramHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** `char_bag_lev_bound(a, b)` — a LOWER BOUND on levenshtein(a, b),
+  * computed in one linear pass: ⌈L1(hist_a, hist_b) / 2⌉ over per-
+  * codepoint histograms, because every single edit (insert / delete /
+  * substitute) changes the two strings' character multisets by at most
+  * 2 total units. Used as a candidate PRE-FILTER before the banded
+  * Levenshtein DP (round 18, dedup_edit): a pair whose bound exceeds
+  * the edit budget is guaranteed to fail the DP, so dropping it early
+  * never changes results — same class of guarantee as the length-band
+  * filter (|len_a − len_b| ≤ lev). Histograms bucket by the LEADING
+  * UTF-8 byte of each codepoint (continuation bytes skipped) — no
+  * decoding, no string copies; bucket collisions only LOWER the L1, so
+  * the bound stays valid for any input. O(bytes) vs the DP's O(L·k). */
+case class CharBagLevBound(left: Expression, right: Expression)
+    extends BinaryExpression with NativeBinaryCodegen {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "char_bag_lev_bound"
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[UTF8String]
+    val b = r.asInstanceOf[UTF8String]
+    val h = new Array[Int](256)
+    var i = 0
+    val na = a.numBytes
+    while (i < na) {
+      val byt = a.getByte(i) & 0xFF
+      if ((byt & 0xC0) != 0x80) h(byt) += 1
+      i += 1
+    }
+    i = 0
+    val nb = b.numBytes
+    while (i < nb) {
+      val byt = b.getByte(i) & 0xFF
+      if ((byt & 0xC0) != 0x80) h(byt) -= 1
+      i += 1
+    }
+    var l1 = 0
+    var j = 0
+    while (j < 256) { l1 += math.abs(h(j)); j += 1 }
+    (l1 + 1) / 2
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CharBagLevBound =
+    copy(left = l, right = r)
+}
+
 /** All character k-grams of a string as STRINGS (codepoint positions,
   * order preserved, duplicates kept) — the tokenizer of the character
   * n-gram language model (TextAnalysis.ngramLogProb). Same positions as

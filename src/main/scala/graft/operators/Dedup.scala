@@ -1023,6 +1023,18 @@ object Dedup {
     // them inside some oversized level-0 block, so across all levels
     // there are at most maxWiden·rowsOver/cap oversized keys. That bound
     // picks the tagging strategy below without a second probe.
+    //
+    // Round 18, measured and REJECTED: folding this probe into the main
+    // plan as lazily-gated branches (engagement floors and strategy as
+    // 1-row broadcast gate frames, AQE empty-propagation pruning the
+    // inactive branch) ran 1.7 → 3.2-3.5 s at sf0.1 — the static plan
+    // exploded to 450+ operators / 56 scan references (every gate and
+    // rollup re-inlines the count-table subtree; runtime exchange reuse
+    // dedupes the work but not the planning, codegen, and per-stage AQE
+    // re-optimization over the huge plan). The count pass itself is
+    // fundamental to the tuner's contract — folding cannot remove a
+    // corpus pass, only the probe job's dispatch (~0.2 s here), which
+    // the plan blowup costs back five-fold. The probe stays driver-side.
     def tuningProbe: (Boolean, Long) = {
       val m = base.groupBy(blkKey(0)).count()
         .agg(max(col("count")),
@@ -1174,10 +1186,21 @@ object Dedup {
         ColumnBridge.expression(col("t_a")),
         ColumnBridge.expression(col("t_b")),
         Some(ColumnBridge.expression(budget))))
+    // Bag-of-chars pre-filter (round 18): ⌈L1(histograms)/2⌉ is a lower
+    // bound on the edit distance, so `bound > budget` implies the banded
+    // DP would return −1 and the pair be dropped — filtering on it first
+    // never changes the output, and the linear-pass bound is an order
+    // cheaper than even the early-exiting O(L·k) band on the (typical)
+    // non-duplicate candidate. Same result-neutrality class as the
+    // length-band filter above (|len_a − len_b| ≤ lev ≤ bound target).
+    val bagBound = ColumnBridge.column(graft.functions.CharBagLevBound(
+      ColumnBridge.expression(col("t_a")),
+      ColumnBridge.expression(col("t_b"))))
     a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
       .filter(abs(col("len_a") - col("len_b")).cast("double")
         <= (lit(1.0) - minSim) * maxLen)
+      .filter(bagBound <= budget)
       .select(col("id_a"), col("id_b"),
         lev.cast("long").as("lev"),
         (lit(1.0) - lev / maxLen.cast("double")).as("sim"))

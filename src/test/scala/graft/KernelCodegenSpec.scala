@@ -43,9 +43,10 @@ class KernelCodegenSpec extends SparkTestBase {
         col2(CharGramHashes(expr2(col("text")), 20)).as("gh"),
         col2(CharGrams(expr2(col("text")), 3)).as("gs"),
         col2(BloomMightContain(expr2(col("text")), bytes)).as("bm"),
-        col2(CharEntropy(expr2(col("text")))).as("ce"))
+        col2(CharEntropy(expr2(col("text")))).as("ce"),
+        col2(CharBagLevBound(expr2(col("text")), expr2(reverse(col("text"))))).as("cb"))
       assert(g.where(size(col("gh")) > 0 && size(col("gs")) > 0 &&
-        col("ce.n_cp") > 0).count() > 0)
+        col("ce.n_cp") > 0 && col("cb") >= 0).count() > 0)
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
