@@ -1637,9 +1637,14 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
       val clusters = operators.Dedup.nearDupClusters(
         exact.select(col("doc_id")), "doc_id", pairs)
-      exact.join(clusters.filter(col("id") === col("rep"))
-          .select(col("id").as("doc_id")), "doc_id")
-        .select(col("doc_id"))
+      // The representatives ARE the answer (round 18): nearDupClusters'
+      // output id set is exactly its `ids` input — `exact`'s ids — and
+      // reps are a subset of those, so the old `exact ⋈ reps` closing
+      // join was an identity semi-join that re-evaluated the whole
+      // gates→exactDedup subtree (scan, langId, punctRatio, hash-window
+      // exchange) a third time to keep every row it was handed.
+      clusters.filter(col("id") === col("rep"))
+        .select(col("id").as("doc_id"))
     }),
 
     // CAPSTONE 2 — corpus PREPARATION: decontaminate (vs the eval split)

@@ -673,8 +673,18 @@ object Multimodal {
   def dhashDedupKeep(hashes: DataFrame, idCol: String, maxDist: Int,
                      maxBucketSize: Int = 0)
       (implicit spark: SparkSession): DataFrame = {
-    val withId = hashes.select(col(idCol).as("id"),
-      col("b0"), col("b1"), col("b2"), col("b3"))
+    // The hash frame feeds THREE arms here — the class aggregation, the
+    // final class re-join, and the null-band singleton union — and for
+    // real media each un-materialized arm re-runs the whole upstream
+    // encode+decode+hash (the codec cost IS these rows' cost; round 18,
+    // the same move [[dhashNearDups]] documents for its own input).
+    // One row of five ints per image — bounded tiny state under the
+    // return-one-small-checkpointed-frame contract; like dhashNearDups'
+    // checkpoint it stays pinned for the returned frame's lifetime
+    // (callers own it; the bench drops session storage between queries).
+    val withId = Checkpoints.checkpoint(
+      hashes.select(col(idCol).as("id"),
+        col("b0"), col("b1"), col("b2"), col("b3")))
     // ANY-band-null takes the singleton path (round-14 ADVICE):
     // [[imageDhash]] emits bands all-or-none, but this is a public API
     // over arbitrary hash frames, and a row with b0 set but another band
