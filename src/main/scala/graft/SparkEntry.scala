@@ -1632,11 +1632,29 @@ object SparkEntry {
         .filter(operators.TextAnalysis.langId(col("text")) === "en" &&
           operators.TextAnalysis.punctRatio(col("text")) < 0.3)
         .select(col("doc_id"), col("text"))
-      val exact = operators.Dedup.exactDedup(kept, Seq(col("text")), col("doc_id"))
-      val pairs = operators.Dedup.minhashNearDups(exact, "doc_id", col("text"), 3, 0.8)
-        .select(col("id_a"), col("id_b"))
-      val clusters = operators.Dedup.nearDupClusters(
-        exact.select(col("doc_id")), "doc_id", pairs)
+      // The gated+deduped corpus materializes ONCE (round 18): `exact`
+      // is an EXPENSIVE derived frame (text scan → langId/punct gates →
+      // full-text hash-window exchange), and its consumers evaluate it
+      // four times — minhashNearDups reads its input through three plan
+      // arms (signature pass + both verify sides; no stage reuse fires
+      // across the aliased sides) and the cluster id list is a fourth.
+      // That is 4 gate passes and 4 corpus-text shuffles per run. One
+      // SER checkpoint (the pageRank-edge-frame class: corpus-sized by
+      // necessity, released the moment the last consumer has
+      // materialized) pays the pass once. dedup_keep/dedup_clusters
+      // deliberately do NOT get this: their input is a bare pruned
+      // parquet scan, which is cheaper re-read than pinned.
+      val exact = operators.Checkpoints.checkpoint(
+        operators.Dedup.exactDedup(kept, Seq(col("text")), col("doc_id")))
+      val clusters = try {
+        val pairs = operators.Dedup.minhashNearDups(exact, "doc_id", col("text"), 3, 0.8)
+          .select(col("id_a"), col("id_b"))
+        // both minhashNearDups' result and nearDupClusters' labels are
+        // eagerly checkpointed inside the calls, so every read of
+        // `exact`'s blocks has happened by the time this block exits
+        operators.Dedup.nearDupClusters(
+          exact.select(col("doc_id")), "doc_id", pairs)
+      } finally operators.Checkpoints.release(exact)
       // The representatives ARE the answer (round 18): nearDupClusters'
       // output id set is exactly its `ids` input — `exact`'s ids — and
       // reps are a subset of those, so the old `exact ⋈ reps` closing
