@@ -182,7 +182,15 @@ object Dedup {
   /** MinHash+LSH near-duplicate pairs with exact-jaccard verification:
     * returns (id_a, id_b, j) for all pairs with true jaccard ≥ threshold
     * that collide in ≥1 band (recall ≈ 1 for thresholds ≤ the banding
-    * design point). */
+    * design point).
+    *
+    * OWNERSHIP (r17 ADVICE, documented round 18): the returned frame is
+    * eagerly checkpointed — the pair list, bounded by the near-dup rate,
+    * the one-result-frame contract of Checkpoints. CALLERS OWN IT: a
+    * consume-and-drop caller should `Checkpoints.release` it when done
+    * (nearDupClusters-style pipelines copy it into their own edge
+    * checkpoint; the bench drops all session storage between queries).
+    * Same contract for [[simhashNearDups]]. */
   def minhashNearDups(docs: DataFrame, id: String, text: Column,
                       n: Int, threshold: Double, maxBucketSize: Int = 0): DataFrame = {
     // the shingle table feeds bucketing AND both verify joins. It is NOT

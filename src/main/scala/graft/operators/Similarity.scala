@@ -1049,6 +1049,11 @@ object Similarity {
   private[graft] def srpBucketsFn(spark: org.apache.spark.sql.SparkSession,
                                   dim: Int, tables: Int, perTable: Int,
                                   probes: Boolean): Column => Column = {
+    // lazy eviction (round 18, r17 ADVICE): entries keyed by a STOPPED
+    // session are dead weight a library user cycling sessions can never
+    // reclaim — drop them whenever any session builds a kernel, so the
+    // map holds live sessions only (the memo below documents the scope)
+    srpPlanesBc.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val bc = srpPlanesBc.computeIfAbsent((spark, dim, tables, perTable), _ => {
       val ps = planes(dim, tables, perTable)
       val flat = new Array[Double](tables * perTable * dim)
@@ -1165,6 +1170,18 @@ object Similarity {
     require(k >= 1 && cands >= k, s"need 1 <= k <= cands, got k=$k cands=$cands")
     require(lambdaPermille >= 0 && lambdaPermille <= 1000,
       s"lambdaPermille in [0,1000], got $lambdaPermille")
+    // ids ride the greedy aggregate as BIGINT (r17 kernel); a non-ANSI
+    // cast of a NON-integral id would yield NULL and rows would vanish
+    // silently where the retired join loop failed loudly — validate up
+    // front instead (round 18, r17 ADVICE)
+    for ((df, side) <- Seq((corpus, "corpus"), (queries, "queries"))) {
+      val dt = df.schema("vec_id").dataType
+      require(Seq(org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType).contains(dt),
+        s"mmrSelect requires an integral vec_id; $side has ${dt.simpleString}")
+    }
     val lam = lambdaPermille.toLong
     val e = corpus.select(col("vec_id"), dvec(col("embedding")).as("v"))
     val q = queries.select(col("vec_id").as("qid"), dvec(col("embedding")).as("qv"))

@@ -95,4 +95,55 @@ class MmrKernelSpec extends SparkTestBase {
         s"expected ${math.min(k, 4)} selections, got $shipped")
     }
   }
+
+  // r17 ADVICE edge fixtures (round 18): these pin the SHIPPED kernel's
+  // degenerate-corpus contract explicitly (the retired loop diverges
+  // here, so the grid tests above cannot cover them).
+
+  test("null-embedding corpus rows are never selected (null rel drops the candidate)") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType, containsNull = false), nullable = true)))
+    def vec(seed: Int): Seq[Double] = Seq.tabulate(8)(i => math.sin(seed * 7 + i))
+    val tiny = spark.createDataFrame(java.util.Arrays.asList(
+      Row(10L, vec(1)), Row(11L, null), Row(12L, vec(2)), Row(13L, vec(3))), schema)
+    val qs = tiny.filter(col("vec_id") === 10L)
+    val out = rows(Similarity.mmrSelect(tiny, qs, k = 3, cands = 8, lambdaPermille = 700))
+    // the null-embedding row (11) cannot be scored: it is not a candidate
+    // and the remaining corpus selects fully and deterministically
+    assert(out.size == 3 && !out.exists(_._2 == 11L), s"got $out")
+  }
+
+  test("duplicate vec_id rows: copies cannot chain through the self-pair, trace stops early") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    def vec(seed: Int): Seq[Double] = Seq.tabulate(8)(i => math.sin(seed * 7 + i))
+    // two rows SHARE vec_id 10 with different vectors — a malformed
+    // corpus. Both enter the candidate pool as distinct (id, rel) entries,
+    // but the pair matrix excludes id_a == id_b, so once one copy is
+    // selected the other has NO pair row to the selected set and the
+    // greedy trace STOPS (the inner-join drop semantics) — the second
+    // copy is unreachable, deterministically. Callers wanting the copies
+    // distinguished must ensure unique ids upstream, as every declared
+    // query's corpus does.
+    val tiny = spark.createDataFrame(java.util.Arrays.asList(
+      Row(10L, vec(1)), Row(10L, vec(2))), schema)
+    val qs = spark.createDataFrame(
+      java.util.Arrays.asList(Row(99L, vec(1))), schema)
+    val out = rows(Similarity.mmrSelect(tiny, qs, k = 2, cands = 8, lambdaPermille = 700))
+    assert(out == Seq((99L, 10L, 1L)),
+      s"expected the trace to stop after the first duplicate copy, got $out")
+  }
+
+  test("non-integral vec_id fails loudly instead of vanishing through the BIGINT cast") {
+    val schema = StructType(Seq(
+      StructField("vec_id", StringType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    def vec(seed: Int): Seq[Double] = Seq.tabulate(8)(i => math.sin(seed * 7 + i))
+    val bad = spark.createDataFrame(java.util.Arrays.asList(Row("a", vec(1))), schema)
+    val e = intercept[IllegalArgumentException](
+      Similarity.mmrSelect(bad, bad, k = 1, cands = 1, lambdaPermille = 700))
+    assert(e.getMessage.contains("integral vec_id"))
+  }
 }

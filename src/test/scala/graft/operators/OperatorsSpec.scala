@@ -716,4 +716,23 @@ class NtileHistogramSpec extends graft.SparkTestBase {
     Checkpoints.release(hist)
     assert((spark.sparkContext.getPersistentRDDs.keySet.toSet -- before).isEmpty)
   }
+
+  test("near-dup pair frames are caller-owned: release() returns the block manager to baseline") {
+    // r17 ADVICE: minhash/simhash return eagerly-checkpointed pair frames
+    // (localCheckpoint blocks the old no-leak test deliberately filters
+    // out); this pins the OWNERSHIP contract — the returned frame is the
+    // only retained state and Checkpoints.release reclaims it fully
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val m = Dedup.minhashNearDups(docs, "doc_id", col("text"), 3, 0.8)
+    val s = Dedup.simhashNearDups(docs, "doc_id", col("text"), 3, 0.8)
+    assert(m.count() >= 0 && s.count() >= 0)
+    val held = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(held.size <= 2,
+      s"near-dup operators may retain only their result frames, found ${held.size}")
+    Checkpoints.release(m)
+    Checkpoints.release(s)
+    assert((spark.sparkContext.getPersistentRDDs.keySet.toSet -- before).isEmpty,
+      "released pair frames must not strand block-manager entries")
+  }
 }
